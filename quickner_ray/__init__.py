@@ -1,0 +1,43 @@
+"""quickner_ray — a Ray-Data-native gazetteer-NER / KG-construction engine.
+
+A from-scratch re-expression of omarmhaimdat/quickner's capabilities
+(gazetteer Aho-Corasick annotation, indexes, import/export formats) as Ray
+Data pipelines over Arrow batches, extended to the web-scale KG contract in
+/root/repo/BASELINE.json: HTML extraction, mention detection with actor
+pools, surface-form canonicalization shuffles, (subj, pred, obj) triple
+materialization, dedup/similarity/text-analysis operators, checkpointed
+resumable runs.
+
+Layout:
+- ``kernel/``     pure-Python conformance-critical semantics (no Ray)
+- ``api``         reference-compatible ``Quickner``/``Document``/``Entity``
+- ``sources/``    readers (CSV/JSONL/spaCy/Parquet pages + synth generator)
+- ``sinks/``      conformance writers (JSONL/spaCy/CSV/brat/CoNLL) + Parquet
+- ``stages/``     Ray Data batch stages (extract, detect, dedup, canonicalize,
+                  indexes, near-dup, similarity, text analysis, multimodal)
+- ``pipelines/``  end-to-end KG pipeline with lineage + resume
+"""
+
+from .kernel import (
+    Config,
+    Filters,
+    Gazetteer,
+    annotate_text,
+    annotate_texts,
+    extract_text,
+    hash_text,
+    synth_page,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "Filters",
+    "Gazetteer",
+    "annotate_text",
+    "annotate_texts",
+    "extract_text",
+    "hash_text",
+    "synth_page",
+]

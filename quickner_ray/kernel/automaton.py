@@ -1,0 +1,266 @@
+"""Gazetteer matching engine — replaces the reference's Aho-Corasick automaton.
+
+The reference compiles entity names into an ``aho_corasick::AhoCorasick``
+(MatchKind::Standard) shared across rayon threads and enumerates ALL
+overlapping raw matches per document, each filtered by the boundary rules
+(quickner-core/src/quickner.rs:118-233, 253-289).
+
+We exploit a provable property of those rules: a raw match can only be
+ACCEPTED when (a) it starts at char 0 or right after a whitespace/ASCII-punct
+char (rules 1-3, 5, 6 all require that), or (b) its char start plus the entity
+name's BYTE length equals the text's BYTE length (rule 4). So instead of a
+full Aho-Corasick scan we:
+
+1. run ONE compiled regex over the batch's concatenated text that anchors at
+   boundary positions and captures the longest trie path (the regex is a
+   trie-structured alternation, so the C regex engine does the automaton
+   walk);
+2. walk the dict-trie over the captured span to recover every prefix pattern
+   (overlapping matches, e.g. "Sun" inside "Sun Microsystems");
+3. separately enumerate rule-4 byte-end-aligned candidates per text from the
+   small set of distinct (byte_len, char_len) name shapes;
+4. filter everything through the exact boundary rules (boundary.py).
+
+``all_overlapping`` provides the brute-force oracle (a trie walk from every
+position — exactly ``find_overlapping_iter`` semantics) used by property
+tests to prove the fast path equivalent.
+
+The compiled ``Gazetteer`` is picklable and is intended to be shipped to Ray
+actors once via ``ray.put`` (built in the actor's ``__init__``, never per
+batch).
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from bisect import bisect_right
+from collections.abc import Iterable
+
+from .boundary import accept
+from .chars import BOUNDARY_CLASS_RE, byte_len
+
+_OUT = 0  # sentinel trie key for terminal pattern ids (never collides with 1-char str keys)
+
+Span = tuple[int, int, str]
+
+
+class Gazetteer:
+    """Compiled gazetteer: dedup'd (name, label) patterns + trie + scan regex.
+
+    Mirrors the reference's entity load semantics: with case_sensitive=False
+    names are lowercased before dedup (quickner.rs:447-456, 506-509); empty
+    names are dropped; (name, label) pairs are set-deduped (entity.rs:15-26)
+    preserving first-occurrence order for determinism.
+    """
+
+    def __init__(self, entities: Iterable[tuple[str, str]], case_sensitive: bool = False):
+        self.case_sensitive = case_sensitive
+        names: list[str] = []
+        labels: list[str] = []
+        seen: set[tuple[str, str]] = set()
+        for name, label in entities:
+            if not case_sensitive:
+                name = name.lower()
+            if not name:
+                continue
+            key = (name, label)
+            if key in seen:
+                continue
+            seen.add(key)
+            names.append(name)
+            labels.append(label)
+        self.names = names
+        self.labels = labels
+        self.byte_lens = [byte_len(n) for n in names]
+        # trie: nested dicts keyed by char; _OUT -> list of pattern ids
+        trie: dict = {}
+        for pid, name in enumerate(names):
+            node = trie
+            for ch in name:
+                nxt = node.get(ch)
+                if nxt is None:
+                    nxt = {}
+                    node[ch] = nxt
+                node = nxt
+            node.setdefault(_OUT, []).append(pid)
+        self.trie = trie
+        # (byte_len, char_len) -> {name: [pids]} for rule-4 end-aligned candidates
+        self.len_pairs: dict[tuple[int, int], dict[str, list[int]]] = {}
+        for pid, name in enumerate(names):
+            d = self.len_pairs.setdefault((self.byte_lens[pid], len(name)), {})
+            d.setdefault(name, []).append(pid)
+        # batch concatenation uses '\n' as separator; unsafe if a name contains it
+        self.sep_safe = not any("\n" in n for n in names)
+        self._scan_re: re.Pattern | None = None
+
+    # -- pickling: drop the compiled regex, rebuild lazily per process --------
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_scan_re"] = None
+        return state
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    # -- regex compilation ----------------------------------------------------
+    def _trie_regex_body(self) -> str:
+        """Trie-structured alternation matching the longest pattern path.
+
+        Terminal nodes make their child alternation optional, so greedy
+        matching with backtracking ends the match at the deepest reachable
+        terminal; prefix terminals are recovered by a trie walk afterwards.
+        """
+        max_depth = max((len(n) for n in self.names), default=0)
+        if max_depth + 100 > sys.getrecursionlimit():
+            sys.setrecursionlimit(max_depth + 200)
+
+        def emit(node: dict) -> str:
+            terminal = _OUT in node
+            children = sorted((k, v) for k, v in node.items() if k != _OUT)
+            if not children:
+                return ""
+            alt = "|".join(re.escape(ch) + emit(sub) for ch, sub in children)
+            return "(?:" + alt + ")" + ("?" if terminal else "")
+
+        return emit(self.trie)
+
+    def _get_scan_re(self) -> re.Pattern:
+        if self._scan_re is None:
+            body = self._trie_regex_body()
+            # zero-width: anchored at a boundary position, capture the longest path
+            self._scan_re = re.compile(
+                "(?:\\A|(?<=" + BOUNDARY_CLASS_RE + "))(?=(" + body + "))"
+            )
+        return self._scan_re
+
+    # -- candidate generation -------------------------------------------------
+    def _walk_terminals(self, text: str, p: int, length: int, out: list[tuple[int, int, int]]):
+        """Collect all terminal prefixes of text[p:p+length] as raw matches."""
+        node = self.trie
+        for i in range(length):
+            node = node[text[p + i]]
+            pids = node.get(_OUT)
+            if pids is not None:
+                e = p + i + 1
+                for pid in pids:
+                    out.append((p, e, pid))
+
+    def _end_aligned(self, text: str, n_char: int, b_text: int) -> list[tuple[int, int, int]]:
+        """Rule-4 candidates: raw matches with start_char + name_byte_len ==
+        text_byte_len (quickner.rs:180-183). One probe per distinct
+        (byte_len, char_len) name shape."""
+        out: list[tuple[int, int, int]] = []
+        for (bl, cl), by_name in self.len_pairs.items():
+            s = b_text - bl
+            if s < 0 or s + cl > n_char:
+                continue
+            pids = by_name.get(text[s : s + cl])
+            if pids:
+                e = s + cl
+                for pid in pids:
+                    out.append((s, e, pid))
+        return out
+
+    # -- public matching API --------------------------------------------------
+    def annotate(self, text: str) -> list[Span]:
+        """Annotate one (already case-normalized) text. Returns char-index
+        spans ``(start, end, label)`` sorted by (start, end, label), exact
+        duplicates removed — Document::annotate ordering (document.rs:83-96)."""
+        return self.annotate_batch([text])[0]
+
+    def annotate_batch(self, texts: list[str]) -> list[list[Span]]:
+        """Annotate a batch of (already case-normalized) texts.
+
+        One regex pass over the '\\n'-joined batch finds boundary-anchored
+        candidates; per-text rule-4 probes add byte-end-aligned ones; the
+        exact boundary rules filter; results match the reference per text.
+        """
+        n = len(texts)
+        results: list[list[Span]] = [[] for _ in range(n)]
+        if not self.names or n == 0:
+            return results
+        if not self.sep_safe:
+            return [self._annotate_single(t) for t in texts]
+        mega = "\n".join(texts)
+        starts = [0] * (n + 1)
+        acc = 0
+        for i, t in enumerate(texts):
+            starts[i] = acc
+            acc += len(t) + 1
+        starts[n] = acc
+        raw_per_doc: list[list[tuple[int, int, int]] | None] = [None] * n
+        walk = self._walk_terminals
+        for m in self._get_scan_re().finditer(mega):
+            p = m.start()
+            length = m.end(1) - p
+            di = bisect_right(starts, p) - 1
+            raw = raw_per_doc[di]
+            if raw is None:
+                raw = raw_per_doc[di] = []
+            base = starts[di]
+            local: list[tuple[int, int, int]] = []
+            walk(mega, p, length, local)
+            for s, e, pid in local:
+                raw.append((s - base, e - base, pid))
+        for di in range(n):
+            results[di] = self._finish(texts[di], raw_per_doc[di] or [])
+        return results
+
+    def _annotate_single(self, text: str) -> list[Span]:
+        raw: list[tuple[int, int, int]] = []
+        for m in self._get_scan_re().finditer(text):
+            self._walk_terminals(text, m.start(), m.end(1) - m.start(), raw)
+        return self._finish(text, raw)
+
+    def _finish(self, text: str, raw: list[tuple[int, int, int]]) -> list[Span]:
+        n_char = len(text)
+        b_text = byte_len(text)
+        raw.extend(self._end_aligned(text, n_char, b_text))
+        byte_lens = self.byte_lens
+        labels = self.labels
+        seen: set[tuple[int, int, int]] = set()
+        out: list[Span] = []
+        for cand in raw:
+            if cand in seen:
+                continue
+            seen.add(cand)
+            s, e, pid = cand
+            if accept(text, n_char, b_text, s, e, byte_lens[pid]):
+                out.append((s, e, labels[pid]))
+        out.sort()
+        # exact-duplicate removal (document.rs:88-96); duplicates only arise
+        # from duplicate (name,label) pairs, which are dedup'd at build time
+        dedup: list[Span] = []
+        prev = None
+        for span in out:
+            if span != prev:
+                dedup.append(span)
+                prev = span
+        return dedup
+
+    # -- oracle (test-only) ---------------------------------------------------
+    def all_overlapping(self, text: str) -> list[tuple[int, int, int]]:
+        """Brute-force ``find_overlapping_iter`` equivalent: trie walk from
+        EVERY char position. O(n * max_name_len); test oracle only."""
+        out: list[tuple[int, int, int]] = []
+        n = len(text)
+        trie = self.trie
+        for p in range(n):
+            node = trie
+            i = p
+            while i < n:
+                node = node.get(text[i])
+                if node is None:
+                    break
+                i += 1
+                pids = node.get(_OUT)
+                if pids is not None:
+                    for pid in pids:
+                        out.append((p, i, pid))
+        out.sort()
+        return out
+
+    def annotate_oracle(self, text: str) -> list[Span]:
+        """Reference-shaped annotate via the brute-force oracle scan."""
+        return self._finish(text, self.all_overlapping(text))

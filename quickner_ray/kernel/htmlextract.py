@@ -1,0 +1,94 @@
+"""Deterministic HTML -> text extraction (the north-rule extraction stage).
+
+The reference has NO HTML handling (it consumes a texts CSV); this stage is
+demanded by the target contract (BASELINE.json ``input_hint``): the input is
+Common-Crawl-style pages ``(url, warc_ts, html, text, lang)`` and the
+extractor must recover ``text`` byte-identically per url. lxml/bs4/
+trafilatura are unavailable in this environment, so this is a pure
+regex/state-machine main-content extractor:
+
+1. decode UTF-8 (undecodable bytes -> extraction failure, the skip-hook the
+   reference models as ``is_valid_utf8``, utils.rs:104-111);
+2. strip comments, <script>/<style>/<noscript>/<template> blocks;
+3. select the main-content region: first <article>, else <main>, else <body>
+   minus <nav>/<header>/<footer>/<aside> boilerplate blocks (a
+   trafilatura-style tag heuristic);
+4. <br> -> newline; closing block tags -> newline; strip remaining tags;
+5. unescape HTML entities; drop the final block-close newline.
+
+``synth_page`` is the inverse generator used by tests/benchmarks: it wraps a
+text in a deterministic page template (one <p> per line, html-escaped) with
+nav/footer boilerplate; ``extract_text(synth_page(t)) == t`` for ALL texts —
+pinned by golden + property tests. Everything is a pure function of the
+input bytes, so re-runs at any parallelism produce identical output.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+_DROP_BLOCK_RE = re.compile(
+    r"<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", re.S | re.I
+)
+_HEAD_RE = re.compile(r"<head\b[^>]*>.*?</head\s*>", re.S | re.I)
+_ARTICLE_RE = re.compile(r"<article\b[^>]*>(.*?)</article\s*>", re.S | re.I)
+_MAIN_RE = re.compile(r"<main\b[^>]*>(.*?)</main\s*>", re.S | re.I)
+_BODY_RE = re.compile(r"<body\b[^>]*>(.*?)</body\s*>", re.S | re.I)
+_BOILER_RE = re.compile(
+    r"<(nav|header|footer|aside)\b[^>]*>.*?</\1\s*>", re.S | re.I
+)
+_BR_RE = re.compile(r"<br\s*/?>", re.I)
+_BLOCK_CLOSE_RE = re.compile(
+    r"</(p|div|h[1-6]|li|ul|ol|tr|table|blockquote|pre|section|article|figure|dd|dt)\s*>",
+    re.I,
+)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_text(html_bytes: bytes) -> str | None:
+    """Extract main-content text from page bytes; None if undecodable."""
+    try:
+        doc = html_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    doc = _COMMENT_RE.sub("", doc)
+    doc = _DROP_BLOCK_RE.sub("", doc)
+    m = _ARTICLE_RE.search(doc)
+    if m is None:
+        m = _MAIN_RE.search(doc)
+    if m is not None:
+        region = m.group(1)
+    else:
+        mb = _BODY_RE.search(doc)
+        region = mb.group(1) if mb is not None else _HEAD_RE.sub("", doc)
+        region = _BOILER_RE.sub("", region)
+    region = _BR_RE.sub("\n", region)
+    region = _BLOCK_CLOSE_RE.sub("\n", region)
+    region = _TAG_RE.sub("", region)
+    text = _html.unescape(region)
+    # every closing block tag contributed one '\n'; n paragraphs need n-1
+    if text.endswith("\n"):
+        text = text[:-1]
+    return text
+
+
+_PAGE_TEMPLATE = (
+    "<html><head><meta charset=\"utf-8\"><title>{title}</title>"
+    "<style>body{{margin:0}}</style><script>var _p={seq};</script></head>"
+    "<body><nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a></nav>"
+    "<article>{paragraphs}</article>"
+    "<footer>&copy; example.org crawl fixture</footer></body></html>"
+)
+
+
+def synth_page(text: str, seq: int = 0, title: str = "fixture") -> bytes:
+    """Deterministic HTML wrapping of ``text``; inverse of ``extract_text``."""
+    paragraphs = "".join(
+        "<p>" + _html.escape(line, quote=False) + "</p>" for line in text.split("\n")
+    )
+    page = _PAGE_TEMPLATE.format(
+        title=_html.escape(title, quote=False), seq=seq, paragraphs=paragraphs
+    )
+    return page.encode("utf-8")

@@ -1,0 +1,157 @@
+"""Filters (F-5 matrix), hashing, config, HTML extraction round-trip."""
+
+from __future__ import annotations
+
+import random
+
+import pyarrow as pa
+
+from quickner_ray.kernel import (
+    Config,
+    Filters,
+    extract_text,
+    hash_text,
+    naive_find_index,
+    synth_page,
+)
+
+
+class TestFilters:
+    def test_empty_rejected(self):
+        assert not Filters().is_valid("")
+
+    def test_alphanumeric_flag(self):
+        f = Filters(alphanumeric=True)
+        assert not f.is_valid("abc123")
+        assert f.is_valid("abc 123")  # space is not alphanumeric
+
+    def test_punctuation_flag(self):
+        f = Filters(punctuation=True)
+        assert not f.is_valid("hello, world")
+        assert f.is_valid("hello world")
+
+    def test_numbers_flag(self):
+        f = Filters(numbers=True)
+        assert not f.is_valid("call 911")
+        assert f.is_valid("call me")
+
+    def test_special_characters_with_accept_list(self):
+        # config/config.toml:19 accepts ".,-"
+        f = Filters(special_characters=True, accept_special_characters=".,-")
+        assert f.is_valid("a.b,c-d")
+        assert not f.is_valid("a@b")
+
+    def test_byte_length_bounds(self):
+        f = Filters(min_length=2, max_length=4)
+        assert not f.is_valid("a")
+        assert f.is_valid("ab")
+        assert f.is_valid("abcd")
+        assert not f.is_valid("abcde")
+        # length is BYTES: 'éé' is 4 bytes
+        assert f.is_valid("éé")
+        assert not f.is_valid("ééé")  # 6 bytes
+
+    def test_vectorized_mask_matches_scalar(self):
+        rng = random.Random(3)
+        alphabet = "ab1.@é "
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 10)))
+            for _ in range(200)
+        ]
+        for f in [
+            Filters(),
+            Filters(alphanumeric=True, punctuation=True),
+            Filters(numbers=True, special_characters=True, accept_special_characters="."),
+            Filters(min_length=2, max_length=5),
+        ]:
+            mask = f.valid_mask(pa.array(texts, type=pa.string())).to_pylist()
+            assert mask == [f.is_valid(t) for t in texts]
+
+
+class TestHashing:
+    def test_stable_and_content_keyed(self):
+        assert hash_text("abc") == hash_text("abc")
+        assert hash_text("abc") != hash_text("abd")
+        # md5 parity with DuckDB's md5()
+        assert hash_text("abc") == "900150983cd24fb0d6963f7d28e17f72"
+
+
+class TestConfig:
+    def test_defaults_match_core(self):
+        c = Config()
+        assert c.texts.filters.max_length == 1024
+        assert c.texts.filters.case_sensitive is False
+        assert c.annotations.format == "jsonl"
+
+    def test_toml_roundtrip(self, tmp_path):
+        p = tmp_path / "config.toml"
+        p.write_text(
+            """
+[texts.input]
+path = "texts.csv"
+filter = true
+[texts.filters]
+case_sensitive = false
+max_length = 99
+[annotations.output]
+path = "out.jsonl"
+[annotations]
+format = "spacy"
+[entities.input]
+path = "entities.csv"
+[entities.excludes]
+path = "excludes.csv"
+"""
+        )
+        c = Config.from_file(str(p))
+        assert c.texts.input.path == "texts.csv"
+        assert c.texts.filters.max_length == 99
+        assert c.annotations.format == "spacy"
+        assert c.entities.excludes.path == "excludes.csv"
+
+
+class TestHtmlExtract:
+    def test_roundtrip_goldens(self):
+        for t in [
+            "rust is made by Mozilla",
+            "",
+            "a\nb",
+            "trailing newline\n",
+            "x & <y> über\n\nz",
+            "  leading and trailing  ",
+            'quotes "stay" intact & <tags> escaped',
+        ]:
+            assert extract_text(synth_page(t)) == t, repr(t)
+
+    def test_roundtrip_random(self):
+        rng = random.Random(11)
+        alphabet = "ab<>&\"'é\n ;x"
+        for _ in range(300):
+            t = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+            assert extract_text(synth_page(t)) == t, repr(t)
+
+    def test_invalid_utf8_returns_none(self):
+        assert extract_text(b"\xff\xfe<html>") is None
+
+    def test_plain_html_without_article(self):
+        page = (
+            b"<html><head><title>t</title></head><body>"
+            b"<nav>skip</nav><p>hello &amp; bye</p><footer>no</footer></body></html>"
+        )
+        assert extract_text(page) == "hello & bye"
+
+    def test_deterministic(self):
+        t = "same input, same bytes"
+        assert synth_page(t, seq=5) == synth_page(t, seq=5)
+        assert extract_text(synth_page(t)) == extract_text(synth_page(t))
+
+
+class TestNaiveFindIndex:
+    def test_basic_byte_offsets(self):
+        # legacy oracle (quickner.rs:68-116): byte offsets, first hit per entity
+        spans = naive_find_index("rust is made by mozilla", [("mozilla", "ORG")])
+        assert spans == [(16, 23, "ORG")]
+
+    def test_one_match_per_entity(self):
+        spans = naive_find_index("go go go", [("go", "PL")])
+        assert spans == [(0, 2, "PL")]
