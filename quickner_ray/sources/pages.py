@@ -1,0 +1,95 @@
+"""Web-pages Parquet source + deterministic synthetic page generator.
+
+The authoritative pipeline input (BASELINE.json ``input_hint``) is a Parquet
+table of Common-Crawl-style pages::
+
+    url: string, warc_ts: timestamp[us], html: binary, text: large_string, lang: string
+
+``read_pages`` prunes columns at the read (only what the requested stages
+need leaves storage). ``synth_pages_table`` builds a seeded, fully
+deterministic pages table from a source of texts (e.g.
+``documents.parquet``), wrapping each text with ``kernel.htmlextract.synth_page``
+so ``extract_text(html) == text`` byte-identically per url — no external
+data (driver rule). Zipf-hot surface forms come from the source texts
+themselves.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import pyarrow as pa
+
+from ..kernel.htmlextract import synth_page
+
+PAGES_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("html", pa.binary()),
+        pa.field("text", pa.large_string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def read_pages(path: str, columns: list[str] | None = None, **kwargs):
+    """ray.data.read_parquet with column pruning (pass only needed columns)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+_EPOCH = _dt.datetime(2023, 1, 1)
+
+
+def synth_pages_table(
+    texts: list[str], langs: list[str] | None = None, base_seq: int = 0
+) -> pa.Table:
+    """Deterministic pages table: text[i] -> one page row. Pure function of
+    its inputs (no clock, no RNG) so any shard re-generates identically."""
+    n = len(texts)
+    urls = [f"https://example.org/crawl/{base_seq + i:012d}" for i in range(n)]
+    ts = [_EPOCH + _dt.timedelta(seconds=(base_seq + i) % 86400) for i in range(n)]
+    htmls = [synth_page(t, seq=base_seq + i) for i, t in enumerate(texts)]
+    langs = langs if langs is not None else ["en"] * n
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, type=pa.string()),
+            pa.array(ts, type=pa.timestamp("us")),
+            pa.array(htmls, type=pa.binary()),
+            pa.array(texts, type=pa.large_string()),
+            pa.array(langs, type=pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def write_synth_pages(
+    out_path: str,
+    source_documents_parquet: str,
+    repeat: int = 1,
+    row_group_size: int = 4096,
+) -> int:
+    """Materialize a synthetic pages parquet from a documents table.
+
+    ``repeat`` > 1 duplicates the corpus with distinct urls/seqs (distinct
+    html, same text distribution) to scale the benchmark input. Returns the
+    number of page rows written.
+    """
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(source_documents_parquet, columns=["text", "lang"])
+    texts = src["text"].to_pylist()
+    langs = src["lang"].to_pylist()
+    n = len(texts)
+    writer = pq.ParquetWriter(out_path, PAGES_SCHEMA)
+    try:
+        for r in range(repeat):
+            writer.write_table(
+                synth_pages_table(texts, langs, base_seq=r * n),
+                row_group_size=row_group_size,
+            )
+    finally:
+        writer.close()
+    return n * repeat

@@ -1,0 +1,141 @@
+"""Sources (CSV readers, loaders S4/S5) and sinks (K1-K5 byte goldens)."""
+
+from __future__ import annotations
+
+import json
+
+from quickner_ray.api import Document, Entity, Quickner
+from quickner_ray.kernel.filters import Filters
+from quickner_ray.sinks.formats import save_annotations
+from quickner_ray.sources.csv_sources import (
+    read_entities_csv,
+    read_excludes_csv,
+    read_texts_csv,
+)
+
+
+def make_processed():
+    texts = ["rust is made by Mozilla", "Swift was created by Chris Lattner and Apple"]
+    ents = [Entity("Rust", "PL"), Entity("Mozilla", "ORG"), Entity("Swift", "PL"),
+            Entity("Chris Lattner", "PERSON"), Entity("Apple", "ORG")]
+    q = Quickner(documents=[Document(t) for t in texts], entities=ents)
+    q.process()
+    return q
+
+
+class TestCsvSources:
+    def test_entities_reader(self, tmp_path):
+        p = tmp_path / "entities.csv"
+        p.write_text('name,label\nRust,PL\n"Moe & Jack, Inc.",ORG\nRust,PL\n')
+        rows = read_entities_csv(str(p))
+        assert rows == [("Rust", "PL"), ("Moe & Jack, Inc.", "ORG")]
+
+    def test_entities_reader_filter_lowercases(self, tmp_path):
+        p = tmp_path / "entities.csv"
+        p.write_text("name,label\nRust,PL\nab,SHORT\n")
+        rows = read_entities_csv(str(p), Filters(min_length=3), filter=True)
+        assert rows == [("rust", "PL")]
+
+    def test_entities_reader_malformed_returns_empty(self, tmp_path):
+        p = tmp_path / "entities.csv"
+        p.write_text("name,label\nRust,PL\nbad,row,extra\n")
+        assert read_entities_csv(str(p)) == []
+
+    def test_texts_reader_dedups(self, tmp_path):
+        p = tmp_path / "texts.csv"
+        p.write_text('text\n"hello, world"\nhello\n"hello, world"\n')
+        assert read_texts_csv(str(p)) == ["hello, world", "hello"]
+
+    def test_excludes_skips_header_row(self, tmp_path):
+        p = tmp_path / "excludes.csv"
+        p.write_text("name\nApple\nMozilla\n")
+        assert read_excludes_csv(str(p)) == {"Apple", "Mozilla"}
+
+
+class TestSinks:
+    def test_jsonl_bytes(self, tmp_path):
+        q = make_processed()
+        out = str(tmp_path / "out.anything")
+        save_annotations(q.documents, out, "jsonl")
+        lines = (tmp_path / "out.jsonl").read_text().splitlines()
+        assert len(lines) == 2
+        row = json.loads(lines[0])
+        assert list(row.keys()) == ["id", "text", "label"]
+        assert row["text"] == "rust is made by mozilla"
+        assert row["label"] == [[0, 4, "PL"], [16, 23, "ORG"]]
+        # serde-compact: no spaces after separators
+        assert ", " not in lines[0].split('"text"')[0]
+
+    def test_csv_quirk_same_bytes_as_jsonl(self, tmp_path):
+        q = make_processed()
+        save_annotations(q.documents, str(tmp_path / "a.x"), "jsonl")
+        save_annotations(q.documents, str(tmp_path / "b.x"), "csv")
+        assert (tmp_path / "a.jsonl").read_bytes() == (tmp_path / "b.csv").read_bytes()
+
+    def test_spacy_format(self, tmp_path):
+        q = make_processed()
+        save_annotations(q.documents, str(tmp_path / "out.json"), "spacy")
+        data = json.loads((tmp_path / "out.json").read_text())
+        assert data[0][0] == "rust is made by mozilla"
+        assert data[0][1]["entity"] == [[0, 4, "PL"], [16, 23, "ORG"]]
+
+    def test_brat_pair(self, tmp_path):
+        q = make_processed()
+        save_annotations(q.documents, str(tmp_path / "out.any"), "brat")
+        txt = (tmp_path / "out.txt").read_text().splitlines()
+        ann = (tmp_path / "out.ann").read_text().splitlines()
+        assert txt[0] == "rust is made by mozilla"
+        assert ann[0] == "T0\tPL\t0\t4\trust"
+        assert ann[1] == "T1\tORG\t16\t23\tmozilla"
+        # T-ids restart per document (models.rs:113)
+        assert ann[2].startswith("T0\t")
+
+    def test_conll_first_containing_word_quirk(self, tmp_path):
+        q = make_processed()
+        save_annotations(q.documents, str(tmp_path / "out.c"), "conll")
+        content = (tmp_path / "out.txt").read_text()
+        blocks = content.strip("\n").split("\n\n")
+        assert len(blocks) == 2
+        first = [line.split("\t") for line in blocks[0].splitlines()]
+        assert first[0] == ["rust", "PL"]
+        assert first[1] == ["is", "O"]
+        assert first[4] == ["mozilla", "ORG"]
+
+    def test_extension_rewrite(self, tmp_path):
+        q = make_processed()
+        returned = save_annotations(q.documents, str(tmp_path / "deep.name.ext"), "jsonl")
+        assert returned.endswith("deep.name")
+        assert (tmp_path / "deep.name.jsonl").exists()
+
+
+class TestLoaders:
+    def test_jsonl_roundtrip_infers_gazetteer(self, tmp_path):
+        q = make_processed()
+        q.to_jsonl(str(tmp_path / "out.jsonl"))
+        q2 = Quickner.from_jsonl(str(tmp_path / "out.jsonl"))
+        assert len(q2.documents) == 2
+        names = {e.name for e in q2.entities}
+        assert names == {"rust", "mozilla", "swift", "chris lattner", "apple"}
+        # indexes rebuilt
+        assert len(q2.find_documents_by_entity("rust")) == 1
+
+    def test_spacy_roundtrip(self, tmp_path):
+        q = make_processed()
+        q.to_spacy(str(tmp_path / "out.json"))
+        q2 = Quickner.from_spacy(str(tmp_path / "out.json"))
+        assert len(q2.documents) == 2
+        assert {e.name for e in q2.entities} == {
+            "rust", "mozilla", "swift", "chris lattner", "apple"
+        }
+
+    def test_excludes_anti_join(self, tmp_path):
+        ex = tmp_path / "excludes.csv"
+        ex.write_text("name\nApple\n")
+        q = Quickner(
+            documents=[Document("i love Apple and Rust")],
+            entities=[Entity("Apple", "ORG"), Entity("Rust", "PL")],
+        )
+        q.config.entities.excludes.path = str(ex)
+        q.process()
+        labels = {lbl for _, _, lbl in q.documents[0].label}
+        assert labels == {"PL"}
