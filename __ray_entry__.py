@@ -1,44 +1,122 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library code these call) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline on /root/testdata/sf0.001: synthetic CC-style
+    pages (html binary) -> extract -> detect (actor pool) -> mentions ->
+    canonicalize -> triples. Returns the triples Dataset."""
+    import ray.data as rd
+
+    from quickner_ray.pipelines.kg import KGPipelineConfig, run_kg
+    from quickner_ray.pipelines.queries import documents_gazetteer
+    from quickner_ray.sources.pages import write_synth_pages
+
+    work = "/tmp/quickner_ray_entry"
+    shutil.rmtree(work, ignore_errors=True)
+    write_synth_pages(
+        os.path.join(work, "pages"),
+        "/root/testdata/sf0.001/documents.parquet",
+        repeat=2,
+    )
+    cfg = KGPipelineConfig(source="html", batch_size=512)
+    run_kg(
+        os.path.join(work, "pages"),
+        documents_gazetteer(),
+        os.path.join(work, "out"),
+        cfg,
+        shards=2,
+    )
+    return rd.read_parquet(os.path.join(work, "out", "triples"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus
+    the training-data operator set. Callables take ``sf_dir``."""
+    from quickner_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_dedup": q.q_doc_dedup,
+        "filter_valid": q.q_filter_valid,
+        "token_counts": q.q_token_counts,
+        "quality_counts": q.q_quality_counts,
+        "docs_by_lang": q.q_docs_by_lang,
+        "source_lang_stats": q.q_source_lang_stats,
+        "revenue_by_returnflag": q.q_revenue_by_returnflag,
+        "orders_per_nation": q.q_orders_per_nation,
+        "similarity_topk": q.q_similarity_topk,
+        # rows-only (boundary-rule NER is not SQL-expressible):
+        "label_mention_counts": q.q_label_mention_counts,
+        "canonical_entities": q.q_canonical_entities,
+        "triples": q.q_triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (same column names). Tables are
+    pre-registered views over the same parquet files. Rows-only queries
+    (full NER semantics) are intentionally absent."""
+    token_re = r"[^ \t\n\x0b\x0c\r]+"
+    punct_re = r"[!-/:-@\[-`{-~]"
+    return {
+        "doc_dedup": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+            "count(*) AS n_dupes FROM documents GROUP BY md5(text)"
+        ),
+        "filter_valid": (
+            "SELECT doc_id FROM documents "
+            "WHERE strlen(text) > 0 AND strlen(text) >= 100 AND strlen(text) <= 300"
+        ),
+        "token_counts": (
+            f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ),
+        "quality_counts": (
+            "SELECT doc_id, "
+            "CAST(length(text) AS BIGINT) AS n_chars_m, "
+            f"CAST(length(regexp_extract_all(text, '{token_re}')) AS BIGINT) AS n_tokens, "
+            f"CAST(length(regexp_extract_all(text, '{punct_re}')) AS BIGINT) AS n_punct, "
+            "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits, "
+            "CAST(length(regexp_extract_all(text, '[ ]')) AS BIGINT) AS n_spaces "
+            "FROM documents"
+        ),
+        "docs_by_lang": (
+            "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+        ),
+        "source_lang_stats": (
+            "SELECT source, lang, count(*) AS n_docs, avg(n_chars) AS avg_chars "
+            "FROM documents GROUP BY source, lang"
+        ),
+        "revenue_by_returnflag": (
+            "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
+            "sum(l_extendedprice * (1.0 - l_discount)) AS sum_revenue, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
+        ),
+        "orders_per_nation": (
+            "SELECT n_name, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "similarity_topk": (
+            # DOUBLE[] cast so DuckDB does float64 math like the numpy path;
+            # round(6) absorbs summation-order ulps
+            "SELECT vec_id, ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
+            "AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
+        ),
+    }

@@ -1,0 +1,236 @@
+"""The flagship KG-construction pipeline (north rule, BASELINE.json).
+
+Dataflow (SURVEY.md §3.1 "Ray Data shape", §7):
+
+    read_parquet(pages, pruned columns)
+      -> map_batches(extract_pages)            stateless: html -> text
+      -> map_batches(add_doc_id)               stateless: md5 content hash
+      -> [filter_texts]                        optional P1 predicate
+      -> [dedup_exact]                         optional E1 shuffle on doc_id
+      -> map_batches(MentionDetector, ...)     ACTOR POOL: shared automaton
+      -> write_parquet(out/annotated/shard=i)  per-shard checkpoint
+    read_parquet(out/annotated)
+      -> map_batches(explode_mentions)         docs -> mention rows
+      -> write_parquet(out/mentions)
+    read_parquet(out/mentions)
+      -> canonical_entities (partial->final groupby)  -> out/entities
+      -> map_batches(add_triple_columns)              -> out/triples
+      -> label_counts (partial->final groupby)        -> out/label_counts
+
+Scale design decisions:
+- **Streaming throughout**: every stage is a lazy Dataset consumed by
+  ``write_parquet``; nothing materializes the full corpus; stage handoffs go
+  through partitioned Parquet so each phase is independently restartable.
+- **Shards are a pure function of the input file list** (never of
+  scheduling): phase A processes one input-file shard at a time, writes
+  ``shard=NNNNN`` dirs and atomic lineage manifests; a killed run re-enters
+  and skips complete shards (state/lineage.py).
+- **The gazetteer is broadcast, not joined**: compiled once on the driver,
+  ``ray.put`` once, deserialized once per actor.
+- **The canonicalization shuffle is skew-proof by construction**: per-batch
+  partial aggregation emits <=1 row per key per batch before the global
+  groupby (stages/canonicalize.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from ..kernel.automaton import Gazetteer
+from ..kernel.filters import Filters
+from ..stages.canonicalize import add_triple_columns, canonical_entities, explode_mentions, label_counts
+from ..stages.dedup_exact import add_doc_id, dedup_exact
+from ..stages.detect import detect_mentions
+from ..stages.extract import extract_pages, passthrough_text
+from ..state.lineage import reset_shard_dir, shard_complete, write_manifest
+
+
+@dataclass
+class KGPipelineConfig:
+    source: str = "html"  # "html": extract from html bytes; "text": use text col
+    case_sensitive: bool = False
+    filters: Filters | None = None  # None -> no P1 filtering
+    dedup: bool = False  # E1 exact-dedup shuffle before detection
+    subj_col: str = "url"  # triple subject column
+    batch_size: int = 1024
+    detect_concurrency: tuple | int | None = None
+    detect_num_cpus: float = 1
+    read_concurrency: int | None = None
+
+    def fingerprint(self, gazetteer: Gazetteer) -> str:
+        h = hashlib.md5()
+        h.update(repr((self.source, self.case_sensitive, self.dedup, self.subj_col)).encode())
+        if self.filters is not None:
+            h.update(repr(self.filters).encode())
+        for name, label in zip(gazetteer.names, gazetteer.labels):
+            h.update(name.encode())
+            h.update(b"\x1f")
+            h.update(label.encode())
+            h.update(b"\x1e")
+        h.update(str(gazetteer.case_sensitive).encode())
+        return h.hexdigest()
+
+
+def annotate_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
+    """Phase-A transform chain on an already-read pages Dataset (no I/O)."""
+    if cfg.source == "html":
+        ds = ds.map_batches(extract_pages, batch_format="pyarrow")
+    else:
+        ds = ds.map_batches(passthrough_text, batch_format="pyarrow")
+    ds = ds.map_batches(add_doc_id, batch_format="pyarrow")
+    if cfg.filters is not None:
+        from ..stages.filter_stage import filter_texts
+
+        ds = filter_texts(ds, cfg.filters)
+    if cfg.dedup:
+        ds = dedup_exact(ds, key="doc_id")
+    ds = detect_mentions(
+        ds,
+        gazetteer,
+        batch_size=cfg.batch_size,
+        concurrency=cfg.detect_concurrency,
+        num_cpus=cfg.detect_num_cpus,
+    )
+    return ds
+
+
+def _read_columns(cfg: KGPipelineConfig) -> list[str]:
+    # prune at the read: never ship the html column when matching on text
+    if cfg.source == "html":
+        return ["url", "html", "lang"]
+    return ["url", "text", "lang"]
+
+
+def run_kg(
+    input_paths: list[str] | str,
+    gazetteer: Gazetteer,
+    out_dir: str,
+    cfg: KGPipelineConfig | None = None,
+    *,
+    shards: int | None = None,
+    build_indexes: bool = False,
+) -> dict:
+    """Run the full pipeline with per-shard checkpointing. Returns metrics.
+
+    ``input_paths``: parquet file(s) or a directory. ``shards`` groups the
+    input FILES into that many shards (default: one shard per file).
+    Re-running with the same inputs+config skips completed shards.
+    """
+    import ray.data as rd
+
+    cfg = cfg or KGPipelineConfig()
+    if isinstance(input_paths, str):
+        if os.path.isdir(input_paths):
+            files = sorted(
+                os.path.join(input_paths, f)
+                for f in os.listdir(input_paths)
+                if f.endswith(".parquet")
+            )
+        else:
+            files = [input_paths]
+    else:
+        files = sorted(input_paths)
+    if not files:
+        raise ValueError("no input parquet files")
+    n_shards = min(shards or len(files), len(files))
+    shard_files = [files[i::n_shards] for i in range(n_shards)]
+    fp = cfg.fingerprint(gazetteer)
+    metrics: dict = {"shards": n_shards, "fingerprint": fp, "stages": {}}
+    t_all = time.perf_counter()
+
+    # ---- phase A: extract + detect, per shard (resumable) -------------------
+    ann_dir = os.path.join(out_dir, "annotated")
+    skipped = 0
+    for i, shard in enumerate(shard_files):
+        shard_out = os.path.join(ann_dir, f"shard={i:05d}")
+        if shard_complete(out_dir, "annotated", i, inputs=shard, fingerprint=fp):
+            skipped += 1
+            continue
+        t0 = time.perf_counter()
+        reset_shard_dir(shard_out)
+        ds = rd.read_parquet(
+            shard,
+            columns=_read_columns(cfg),
+            concurrency=cfg.read_concurrency,
+        )
+        ds = annotate_dataset(ds, gazetteer, cfg)
+        ds.write_parquet(shard_out)
+        rows = sum(
+            f.metadata.num_rows
+            for f in _parquet_fragments(shard_out)
+        )
+        write_manifest(
+            out_dir,
+            "annotated",
+            i,
+            inputs=shard,
+            rows=rows,
+            fingerprint=fp,
+            extra={"seconds": time.perf_counter() - t0},
+        )
+    metrics["stages"]["annotated"] = {"skipped_shards": skipped}
+
+    # ---- phase B: explode mentions ------------------------------------------
+    mentions_dir = os.path.join(out_dir, "mentions")
+    if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir], fingerprint=fp):
+        t0 = time.perf_counter()
+        reset_shard_dir(mentions_dir)
+        ann = rd.read_parquet(ann_dir)
+        mentions = ann.map_batches(
+            lambda b: explode_mentions(b, subj_col=cfg.subj_col),
+            batch_format="pyarrow",
+        )
+        mentions.write_parquet(mentions_dir)
+        write_manifest(
+            out_dir, "mentions", 0, inputs=[ann_dir], rows=-1, fingerprint=fp,
+            extra={"seconds": time.perf_counter() - t0},
+        )
+
+    # ---- phase C: canonical entities, triples, label counts -----------------
+    if not shard_complete(out_dir, "graph", 0, inputs=[mentions_dir], fingerprint=fp):
+        t0 = time.perf_counter()
+        ent_dir = os.path.join(out_dir, "entities")
+        tri_dir = os.path.join(out_dir, "triples")
+        lc_dir = os.path.join(out_dir, "label_counts")
+        for d in (ent_dir, tri_dir, lc_dir):
+            reset_shard_dir(d)
+        mentions = rd.read_parquet(mentions_dir)
+        canonical_entities(mentions).write_parquet(ent_dir)
+        mentions = rd.read_parquet(mentions_dir)
+        mentions.map_batches(
+            lambda b: add_triple_columns(b, subj_col=cfg.subj_col),
+            batch_format="pyarrow",
+        ).write_parquet(tri_dir)
+        mentions = rd.read_parquet(mentions_dir)
+        label_counts(mentions).write_parquet(lc_dir)
+        if build_indexes:
+            from ..stages.indexes import build_entity_index, build_label_index
+
+            ei_dir = os.path.join(out_dir, "entity_index")
+            li_dir = os.path.join(out_dir, "label_index")
+            reset_shard_dir(ei_dir)
+            reset_shard_dir(li_dir)
+            build_entity_index(rd.read_parquet(mentions_dir)).write_parquet(ei_dir)
+            build_label_index(rd.read_parquet(mentions_dir)).write_parquet(li_dir)
+        write_manifest(
+            out_dir, "graph", 0, inputs=[mentions_dir], rows=-1, fingerprint=fp,
+            extra={"seconds": time.perf_counter() - t0},
+        )
+
+    metrics["total_seconds"] = time.perf_counter() - t_all
+    with open(os.path.join(out_dir, "_lineage", "run-metrics.json"), "w") as f:
+        json.dump(metrics, f)
+    return metrics
+
+
+def _parquet_fragments(path: str):
+    import pyarrow.parquet as pq
+
+    for root, _dirs, fns in os.walk(path):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                yield pq.ParquetFile(os.path.join(root, fn))

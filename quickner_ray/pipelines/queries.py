@@ -1,0 +1,252 @@
+"""Driver-contract query implementations (SURVEY.md §2 operators over the
+shared testdata tables). Each function takes ``sf_dir`` and returns a Ray
+Dataset / pandas DataFrame / pyarrow Table; matching DuckDB oracle SQL lives
+in ``__ray_entry__.oracle_sql``. Column names are aligned with the SQL.
+
+Ray is initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..kernel.automaton import Gazetteer
+from ..kernel.filters import Filters
+from ..stages.canonicalize import add_triple_columns, canonical_entities, explode_mentions, label_counts
+from ..stages.detect import detect_mentions
+from ..stages.text_analysis import add_quality_counts, add_token_count
+
+# Deterministic gazetteer over the synthetic documents vocabulary
+# (multi-word names pin overlapping-match semantics; hot single words pin the
+# skewed canonicalization path).
+DEFAULT_GAZETTEER: list[tuple[str, str]] = [
+    ("table scan", "OPERATOR"),
+    ("hash join", "OPERATOR"),
+    ("merge", "OPERATOR"),
+    ("sort", "OPERATOR"),
+    ("filter", "OPERATOR"),
+    ("window", "OPERATOR"),
+    ("agg", "OPERATOR"),
+    ("scan", "OPERATOR"),
+    ("join", "OPERATOR"),
+    ("spark", "SYSTEM"),
+    ("stream", "SYSTEM"),
+    ("batch", "UNIT"),
+    ("row", "UNIT"),
+    ("column", "UNIT"),
+    ("vector", "UNIT"),
+    ("part", "UNIT"),
+    ("customer", "ENTITY"),
+    ("order", "ENTITY"),
+    ("line", "ENTITY"),
+    ("data", "CONCEPT"),
+    ("query", "CONCEPT"),
+    ("key", "CONCEPT"),
+    ("value", "CONCEPT"),
+    ("the fast key", "PHRASE"),
+]
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def documents_gazetteer(case_sensitive: bool = False) -> Gazetteer:
+    return Gazetteer(DEFAULT_GAZETTEER, case_sensitive=case_sensitive)
+
+
+def annotated_documents(sf_dir: str, *, batch_size: int = 2048):
+    """documents.parquet -> annotated Dataset (text path of the flagship)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return detect_mentions(
+        ds, documents_gazetteer(), batch_size=batch_size, concurrency=(2, 8)
+    )
+
+
+def mentions_dataset(sf_dir: str):
+    ann = annotated_documents(sf_dir)
+    return ann.map_batches(
+        lambda b: explode_mentions(b, subj_col="doc_id"), batch_format="pyarrow"
+    )
+
+
+# ---- oracle-checked queries -------------------------------------------------
+
+def q_doc_dedup(sf_dir: str):
+    """E1 exact dedup summary: one row per distinct text content
+    (content hash, surviving id, duplicate count)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..kernel.hashing import hash_texts
+
+    def with_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "text_hash", pa.array(hash_texts(b.column("text").to_pylist()))
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(with_hash, batch_format="pyarrow")
+    return ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dupes")
+    )
+
+
+def q_filter_valid(sf_dir: str):
+    """P1 filter (byte-length bounds) -> surviving doc ids."""
+    from ..stages.filter_stage import filter_texts
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = filter_texts(ds, Filters(min_length=100, max_length=300))
+    return ds.select_columns(["doc_id"])
+
+
+def q_token_counts(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality_counts(sf_dir: str):
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_quality_counts, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_chars_m", "n_tokens", "n_punct", "n_digits", "n_spaces"])
+
+
+def q_docs_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+def q_source_lang_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    ds = _docs(sf_dir, columns=["source", "lang", "n_chars"])
+    return ds.groupby(["source", "lang"]).aggregate(
+        Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars")
+    )
+
+
+def q_revenue_by_returnflag(sf_dir: str):
+    """Grouped aggregate with a computed column (partial-aggregate shape)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), b.column("l_discount"))
+        )
+        return b.append_column("revenue", rev)
+
+    ds = ds.map_batches(revenue, batch_format="pyarrow")
+    return ds.groupby("l_returnflag").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Count(alias_name="n_rows"),
+    )
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast join (small dim side shipped once) + grouped count."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nation_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    cust_nation = {
+        c: nation_name[n]
+        for c, n in zip(
+            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
+        )
+    }
+    lookup_ref = ray.put(cust_nation)
+
+    class AddNation:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            names = [self.lookup.get(k) for k in b.column("o_custkey").to_pylist()]
+            return b.append_column("n_name", pa.array(names, type=pa.string()))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    ds = ds.map_batches(
+        AddNation,
+        fn_constructor_kwargs={"ref": lookup_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
+    """Brute-force cosine top-k over the embeddings table: the broadcast
+    query vector is applied per batch with a vectorized matmul; per-batch
+    candidates then a tiny global sort+limit."""
+    import ray.data as rd
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qtab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    idx = qtab.column("vec_id").to_pylist().index(query_id)
+    qvec = np.asarray(qtab.column("embedding")[idx].as_py(), dtype=np.float64)
+    qnorm = np.linalg.norm(qvec)
+    dim = len(qvec)
+
+    def score(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qvec) / (norms * qnorm)
+        cos = np.round(cos, 6)
+        n_local = min(k, len(cos))
+        top = np.argpartition(-cos, n_local - 1)[:n_local] if len(cos) > n_local else np.arange(len(cos))
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pc.take(b.column("vec_id"), pa.array(top, type=pa.int64())),
+                "cos_sim": pa.array(cos[top], type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(score, batch_format="pyarrow")
+    return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
+
+
+# ---- rows-only (non-SQL-expressible: full boundary-rule NER) ----------------
+
+def q_label_mention_counts(sf_dir: str):
+    return label_counts(mentions_dataset(sf_dir))
+
+
+def q_canonical_entities(sf_dir: str):
+    return canonical_entities(mentions_dataset(sf_dir))
+
+
+def q_triples(sf_dir: str):
+    m = mentions_dataset(sf_dir)
+    return m.map_batches(
+        lambda b: add_triple_columns(b, subj_col="doc_id"), batch_format="pyarrow"
+    )

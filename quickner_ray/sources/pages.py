@@ -66,30 +66,35 @@ def synth_pages_table(
 
 
 def write_synth_pages(
-    out_path: str,
+    out_dir: str,
     source_documents_parquet: str,
     repeat: int = 1,
     row_group_size: int = 4096,
-) -> int:
-    """Materialize a synthetic pages parquet from a documents table.
+) -> list[str]:
+    """Materialize a synthetic pages dataset from a documents table.
 
+    Writes one parquet FILE per repeat (``pages-NNNN.parquet``) so the file
+    list doubles as the deterministic shard layout for resumable runs.
     ``repeat`` > 1 duplicates the corpus with distinct urls/seqs (distinct
-    html, same text distribution) to scale the benchmark input. Returns the
-    number of page rows written.
+    html bytes, same text distribution) to scale benchmark input. Returns
+    the list of file paths.
     """
+    import os
+
     import pyarrow.parquet as pq
 
+    os.makedirs(out_dir, exist_ok=True)
     src = pq.read_table(source_documents_parquet, columns=["text", "lang"])
     texts = src["text"].to_pylist()
     langs = src["lang"].to_pylist()
     n = len(texts)
-    writer = pq.ParquetWriter(out_path, PAGES_SCHEMA)
-    try:
-        for r in range(repeat):
-            writer.write_table(
-                synth_pages_table(texts, langs, base_seq=r * n),
-                row_group_size=row_group_size,
-            )
-    finally:
-        writer.close()
-    return n * repeat
+    paths = []
+    for r in range(repeat):
+        path = os.path.join(out_dir, f"pages-{r:04d}.parquet")
+        pq.write_table(
+            synth_pages_table(texts, langs, base_seq=r * n),
+            path,
+            row_group_size=row_group_size,
+        )
+        paths.append(path)
+    return paths

@@ -1,0 +1,96 @@
+"""Mention detection — the flagship stateful actor-pool stage (F1-F3).
+
+The reference compiles one Aho-Corasick automaton and shares it across rayon
+threads (quickner.rs:256-272). Ray Data shape: a callable CLASS passed to
+``map_batches`` — an actor pool. The compiled ``Gazetteer`` is ``ray.put``
+once on the driver; each actor fetches and deserializes it ONCE in
+``__init__`` (zero per-batch cost), then ``__call__`` annotates each Arrow
+batch with the kernel's single-regex-pass batch scanner.
+
+Output schema adds::
+
+    text: large_string               # the matched-on text (lowercased when
+                                     # case-insensitive — reference output
+                                     # semantics, quickner.rs:266-270)
+    label: list<struct<start:int64, end:int64, label:string>>
+    n_mentions: int64
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..kernel.annotate import annotate_texts
+from ..kernel.automaton import Gazetteer
+
+LABEL_TYPE = pa.list_(
+    pa.struct([("start", pa.int64()), ("end", pa.int64()), ("label", pa.string())])
+)
+
+
+class MentionDetector:
+    """Actor-pool batch UDF. Pass ``gazetteer`` as a ray.ObjectRef (preferred:
+    one object-store copy per node) or as the object itself (pickled into the
+    actor spec)."""
+
+    def __init__(self, gazetteer, text_col: str = "text"):
+        import ray
+
+        if isinstance(gazetteer, ray.ObjectRef):
+            gazetteer = ray.get(gazetteer)
+        if not isinstance(gazetteer, Gazetteer):
+            raise TypeError(f"expected Gazetteer or ObjectRef, got {type(gazetteer)}")
+        self.gazetteer = gazetteer
+        self.text_col = text_col
+        # touch the lazy regex once here so compile cost is paid at actor
+        # start, not on the first batch
+        self.gazetteer._get_scan_re() if gazetteer.names else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return annotate_batch_table(batch, self.gazetteer, self.text_col)
+
+
+def annotate_batch_table(batch: pa.Table, gaz: Gazetteer, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    matched, spans = annotate_texts(texts, gaz)
+    label_arr = pa.array(
+        [[{"start": s, "end": e, "label": l} for s, e, l in doc] for doc in spans],
+        type=LABEL_TYPE,
+    )
+    n = pa.array([len(doc) for doc in spans], type=pa.int64())
+    out = batch
+    idx = out.column_names.index(text_col)
+    out = out.set_column(idx, text_col, pa.array(matched, type=pa.large_string()))
+    out = out.append_column("label", label_arr)
+    out = out.append_column("n_mentions", n)
+    return out
+
+
+def detect_mentions(
+    ds,
+    gazetteer: Gazetteer,
+    *,
+    batch_size: int = 1024,
+    concurrency=None,
+    num_cpus: float = 1,
+    text_col: str = "text",
+):
+    """Attach the detector actor pool to a Dataset.
+
+    ``concurrency`` defaults to an autoscaling pool (2, cluster CPUs); size
+    it with ``num_cpus`` so the pool leaves headroom for read/write stages.
+    """
+    import ray
+
+    if concurrency is None:
+        total = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, total - 2))
+    gaz_ref = ray.put(gazetteer)
+    return ds.map_batches(
+        MentionDetector,
+        fn_constructor_kwargs={"gazetteer": gaz_ref, "text_col": text_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )

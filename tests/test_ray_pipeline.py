@@ -1,0 +1,163 @@
+"""Ray Data pipeline tests: stages, flagship KG run, checkpoint/resume."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from quickner_ray.kernel.automaton import Gazetteer
+from quickner_ray.pipelines.kg import KGPipelineConfig, run_kg
+from quickner_ray.pipelines.queries import DEFAULT_GAZETTEER, documents_gazetteer
+from quickner_ray.sources.pages import write_synth_pages
+
+GAZ = [
+    ("table scan", "OP"),
+    ("merge", "OP"),
+    ("spark", "SYS"),
+    ("window", "OP"),
+    ("customer", "ENT"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory, ray_session):
+    d = tmp_path_factory.mktemp("pages")
+    write_synth_pages(str(d), "/root/testdata/sf0.001/documents.parquet", repeat=2)
+    return str(d)
+
+
+def _rows(path: str) -> int:
+    return sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
+class TestKGPipeline:
+    def test_end_to_end_and_resume(self, pages_dir, tmp_path, ray_session):
+        out = str(tmp_path / "out")
+        gaz = Gazetteer(GAZ)
+        cfg = KGPipelineConfig(source="html", batch_size=256, detect_concurrency=2)
+        m1 = run_kg(pages_dir, gaz, out, cfg, shards=2)
+        assert m1["stages"]["annotated"]["skipped_shards"] == 0
+        n_annotated = _rows(os.path.join(out, "annotated"))
+        assert n_annotated == 1000  # 500 docs x repeat 2
+        n_mentions = _rows(os.path.join(out, "mentions"))
+        n_triples = _rows(os.path.join(out, "triples"))
+        assert n_mentions == n_triples > 0
+        # entities: one row per (surface_norm, label)
+        ents = pq.read_table(os.path.join(out, "entities"))
+        assert set(ents.column_names) == {"surface_norm", "label", "n_mentions", "entity_id"}
+        assert ents.num_rows == len({(n.lower(), l) for n, l in GAZ})
+        assert sum(ents.column("n_mentions").to_pylist()) == n_mentions
+        # resume: identical rerun skips all shards and changes nothing
+        before = sorted(glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+        m2 = run_kg(pages_dir, gaz, out, cfg, shards=2)
+        assert m2["stages"]["annotated"]["skipped_shards"] == 2
+        after = sorted(glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True))
+        assert before == after
+
+    def test_resume_reruns_incomplete_shard(self, pages_dir, tmp_path, ray_session):
+        out = str(tmp_path / "out2")
+        gaz = Gazetteer(GAZ)
+        cfg = KGPipelineConfig(source="html", batch_size=256, detect_concurrency=2)
+        run_kg(pages_dir, gaz, out, cfg, shards=2)
+        # simulate a crash: delete one shard's manifest (output possibly partial)
+        os.remove(os.path.join(out, "_lineage", "annotated", "shard-00001.json"))
+        m = run_kg(pages_dir, gaz, out, cfg, shards=2)
+        assert m["stages"]["annotated"]["skipped_shards"] == 1
+        assert _rows(os.path.join(out, "annotated")) == 1000
+
+    def test_config_change_invalidates(self, pages_dir, tmp_path, ray_session):
+        out = str(tmp_path / "out3")
+        cfg = KGPipelineConfig(source="html", batch_size=256, detect_concurrency=2)
+        run_kg(pages_dir, Gazetteer(GAZ), out, cfg, shards=1)
+        m = run_kg(pages_dir, Gazetteer(GAZ + [("query", "X")]), out, cfg, shards=1)
+        assert m["stages"]["annotated"]["skipped_shards"] == 0
+
+    def test_extraction_matches_text_column(self, pages_dir, ray_session):
+        """Per-row invariant (input_hint): extracted text == text col, byte-identical."""
+        import ray.data as rd
+
+        from quickner_ray.stages.extract import extract_pages
+
+        pages = rd.read_parquet(pages_dir)
+        golden = {
+            u: t
+            for u, t in zip(
+                *[
+                    pq.read_table(f, columns=["url", "text"]).column(c).to_pylist()
+                    for f in [sorted(glob.glob(pages_dir + "/*.parquet"))[0]]
+                    for c in ["url", "text"]
+                ]
+            )
+        }
+        extracted = pages.map_batches(extract_pages, batch_format="pyarrow").to_pandas()
+        checked = 0
+        for u, t in zip(extracted["url"], extracted["text"]):
+            if u in golden:
+                assert t == golden[u]
+                checked += 1
+        assert checked == 500
+
+    def test_pipeline_triples_match_kernel(self, pages_dir, tmp_path, ray_session):
+        """Distributed output == single-process kernel on the same corpus."""
+        out = str(tmp_path / "out4")
+        gaz = Gazetteer(GAZ)
+        run_kg(pages_dir, gaz, out, KGPipelineConfig(source="html", detect_concurrency=2), shards=2)
+        ann = pq.read_table(os.path.join(out, "annotated"))
+        from quickner_ray.kernel.annotate import annotate_text
+
+        src = pq.read_table(sorted(glob.glob(pages_dir + "/*.parquet"))[0])
+        by_url = dict(zip(src.column("url").to_pylist(), src.column("text").to_pylist()))
+        rows = ann.to_pylist()
+        checked = 0
+        for row in rows[:200]:
+            orig = by_url.get(row["url"])
+            if orig is None:
+                continue
+            matched, spans = annotate_text(orig, gaz)
+            assert row["text"] == matched
+            got = [(s["start"], s["end"], s["label"]) for s in row["label"]]
+            assert got == spans
+            checked += 1
+        assert checked > 0
+
+
+class TestLineage:
+    def test_manifest_atomic_and_fingerprinted(self, tmp_path):
+        from quickner_ray.state.lineage import read_manifest, shard_complete, write_manifest
+
+        out = str(tmp_path)
+        write_manifest(out, "s", 3, inputs=["a"], rows=10, fingerprint="fp1")
+        assert read_manifest(out, "s", 3)["rows"] == 10
+        assert shard_complete(out, "s", 3, inputs=["a"], fingerprint="fp1")
+        assert not shard_complete(out, "s", 3, inputs=["b"], fingerprint="fp1")
+        assert not shard_complete(out, "s", 3, inputs=["a"], fingerprint="fp2")
+
+    def test_run_metrics_written(self, pages_dir, tmp_path, ray_session):
+        out = str(tmp_path / "m")
+        run_kg(
+            pages_dir,
+            Gazetteer(GAZ),
+            out,
+            KGPipelineConfig(source="html", detect_concurrency=2),
+            shards=1,
+        )
+        with open(os.path.join(out, "_lineage", "run-metrics.json")) as f:
+            m = json.load(f)
+        assert m["shards"] == 1 and m["total_seconds"] > 0
+
+
+class TestDefaultGazetteer:
+    def test_covers_documents_vocab(self, ray_session):
+        gaz = documents_gazetteer()
+        assert len(gaz) == len(DEFAULT_GAZETTEER)
+        spans = gaz.annotate("the fast key order sort table scan merge")
+        labels = {(s, e, l) for s, e, l in spans}
+        assert (24, 34, "OPERATOR") in labels  # "table scan"
+        assert (0, 12, "PHRASE") in labels  # "the fast key"
