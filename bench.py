@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline KG pipeline (synthetic CC-style pages built
+deterministically from ``$GRAFT_SF_DIR/documents.parquet`` -> HTML extract ->
+actor-pool mention detection -> mention explode -> canonicalize -> triples)
+plus each driver-contract query, and prints ONE JSON line::
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the identical headline job in two FRESH processes
+(num_cpus=8 then 32 by default) on the same input and reports throughput at
+both plus scaling efficiency = (tput_hi / tput_lo) / (hi / lo).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32).
+This script OWNS its Ray session (init + shutdown) — library code does not.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+REPEAT = 8  # pages corpus = documents.parquet texts x REPEAT (distinct urls)
+
+
+def _sf_label(sf_dir: str) -> float | str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return base
+
+
+def _pages_dir(sf_dir: str, repeat: int) -> str:
+    label = str(_sf_label(sf_dir)).replace("/", "_")
+    return f"/tmp/quickner_bench/pages-{label}-x{repeat}"
+
+
+def build_pages(sf_dir: str, repeat: int) -> tuple[str, int]:
+    """Materialize the synthetic pages corpus once (reused across runs —
+    deterministic, pure function of documents.parquet)."""
+    import pyarrow.parquet as pq
+
+    from quickner_ray.sources.pages import write_synth_pages
+
+    out = _pages_dir(sf_dir, repeat)
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(out, ignore_errors=True)
+        write_synth_pages(out, os.path.join(sf_dir, "documents.parquet"), repeat=repeat)
+        with open(done, "w") as f:
+            f.write("ok")
+    n_docs = sum(
+        pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    return out, n_docs
+
+
+def run_headline(sf_dir: str, repeat: int = REPEAT) -> dict:
+    """One timed end-to-end KG run (fresh output dir). Ray must be up."""
+    from quickner_ray.pipelines.kg import KGPipelineConfig, run_kg
+    from quickner_ray.pipelines.queries import documents_gazetteer
+
+    pages, n_docs = build_pages(sf_dir, repeat)
+    out = "/tmp/quickner_bench/out"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = KGPipelineConfig(source="html", batch_size=1024)
+    t0 = time.perf_counter()
+    run_kg(pages, documents_gazetteer(), out, cfg, shards=repeat)
+    wall = time.perf_counter() - t0
+    return {"wall_sec": wall, "n_docs": n_docs, "docs_per_sec": n_docs / wall}
+
+
+def _consume(result) -> int:
+    """Execute a lazy query result; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    return result.count()  # ray.data.Dataset
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as e
+
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        head = run_headline(sf_dir)
+        queries = {} if headline_only else run_queries(sf_dir)
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "kg_triple_extraction_wall_sec",
+        "value": round(head["wall_sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": head["n_docs"],
+        "docs_per_sec": round(head["docs_per_sec"], 1),
+    }
+
+
+def bench_scaling(sf_dir: str, lo: int, hi: int) -> dict:
+    """Fresh process per CPU count (clean Ray session each)."""
+    results = {}
+    for cpus in (lo, hi):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", "--cpus", str(cpus)],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr)
+            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    tput_lo = results[lo]["docs_per_sec"]
+    tput_hi = results[hi]["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "kg_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": _sf_label(sf_dir),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "docs_per_sec_lo": tput_lo,
+        "docs_per_sec_hi": tput_hi,
+        "wall_sec_lo": results[lo]["value"],
+        "wall_sec_hi": results[hi]["value"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker", action="store_true", help="headline-only run (used by --scaling)")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        out = bench_scaling(sf_dir, args.lo, args.hi)
+    else:
+        out = bench_once(sf_dir, num_cpus, headline_only=args.worker)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
