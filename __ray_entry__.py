@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_returnflag": q.q_revenue_by_returnflag,
         "orders_per_nation": q.q_orders_per_nation,
         "similarity_topk": q.q_similarity_topk,
+        "minhash_signatures": q.q_minhash_signatures,
+        "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
+        "minhash_dedup_docs": q.q_minhash_dedup_docs,
+        "simhash": q.q_simhash,
+        "embedding_topk_pairs": q.q_embedding_topk_pairs,
         # rows-only (boundary-rule NER is not SQL-expressible):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
@@ -71,9 +76,16 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Tables are
     pre-registered views over the same parquet files. Rows-only queries
     (full NER semantics) are intentionally absent."""
+    from quickner_ray.stages import dedup_approx as da
+
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
     return {
+        "minhash_signatures": da.sql_minhash_signatures(),
+        "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),
+        "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),
+        "simhash": da.sql_simhash(),
+        "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

@@ -235,6 +235,61 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
     return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+# ---- approximate dedup / similarity (oracle-checked) ------------------------
+
+def q_minhash_signatures(sf_dir: str):
+    """MinHash signatures, long form (doc_id, perm_id, sig)."""
+    from ..stages.dedup_approx import minhash_signatures_long
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(minhash_signatures_long, batch_format="pyarrow")
+
+
+def q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs verified by exact n-gram
+    Jaccard (>= 0.5)."""
+    from ..stages.dedup_approx import lsh_dup_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return lsh_dup_pairs(ds, threshold=0.5)
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """Greedy keep-first near-dup dedup: surviving doc ids. The (tiny)
+    pair list is collected driver-side and broadcast as an anti-join set."""
+    import ray
+
+    from ..stages.dedup_approx import lsh_dup_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = lsh_dup_pairs(ds, threshold=0.5)
+    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
+    drop_ref = ray.put(drop)
+
+    def keep(b: pa.Table, drop=drop_ref) -> pa.Table:
+        d = ray.get(drop) if not isinstance(drop, set) else drop
+        mask = pa.array([x not in d for x in b.column("doc_id").to_pylist()])
+        return b.filter(mask)
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(keep, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    """64-bit SimHash fingerprint per document."""
+    from ..stages.dedup_approx import simhash_batch
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+
+def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
+    """Top-k most-similar embedding pairs (brute-force cosine; near-dup
+    detection over the embedding column)."""
+    from ..stages.dedup_approx import embedding_topk_pairs
+
+    return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
+
+
 # ---- rows-only (non-SQL-expressible: full boundary-rule NER) ----------------
 
 def q_label_mention_counts(sf_dir: str):

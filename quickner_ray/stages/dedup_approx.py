@@ -1,0 +1,410 @@
+"""Approximate deduplication + similarity for training-data pipelines:
+MinHash signatures, MinHash+LSH near-duplicate pairs (with exact n-gram
+Jaccard verification), SimHash fingerprints, and embedding-cosine
+most-similar pairs.
+
+All hashes are md5-derived so the DuckDB oracle computes IDENTICAL values:
+``h64(s) = int.from_bytes(md5(s).digest()[:8], "little")`` equals DuckDB's
+``md5_number_upper(s)``. MinHash permutations are affine maps
+``(a*h + b) mod 2**64`` — numpy uint64 wraparound on our side, UHUGEINT
+modular arithmetic in SQL. (At production scale the hash is a pluggable
+detail; md5 via hashlib runs at C speed and keeps the oracle exact.)
+
+Ray Data shape (generalizes the reference's exact-dedup E1,
+quickner.rs:538-557, to near-dup at web scale):
+
+- signatures / simhash: stateless vectorized ``map_batches`` (one md5 per
+  distinct shingle; no per-row Python beyond the tokenizer loop).
+- LSH: docs -> band rows (``BANDS`` rows per doc, shingle set carried
+  along) -> ``groupby(band_id, band_key).map_groups`` emits within-bucket
+  pairwise exact Jaccard -> ``groupby(pair).max`` dedups pairs found in
+  multiple bands. The only shuffle key is the band key; bucket sizes are
+  bounded by ``MAX_BUCKET`` (hot buckets of identical docs would otherwise
+  go quadratic — exact duplicates should be removed by E1 first).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+WORD_RE = re.compile(r"[a-z0-9]+")
+WORD_RE_SQL = "[a-z0-9]+"  # RE2 class, identical semantics in DuckDB
+
+N_SHINGLE = 3  # word n-gram size
+K_PERMS = 16
+BANDS = 4
+ROWS_PER_BAND = K_PERMS // BANDS
+MAX_BUCKET = 200  # cap pairwise work per LSH bucket (scale guard)
+
+# deterministic affine-permutation constants (odd multipliers)
+PERM_A = np.array(
+    [(2 * i + 1) * 0x9E3779B97F4A7C15 % 2**64 for i in range(K_PERMS)], dtype=np.uint64
+)
+PERM_B = np.array(
+    [(i * i + 1) * 0xC2B2AE3D27D4EB4F % 2**64 for i in range(K_PERMS)], dtype=np.uint64
+)
+
+
+def h64(s: str) -> int:
+    """Shared 64-bit string hash == DuckDB ``md5_number_upper(s)``."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def shingle_hashes(text: str, n: int = N_SHINGLE) -> np.ndarray:
+    """Distinct word-``n``-gram hashes (uint64). Texts with < n words
+    contribute one shingle: all words joined (so every doc has >=1)."""
+    w = WORD_RE.findall(text.lower())
+    if len(w) >= n:
+        shingles = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+    else:
+        shingles = {" ".join(w)}
+    return np.fromiter((h64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+
+
+def minhash_signature(hashes: np.ndarray) -> np.ndarray:
+    """k-permutation MinHash signature of a shingle-hash set (uint64[k])."""
+    with np.errstate(over="ignore"):
+        return (hashes[:, None] * PERM_A[None, :] + PERM_B[None, :]).min(axis=0)
+
+
+def minhash_signatures_long(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch -> long-form signatures (doc_id, perm_id, sig). Oracle-checked
+    shape: one row per (doc, permutation)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    sigs = np.empty((n, K_PERMS), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sigs[i] = minhash_signature(shingle_hashes(t))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(np.repeat(np.asarray(doc_ids), K_PERMS)),
+            "perm_id": pa.array(np.tile(np.arange(K_PERMS, dtype=np.int64), n)),
+            "sig": pa.array(sigs.reshape(-1)),
+        }
+    )
+
+
+def band_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch -> LSH band rows (doc_id, band_id, band_key, shingles).
+
+    ``band_key`` = ':'-joined decimal sigs of the band (string key shuffles
+    cheaply and matches the SQL string_agg form). The distinct shingle-hash
+    set rides along so bucket groups can verify exact Jaccard without a
+    second pass over the corpus.
+    """
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_doc, out_band, out_key, out_sh = [], [], [], []
+    for d, t in zip(doc_ids, texts):
+        hs = shingle_hashes(t)
+        sig = minhash_signature(hs)
+        sh_list = hs.tolist()
+        for b in range(BANDS):
+            rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            out_doc.append(d)
+            out_band.append(b)
+            out_key.append(":".join(str(int(v)) for v in rows))
+            out_sh.append(sh_list)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int64()),
+            "band_key": pa.array(out_key, type=pa.string()),
+            "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
+        }
+    )
+
+
+def jaccard(a: set, b: set) -> float:
+    inter = len(a & b)
+    if inter == 0:
+        return 0.0
+    return inter / (len(a) + len(b) - inter)
+
+
+def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """Within one LSH bucket: all-pairs exact Jaccard (doc_a < doc_b)."""
+    docs = group.column("doc_id").to_pylist()
+    shingles = [set(s) for s in group.column("shingles").to_pylist()]
+    order = np.argsort(docs, kind="stable")[:MAX_BUCKET]
+    out_a, out_b, out_j = [], [], []
+    for ii in range(len(order)):
+        for jj in range(ii + 1, len(order)):
+            i, j = order[ii], order[jj]
+            out_a.append(docs[i])
+            out_b.append(docs[j])
+            out_j.append(round(jaccard(shingles[i], shingles[j]), 6))
+    return pa.Table.from_pydict(
+        {
+            "doc_a": pa.array(out_a, type=pa.int64()),
+            "doc_b": pa.array(out_b, type=pa.int64()),
+            "jaccard": pa.array(out_j, type=pa.float64()),
+        }
+    )
+
+
+def lsh_dup_pairs(ds, *, threshold: float = 0.5, text_col: str = "text"):
+    """MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard scores.
+
+    Dataset(doc_id, text) -> Dataset(doc_a, doc_b, jaccard >= threshold).
+    One shuffle on the band key; a second tiny groupby dedups pairs caught
+    by multiple bands.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    bands = ds.map_batches(
+        lambda b: band_rows(b, text_col=text_col), batch_format="pyarrow"
+    )
+    pairs = bands.groupby(["band_id", "band_key"]).map_groups(
+        _bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = pairs.filter(
+        expr=f"jaccard >= {threshold}"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("jaccard", alias_name="jaccard"))
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch -> (doc_id, simhash): 64-bit SimHash over word unigrams, each
+    occurrence voting +/-1 per bit. Docs with zero words are dropped (the
+    SQL oracle's unnest does the same)."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    shifts = np.arange(64, dtype=np.uint64)
+    cache: dict[str, int] = {}
+    out_ids, out_sim = [], []
+    for d, t in zip(doc_ids, texts):
+        words = WORD_RE.findall(t.lower())
+        if not words:
+            continue
+        hs = np.fromiter(
+            (cache.get(w) or cache.setdefault(w, h64(w)) for w in words),
+            dtype=np.uint64,
+            count=len(words),
+        )
+        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(words)
+        sim = np.uint64(0)
+        sel = votes > 0
+        if sel.any():
+            sim = np.bitwise_or.reduce((np.uint64(1) << shifts)[sel])
+        out_ids.append(d)
+        out_sim.append(int(sim))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "simhash": pa.array(out_sim, type=pa.uint64()),
+        }
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # popcount via 8x uint8 view
+    v = x.view(np.uint8).reshape(*x.shape, 8)
+    return np.unpackbits(v, axis=-1).sum(axis=-1)
+
+
+class EmbeddingPairScorer:
+    """Actor-pool stage: all-pairs cosine of a batch against the broadcast
+    full matrix (the "small side" shipped once via ray.put). Emits only
+    pairs (a < b) in the batch-rows x all-rows block, pre-trimmed to the
+    per-batch top ``k`` so the final global sort is tiny."""
+
+    def __init__(self, mat_ref, k: int):
+        import ray
+
+        ids, mat = ray.get(mat_ref) if isinstance(mat_ref, ray.ObjectRef) else mat_ref
+        self.all_ids = np.asarray(ids, dtype=np.int64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        self.unit = mat / np.where(norms == 0, 1.0, norms)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = self.unit.shape[1]
+        q = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        q = q / np.where(qn == 0, 1.0, qn)
+        qids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = q @ self.unit.T  # (batch, all)
+        mask = qids[:, None] < self.all_ids[None, :]  # pairs a < b only
+        cos = np.where(mask, cos, -np.inf)
+        flat = cos.ravel()
+        n_keep = min(self.k, int(mask.sum()))
+        if n_keep == 0:
+            return pa.Table.from_pydict(
+                {
+                    "vec_a": pa.array([], type=pa.int64()),
+                    "vec_b": pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        top = np.argpartition(-flat, n_keep - 1)[:n_keep]
+        ai, bi = np.unravel_index(top, cos.shape)
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(qids[ai]),
+                "vec_b": pa.array(self.all_ids[bi]),
+                "cos_sim": pa.array(np.round(flat[top], 6)),
+            }
+        )
+
+
+def embedding_topk_pairs(emb_path: str, k: int = 20, *, batch_size: int = 512):
+    """Top-k most-cosine-similar embedding pairs (brute force; the LSH/IVF
+    bucketed variant in ``similarity.py`` is the >1M-row scale path)."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    tab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    ids = np.asarray(tab.column("vec_id").to_pylist(), dtype=np.int64)
+    col = tab.column("embedding").combine_chunks()
+    dim = len(col[0])
+    mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
+    ref = ray.put((ids, mat))
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(
+        EmbeddingPairScorer,
+        fn_constructor_kwargs={"mat_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+    return ds.sort(["cos_sim", "vec_a", "vec_b"], descending=[True, False, False]).limit(k)
+
+
+# ---- DuckDB oracle SQL builders (keep constants in lockstep) ----------------
+
+def sql_perm_values() -> str:
+    return ", ".join(
+        f"({i}, {int(PERM_A[i])}::UBIGINT, {int(PERM_B[i])}::UBIGINT)"
+        for i in range(K_PERMS)
+    )
+
+
+def sql_shingle_ctes(table: str = "documents") -> str:
+    """WITH-clauses: words -> distinct shingle hashes (h64) per doc.
+    range(1, len(w)-(n-2)) yields the len(w)-n+1 n-gram start positions
+    (DuckDB lists are 1-based, slices inclusive)."""
+    return (
+        f"words AS (\n"
+        f"  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE_SQL}') AS w FROM {table}\n"
+        f"), sh AS (\n"
+        f"  SELECT doc_id, unnest(CASE WHEN len(w) >= {N_SHINGLE}\n"
+        f"     THEN list_transform(range(1, len(w) - {N_SHINGLE - 2}), "
+        f"i -> array_to_string(w[i:i+{N_SHINGLE - 1}], ' '))\n"
+        f"     ELSE [array_to_string(w, ' ')] END) AS s\n"
+        f"  FROM words\n"
+        f"), hsh AS (\n"
+        f"  SELECT DISTINCT doc_id, md5_number_upper(s) AS h64 FROM sh\n"
+        f")"
+    )
+
+
+def sql_sigs_cte() -> str:
+    """CTE chain hsh -> long-form minhash signatures (needs sql_shingle_ctes
+    before it)."""
+    return (
+        f"perms(perm_id, a, b) AS (VALUES {sql_perm_values()}),\n"
+        f"sigs AS (\n"
+        f"  SELECT doc_id, perm_id,\n"
+        f"    CAST(min((CAST(a AS UHUGEINT)*h64 + b) % "
+        f"CAST(18446744073709551616 AS UHUGEINT)) AS UBIGINT) AS sig\n"
+        f"  FROM hsh CROSS JOIN perms GROUP BY doc_id, perm_id\n"
+        f")"
+    )
+
+
+def sql_minhash_signatures(table: str = "documents") -> str:
+    return (
+        f"WITH {sql_shingle_ctes(table)}, {sql_sigs_cte()}\n"
+        f"SELECT doc_id, perm_id, sig FROM sigs"
+    )
+
+
+def sql_lsh_pairs_cte() -> str:
+    """CTE chain sigs -> verified near-dup candidate pairs (unfiltered)."""
+    return (
+        f"bands AS (\n"
+        f"  SELECT doc_id, perm_id // {ROWS_PER_BAND} AS band_id,\n"
+        f"    string_agg(sig, ':' ORDER BY perm_id) AS band_key\n"
+        f"  FROM sigs GROUP BY doc_id, perm_id // {ROWS_PER_BAND}\n"
+        f"), cand AS (\n"
+        f"  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
+        f"  FROM bands x JOIN bands y ON x.band_id = y.band_id "
+        f"AND x.band_key = y.band_key AND x.doc_id < y.doc_id\n"
+        f"), sizes AS (\n"
+        f"  SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id\n"
+        f"), inter AS (\n"
+        f"  SELECT c.doc_a, c.doc_b, count(*) AS n_inter\n"
+        f"  FROM cand c JOIN hsh a ON a.doc_id = c.doc_a "
+        f"JOIN hsh b ON b.doc_id = c.doc_b AND b.h64 = a.h64\n"
+        f"  GROUP BY c.doc_a, c.doc_b\n"
+        f"), pairs AS (\n"
+        f"  SELECT i.doc_a, i.doc_b,\n"
+        f"    ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 6) AS jaccard\n"
+        f"  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a "
+        f"JOIN sizes sb ON sb.doc_id = i.doc_b\n"
+        f")"
+    )
+
+
+def sql_lsh_dup_pairs(threshold: float = 0.5, table: str = "documents") -> str:
+    return (
+        f"WITH {sql_shingle_ctes(table)}, {sql_sigs_cte()}, {sql_lsh_pairs_cte()}\n"
+        f"SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}"
+    )
+
+
+def sql_dedup_keep_docs(threshold: float = 0.5, table: str = "documents") -> str:
+    """Greedy keep-first dedup: drop every doc that near-duplicates a
+    lower-id doc."""
+    return (
+        f"WITH {sql_shingle_ctes(table)}, {sql_sigs_cte()}, {sql_lsh_pairs_cte()}\n"
+        f"SELECT doc_id FROM {table} WHERE doc_id NOT IN "
+        f"(SELECT DISTINCT doc_b FROM pairs WHERE jaccard >= {threshold})"
+    )
+
+
+def sql_simhash(table: str = "documents") -> str:
+    return (
+        f"WITH words AS (\n"
+        f"  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{WORD_RE_SQL}')) AS w\n"
+        f"  FROM {table}\n"
+        f"), wh AS (\n"
+        f"  SELECT doc_id, CAST(md5_number_upper(w) AS HUGEINT) AS h64 FROM words\n"
+        f"), bits AS (\n"
+        f"  SELECT doc_id, bit, sum(CASE WHEN (h64 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v\n"
+        f"  FROM wh CROSS JOIN (SELECT CAST(unnest(range(64)) AS HUGEINT) AS bit) b\n"
+        f"  GROUP BY doc_id, bit\n"
+        f")\n"
+        f"SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(bit AS INTEGER)\n"
+        f"  ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS simhash\n"
+        f"FROM bits GROUP BY doc_id"
+    )
+
+
+def sql_embedding_topk_pairs(k: int = 20, table: str = "embeddings") -> str:
+    return (
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+        f"  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        f"CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim\n"
+        f"FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id\n"
+        f"ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {k}"
+    )

@@ -1,0 +1,173 @@
+"""Approximate-dedup operators: MinHash/LSH, SimHash, embedding pairs.
+
+Kernel-level tests run without Ray; pipeline tests use the session fixture.
+The DuckDB SQL builders are checked for exact value equality against the
+Python implementations (the driver's oracle gate does the same at sf0.01).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from quickner_ray.stages import dedup_approx as da
+
+
+def _tbl(rows):
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "text": pa.array([r[1] for r in rows], type=pa.string()),
+        }
+    )
+
+
+class TestKernel:
+    def test_h64_matches_duckdb(self):
+        con = duckdb.connect()
+        for s in ["hello world", "a b c", "", "ümlaut"]:
+            (v,) = con.sql("SELECT md5_number_upper(?)", params=[s]).fetchone()
+            assert int(v) == da.h64(s), s
+
+    def test_shingles_short_text(self):
+        # < n words -> single joined shingle; deterministic
+        h = da.shingle_hashes("two words")
+        assert len(h) == 1 and h[0] == np.uint64(da.h64("two words"))
+        assert len(da.shingle_hashes("a b c d")) == 2  # two 3-grams
+
+    def test_identical_texts_identical_signatures(self):
+        a = da.minhash_signature(da.shingle_hashes("the quick brown fox jumps"))
+        b = da.minhash_signature(da.shingle_hashes("the QUICK brown Fox jumps"))
+        assert (a == b).all()  # case-normalized
+
+    def test_signature_estimates_jaccard(self):
+        base = " ".join(f"w{i}" for i in range(200))
+        near = " ".join(f"w{i}" for i in range(190)) + " x1 x2 x3"
+        far = " ".join(f"z{i}" for i in range(200))
+        sa = da.minhash_signature(da.shingle_hashes(base))
+        sb = da.minhash_signature(da.shingle_hashes(near))
+        sc = da.minhash_signature(da.shingle_hashes(far))
+        assert (sa == sb).mean() > 0.5
+        assert (sa == sc).mean() < 0.2
+
+    def test_jaccard(self):
+        assert da.jaccard({1, 2, 3}, {2, 3, 4}) == pytest.approx(0.5)
+        assert da.jaccard({1}, {2}) == 0.0
+
+    def test_simhash_near_texts_low_hamming(self):
+        t = _tbl(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta " * 10),
+                (2, "alpha beta gamma delta epsilon zeta eta iota " * 10),
+                (3, "completely different words entirely unrelated corpus " * 10),
+            ]
+        )
+        out = da.simhash_batch(t)
+        sims = np.array(out.column("simhash").to_pylist(), dtype=np.uint64)
+        d12 = da.hamming64(sims[0:1], sims[1:2])[0]
+        d13 = da.hamming64(sims[0:1], sims[2:3])[0]
+        assert d12 < d13
+        assert d12 <= 16
+
+    def test_simhash_drops_wordless_docs(self):
+        out = da.simhash_batch(_tbl([(1, "!!! ???"), (2, "real words here")]))
+        assert out.column("doc_id").to_pylist() == [2]
+
+    def test_band_rows_shape(self):
+        out = da.band_rows(_tbl([(7, "a b c d e f")]))
+        assert out.num_rows == da.BANDS
+        assert out.column("band_id").to_pylist() == list(range(da.BANDS))
+
+
+class TestSQLParity:
+    """Python batch kernels == DuckDB SQL builders on a small corpus."""
+
+    CORPUS = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "pack my box with five dozen liquor jugs tonight"),
+        (3, "short"),
+        (4, "Numbers 123 and CASE folding Should match"),
+    ]
+
+    @pytest.fixture()
+    def con(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(_tbl(self.CORPUS), path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        return con
+
+    def test_minhash_signatures_parity(self, con):
+        ours = (
+            da.minhash_signatures_long(_tbl(self.CORPUS))
+            .to_pandas()
+            .sort_values(["doc_id", "perm_id"])
+            .reset_index(drop=True)
+        )
+        oracle = (
+            con.sql(da.sql_minhash_signatures())
+            .df()
+            .sort_values(["doc_id", "perm_id"])
+            .reset_index(drop=True)
+        )
+        assert (ours["sig"].astype("uint64").values == oracle["sig"].astype("uint64").values).all()
+
+    def test_simhash_parity(self, con):
+        ours = da.simhash_batch(_tbl(self.CORPUS)).to_pandas().sort_values("doc_id")
+        oracle = con.sql(da.sql_simhash()).df().sort_values("doc_id")
+        assert (
+            ours["simhash"].astype("uint64").values
+            == oracle["simhash"].astype("uint64").values
+        ).all()
+
+
+class TestLSHPipeline:
+    def test_planted_near_dups_found(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        base = " ".join(f"tok{i}" for i in range(120))
+        rows = [(i, f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(60))) for i in range(40)]
+        rows.append((100, base))
+        rows.append((101, base + " tail drift one"))  # near-dup of 100
+        rows.append((102, base))  # exact dup of 100
+        path = str(tmp_path / "docs.parquet")
+        pq.write_table(_tbl(rows), path)
+        ds = rd.read_parquet(path)
+        pairs = da.lsh_dup_pairs(ds, threshold=0.5).to_pandas()
+        found = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+        assert (100, 101) in found
+        assert (100, 102) in found
+        assert (101, 102) in found
+        j = dict(zip(zip(pairs["doc_a"], pairs["doc_b"]), pairs["jaccard"]))
+        assert j[(100, 102)] == pytest.approx(1.0)
+        assert 0.8 < j[(100, 101)] < 1.0
+        # unrelated docs never pair
+        assert all(a >= 100 for a, _ in found)
+
+    def test_embedding_topk_pairs(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(50, 16))
+        mat[11] = mat[3] + rng.normal(scale=0.01, size=16)  # planted near-dup
+        tab = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(50), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pq.write_table(tab, path)
+        out = da.embedding_topk_pairs(path, k=5, batch_size=16).to_pandas()
+        assert len(out) == 5
+        assert (out.iloc[0]["vec_a"], out.iloc[0]["vec_b"]) == (3, 11)
+        assert out.iloc[0]["cos_sim"] > 0.99
+        assert (out["cos_sim"].values[:-1] >= out["cos_sim"].values[1:]).all()
