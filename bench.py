@@ -76,7 +76,9 @@ def run_headline(sf_dir: str, repeat: int = REPEAT) -> dict:
     pages, n_docs = build_pages(sf_dir, repeat)
     out = "/tmp/quickner_bench/out"
     shutil.rmtree(out, ignore_errors=True)
-    cfg = KGPipelineConfig(source="html", batch_size=1024)
+    cfg = KGPipelineConfig(
+        source="html", batch_size=1024, write_annotated=False, shard_parallelism=8
+    )
     t0 = time.perf_counter()
     run_kg(pages, documents_gazetteer(), out, cfg, shards=repeat)
     wall = time.perf_counter() - t0

@@ -42,7 +42,13 @@ from dataclasses import dataclass, field
 
 from ..kernel.automaton import Gazetteer
 from ..kernel.filters import Filters
-from ..stages.canonicalize import add_triple_columns, canonical_entities, explode_mentions, label_counts
+from ..stages.canonicalize import (
+    add_triple_columns,
+    canonical_entities,
+    explode_mentions,
+    label_counts,
+    label_counts_from_entities,
+)
 from ..stages.dedup_exact import add_doc_id, dedup_exact
 from ..stages.detect import detect_mentions
 from ..stages.extract import extract_pages, passthrough_text
@@ -60,10 +66,23 @@ class KGPipelineConfig:
     detect_concurrency: tuple | int | None = None
     detect_num_cpus: float = 1
     read_concurrency: int | None = None
+    # True: write the reference-shaped annotated-docs + mentions checkpoints
+    # (conformance sinks read them). False: FUSED fast path — pages ->
+    # detect -> explode -> triples in ONE streaming pass per shard (the
+    # headline-throughput configuration; 2 fewer full-corpus passes).
+    write_annotated: bool = True
+    # phase-A shards executed concurrently (driver threads, one Dataset
+    # execution each). >1 keeps the cluster busy when shards are small
+    # relative to cluster width; per-shard checkpointing is unchanged.
+    shard_parallelism: int = 1
 
     def fingerprint(self, gazetteer: Gazetteer) -> str:
         h = hashlib.md5()
-        h.update(repr((self.source, self.case_sensitive, self.dedup, self.subj_col)).encode())
+        h.update(
+            repr(
+                (self.source, self.case_sensitive, self.dedup, self.subj_col, self.write_annotated)
+            ).encode()
+        )
         if self.filters is not None:
             h.update(repr(self.filters).encode())
         for name, label in zip(gazetteer.names, gazetteer.labels):
@@ -143,26 +162,57 @@ def run_kg(
     t_all = time.perf_counter()
 
     # ---- phase A: extract + detect, per shard (resumable) -------------------
+    # Standard path writes annotated docs (stage "annotated"); the fused
+    # fast path writes triples directly (stage name stays "annotated" in the
+    # manifest so resume logic is uniform).
     ann_dir = os.path.join(out_dir, "annotated")
+    tri_dir = os.path.join(out_dir, "triples")
+    phase_a_dir = ann_dir if cfg.write_annotated else tri_dir
     skipped = 0
-    for i, shard in enumerate(shard_files):
-        shard_out = os.path.join(ann_dir, f"shard={i:05d}")
+
+    import threading
+
+    import ray
+
+    # Dataset CONSTRUCTION is serialized: Ray's read_parquet path/filesystem
+    # resolution has a lazy-import race under concurrent threads. Execution
+    # (the expensive part) still overlaps freely.
+    _read_lock = threading.Lock()
+
+    # Concurrent shard executions don't coordinate resources — each thread's
+    # streaming executor assumes the whole cluster. Size each shard's
+    # detector pool to its SHARE so pools don't starve one another.
+    shard_cfg = cfg
+    if cfg.shard_parallelism > 1 and cfg.detect_concurrency is None:
+        total_cpus = int(ray.cluster_resources().get("CPU", 8))
+        per_shard = max(1, (total_cpus - cfg.shard_parallelism) // cfg.shard_parallelism)
+        from dataclasses import replace
+
+        shard_cfg = replace(cfg, detect_concurrency=(1, per_shard))
+
+    def _run_shard(i: int, shard: list[str]) -> bool:
+        shard_out = os.path.join(phase_a_dir, f"shard={i:05d}")
         if shard_complete(out_dir, "annotated", i, inputs=shard, fingerprint=fp):
-            skipped += 1
-            continue
+            return True
         t0 = time.perf_counter()
         reset_shard_dir(shard_out)
-        ds = rd.read_parquet(
-            shard,
-            columns=_read_columns(cfg),
-            concurrency=cfg.read_concurrency,
-        )
-        ds = annotate_dataset(ds, gazetteer, cfg)
+        with _read_lock:
+            ds = rd.read_parquet(
+                shard,
+                columns=_read_columns(cfg),
+                concurrency=cfg.read_concurrency,
+            )
+        ds = annotate_dataset(ds, gazetteer, shard_cfg)
+        if not cfg.write_annotated:
+            # fused: docs -> mention rows -> triple columns, same pass
+            ds = ds.map_batches(
+                lambda b: add_triple_columns(
+                    explode_mentions(b, subj_col=cfg.subj_col), subj_col=cfg.subj_col
+                ),
+                batch_format="pyarrow",
+            )
         ds.write_parquet(shard_out)
-        rows = sum(
-            f.metadata.num_rows
-            for f in _parquet_fragments(shard_out)
-        )
+        rows = sum(f.metadata.num_rows for f in _parquet_fragments(shard_out))
         write_manifest(
             out_dir,
             "annotated",
@@ -172,52 +222,72 @@ def run_kg(
             fingerprint=fp,
             extra={"seconds": time.perf_counter() - t0},
         )
+        return False
+
+    if cfg.shard_parallelism > 1 and n_shards > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=cfg.shard_parallelism) as pool:
+            skipped = sum(pool.map(_run_shard, range(n_shards), shard_files))
+    else:
+        skipped = sum(_run_shard(i, s) for i, s in enumerate(shard_files))
     metrics["stages"]["annotated"] = {"skipped_shards": skipped}
 
-    # ---- phase B: explode mentions ------------------------------------------
+    # ---- phase B (standard path only): explode mentions + triples -----------
     mentions_dir = os.path.join(out_dir, "mentions")
-    if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir], fingerprint=fp):
-        t0 = time.perf_counter()
-        reset_shard_dir(mentions_dir)
-        ann = rd.read_parquet(ann_dir)
-        mentions = ann.map_batches(
-            lambda b: explode_mentions(b, subj_col=cfg.subj_col),
-            batch_format="pyarrow",
-        )
-        mentions.write_parquet(mentions_dir)
-        write_manifest(
-            out_dir, "mentions", 0, inputs=[ann_dir], rows=-1, fingerprint=fp,
-            extra={"seconds": time.perf_counter() - t0},
-        )
+    if cfg.write_annotated:
+        if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir], fingerprint=fp):
+            t0 = time.perf_counter()
+            reset_shard_dir(mentions_dir)
+            ann = rd.read_parquet(ann_dir)
+            mentions = ann.map_batches(
+                lambda b: explode_mentions(b, subj_col=cfg.subj_col),
+                batch_format="pyarrow",
+            )
+            mentions.write_parquet(mentions_dir)
+            write_manifest(
+                out_dir, "mentions", 0, inputs=[ann_dir], rows=-1, fingerprint=fp,
+                extra={"seconds": time.perf_counter() - t0},
+            )
+        graph_src = mentions_dir
+    else:
+        graph_src = tri_dir  # triples already written in phase A
 
     # ---- phase C: canonical entities, triples, label counts -----------------
-    if not shard_complete(out_dir, "graph", 0, inputs=[mentions_dir], fingerprint=fp):
+    # entities aggregate from the mention/triple rows (one shuffle);
+    # label_counts derive from the (tiny) entities table, not a third
+    # full-corpus pass.
+    if not shard_complete(out_dir, "graph", 0, inputs=[graph_src], fingerprint=fp):
         t0 = time.perf_counter()
         ent_dir = os.path.join(out_dir, "entities")
-        tri_dir = os.path.join(out_dir, "triples")
         lc_dir = os.path.join(out_dir, "label_counts")
-        for d in (ent_dir, tri_dir, lc_dir):
-            reset_shard_dir(d)
-        mentions = rd.read_parquet(mentions_dir)
-        canonical_entities(mentions).write_parquet(ent_dir)
-        mentions = rd.read_parquet(mentions_dir)
-        mentions.map_batches(
-            lambda b: add_triple_columns(b, subj_col=cfg.subj_col),
-            batch_format="pyarrow",
-        ).write_parquet(tri_dir)
-        mentions = rd.read_parquet(mentions_dir)
-        label_counts(mentions).write_parquet(lc_dir)
+        reset_shard_dir(ent_dir)
+        reset_shard_dir(lc_dir)
+        if cfg.write_annotated:
+            reset_shard_dir(tri_dir)
+            mentions = rd.read_parquet(mentions_dir)
+            mentions.map_batches(
+                lambda b: add_triple_columns(b, subj_col=cfg.subj_col),
+                batch_format="pyarrow",
+            ).write_parquet(tri_dir)
+        # prune at the read: the entity aggregate needs only 2 columns
+        ent_cols = ["surface_norm", "label" if cfg.write_annotated else "pred"]
+        canonical_entities(rd.read_parquet(graph_src, columns=ent_cols)).write_parquet(
+            ent_dir
+        )
+        label_counts_from_entities(rd.read_parquet(ent_dir)).write_parquet(lc_dir)
         if build_indexes:
             from ..stages.indexes import build_entity_index, build_label_index
 
+            idx_src = mentions_dir if cfg.write_annotated else tri_dir
             ei_dir = os.path.join(out_dir, "entity_index")
             li_dir = os.path.join(out_dir, "label_index")
             reset_shard_dir(ei_dir)
             reset_shard_dir(li_dir)
-            build_entity_index(rd.read_parquet(mentions_dir)).write_parquet(ei_dir)
-            build_label_index(rd.read_parquet(mentions_dir)).write_parquet(li_dir)
+            build_entity_index(rd.read_parquet(idx_src)).write_parquet(ei_dir)
+            build_label_index(rd.read_parquet(idx_src)).write_parquet(li_dir)
         write_manifest(
-            out_dir, "graph", 0, inputs=[mentions_dir], rows=-1, fingerprint=fp,
+            out_dir, "graph", 0, inputs=[graph_src], rows=-1, fingerprint=fp,
             extra={"seconds": time.perf_counter() - t0},
         )
 

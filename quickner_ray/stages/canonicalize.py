@@ -67,14 +67,17 @@ def explode_mentions(batch: pa.Table, *, subj_col: str = "doc_id") -> pa.Table:
 
 
 def partial_entity_counts(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: at most one row per (surface_norm, label)."""
-    return batch.group_by(["surface_norm", "label"]).aggregate(
+    """Per-batch combiner: at most one row per (surface_norm, label).
+    Accepts mention rows (``label``) or triple rows (``pred``)."""
+    label_col = "label" if "label" in batch.column_names else "pred"
+    out = batch.group_by(["surface_norm", label_col]).aggregate(
         [("surface_norm", "count")]
-    ).rename_columns(["surface_norm", "label", "partial_count"])
+    )
+    return out.rename_columns(["surface_norm", "label", "partial_count"])
 
 
 def canonical_entities(mentions_ds):
-    """Mentions Dataset -> canonical entity table
+    """Mentions (or triples) Dataset -> canonical entity table
     (entity_id, surface_norm, label, n_mentions)."""
     from ray.data.aggregate import Sum
 
@@ -138,3 +141,13 @@ def label_counts(mentions_ds):
 
     partials = mentions_ds.map_batches(partial_label_counts, batch_format="pyarrow")
     return partials.groupby("label").aggregate(Sum("partial_count", alias_name="n_mentions"))
+
+
+def label_counts_from_entities(entities_ds):
+    """A5 computed from the (tiny) canonical-entity table instead of a
+    full-corpus pass: sum n_mentions per label."""
+    from ray.data.aggregate import Sum
+
+    return entities_ds.groupby("label").aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )

@@ -161,3 +161,34 @@ class TestDefaultGazetteer:
         labels = {(s, e, l) for s, e, l in spans}
         assert (24, 34, "OPERATOR") in labels  # "table scan"
         assert (0, 12, "PHRASE") in labels  # "the fast key"
+
+
+class TestFusedFastPath:
+    def test_fused_triples_match_standard(self, pages_dir, tmp_path, ray_session):
+        """write_annotated=False (pages -> detect -> explode -> triples in
+        one pass) must emit exactly the standard path's triples."""
+        gaz = Gazetteer(GAZ)
+        out_std = str(tmp_path / "std")
+        out_fast = str(tmp_path / "fast")
+        run_kg(pages_dir, gaz, out_std, KGPipelineConfig(source="html"), shards=2)
+        run_kg(
+            pages_dir,
+            gaz,
+            out_fast,
+            KGPipelineConfig(source="html", write_annotated=False, shard_parallelism=2),
+            shards=2,
+        )
+        cols = ["subj", "pred", "obj", "surface_norm", "start", "end"]
+        std = pq.read_table(os.path.join(out_std, "triples")).select(cols).to_pandas()
+        fast = pq.read_table(os.path.join(out_fast, "triples")).select(cols).to_pandas()
+        std = std.sort_values(cols).reset_index(drop=True)
+        fast = fast.sort_values(cols).reset_index(drop=True)
+        assert std.equals(fast)
+        # entities + label_counts written in both layouts
+        for sub in ("entities", "label_counts"):
+            a = pq.read_table(os.path.join(out_std, sub))
+            b = pq.read_table(os.path.join(out_fast, sub))
+            assert a.num_rows == b.num_rows > 0
+        # fast path skips the annotated/mentions checkpoints entirely
+        assert not os.path.exists(os.path.join(out_fast, "annotated"))
+        assert not os.path.exists(os.path.join(out_fast, "mentions"))
