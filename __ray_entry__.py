@@ -65,10 +65,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
-        # rows-only (boundary-rule NER is not SQL-expressible):
+        "lang_id": q.q_lang_id,
+        "media_features": q.q_media_features,
+        "frame_sample": q.q_frame_sample,
+        # rows-only (boundary-rule NER / approximate or stateful ops):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
+        "similarity_topk_ivf": q.q_similarity_topk_ivf,
+        "fingerprints": q.q_fingerprints,
+        "quality_scores": q.q_quality_scores,
     }
 
 
@@ -77,10 +83,15 @@ def oracle_sql() -> dict[str, str]:
     pre-registered views over the same parquet files. Rows-only queries
     (full NER semantics) are intentionally absent."""
     from quickner_ray.stages import dedup_approx as da
+    from quickner_ray.stages import multimodal as mm
+    from quickner_ray.stages.text_analysis import sql_lang_id
 
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
     return {
+        "lang_id": sql_lang_id(),
+        "media_features": mm.sql_image_features(),
+        "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),
         "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),
         "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),

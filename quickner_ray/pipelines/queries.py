@@ -290,7 +290,84 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+def q_lang_id(sf_dir: str):
+    """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
+    from ..stages.text_analysis import LangIdStage
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic synthetic image payloads (binary
+    column derived from documents) -> actor-pool decode -> feature columns.
+    The oracle recomputes the features straight from the source table."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_images, synth_media_for_documents
+
+    media_path = os.path.join(
+        "/tmp/quickner_media", os.path.basename(os.path.normpath(sf_dir)) + ".parquet"
+    )
+    if not os.path.exists(media_path):
+        os.makedirs(os.path.dirname(media_path), exist_ok=True)
+        synth_media_for_documents(
+            os.path.join(sf_dir, "documents.parquet"), media_path
+        )
+    ds = rd.read_parquet(media_path)
+    ds = ds.filter(expr="media_type == 'image'")
+    ds = decode_images(ds, batch_size=256)
+    return ds.select_columns(["media_id", "width", "height", "channels", "n_bytes"])
+
+
+def q_frame_sample(sf_dir: str):
+    """Video frame sampling plumbing (explode to one row per sampled frame)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import sample_frames, synth_media_for_documents
+
+    media_path = os.path.join(
+        "/tmp/quickner_media", os.path.basename(os.path.normpath(sf_dir)) + ".parquet"
+    )
+    if not os.path.exists(media_path):
+        os.makedirs(os.path.dirname(media_path), exist_ok=True)
+        synth_media_for_documents(
+            os.path.join(sf_dir, "documents.parquet"), media_path
+        )
+    ds = rd.read_parquet(media_path)
+    ds = ds.filter(expr="media_type == 'video'")
+    return sample_frames(ds, step=5, batch_size=256)
+
+
 # ---- rows-only (non-SQL-expressible: full boundary-rule NER) ----------------
+
+def q_similarity_topk_ivf(sf_dir: str, k: int = 10, query_id: int = 0):
+    """IVF approximate top-k (cluster-partitioned index, nprobe pruning).
+    Rows-only: recall < 1 by construction (tests pin recall >= 0.9)."""
+    from ..stages.similarity import ivf_topk
+
+    return ivf_topk(
+        os.path.join(sf_dir, "embeddings.parquet"), query_id, k, n_clusters=16, nprobe=8
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (rolling-hash minima); rows-only."""
+    from ..stages.text_analysis import add_fingerprint
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_fingerprint, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def q_quality_scores(sf_dir: str):
+    """Heuristic quality score in [0,1]; rows-only."""
+    from ..stages.text_analysis import add_quality_score
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "quality_score"])
 
 def q_label_mention_counts(sf_dir: str):
     return label_counts(mentions_dataset(sf_dir))

@@ -1,0 +1,215 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads with
+typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The image/audio decode libraries are NOT in this container, so the pixel
+work is STUBBED (clearly marked: ``NotImplementedError`` on real media when
+PIL is absent) — but the Ray-side plumbing is real and tested end-to-end:
+
+- schema: ``media_id:int64, media_type:string, payload:binary`` (+ per-type
+  metadata columns), large payloads -> SMALL batch sizes (``batch_size``
+  passed by the caller; a 1 MB payload x 256-row batch x 8 actors = 2 GB of
+  heap — size batches so payload_bytes * batch_size * concurrency fits);
+- ``synth_media_for_documents`` builds a deterministic fake corpus whose
+  decoded features are pure functions of the source ``documents`` columns,
+  so the DuckDB oracle can verify the whole generate -> binary -> actor
+  decode chain against the source table;
+- decode / resize-plan / frame-sample stages are actor pools with one-time
+  setup in ``__init__`` (library import probe) and vectorized ``__call__``.
+
+Fake format ("QIMG"): ``b"QIMG" + u16 width + u16 height + u8 channels +
+payload[width*height*channels]`` (little-endian), payload byte i =
+``(i*7 + media_id) % 256``. width = 16 + media_id % 49, height =
+16 + n_chars % 33, channels = 3. Videos ("QVID"): header + u16 n_frames,
+n_frames = 10 + media_id % 50.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+QIMG_MAGIC = b"QIMG"
+QVID_MAGIC = b"QVID"
+
+
+# ---- deterministic synthetic media ------------------------------------------
+
+def synth_image_bytes(media_id: int, n_chars: int) -> bytes:
+    w = 16 + media_id % 49
+    h = 16 + n_chars % 33
+    c = 3
+    n = w * h * c
+    payload = ((np.arange(n, dtype=np.int64) * 7 + media_id) % 256).astype(np.uint8)
+    return QIMG_MAGIC + struct.pack("<HHB", w, h, c) + payload.tobytes()
+
+
+def synth_video_bytes(media_id: int) -> bytes:
+    n_frames = 10 + media_id % 50
+    return QVID_MAGIC + struct.pack("<H", n_frames)
+
+
+def synth_media_for_documents(documents_parquet: str, out_path: str) -> str:
+    """documents.parquet -> media parquet (media_id=doc_id, one image + one
+    video row per doc). Pure function of the source table."""
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(documents_parquet, columns=["doc_id", "n_chars"])
+    ids = src.column("doc_id").to_pylist()
+    n_chars = src.column("n_chars").to_pylist()
+    media_id, media_type, payload = [], [], []
+    for d, nc in zip(ids, n_chars):
+        media_id.append(d)
+        media_type.append("image")
+        payload.append(synth_image_bytes(d, nc))
+        media_id.append(d)
+        media_type.append("video")
+        payload.append(synth_video_bytes(d))
+    tab = pa.Table.from_pydict(
+        {
+            "media_id": pa.array(media_id, type=pa.int64()),
+            "media_type": pa.array(media_type, type=pa.string()),
+            "payload": pa.array(payload, type=pa.binary()),
+        }
+    )
+    pq.write_table(tab, out_path, row_group_size=2048)
+    return out_path
+
+
+# ---- actor-pool stages ------------------------------------------------------
+
+class ImageDecodeStage:
+    """Decode image payloads -> feature columns
+    (width, height, channels, n_bytes).
+
+    Real formats (PNG/JPEG/...) require PIL, which this container lacks:
+    that path raises ``NotImplementedError`` (explicit stub). The QIMG fake
+    format decodes for real — header parse + payload length check — so the
+    schema/actor/batch plumbing is exercised honestly.
+    """
+
+    def __init__(self):
+        try:  # one-time library probe per actor
+            import PIL.Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def _decode_one(self, b: bytes) -> tuple[int, int, int]:
+        if b[:4] == QIMG_MAGIC:
+            w, h, c = struct.unpack_from("<HHB", b, 4)
+            if len(b) != 9 + w * h * c:
+                raise ValueError("corrupt QIMG payload")
+            return w, h, c
+        if self._pil:
+            raise NotImplementedError("real image decode path not wired yet")
+        raise NotImplementedError(
+            "real image decode requires PIL (unavailable in this container); "
+            "only the QIMG synthetic format is supported"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        w, h, c, nb = [], [], [], []
+        for b in payloads:
+            wi, hi, ci = self._decode_one(b)
+            w.append(wi)
+            h.append(hi)
+            c.append(ci)
+            nb.append(len(b))
+        out = batch.drop_columns(["payload"])  # features replace the blob
+        out = out.append_column("width", pa.array(w, type=pa.int64()))
+        out = out.append_column("height", pa.array(h, type=pa.int64()))
+        out = out.append_column("channels", pa.array(c, type=pa.int64()))
+        out = out.append_column("n_bytes", pa.array(nb, type=pa.int64()))
+        return out
+
+
+class ResizePlanStage:
+    """Compute target dims (preserve aspect ratio, longest side ->
+    ``max_side``); the pixel resample itself is the stubbed step."""
+
+    def __init__(self, max_side: int = 32):
+        self.max_side = max_side
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("width").to_pylist(), dtype=np.float64)
+        h = np.asarray(batch.column("height").to_pylist(), dtype=np.float64)
+        scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
+        out_w = np.maximum(1, np.floor(w * scale)).astype(np.int64)
+        out_h = np.maximum(1, np.floor(h * scale)).astype(np.int64)
+        out = batch.append_column("out_width", pa.array(out_w))
+        out = out.append_column("out_height", pa.array(out_h))
+        return out
+
+
+class FrameSampleStage:
+    """Video payloads -> one row per sampled frame index (every ``step``-th
+    frame). Frame EXTRACTION is stubbed; the explode plumbing is real."""
+
+    def __init__(self, step: int = 5):
+        self.step = step
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        out_id, out_frame = [], []
+        for mid, b in zip(ids, payloads):
+            if b[:4] != QVID_MAGIC:
+                raise NotImplementedError(
+                    "real video containers need a decoder (unavailable); "
+                    "only the QVID synthetic format is supported"
+                )
+            (n_frames,) = struct.unpack_from("<H", b, 4)
+            for f in range(0, n_frames, self.step):
+                out_id.append(mid)
+                out_frame.append(f)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_idx": pa.array(out_frame, type=pa.int64()),
+            }
+        )
+
+
+def decode_images(ds, *, batch_size: int = 256, concurrency=(1, 8)):
+    """Image rows -> feature rows. Small batches: payloads are binary."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(ds, *, step: int = 5, batch_size: int = 256, concurrency=(1, 8)):
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"step": step},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+# ---- DuckDB oracle SQL (features as pure functions of `documents`) ----------
+
+def sql_image_features(table: str = "documents") -> str:
+    """Expected decode output recomputed from the source table."""
+    return (
+        f"SELECT doc_id AS media_id,\n"
+        f"  CAST(16 + doc_id % 49 AS BIGINT) AS width,\n"
+        f"  CAST(16 + n_chars % 33 AS BIGINT) AS height,\n"
+        f"  CAST(3 AS BIGINT) AS channels,\n"
+        f"  CAST(9 + (16 + doc_id % 49) * (16 + n_chars % 33) * 3 AS BIGINT) AS n_bytes\n"
+        f"FROM {table}"
+    )
+
+
+def sql_frame_sample(step: int = 5, table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id AS media_id, CAST(unnest(range(0, 10 + doc_id % 50, {step})) AS BIGINT)"
+        f" AS frame_idx FROM {table}"
+    )

@@ -99,6 +99,44 @@ class LangIdStage:
         return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
+LANG_WORD_RE_SQL = "[a-zäöüßéèàçñ]+"
+LANG_CAP = 200  # score at most the first 200 words
+
+
+def sql_lang_id(table: str = "documents") -> str:
+    """DuckDB oracle for LangIdStage: stopword hits per language over the
+    first LANG_CAP words; argmax with ties going to the earlier language in
+    _STOPWORDS order; 'und' when no stopword hits at all."""
+    langs = list(_STOPWORDS)
+    hit_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+        hit_exprs.append(
+            f"len(list_filter(w, x -> x IN ({words}))) AS hits_{lang}"
+        )
+    ge = {
+        lang: " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in langs[i + 1 :]
+        )
+        for i, lang in enumerate(langs)
+    }
+    case = [f"WHEN {' AND '.join(filter(None, ['greatest(' + ', '.join('hits_' + l for l in langs) + ') = 0']))} THEN 'und'"]
+    for lang in langs[:-1]:
+        cond = ge[lang] or "TRUE"
+        case.append(f"WHEN {cond} THEN '{lang}'")
+    case.append(f"ELSE '{langs[-1]}'")
+    case_sql = "CASE " + " ".join(case) + " END"
+    return (
+        f"WITH words AS (\n"
+        f"  SELECT doc_id, regexp_extract_all(lower(text), '{LANG_WORD_RE_SQL}')"
+        f"[1:{LANG_CAP}] AS w FROM {table}\n"
+        f"), hits AS (\n"
+        f"  SELECT doc_id, {', '.join(hit_exprs)} FROM words\n"
+        f")\n"
+        f"SELECT doc_id, {case_sql} AS lang_pred FROM hits"
+    )
+
+
 # -- document fingerprinting (winnowing over rolling hashes) -----------------
 def add_fingerprint(
     batch: pa.Table, text_col: str = "text", k: int = 5, window: int = 8

@@ -1,0 +1,140 @@
+"""IVF similarity index + multimodal plumbing stages."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickner_ray.stages import multimodal as mm
+from quickner_ray.stages import similarity as sim
+
+
+def _write_embeddings(path: str, n: int = 300, dim: int = 16, n_clusters: int = 5):
+    """Clustered synthetic embeddings: cluster structure IVF can exploit."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(n_clusters, dim)) * 4
+    mat = centers[np.arange(n) % n_clusters] + rng.normal(size=(n, dim))
+    tab = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    pq.write_table(tab, path)
+    return mat
+
+
+class TestIVF:
+    def test_train_centroids_deterministic(self):
+        rng = np.random.default_rng(0)
+        mat = sim._unit(rng.normal(size=(100, 8)))
+        c1 = sim.train_centroids(mat, 4)
+        c2 = sim.train_centroids(mat, 4)
+        assert np.array_equal(c1, c2)
+        assert c1.shape == (4, 8)
+        # centroids are unit vectors
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    def test_index_layout_and_recall(self, ray_session, tmp_path):
+        emb = str(tmp_path / "emb.parquet")
+        mat = _write_embeddings(emb)
+        index_dir = str(tmp_path / "ivf")
+        cent = sim.build_ivf_index(emb, index_dir, n_clusters=8)
+        assert os.path.exists(os.path.join(index_dir, "centroids.npy"))
+        parts = [d for d in os.listdir(index_dir) if d.startswith("cluster_id=")]
+        assert 1 < len(parts) <= 8
+        # every vector lands in exactly one partition
+        total = sum(
+            pq.read_table(os.path.join(index_dir, d)).num_rows for d in parts
+        )
+        assert total == 300
+
+        # recall vs brute force for a handful of queries
+        unit = sim._unit(mat.astype(np.float64))
+        for qid in (0, 7, 42):
+            q = mat[qid].astype(np.float64)
+            got = sim.query_ivf_index(index_dir, q, k=10, nprobe=4).to_pandas()
+            cos = unit @ (q / np.linalg.norm(q))
+            exact = set(np.argsort(-cos)[:10])
+            recall = len(exact & set(got["vec_id"])) / 10
+            assert recall >= 0.9, (qid, recall)
+            # top-1 is the query vector itself
+            assert got.iloc[0]["vec_id"] == qid
+
+    def test_query_reads_only_probed_partitions(self, ray_session, tmp_path):
+        emb = str(tmp_path / "emb.parquet")
+        _write_embeddings(emb)
+        index_dir = str(tmp_path / "ivf")
+        cent = sim.build_ivf_index(emb, index_dir, n_clusters=8)
+        q = cent[0]
+        ds = sim.query_ivf_index(index_dir, q, k=5, nprobe=2)
+        # the input files of the plan cover at most 2 partitions
+        files = ds.input_files()
+        parts = {f.split("cluster_id=")[1].split("/")[0] for f in files}
+        assert len(parts) <= 2
+
+
+class TestMultimodal:
+    def test_synth_image_roundtrip(self):
+        b = mm.synth_image_bytes(123, 4567)
+        assert b[:4] == mm.QIMG_MAGIC
+        w, h, c = struct.unpack_from("<HHB", b, 4)
+        assert (w, h, c) == (16 + 123 % 49, 16 + 4567 % 33, 3)
+        assert len(b) == 9 + w * h * c
+
+    def test_decode_rejects_unknown_format(self):
+        stage = mm.ImageDecodeStage()
+        with pytest.raises((NotImplementedError, ValueError)):
+            stage._decode_one(b"\x89PNG\r\n\x1a\n garbage")
+
+    def test_decode_pipeline(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        media = str(tmp_path / "media.parquet")
+        mm.synth_media_for_documents(
+            "/root/testdata/sf0.001/documents.parquet", media
+        )
+        ds = rd.read_parquet(media).filter(expr="media_type == 'image'")
+        out = mm.decode_images(ds, batch_size=64).to_pandas()
+        assert len(out) == 500
+        assert set(out.columns) >= {"media_id", "width", "height", "channels", "n_bytes"}
+        # features match the oracle formulas from the source table
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "'/root/testdata/sf0.001/documents.parquet'"
+        )
+        odf = con.sql(mm.sql_image_features()).df().sort_values("media_id")
+        ours = out.sort_values("media_id").reset_index(drop=True)
+        for col in ("width", "height", "channels", "n_bytes"):
+            assert (ours[col].values == odf[col].values).all(), col
+
+    def test_frame_sample(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        media = str(tmp_path / "media.parquet")
+        mm.synth_media_for_documents(
+            "/root/testdata/sf0.001/documents.parquet", media
+        )
+        ds = rd.read_parquet(media).filter(expr="media_type == 'video'")
+        out = mm.sample_frames(ds, step=5).to_pandas()
+        # doc 0: n_frames = 10 -> frames 0, 5
+        assert sorted(out[out.media_id == 0]["frame_idx"]) == [0, 5]
+        # every frame index is a multiple of step and within bounds
+        assert (out["frame_idx"] % 5 == 0).all()
+
+    def test_resize_plan(self):
+        batch = pa.Table.from_pydict(
+            {"width": pa.array([64, 10]), "height": pa.array([16, 40])}
+        )
+        out = mm.ResizePlanStage(max_side=32)(batch)
+        assert out.column("out_width").to_pylist() == [32, 8]
+        assert out.column("out_height").to_pylist() == [8, 32]
