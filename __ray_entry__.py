@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
+        "events_window": q.q_events_window,
+        "sessionize": q.q_sessionize,
+        "user_event_stats": q.q_user_event_stats,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         # rows-only (boundary-rule NER / approximate or stateful ops):
@@ -88,8 +91,13 @@ def oracle_sql() -> dict[str, str]:
 
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
+    from quickner_ray.stages import events as ev
+
     return {
         "lang_id": sql_lang_id(),
+        "events_window": ev.sql_window_counts(),
+        "sessionize": ev.sql_sessionize(),
+        "user_event_stats": ev.sql_user_stats(),
         "media_features": mm.sql_image_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

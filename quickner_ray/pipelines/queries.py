@@ -290,6 +290,33 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def q_events_window(sf_dir: str):
+    """Tumbling 1-hour event-time window aggregate."""
+    from ..stages.events import window_counts
+
+    return window_counts(_events(sf_dir, columns=["ts", "event_type", "value"]))
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based per-user sessionization (30-min inactivity gap)."""
+    from ..stages.events import sessionize
+
+    return sessionize(_events(sf_dir, columns=["event_id", "ts", "user_id"]))
+
+
+def q_user_event_stats(sf_dir: str):
+    """Per-user event stats (count, sum, error count)."""
+    from ..stages.events import user_stats
+
+    return user_stats(_events(sf_dir, columns=["user_id", "event_type", "value"]))
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
     from ..stages.text_analysis import LangIdStage

@@ -70,14 +70,18 @@ def write_synth_pages(
     source_documents_parquet: str,
     repeat: int = 1,
     row_group_size: int = 4096,
+    text_multiplier: int = 1,
 ) -> list[str]:
     """Materialize a synthetic pages dataset from a documents table.
 
     Writes one parquet FILE per repeat (``pages-NNNN.parquet``) so the file
     list doubles as the deterministic shard layout for resumable runs.
     ``repeat`` > 1 duplicates the corpus with distinct urls/seqs (distinct
-    html bytes, same text distribution) to scale benchmark input. Returns
-    the list of file paths.
+    html bytes, same text distribution) to scale benchmark input.
+    ``text_multiplier`` > 1 tiles each text to Common-Crawl-page length
+    (the source docs average ~300 chars; real extracted pages are KBs) so
+    benchmark compute density matches the target workload. Returns the
+    list of file paths.
     """
     import os
 
@@ -86,6 +90,8 @@ def write_synth_pages(
     os.makedirs(out_dir, exist_ok=True)
     src = pq.read_table(source_documents_parquet, columns=["text", "lang"])
     texts = src["text"].to_pylist()
+    if text_multiplier > 1:
+        texts = [" ".join([t] * text_multiplier) for t in texts]
     langs = src["lang"].to_pylist()
     n = len(texts)
     paths = []

@@ -1,0 +1,172 @@
+"""Windowed / sessionized aggregates over an event stream table
+(event_id, ts, user_id, event_type, value, props).
+
+The reference is a pure batch tool with no windows (SURVEY.md §2.6); these
+are the event-time operators a web-scale pipeline adds. All window/session
+keys are computed per batch (no Python row loops); the only shuffles are
+
+- tumbling window: ``groupby(window_start, event_type)`` after a per-batch
+  partial aggregate (bounded rows per batch, skew-proof like
+  canonicalize.py), and
+- sessionization: ``groupby(user_id).map_groups`` — the per-user event
+  history must be co-located and ordered; the partitioning assumption is
+  user_id cardinality >> cluster cores (true for web logs). A single hot
+  user degrades to one task, bounded by that user's history length.
+
+Timestamps flow as int64 epoch-MICROSECONDS (``us``) so values compare
+exactly against the DuckDB oracle (``epoch_us``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+US_PER_HOUR = 3_600_000_000
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> pa.Array:
+    ts = batch.column(col)
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    return ts.cast(pa.timestamp("us")).cast(pa.int64())
+
+
+def partial_window_counts(batch: pa.Table, window_us: int = US_PER_HOUR) -> pa.Table:
+    """Per-batch combiner for the tumbling-window aggregate: at most one row
+    per (window_start_us, event_type) per batch."""
+    us = _ts_us(batch)
+    window = pc.multiply(pc.divide(us, window_us), window_us)  # int floor
+    t = pa.Table.from_pydict(
+        {
+            "window_start_us": window,
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        }
+    )
+    out = t.group_by(["window_start_us", "event_type"]).aggregate(
+        [("value", "count"), ("value", "sum")]
+    )
+    return out.rename_columns(
+        ["window_start_us", "event_type", "partial_count", "partial_sum"]
+    )
+
+
+def window_counts(ds, window_us: int = US_PER_HOUR):
+    """Tumbling event-time window: (window_start_us, event_type) ->
+    n_events, sum_value. Partial-then-final aggregate."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_window_counts(b, window_us), batch_format="pyarrow"
+    )
+    return partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("partial_count", alias_name="n_events"),
+        Sum("partial_sum", alias_name="sum_value"),
+    )
+
+
+def _sessionize_group(group: pa.Table, gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """One user's events -> session summary rows. Vectorized within the
+    group: sort by (ts, event_id), gap > gap_us starts a new session."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+    order = np.lexsort((eid, us))
+    us = us[order]
+    new_sess = np.ones(len(us), dtype=np.int64)
+    if len(us) > 1:
+        new_sess[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
+    sess = np.cumsum(new_sess)
+    user = group.column("user_id")[0].as_py()
+    # per-session min/max/count via reduceat on the sorted session boundaries
+    starts = np.flatnonzero(new_sess)
+    n_sessions = len(starts)
+    counts = np.diff(np.append(starts, len(us)))
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array([user] * n_sessions, type=pa.int64()),
+            "session_id": pa.array(sess[starts], type=pa.int64()),
+            "n_events": pa.array(counts, type=pa.int64()),
+            "start_us": pa.array(us[starts], type=pa.int64()),
+            "end_us": pa.array(us[np.append(starts[1:] - 1, len(us) - 1)], type=pa.int64()),
+        }
+    )
+
+
+def sessionize(ds, gap_us: int = SESSION_GAP_US):
+    """Event stream -> per-user sessions (gap-based). Shuffle key: user_id."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _sessionize_group(g, gap_us), batch_format="pyarrow"
+    )
+
+
+def partial_user_stats(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner for per-user stats."""
+    err = pc.equal(batch.column("event_type"), pa.scalar("error"))
+    t = pa.Table.from_pydict(
+        {
+            "user_id": batch.column("user_id"),
+            "value": batch.column("value"),
+            "is_error": err.cast(pa.int64()),
+        }
+    )
+    out = t.group_by(["user_id"]).aggregate(
+        [("value", "count"), ("value", "sum"), ("is_error", "sum")]
+    )
+    return out.rename_columns(
+        ["user_id", "partial_count", "partial_sum", "partial_errors"]
+    )
+
+
+def user_stats(ds):
+    """(user_id) -> n_events, sum_value, n_errors."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(partial_user_stats, batch_format="pyarrow")
+    return partials.groupby("user_id").aggregate(
+        Sum("partial_count", alias_name="n_events"),
+        Sum("partial_sum", alias_name="sum_value"),
+        Sum("partial_errors", alias_name="n_errors"),
+    )
+
+
+# ---- DuckDB oracle SQL ------------------------------------------------------
+
+def sql_window_counts(window_us: int = US_PER_HOUR, table: str = "events") -> str:
+    return (
+        f"SELECT (epoch_us(ts) // {window_us}) * {window_us} AS window_start_us,\n"
+        f"  event_type, CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value\n"
+        f"FROM {table} GROUP BY 1, 2"
+    )
+
+
+def sql_sessionize(gap_us: int = SESSION_GAP_US, table: str = "events") -> str:
+    return (
+        f"WITH e AS (\n"
+        f"  SELECT user_id, event_id, epoch_us(ts) AS us,\n"
+        f"    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL\n"
+        f"         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}\n"
+        f"         THEN 1 ELSE 0 END AS new_s\n"
+        f"  FROM {table}\n"
+        f"  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        f"), s AS (\n"
+        f"  SELECT user_id, us,\n"
+        f"    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id\n"
+        f"      ROWS UNBOUNDED PRECEDING) AS session_id\n"
+        f"  FROM e\n"
+        f")\n"
+        f"SELECT user_id, CAST(session_id AS BIGINT) AS session_id,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_events,\n"
+        f"  min(us) AS start_us, max(us) AS end_us\n"
+        f"FROM s GROUP BY user_id, session_id"
+    )
+
+
+def sql_user_stats(table: str = "events") -> str:
+    return (
+        f"SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value,\n"
+        f"  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors\n"
+        f"FROM {table} GROUP BY user_id"
+    )

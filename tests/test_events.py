@@ -1,0 +1,132 @@
+"""Event-stream operators: tumbling windows, sessionization, user stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickner_ray.stages import events as ev
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _events_table(rows):
+    """rows: (event_id, minutes_offset, user_id, event_type, value)"""
+    return pa.Table.from_pydict(
+        {
+            "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "ts": pa.array(
+                [EPOCH + dt.timedelta(minutes=r[1]) for r in rows],
+                type=pa.timestamp("us"),
+            ),
+            "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+            "value": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
+
+
+ROWS = [
+    # user 1: two sessions (gap 45 min between minute 20 and 65)
+    (0, 0, 1, "view", 1.0),
+    (1, 10, 1, "click", 2.0),
+    (2, 20, 1, "view", 3.0),
+    (3, 65, 1, "error", 4.0),
+    (4, 70, 1, "view", 5.0),
+    # user 2: one session spanning the hour boundary
+    (5, 55, 2, "view", 10.0),
+    (6, 75, 2, "click", 20.0),
+]
+
+
+class TestKernels:
+    def test_sessionize_group(self):
+        g = _events_table([r for r in ROWS if r[2] == 1])
+        out = ev._sessionize_group(g).to_pandas().sort_values("session_id")
+        assert out["session_id"].tolist() == [1, 2]
+        assert out["n_events"].tolist() == [3, 2]
+        base = int(EPOCH.timestamp() * 1_000_000)
+        assert out["start_us"].tolist() == [base, base + 65 * 60_000_000]
+        assert out["end_us"].tolist() == [base + 20 * 60_000_000, base + 70 * 60_000_000]
+
+    def test_window_partial(self):
+        out = ev.partial_window_counts(_events_table(ROWS)).to_pandas()
+        # hour 0: events at minutes 0..55; hour 1: minutes 65..75
+        assert out["partial_count"].sum() == len(ROWS)
+        assert out["window_start_us"].nunique() == 2
+
+
+class TestPipelines:
+    @pytest.fixture(scope="class")
+    def events_path(self, tmp_path_factory):
+        p = tmp_path_factory.mktemp("ev") / "events.parquet"
+        pq.write_table(_events_table(ROWS), str(p))
+        return str(p)
+
+    def _con(self, events_path):
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{events_path}'")
+        return con
+
+    def test_window_counts_matches_sql(self, ray_session, events_path):
+        import ray.data as rd
+
+        ours = (
+            ev.window_counts(rd.read_parquet(events_path))
+            .to_pandas()
+            .sort_values(["window_start_us", "event_type"])
+            .reset_index(drop=True)
+        )
+        con = self._con(events_path)
+        oracle = (
+            con.sql(ev.sql_window_counts())
+            .df()
+            .sort_values(["window_start_us", "event_type"])
+            .reset_index(drop=True)
+        )
+        assert ours["n_events"].tolist() == oracle["n_events"].tolist()
+        assert np.allclose(ours["sum_value"], oracle["sum_value"])
+
+    def test_sessionize_matches_sql(self, ray_session, events_path):
+        import ray.data as rd
+
+        cols = ["user_id", "session_id", "n_events", "start_us", "end_us"]
+        ours = (
+            ev.sessionize(rd.read_parquet(events_path))
+            .to_pandas()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        con = self._con(events_path)
+        oracle = (
+            con.sql(ev.sql_sessionize())
+            .df()[cols]
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        assert ours.astype("int64").equals(oracle.astype("int64"))
+
+    def test_user_stats_matches_sql(self, ray_session, events_path):
+        import ray.data as rd
+
+        ours = (
+            ev.user_stats(rd.read_parquet(events_path))
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        con = self._con(events_path)
+        oracle = (
+            con.sql(ev.sql_user_stats())
+            .df()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert ours["n_events"].tolist() == oracle["n_events"].tolist()
+        assert ours["n_errors"].tolist() == oracle["n_errors"].tolist()
+        assert np.allclose(ours["sum_value"], oracle["sum_value"])
