@@ -29,10 +29,12 @@ import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
 REPEAT = 8  # pages corpus = documents.parquet texts x REPEAT (distinct urls)
-# --scaling corpus: Common-Crawl compute density (docs tiled to ~3.5 KB) and
-# enough total work (~10 core-minutes) that 8 CPUs saturate; otherwise fixed
-# pipeline latency (~6 s) hides the CPU-count difference.
-SCALING_REPEAT = 96
+# --scaling corpus: Common-Crawl compute density (docs padded to ~4 KB with
+# non-matching filler, so mention density stays realistic) and enough total
+# work (~10 core-minutes) that 8 CPUs saturate; otherwise fixed pipeline
+# latency hides the CPU-count difference. The scaling run also uses the
+# 50k-name gazetteer (the realistic KG regime).
+SCALING_REPEAT = 288
 SCALING_MULTIPLIER = 12
 
 
@@ -79,14 +81,22 @@ def build_pages(sf_dir: str, repeat: int, multiplier: int = 1) -> tuple[str, int
 
 
 def run_headline(
-    sf_dir: str, repeat: int = REPEAT, multiplier: int = 1, num_cpus: int | None = None
+    sf_dir: str,
+    repeat: int = REPEAT,
+    multiplier: int = 1,
+    num_cpus: int | None = None,
+    big_gazetteer: bool = False,
+    warmup: bool = False,
 ) -> dict:
     """One timed end-to-end KG run (fresh output dir). Ray must be up.
-    Corpus build time is excluded (amortized, deterministic input)."""
+    Corpus build time is excluded (amortized, deterministic input); with
+    ``warmup`` a small untimed run first brings up worker processes so the
+    measurement reflects steady-state throughput (a long-lived cluster),
+    not Ray cold-start."""
     import ray
 
     from quickner_ray.pipelines.kg import KGPipelineConfig, run_kg
-    from quickner_ray.pipelines.queries import documents_gazetteer
+    from quickner_ray.pipelines.queries import documents_gazetteer, scaled_gazetteer
 
     pages, n_docs = build_pages(sf_dir, repeat, multiplier)
     out = "/tmp/quickner_bench/out"
@@ -94,14 +104,21 @@ def run_headline(
     if num_cpus is None:
         num_cpus = int(ray.cluster_resources().get("CPU", 8))
     shard_par = min(8, max(1, num_cpus // 4))
+    gaz = scaled_gazetteer() if big_gazetteer else documents_gazetteer()
     cfg = KGPipelineConfig(
         source="html",
         batch_size=1024,
         write_annotated=False,
         shard_parallelism=shard_par,
     )
+    if warmup:
+        first = sorted(
+            os.path.join(pages, f) for f in os.listdir(pages) if f.endswith(".parquet")
+        )[:1]
+        run_kg(first, gaz, "/tmp/quickner_bench/warmup", cfg, shards=1)
+        shutil.rmtree("/tmp/quickner_bench/warmup", ignore_errors=True)
     t0 = time.perf_counter()
-    run_kg(pages, documents_gazetteer(), out, cfg, shards=8)
+    run_kg(pages, gaz, out, cfg, shards=8)
     wall = time.perf_counter() - t0
     return {"wall_sec": wall, "n_docs": n_docs, "docs_per_sec": n_docs / wall}
 
@@ -136,7 +153,12 @@ def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> di
     try:
         if headline_only:  # --scaling worker: CC-density corpus
             head = run_headline(
-                sf_dir, SCALING_REPEAT, SCALING_MULTIPLIER, num_cpus=num_cpus
+                sf_dir,
+                SCALING_REPEAT,
+                SCALING_MULTIPLIER,
+                num_cpus=num_cpus,
+                big_gazetteer=True,
+                warmup=True,
             )
             queries = {}
         else:

@@ -18,6 +18,10 @@ Layout:
 - ``pipelines/``  end-to-end KG pipeline with lineage + resume
 """
 
+from ._compat import patch_fsspec_http_race as _patch_fsspec
+
+_patch_fsspec()
+
 from .kernel import (
     Config,
     Filters,

@@ -93,11 +93,16 @@ class Gazetteer:
         # batch concatenation uses '\n' as separator; unsafe if a name contains it
         self.sep_safe = not any("\n" in n for n in names)
         self._scan_re: re.Pattern | None = None
+        # surface-form -> ((end_offset, pid), ...) terminal memo. Web text is
+        # Zipf-repetitive: the same few surfaces account for almost all raw
+        # matches, so the per-match trie walk collapses to one dict hit.
+        self._walk_cache: dict[str, tuple] = {}
 
-    # -- pickling: drop the compiled regex, rebuild lazily per process --------
+    # -- pickling: drop the compiled regex + caches, rebuild per process ------
     def __getstate__(self):
         state = self.__dict__.copy()
         state["_scan_re"] = None
+        state["_walk_cache"] = {}
         return state
 
     def __len__(self) -> int:
@@ -169,6 +174,18 @@ class Gazetteer:
         duplicates removed — Document::annotate ordering (document.rs:83-96)."""
         return self.annotate_batch([text])[0]
 
+    def annotate_batch_pids(self, texts: list[str]) -> list[list[tuple[int, int, int]]]:
+        """Like ``annotate_batch`` but spans carry the PATTERN id instead of
+        the label: ``(start, end, pid)``. For every accepted span,
+        ``text[start:end] == self.names[pid]`` (the automaton matches the
+        literal pattern), so downstream stages can materialize surfaces and
+        per-pattern derived values (canonical entity ids) by table lookup
+        with ZERO per-mention hashing/slicing. Ordering matches
+        ``annotate_batch`` ((start, end, label) sort; (s,e,label) duplicates
+        cannot arise from distinct pids — equal span => equal slice => equal
+        name, and (name,label) pairs are deduped at build)."""
+        return self._annotate_batch_impl(texts, with_pid=True)
+
     def annotate_batch(self, texts: list[str]) -> list[list[Span]]:
         """Annotate a batch of (already case-normalized) texts.
 
@@ -176,12 +193,15 @@ class Gazetteer:
         candidates; per-text rule-4 probes add byte-end-aligned ones; the
         exact boundary rules filter; results match the reference per text.
         """
+        return self._annotate_batch_impl(texts, with_pid=False)
+
+    def _annotate_batch_impl(self, texts: list[str], with_pid: bool):
         n = len(texts)
-        results: list[list[Span]] = [[] for _ in range(n)]
+        results: list[list] = [[] for _ in range(n)]
         if not self.names or n == 0:
             return results
         if not self.sep_safe:
-            return [self._annotate_single(t) for t in texts]
+            return [self._annotate_single(t, with_pid) for t in texts]
         mega = "\n".join(texts)
         starts = [0] * (n + 1)
         acc = 0
@@ -190,52 +210,88 @@ class Gazetteer:
             acc += len(t) + 1
         starts[n] = acc
         raw_per_doc: list[list[tuple[int, int, int]] | None] = [None] * n
-        walk = self._walk_terminals
+        cache = self._walk_cache
         for m in self._get_scan_re().finditer(mega):
             p = m.start()
             length = m.end(1) - p
+            surf = mega[p : p + length]
+            hits = cache.get(surf)
+            if hits is None:
+                local: list[tuple[int, int, int]] = []
+                self._walk_terminals(mega, p, length, local)
+                hits = cache[surf] = tuple((e - p, pid) for _s, e, pid in local)
             di = bisect_right(starts, p) - 1
             raw = raw_per_doc[di]
             if raw is None:
                 raw = raw_per_doc[di] = []
-            base = starts[di]
-            local: list[tuple[int, int, int]] = []
-            walk(mega, p, length, local)
-            for s, e, pid in local:
-                raw.append((s - base, e - base, pid))
+            rel = p - starts[di]
+            for off, pid in hits:
+                raw.append((rel, rel + off, pid))
         for di in range(n):
-            results[di] = self._finish(texts[di], raw_per_doc[di] or [])
+            results[di] = self._finish(texts[di], raw_per_doc[di] or [], with_pid)
         return results
 
-    def _annotate_single(self, text: str) -> list[Span]:
+    def _annotate_single(self, text: str, with_pid: bool = False) -> list:
         raw: list[tuple[int, int, int]] = []
+        cache = self._walk_cache
         for m in self._get_scan_re().finditer(text):
-            self._walk_terminals(text, m.start(), m.end(1) - m.start(), raw)
-        return self._finish(text, raw)
+            p = m.start()
+            length = m.end(1) - p
+            surf = text[p : p + length]
+            hits = cache.get(surf)
+            if hits is None:
+                local: list[tuple[int, int, int]] = []
+                self._walk_terminals(text, p, length, local)
+                hits = cache[surf] = tuple((e - p, pid) for _s, e, pid in local)
+            for off, pid in hits:
+                raw.append((p, p + off, pid))
+        return self._finish(text, raw, with_pid)
 
-    def _finish(self, text: str, raw: list[tuple[int, int, int]]) -> list[Span]:
+    def _finish(
+        self, text: str, raw: list[tuple[int, int, int]], with_pid: bool = False
+    ) -> list:
         n_char = len(text)
         b_text = byte_len(text)
         raw.extend(self._end_aligned(text, n_char, b_text))
         byte_lens = self.byte_lens
         labels = self.labels
         seen: set[tuple[int, int, int]] = set()
-        out: list[Span] = []
+        # 4-tuples (s, e, label, pid): natural sort == reference (s, e, label)
+        # ordering (pid is only compared when labels tie, which implies the
+        # same (name, label) pair — impossible after build-time dedup).
+        out: list[tuple[int, int, str, int]] = []
+        # accept() depends only on this 5-tuple of local context (boundary.py
+        # rules 1-6), so repeated contexts — the common case in web text —
+        # skip the rule cascade entirely.
+        accept_memo: dict[tuple, bool] = {}
         for cand in raw:
             if cand in seen:
                 continue
             seen.add(cand)
             s, e, pid = cand
-            if accept(text, n_char, b_text, s, e, byte_lens[pid]):
-                out.append((s, e, labels[pid]))
+            bl = byte_lens[pid]
+            tl = s + bl
+            key = (
+                s == 0,
+                text[s - 1] if s > 0 else "",
+                text[e] if e < n_char else "",
+                tl == b_text,
+                text[tl] if tl < n_char else "",
+            )
+            ok = accept_memo.get(key)
+            if ok is None:
+                ok = accept_memo[key] = accept(text, n_char, b_text, s, e, bl)
+            if ok:
+                out.append((s, e, labels[pid], pid))
         out.sort()
         # exact-duplicate removal (document.rs:88-96); duplicates only arise
         # from duplicate (name,label) pairs, which are dedup'd at build time
-        dedup: list[Span] = []
+        dedup: list = []
         prev = None
-        for span in out:
+        for s, e, label, pid in out:
+            span = (s, e, label)
             if span != prev:
-                dedup.append(span)
+                dedup.append((s, e, pid) if with_pid else span)
                 prev = span
         return dedup
 

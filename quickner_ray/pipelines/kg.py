@@ -94,8 +94,8 @@ class KGPipelineConfig:
         return h.hexdigest()
 
 
-def annotate_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
-    """Phase-A transform chain on an already-read pages Dataset (no I/O)."""
+def _prep_dataset(ds, cfg: KGPipelineConfig):
+    """Shared pre-detection chain: extract -> hash -> filter -> dedup."""
     if cfg.source == "html":
         ds = ds.map_batches(extract_pages, batch_format="pyarrow")
     else:
@@ -107,6 +107,12 @@ def annotate_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
         ds = filter_texts(ds, cfg.filters)
     if cfg.dedup:
         ds = dedup_exact(ds, key="doc_id")
+    return ds
+
+
+def annotate_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
+    """Phase-A transform chain on an already-read pages Dataset (no I/O)."""
+    ds = _prep_dataset(ds, cfg)
     ds = detect_mentions(
         ds,
         gazetteer,
@@ -115,6 +121,22 @@ def annotate_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
         num_cpus=cfg.detect_num_cpus,
     )
     return ds
+
+
+def triples_dataset(ds, gazetteer: Gazetteer, cfg: KGPipelineConfig):
+    """FUSED phase-A chain: pages -> triple rows in one actor-pool pass
+    (detect.MentionTripleDetector — no annotated-docs intermediate)."""
+    from ..stages.detect import detect_triples
+
+    ds = _prep_dataset(ds, cfg)
+    return detect_triples(
+        ds,
+        gazetteer,
+        subj_col=cfg.subj_col,
+        batch_size=cfg.batch_size,
+        concurrency=cfg.detect_concurrency,
+        num_cpus=cfg.detect_num_cpus,
+    )
 
 
 def _read_columns(cfg: KGPipelineConfig) -> list[str]:
@@ -202,15 +224,10 @@ def run_kg(
                 columns=_read_columns(cfg),
                 concurrency=cfg.read_concurrency,
             )
-        ds = annotate_dataset(ds, gazetteer, shard_cfg)
-        if not cfg.write_annotated:
-            # fused: docs -> mention rows -> triple columns, same pass
-            ds = ds.map_batches(
-                lambda b: add_triple_columns(
-                    explode_mentions(b, subj_col=cfg.subj_col), subj_col=cfg.subj_col
-                ),
-                batch_format="pyarrow",
-            )
+        if cfg.write_annotated:
+            ds = annotate_dataset(ds, gazetteer, shard_cfg)
+        else:
+            ds = triples_dataset(ds, gazetteer, shard_cfg)
         ds.write_parquet(shard_out)
         rows = sum(f.metadata.num_rows for f in _parquet_fragments(shard_out))
         write_manifest(

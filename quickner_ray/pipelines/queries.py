@@ -62,6 +62,14 @@ def documents_gazetteer(case_sensitive: bool = False) -> Gazetteer:
     return Gazetteer(DEFAULT_GAZETTEER, case_sensitive=case_sensitive)
 
 
+def scaled_gazetteer(n_extra: int = 50_000, case_sensitive: bool = False) -> Gazetteer:
+    """DEFAULT_GAZETTEER + ``n_extra`` deterministic synthetic names — the
+    large-gazetteer configuration (10^4-10^5 names is the realistic KG
+    regime; exercises trie compile + ray.put broadcast at size)."""
+    extra = [(f"xent{i % 250} xv{i // 250}", "GEN") for i in range(n_extra)]
+    return Gazetteer(DEFAULT_GAZETTEER + extra, case_sensitive=case_sensitive)
+
+
 def annotated_documents(sf_dir: str, *, batch_size: int = 2048):
     """documents.parquet -> annotated Dataset (text path of the flagship)."""
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])

@@ -78,10 +78,12 @@ def write_synth_pages(
     list doubles as the deterministic shard layout for resumable runs.
     ``repeat`` > 1 duplicates the corpus with distinct urls/seqs (distinct
     html bytes, same text distribution) to scale benchmark input.
-    ``text_multiplier`` > 1 tiles each text to Common-Crawl-page length
-    (the source docs average ~300 chars; real extracted pages are KBs) so
-    benchmark compute density matches the target workload. Returns the
-    list of file paths.
+    ``text_multiplier`` > 1 pads each text to Common-Crawl-page length (the
+    source docs average ~300 chars; real extracted pages are KBs) with
+    MANGLED copies ('x'-prefixed words) so the page is m-times longer but
+    mention density per doc stays realistic — plain tiling would multiply
+    gazetteer hits m-fold, which no real page does. Returns the list of
+    file paths.
     """
     import os
 
@@ -91,7 +93,12 @@ def write_synth_pages(
     src = pq.read_table(source_documents_parquet, columns=["text", "lang"])
     texts = src["text"].to_pylist()
     if text_multiplier > 1:
-        texts = [" ".join([t] * text_multiplier) for t in texts]
+
+        def _pad(t: str) -> str:
+            filler = " ".join("x" + w for w in t.split())
+            return " ".join([t] + [filler] * (text_multiplier - 1))
+
+        texts = [_pad(t) for t in texts]
     langs = src["lang"].to_pylist()
     n = len(texts)
     paths = []

@@ -32,6 +32,52 @@ def entity_id(surface_norm: str, label: str) -> str:
     ).hexdigest()
 
 
+def _slice_surfaces(text_arr: pa.Array, parents, starts, ends) -> pa.Array:
+    """Per-mention ``text[start:end]`` slices, vectorized.
+
+    ASCII fast path: char == byte indices, so the slices are a single numpy
+    gather over the Arrow data buffer (no per-mention Python). Non-ASCII
+    falls back to Python char slicing (char-index semantics, SURVEY §1.2).
+    """
+    import numpy as np
+
+    n = len(text_arr)
+    ascii_ok = n == 0 or pc.all(
+        pc.equal(pc.utf8_length(text_arr), pc.binary_length(text_arr))
+    ).as_py()
+    if not ascii_ok:
+        texts = text_arr.to_pylist()
+        return pa.array(
+            [
+                texts[pi][si:ei]
+                for pi, si, ei in zip(
+                    parents.to_pylist(), starts.to_pylist(), ends.to_pylist()
+                )
+            ],
+            type=pa.large_string(),
+        )
+    off_dtype = np.int64 if pa.types.is_large_string(text_arr.type) else np.int32
+    offsets = np.frombuffer(
+        text_arr.buffers()[1], dtype=off_dtype, count=n + 1 + text_arr.offset
+    )[text_arr.offset :]
+    data = np.frombuffer(text_arr.buffers()[2], dtype=np.uint8)
+    pn = np.asarray(parents, dtype=np.int64)
+    sn = np.asarray(starts, dtype=np.int64)
+    en = np.asarray(ends, dtype=np.int64)
+    abs_s = offsets[pn].astype(np.int64) + sn
+    lens = en - sn
+    new_off = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    idx = np.repeat(abs_s - new_off[:-1], lens) + np.arange(total, dtype=np.int64)
+    out_data = data[idx] if total else np.empty(0, dtype=np.uint8)
+    return pa.Array.from_buffers(
+        pa.large_string(),
+        len(lens),
+        [None, pa.py_buffer(new_off.tobytes()), pa.py_buffer(out_data.tobytes())],
+    )
+
+
 def explode_mentions(batch: pa.Table, *, subj_col: str = "doc_id") -> pa.Table:
     """Annotated-docs batch -> mentions batch
     (subj, doc_id?, label, start, end, surface, surface_norm)."""
@@ -43,12 +89,10 @@ def explode_mentions(batch: pa.Table, *, subj_col: str = "doc_id") -> pa.Table:
     starts = flat.field("start")
     ends = flat.field("end")
     lbls = flat.field("label")
-    texts = batch.column("text").to_pylist()
-    p = parents.to_pylist()
-    s_list = starts.to_pylist()
-    e_list = ends.to_pylist()
-    surfaces = [texts[pi][si:ei] for pi, si, ei in zip(p, s_list, e_list)]
-    surface_arr = pa.array(surfaces, type=pa.string())
+    text_arr = batch.column("text")
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    surface_arr = _slice_surfaces(text_arr, parents, starts, ends)
     # A2 lowercases the surface when indexing (quickner.rs:737)
     surface_norm = pc.utf8_lower(surface_arr)
     cols = {}
@@ -104,22 +148,38 @@ def add_triple_columns(batch: pa.Table, *, subj_col: str = "url") -> pa.Table:
 
     subj = the document (url if present else doc_id), pred = label,
     obj = canonical entity id; surface/start/end retained as evidence.
+    Surfaces are Zipf-repetitive, so the md5 entity id is computed once per
+    DISTINCT (surface_norm, label) via dictionary encoding, not per mention.
     """
     if subj_col not in batch.column_names:
         subj_col = "doc_id"
-    ids = [
-        entity_id(s, l)
-        for s, l in zip(
-            batch.column("surface_norm").to_pylist(),
-            batch.column("label").to_pylist(),
-        )
-    ]
+    sn = batch.column("surface_norm")
+    lbl = batch.column("label")
+    if isinstance(sn, pa.ChunkedArray):
+        sn = sn.combine_chunks()
+    if isinstance(lbl, pa.ChunkedArray):
+        lbl = lbl.combine_chunks()
+    # join kernel requires uniform string types across operands
+    key = pc.binary_join_element_wise(
+        sn.cast(pa.large_string()),
+        lbl.cast(pa.large_string()),
+        pa.scalar("\x00", type=pa.large_string()),
+    )
+    dict_arr = pc.dictionary_encode(key)
+    uniq_ids = pa.array(
+        [
+            hashlib.md5(k.encode("utf-8")).hexdigest()
+            for k in dict_arr.dictionary.to_pylist()
+        ],
+        type=pa.string(),
+    )
+    ids = uniq_ids.take(dict_arr.indices)
     out = pa.Table.from_pydict(
         {
             "subj": batch.column(subj_col).cast(pa.string()),
-            "pred": batch.column("label"),
-            "obj": pa.array(ids, type=pa.string()),
-            "surface_norm": batch.column("surface_norm"),
+            "pred": lbl,
+            "obj": ids,
+            "surface_norm": sn,
             "start": batch.column("start"),
             "end": batch.column("end"),
         }

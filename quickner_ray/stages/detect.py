@@ -66,6 +66,106 @@ def annotate_batch_table(batch: pa.Table, gaz: Gazetteer, text_col: str = "text"
     return out
 
 
+class MentionTripleDetector:
+    """Fused actor: texts -> TRIPLE rows directly (no list<struct>
+    intermediate, no re-slicing, no per-mention hashing).
+
+    Exploits ``Gazetteer.annotate_batch_pids``: every accepted span's surface
+    IS the pattern ``names[pid]``, so the surface_norm and the canonical
+    entity id (md5 of surface_norm + label) are PRECOMPUTED per pattern in
+    ``__init__`` — per batch the stage only builds index arrays and takes.
+    Output columns match ``canonicalize.add_triple_columns``:
+    (subj, pred, obj, surface_norm, start, end).
+    """
+
+    def __init__(self, gazetteer, subj_col: str = "url", text_col: str = "text"):
+        import ray
+
+        from ..stages.canonicalize import entity_id
+
+        if isinstance(gazetteer, ray.ObjectRef):
+            gazetteer = ray.get(gazetteer)
+        self.gaz = gazetteer
+        self.subj_col = subj_col
+        self.text_col = text_col
+        if gazetteer.names:
+            gazetteer._get_scan_re()
+        norms = [n.lower() for n in gazetteer.names]
+        self.pid_surface_norm = pa.array(norms, type=pa.large_string())
+        self.pid_label = pa.array(gazetteer.labels, type=pa.string())
+        self.pid_obj = pa.array(
+            [entity_id(n, l) for n, l in zip(norms, gazetteer.labels)],
+            type=pa.string(),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = batch.column(self.text_col).to_pylist()
+        if not self.gaz.case_sensitive:
+            texts = [t.lower() for t in texts]
+        spans = self.gaz.annotate_batch_pids(texts)
+        counts = np.fromiter((len(d) for d in spans), dtype=np.int64, count=len(spans))
+        total = int(counts.sum())
+        starts = np.empty(total, dtype=np.int64)
+        ends = np.empty(total, dtype=np.int64)
+        pids = np.empty(total, dtype=np.int64)
+        i = 0
+        for doc in spans:
+            for s, e, pid in doc:
+                starts[i] = s
+                ends[i] = e
+                pids[i] = pid
+                i += 1
+        parents = pa.array(np.repeat(np.arange(len(spans), dtype=np.int64), counts))
+        pid_arr = pa.array(pids)
+        subj_col = self.subj_col if self.subj_col in batch.column_names else "doc_id"
+        subj = batch.column(subj_col)
+        if isinstance(subj, pa.ChunkedArray):
+            subj = subj.combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "subj": subj.take(parents).cast(pa.string()),
+                "pred": self.pid_label.take(pid_arr),
+                "obj": self.pid_obj.take(pid_arr),
+                "surface_norm": self.pid_surface_norm.take(pid_arr),
+                "start": pa.array(starts),
+                "end": pa.array(ends),
+            }
+        )
+
+
+def detect_triples(
+    ds,
+    gazetteer: Gazetteer,
+    *,
+    subj_col: str = "url",
+    batch_size: int = 1024,
+    concurrency=None,
+    num_cpus: float = 1,
+    text_col: str = "text",
+):
+    """Fused detect->explode->triples actor-pool stage (the fast path)."""
+    import ray
+
+    if concurrency is None:
+        total = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (2, max(2, total - 2))
+    gaz_ref = ray.put(gazetteer)
+    return ds.map_batches(
+        MentionTripleDetector,
+        fn_constructor_kwargs={
+            "gazetteer": gaz_ref,
+            "subj_col": subj_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+
+
 def detect_mentions(
     ds,
     gazetteer: Gazetteer,
