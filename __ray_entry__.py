@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_stats": q.q_source_lang_stats,
         "revenue_by_returnflag": q.q_revenue_by_returnflag,
         "orders_per_nation": q.q_orders_per_nation,
+        "top_customers": q.q_top_customers,
+        "parts_by_type": q.q_parts_by_type,
+        "props_key_counts": q.q_props_key_counts,
         "similarity_topk": q.q_similarity_topk,
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
@@ -142,6 +145,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS total_spent, "
+            "count(*) AS n_orders FROM orders GROUP BY o_custkey "
+            "ORDER BY total_spent DESC, o_custkey LIMIT 10"
+        ),
+        "parts_by_type": (
+            "SELECT p_type, sum(l_quantity) AS sum_qty, count(*) AS n_items "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_type"
+        ),
+        "props_key_counts": (
+            "SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k_value, "
+            "count(*) AS n_events FROM events GROUP BY 1"
         ),
         "similarity_topk": (
             # DOUBLE[] cast so DuckDB does float64 math like the numpy path;

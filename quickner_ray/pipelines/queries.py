@@ -298,6 +298,81 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+def q_top_customers(sf_dir: str, k: int = 10):
+    """Sort + limit over a grouped aggregate: top-k customers by total
+    order value (rounded to cents so the float sum compares exactly)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    agg = ds.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
+    )
+
+    def round_cents(b: pa.Table) -> pa.Table:
+        i = b.column_names.index("total_spent")
+        return b.set_column(i, "total_spent", pc.round(b.column("total_spent"), ndigits=2))
+
+    agg = agg.map_batches(round_cents, batch_format="pyarrow")
+    return agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
+
+
+def q_parts_by_type(sf_dir: str):
+    """Broadcast join (part dim shipped once via ray.put) + grouped agg:
+    lineitem quantity totals per part type."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    lookup = dict(
+        zip(part.column("p_partkey").to_pylist(), part.column("p_type").to_pylist())
+    )
+    ref = ray.put(lookup)
+
+    class AddType:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            types = [self.lookup.get(kk) for kk in b.column("l_partkey").to_pylist()]
+            return b.append_column("p_type", pa.array(types, type=pa.string()))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
+    )
+    ds = ds.map_batches(
+        AddType, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return ds.groupby("p_type").aggregate(
+        Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_items")
+    )
+
+
+def q_props_key_counts(sf_dir: str):
+    """Semi-structured parsing: extract the integer ``k`` from the JSON
+    ``props`` column (vectorized regex) -> histogram."""
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, columns=["props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        col = b.column("props")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.extract_regex(col, r'"k": (?P<v>\d+)')
+        v = pc.struct_field(m, "v").cast(pa.int64())
+        return pa.Table.from_pydict({"k_value": v})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    return ds.groupby("k_value").aggregate(Count(alias_name="n_events"))
+
+
 def _events(sf_dir: str, columns=None):
     import ray.data as rd
 

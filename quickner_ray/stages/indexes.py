@@ -44,3 +44,60 @@ def build_entity_index(mentions_ds, id_col: str = "doc_id", max_postings: int | 
     return mentions_ds.groupby("surface_norm").map_groups(
         _collect(id_col, ["surface_norm"], max_postings), batch_format="pandas"
     )
+
+
+def build_entity_index_salted(
+    mentions_ds,
+    id_col: str = "doc_id",
+    *,
+    salt: int = 16,
+    max_postings: int | None = None,
+    key_col: str = "surface_norm",
+):
+    """A2 with SALTED keys — the hot-key path (north rule: "salted keys for
+    skewed hot entities").
+
+    Two-phase: phase 1 shuffles on ``(key, hash(id) % salt)`` so a Zipf-hot
+    surface form splits across ``salt`` reducers (each collects a bounded
+    partial list); phase 2 shuffles only the partial rows (<= salt per key)
+    and concatenates. Posting lists come out SORTED (deterministic across
+    runs/parallelism — unlike arrival order, which scheduling perturbs).
+    """
+    import pyarrow as pa
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # positional salt: assignment doesn't need to be content-based —
+        # phase 2 merges and sorts, so any spread of a hot key's rows works
+        return batch.append_column(
+            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64) % salt)
+        )
+
+    def collect_partial(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].tolist()
+        return pd.DataFrame(
+            {
+                key_col: [group[key_col].iloc[0]],
+                "_ids": [ids],
+                "_n": [len(ids)],
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        for part in group["_ids"]:
+            ids.extend(part)
+        ids.sort()
+        n = len(ids)
+        if max_postings is not None and n > max_postings:
+            ids = ids[:max_postings]
+        return pd.DataFrame(
+            {key_col: [group[key_col].iloc[0]], "doc_ids": [ids], "n_postings": [n]}
+        )
+
+    salted = mentions_ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby([key_col, "_salt"]).map_groups(
+        collect_partial, batch_format="pandas"
+    )
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -192,3 +192,51 @@ class TestFusedFastPath:
         # fast path skips the annotated/mentions checkpoints entirely
         assert not os.path.exists(os.path.join(out_fast, "annotated"))
         assert not os.path.exists(os.path.join(out_fast, "mentions"))
+
+
+class TestSaltedIndex:
+    def test_salted_matches_unsalted_on_zipf_key(self, tmp_path, ray_session):
+        """A Zipf-hot surface (one key holding 80% of rows) must produce the
+        same posting sets through the salted two-phase path."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.indexes import build_entity_index, build_entity_index_salted
+
+        n = 5000
+        rows = {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "surface_norm": pa.array(
+                ["apple" if i % 5 != 0 else f"rare{i % 37}" for i in range(n)]
+            ),
+        }
+        ds = rd.from_arrow(pa.Table.from_pydict(rows))
+        plain = {
+            r["surface_norm"]: (sorted(r["doc_ids"]), r["n_postings"])
+            for r in build_entity_index(ds).take_all()
+        }
+        salted = {
+            r["surface_norm"]: (list(r["doc_ids"]), r["n_postings"])
+            for r in build_entity_index_salted(ds, salt=8).take_all()
+        }
+        assert plain == salted
+        assert salted["apple"][1] == 4000
+
+    def test_salted_max_postings_cap(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.indexes import build_entity_index_salted
+
+        ds = rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(range(100), type=pa.int64()),
+                    "surface_norm": pa.array(["hot"] * 100),
+                }
+            )
+        )
+        out = build_entity_index_salted(ds, salt=4, max_postings=10).take_all()
+        assert len(out) == 1
+        assert out[0]["n_postings"] == 100 and len(out[0]["doc_ids"]) == 10
+        assert list(out[0]["doc_ids"]) == list(range(10))  # sorted-prefix cap
