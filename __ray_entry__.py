@@ -138,7 +138,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "revenue_by_returnflag": (
             "SELECT l_returnflag, sum(l_quantity) AS sum_qty, "
-            "sum(l_extendedprice * (1.0 - l_discount)) AS sum_revenue, "
+            "CAST(ROUND(sum(l_extendedprice * (1.0 - l_discount)) * 10000) AS BIGINT)"
+            " AS sum_revenue_e4, "
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
         ),
         "orders_per_nation": (
@@ -147,9 +148,9 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
         ),
         "top_customers": (
-            "SELECT o_custkey, ROUND(sum(o_totalprice), 2) AS total_spent, "
-            "count(*) AS n_orders FROM orders GROUP BY o_custkey "
-            "ORDER BY total_spent DESC, o_custkey LIMIT 10"
+            "SELECT o_custkey, CAST(ROUND(sum(o_totalprice) * 100) AS BIGINT) "
+            "AS total_spent_cents, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey ORDER BY total_spent_cents DESC, o_custkey LIMIT 10"
         ),
         "parts_by_type": (
             "SELECT p_type, sum(l_quantity) AS sum_qty, count(*) AS n_items "

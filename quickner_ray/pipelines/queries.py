@@ -160,11 +160,23 @@ def q_revenue_by_returnflag(sf_dir: str):
         return b.append_column("revenue", rev)
 
     ds = ds.map_batches(revenue, batch_format="pyarrow")
-    return ds.groupby("l_returnflag").aggregate(
+    agg = ds.groupby("l_returnflag").aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("revenue", alias_name="sum_revenue"),
         Count(alias_name="n_rows"),
     )
+
+    def to_e4(b: pa.Table) -> pa.Table:
+        # revenue rows are exact 4-decimal values; summation order drifts the
+        # float sum by ~1 ulp across engines — emit round(sum*1e4) as int64
+        # so the oracle comparison is bit-exact
+        i = b.column_names.index("sum_revenue")
+        v = pc.round(pc.multiply(b.column("sum_revenue"), pa.scalar(10000.0))).cast(
+            pa.int64()
+        )
+        return b.set_column(i, "sum_revenue_e4", v)
+
+    return agg.map_batches(to_e4, batch_format="pyarrow")
 
 
 def q_orders_per_nation(sf_dir: str):
@@ -311,12 +323,16 @@ def q_top_customers(sf_dir: str, k: int = 10):
         Sum("o_totalprice", alias_name="total_spent"), Count(alias_name="n_orders")
     )
 
-    def round_cents(b: pa.Table) -> pa.Table:
+    def to_cents(b: pa.Table) -> pa.Table:
+        # integer cents: bit-exact across engines (see revenue_by_returnflag)
         i = b.column_names.index("total_spent")
-        return b.set_column(i, "total_spent", pc.round(b.column("total_spent"), ndigits=2))
+        v = pc.round(pc.multiply(b.column("total_spent"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return b.set_column(i, "total_spent_cents", v)
 
-    agg = agg.map_batches(round_cents, batch_format="pyarrow")
-    return agg.sort(["total_spent", "o_custkey"], descending=[True, False]).limit(k)
+    agg = agg.map_batches(to_cents, batch_format="pyarrow")
+    return agg.sort(["total_spent_cents", "o_custkey"], descending=[True, False]).limit(k)
 
 
 def q_parts_by_type(sf_dir: str):

@@ -54,17 +54,29 @@ def partial_window_counts(batch: pa.Table, window_us: int = US_PER_HOUR) -> pa.T
     )
 
 
+def _cents(batch: pa.Table, col: str, out: str) -> pa.Table:
+    """Float money sum -> exact integer cents. Summation order differs
+    across engines/parallelism by ~1 ulp; source values have 2 decimals, so
+    round(x*100) is boundary-free and bit-exact everywhere."""
+    i = batch.column_names.index(col)
+    cents = pc.round(pc.multiply(batch.column(col), pa.scalar(100.0))).cast(pa.int64())
+    return batch.set_column(i, out, cents)
+
+
 def window_counts(ds, window_us: int = US_PER_HOUR):
     """Tumbling event-time window: (window_start_us, event_type) ->
-    n_events, sum_value. Partial-then-final aggregate."""
+    n_events, sum_value_cents. Partial-then-final aggregate."""
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(
         lambda b: partial_window_counts(b, window_us), batch_format="pyarrow"
     )
-    return partials.groupby(["window_start_us", "event_type"]).aggregate(
+    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
         Sum("partial_count", alias_name="n_events"),
         Sum("partial_sum", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda b: _cents(b, "sum_value", "sum_value_cents"), batch_format="pyarrow"
     )
 
 
@@ -121,14 +133,17 @@ def partial_user_stats(batch: pa.Table) -> pa.Table:
 
 
 def user_stats(ds):
-    """(user_id) -> n_events, sum_value, n_errors."""
+    """(user_id) -> n_events, sum_value_cents, n_errors."""
     from ray.data.aggregate import Sum
 
     partials = ds.map_batches(partial_user_stats, batch_format="pyarrow")
-    return partials.groupby("user_id").aggregate(
+    agg = partials.groupby("user_id").aggregate(
         Sum("partial_count", alias_name="n_events"),
         Sum("partial_sum", alias_name="sum_value"),
         Sum("partial_errors", alias_name="n_errors"),
+    )
+    return agg.map_batches(
+        lambda b: _cents(b, "sum_value", "sum_value_cents"), batch_format="pyarrow"
     )
 
 
@@ -137,7 +152,8 @@ def user_stats(ds):
 def sql_window_counts(window_us: int = US_PER_HOUR, table: str = "events") -> str:
     return (
         f"SELECT (epoch_us(ts) // {window_us}) * {window_us} AS window_start_us,\n"
-        f"  event_type, CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value\n"
+        f"  event_type, CAST(count(*) AS BIGINT) AS n_events,\n"
+        f"  CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents\n"
         f"FROM {table} GROUP BY 1, 2"
     )
 
@@ -166,7 +182,8 @@ def sql_sessionize(gap_us: int = SESSION_GAP_US, table: str = "events") -> str:
 
 def sql_user_stats(table: str = "events") -> str:
     return (
-        f"SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value,\n"
+        f"SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,\n"
+        f"  CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents,\n"
         f"  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors\n"
         f"FROM {table} GROUP BY user_id"
     )

@@ -90,7 +90,7 @@ class TestPipelines:
             .reset_index(drop=True)
         )
         assert ours["n_events"].tolist() == oracle["n_events"].tolist()
-        assert np.allclose(ours["sum_value"], oracle["sum_value"])
+        assert ours["sum_value_cents"].tolist() == oracle["sum_value_cents"].tolist()
 
     def test_sessionize_matches_sql(self, ray_session, events_path):
         import ray.data as rd
@@ -129,4 +129,4 @@ class TestPipelines:
         )
         assert ours["n_events"].tolist() == oracle["n_events"].tolist()
         assert ours["n_errors"].tolist() == oracle["n_errors"].tolist()
-        assert np.allclose(ours["sum_value"], oracle["sum_value"])
+        assert ours["sum_value_cents"].tolist() == oracle["sum_value_cents"].tolist()
