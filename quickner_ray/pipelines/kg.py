@@ -230,6 +230,10 @@ def run_kg(
             ds = triples_dataset(ds, gazetteer, shard_cfg)
         ds.write_parquet(shard_out)
         rows = sum(f.metadata.num_rows for f in _parquet_fragments(shard_out))
+        try:  # per-stage execution stats (operator wall/cpu breakdown)
+            stats = ds.stats()[:8000]
+        except Exception:
+            stats = None
         write_manifest(
             out_dir,
             "annotated",
@@ -237,7 +241,7 @@ def run_kg(
             inputs=shard,
             rows=rows,
             fingerprint=fp,
-            extra={"seconds": time.perf_counter() - t0},
+            extra={"seconds": time.perf_counter() - t0, "ray_data_stats": stats},
         )
         return False
 
