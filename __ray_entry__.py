@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
         "similarity_topk_ivf": q.q_similarity_topk_ivf,
+        "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
         "quality_scores": q.q_quality_scores,
     }

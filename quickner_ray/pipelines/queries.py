@@ -487,6 +487,22 @@ def q_fingerprints(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_entity_link(sf_dir: str):
+    """Entity-link candidate scoring over the mention stream: the canonical
+    entity table (computed first, small) is the candidate source broadcast
+    to the linker actor pool; each mention gets its best entity by prior
+    (context scoring exercised in tests with doc text attached)."""
+    from ..stages.entity_link import link_mentions
+
+    ents = canonical_entities(mentions_dataset(sf_dir)).take_all()
+    entities = [(r["surface_norm"], r["label"], float(r["n_mentions"])) for r in ents]
+    m = mentions_dataset(sf_dir)
+    linked = link_mentions(m, entities, text_col="doc_text")
+    return linked.select_columns(
+        ["doc_id", "surface_norm", "label", "linked_entity_id", "link_score", "n_candidates"]
+    )
+
+
 def q_quality_scores(sf_dir: str):
     """Heuristic quality score in [0,1]; rows-only."""
     from ..stages.text_analysis import add_quality_score
