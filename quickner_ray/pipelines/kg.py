@@ -75,12 +75,25 @@ class KGPipelineConfig:
     # execution each). >1 keeps the cluster busy when shards are small
     # relative to cluster width; per-shard checkpointing is unchanged.
     shard_parallelism: int = 1
+    # User-extension surface (SURVEY §2.7): custom stages inserted between
+    # the prep chain (extract/hash/filter/dedup) and detection. Each entry
+    # is ``(name, stage)`` where ``stage`` is a callable ``Dataset ->
+    # Dataset`` (attach your own map_batches / actor pools). Names feed the
+    # config fingerprint, so adding/changing a stage invalidates resume.
+    extra_stages: tuple = ()
 
     def fingerprint(self, gazetteer: Gazetteer) -> str:
         h = hashlib.md5()
         h.update(
             repr(
-                (self.source, self.case_sensitive, self.dedup, self.subj_col, self.write_annotated)
+                (
+                    self.source,
+                    self.case_sensitive,
+                    self.dedup,
+                    self.subj_col,
+                    self.write_annotated,
+                    tuple(name for name, _ in self.extra_stages),
+                )
             ).encode()
         )
         if self.filters is not None:
@@ -107,6 +120,8 @@ def _prep_dataset(ds, cfg: KGPipelineConfig):
         ds = filter_texts(ds, cfg.filters)
     if cfg.dedup:
         ds = dedup_exact(ds, key="doc_id")
+    for _name, stage in cfg.extra_stages:
+        ds = stage(ds)
     return ds
 
 

@@ -240,3 +240,38 @@ class TestSaltedIndex:
         assert len(out) == 1
         assert out[0]["n_postings"] == 100 and len(out[0]["doc_ids"]) == 10
         assert list(out[0]["doc_ids"]) == list(range(10))  # sorted-prefix cap
+
+
+class TestExtraStages:
+    def test_custom_stage_inserted(self, pages_dir, tmp_path, ray_session):
+        """SURVEY §2.7 extension surface: a user stage between prep and
+        detect runs and its effect shows in the output (here: drop half the
+        docs), and changing the stage list invalidates resume."""
+        import pyarrow as pa
+
+        def keep_even(ds):
+            def f(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                n = pc.utf8_length(b.column("text")).cast("int64")
+                return b.filter(pc.equal(pc.bit_wise_and(n, 1), 0))
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        gaz = Gazetteer(GAZ)
+        out = str(tmp_path / "out")
+        base = KGPipelineConfig(source="html", write_annotated=False, detect_concurrency=2)
+        run_kg(pages_dir, gaz, out, base, shards=1)
+        n_all = pq.read_table(os.path.join(out, "triples")).num_rows
+
+        custom = KGPipelineConfig(
+            source="html",
+            write_annotated=False,
+            detect_concurrency=2,
+            extra_stages=(("keep_even", keep_even),),
+        )
+        # different fingerprint -> shard re-runs instead of resuming
+        m = run_kg(pages_dir, gaz, out, custom, shards=1)
+        assert m["stages"]["annotated"]["skipped_shards"] == 0
+        n_filtered = pq.read_table(os.path.join(out, "triples")).num_rows
+        assert 0 < n_filtered < n_all
