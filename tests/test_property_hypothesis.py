@@ -1,0 +1,89 @@
+"""Hypothesis property tests (SURVEY §5.3): fast path == oracle, extraction
+round-trip, lowercase invariance, dedup idempotence."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from quickner_ray.kernel.annotate import annotate_text
+from quickner_ray.kernel.automaton import Gazetteer
+from quickner_ray.kernel.htmlextract import extract_text, synth_page
+
+NAMES = [
+    ("rust", "PL"),
+    ("go", "PL"),
+    ("sun", "ORG"),
+    ("sun microsystems", "ORG"),
+    ("a.b", "X"),
+    ("café", "X"),
+]
+GAZ = Gazetteer(NAMES, case_sensitive=False)
+GAZ_CS = Gazetteer(NAMES, case_sensitive=True)
+
+# alphabet tuned to hit boundary rules: pattern chars, '.', punct, ws, unicode
+ALPHABET = "rust gon.b,café&é\tmicrosystems-"
+texts = st.text(alphabet=ALPHABET, max_size=60)
+
+
+class TestMatcherProperties:
+    @settings(max_examples=300, deadline=None)
+    @given(texts)
+    def test_fast_equals_oracle(self, t):
+        assert GAZ.annotate(t) == GAZ.annotate_oracle(t)
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def test_case_insensitive_invariance(self, t):
+        """Matching after lowercase == matching the uppercased text (the
+        reference lowercases in place; results must not depend on case)."""
+        lo, spans_lo = annotate_text(t, GAZ)
+        up, spans_up = annotate_text(t.upper(), GAZ)
+        assert lo == up and spans_lo == spans_up
+
+    @settings(max_examples=150, deadline=None)
+    @given(texts)
+    def test_case_sensitive_subset(self, t):
+        """Case-sensitive matches on lowercase text are a subset of
+        case-insensitive matches (same names, lowered)."""
+        cs = set(GAZ_CS.annotate(t.lower()))
+        ci = set(GAZ.annotate(t.lower()))
+        assert cs <= ci
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(texts, max_size=6))
+    def test_batch_equals_single(self, batch):
+        singles = [GAZ.annotate(t) for t in batch]
+        assert GAZ.annotate_batch(batch) == singles
+
+    @settings(max_examples=200, deadline=None)
+    @given(texts)
+    def test_spans_slice_back(self, t):
+        """Char-index invariant: text[start:end] is a gazetteer name."""
+        lo, spans = annotate_text(t, GAZ)
+        names = set(GAZ.names)
+        for s, e, _l in spans:
+            assert lo[s:e] in names
+
+
+class TestExtractionProperties:
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=300))
+    def test_synth_roundtrip(self, t):
+        """extract_text(synth_page(t)) == t byte-identically — the per-url
+        invariant from the input_hint contract."""
+        assert extract_text(synth_page(t)) == t
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=200))
+    def test_extract_deterministic(self, t):
+        page = synth_page(t, seq=3)
+        assert extract_text(page) == extract_text(page)
+
+
+class TestGazetteerBuildProperties:
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.tuples(st.text("abcde ", min_size=1, max_size=8), st.sampled_from("XY")), max_size=12))
+    def test_build_dedup_idempotent(self, entities):
+        g1 = Gazetteer(entities, case_sensitive=False)
+        g2 = Gazetteer(list(zip(g1.names, g1.labels)), case_sensitive=False)
+        assert g1.names == g2.names and g1.labels == g2.labels
