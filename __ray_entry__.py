@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": q.q_user_event_stats,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
+        "corpus_prep": _corpus_prep,
         # rows-only (boundary-rule NER / approximate or stateful ops):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
@@ -83,6 +84,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,
         "quality_scores": q.q_quality_scores,
     }
+
+
+def _corpus_prep(sf_dir: str):
+    from quickner_ray.pipelines.prep import corpus_prep
+
+    return corpus_prep(sf_dir)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -97,7 +104,10 @@ def oracle_sql() -> dict[str, str]:
     punct_re = r"[!-/:-@\[-`{-~]"
     from quickner_ray.stages import events as ev
 
+    from quickner_ray.pipelines.prep import sql_corpus_prep
+
     return {
+        "corpus_prep": sql_corpus_prep(),
         "lang_id": sql_lang_id(),
         "events_window": ev.sql_window_counts(),
         "sessionize": ev.sql_sessionize(),

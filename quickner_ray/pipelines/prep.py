@@ -1,0 +1,87 @@
+"""Composed training-data preparation pipeline — the operators a 100 TB
+corpus prep run chains together, as ONE streaming Dataset flow:
+
+    read(documents)                         # pruned columns
+      -> P1 length filter                   # vectorized predicate
+      -> LangIdStage (actor pool)           # keep target language
+      -> near-dup anti-join                 # MinHash+LSH drop set, broadcast
+      -> token counts                       # vectorized
+      -> survivors (doc_id, n_tokens)
+
+The near-dup drop set comes from ``dedup_approx.lsh_dup_pairs`` over the
+full corpus (greedy keep-lowest-id, same contract as ``minhash_dedup_docs``)
+— a small result collected driver-side and broadcast, NOT a shuffle join.
+Every step is DuckDB-expressible, so the whole composition is oracle-checked
+end-to-end (``sql_corpus_prep``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.dedup_approx import lsh_dup_pairs, sql_lsh_dup_pairs
+from ..stages.text_analysis import LangIdStage, add_token_count, sql_lang_id
+
+MIN_LEN = 100
+MAX_LEN = 500
+LANG = "en"
+DUP_THRESHOLD = 0.5
+
+
+def corpus_prep(sf_dir: str):
+    """documents.parquet -> surviving (doc_id, n_tokens)."""
+    import ray
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    pairs = lsh_dup_pairs(
+        rd.read_parquet(path, columns=["doc_id", "text"]), threshold=DUP_THRESHOLD
+    )
+    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
+    drop_ref = ray.put(drop)
+
+    def length_filter(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b.column("text"))
+        mask = pc.and_(
+            pc.greater_equal(n, pa.scalar(MIN_LEN)), pc.less_equal(n, pa.scalar(MAX_LEN))
+        )
+        return b.filter(mask)
+
+    class DropDupes:
+        def __init__(self, ref):
+            self.drop = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mask = pa.array([d not in self.drop for d in b.column("doc_id").to_pylist()])
+            return b.filter(mask)
+
+    ds = docs.map_batches(length_filter, batch_format="pyarrow")
+    ds = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    ds = ds.filter(expr=f"lang_pred == '{LANG}'")
+    ds = ds.map_batches(
+        DropDupes, fn_constructor_kwargs={"ref": drop_ref},
+        batch_format="pyarrow", concurrency=(1, 2),
+    )
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens"])
+
+
+def sql_corpus_prep(table: str = "documents") -> str:
+    token_re = r"[^ \t\n\x0b\x0c\r]+"
+    return (
+        f"WITH lang AS ({sql_lang_id(table)}),\n"
+        f"drops AS (SELECT DISTINCT doc_b FROM ({sql_lsh_dup_pairs(DUP_THRESHOLD, table)})),\n"
+        f"tok AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}'))"
+        f" AS BIGINT) AS n_tokens, strlen(text) AS n_bytes FROM {table})\n"
+        f"SELECT d.doc_id, tok.n_tokens FROM {table} d\n"
+        f"JOIN lang ON lang.doc_id = d.doc_id\n"
+        f"JOIN tok ON tok.doc_id = d.doc_id\n"
+        f"WHERE tok.n_bytes >= {MIN_LEN} AND tok.n_bytes <= {MAX_LEN}\n"
+        f"  AND lang.lang_pred = '{LANG}'\n"
+        f"  AND d.doc_id NOT IN (SELECT doc_b FROM drops)"
+    )
