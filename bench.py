@@ -34,7 +34,7 @@ REPEAT = 8  # pages corpus = documents.parquet texts x REPEAT (distinct urls)
 # work (~10 core-minutes) that 8 CPUs saturate; otherwise fixed pipeline
 # latency hides the CPU-count difference. The scaling run also uses the
 # 50k-name gazetteer (the realistic KG regime).
-SCALING_REPEAT = 288
+SCALING_REPEAT = 576
 SCALING_MULTIPLIER = 12
 
 
@@ -87,6 +87,7 @@ def run_headline(
     num_cpus: int | None = None,
     big_gazetteer: bool = False,
     warmup: bool = False,
+    reps: int = 1,
 ) -> dict:
     """One timed end-to-end KG run (fresh output dir). Ray must be up.
     Corpus build time is excluded (amortized, deterministic input); with
@@ -112,15 +113,25 @@ def run_headline(
         shard_parallelism=shard_par,
     )
     if warmup:
-        first = sorted(
-            os.path.join(pages, f) for f in os.listdir(pages) if f.endswith(".parquet")
-        )[:1]
-        run_kg(first, gaz, "/tmp/quickner_bench/warmup", cfg, shards=1)
+        # FULL-SIZE untimed pass: brings up worker processes, warms the page
+        # cache, and reaches executor steady state — the measurement then
+        # reflects a long-lived cluster, not Ray/OS cold start (first-run
+        # wall is 20-40% higher than steady state).
+        run_kg(pages, gaz, "/tmp/quickner_bench/warmup", cfg, shards=8)
         shutil.rmtree("/tmp/quickner_bench/warmup", ignore_errors=True)
-    t0 = time.perf_counter()
-    run_kg(pages, gaz, out, cfg, shards=8)
-    wall = time.perf_counter() - t0
-    return {"wall_sec": wall, "n_docs": n_docs, "docs_per_sec": n_docs / wall}
+    walls = []
+    for _rep in range(reps):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_kg(pages, gaz, out, cfg, shards=8)
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)  # steady-state capability; all reps reported
+    return {
+        "wall_sec": wall,
+        "n_docs": n_docs,
+        "docs_per_sec": n_docs / wall,
+        "rep_walls": [round(w, 2) for w in walls],
+    }
 
 
 def _consume(result) -> int:
@@ -159,6 +170,7 @@ def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> di
                 num_cpus=num_cpus,
                 big_gazetteer=True,
                 warmup=True,
+                reps=2,
             )
             queries = {}
         else:
@@ -175,6 +187,7 @@ def bench_once(sf_dir: str, num_cpus: int, *, headline_only: bool = False) -> di
         "num_cpus": num_cpus,
         "n_docs": head["n_docs"],
         "docs_per_sec": round(head["docs_per_sec"], 1),
+        "rep_walls": head.get("rep_walls", []),
     }
 
 

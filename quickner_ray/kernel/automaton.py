@@ -93,6 +93,19 @@ class Gazetteer:
         # batch concatenation uses '\n' as separator; unsafe if a name contains it
         self.sep_safe = not any("\n" in n for n in names)
         self._scan_re: re.Pattern | None = None
+        # vector fast path (kernel/vectorscan.py): compiled token patterns
+        # (None when any name isn't a plain word sequence) + label ranks so
+        # numpy lexsort reproduces (start, end, label) string ordering
+        from .vectorscan import compile_token_patterns
+
+        self.token_spec = compile_token_patterns(names) if names else None
+        import numpy as _np
+
+        if labels:
+            order = {l: i for i, l in enumerate(sorted(set(labels)))}
+            self.label_ranks = _np.array([order[l] for l in labels], dtype=_np.int64)
+        else:
+            self.label_ranks = _np.empty(0, dtype=_np.int64)
         # surface-form -> ((end_offset, pid), ...) terminal memo. Web text is
         # Zipf-repetitive: the same few surfaces account for almost all raw
         # matches, so the per-match trie walk collapses to one dict hit.
@@ -174,6 +187,33 @@ class Gazetteer:
         duplicates removed — Document::annotate ordering (document.rs:83-96)."""
         return self.annotate_batch([text])[0]
 
+    def annotate_batch_arrays(self, texts: list[str]):
+        """Accepted matches as numpy arrays ``(doc_idx, start, end, pid)``
+        in reference order — ZERO per-mention Python on the vector fast
+        path (ASCII batch + token-shaped gazetteer); falls back to the
+        regex path (converted to arrays) otherwise."""
+        import numpy as np
+
+        from .vectorscan import scan_batch_arrays
+
+        if self.token_spec is not None and all(t.isascii() for t in texts):
+            return scan_batch_arrays(self, texts)
+        spans = self._annotate_batch_impl(texts, with_pid=True)
+        counts = [len(d) for d in spans]
+        total = sum(counts)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        starts = np.empty(total, dtype=np.int64)
+        ends = np.empty(total, dtype=np.int64)
+        pids = np.empty(total, dtype=np.int64)
+        i = 0
+        for doc in spans:
+            for s, e, pid in doc:
+                starts[i] = s
+                ends[i] = e
+                pids[i] = pid
+                i += 1
+        return doc_idx, starts, ends, pids
+
     def annotate_batch_pids(self, texts: list[str]) -> list[list[tuple[int, int, int]]]:
         """Like ``annotate_batch`` but spans carry the PATTERN id instead of
         the label: ``(start, end, pid)``. For every accepted span,
@@ -199,6 +239,18 @@ class Gazetteer:
         n = len(texts)
         results: list[list] = [[] for _ in range(n)]
         if not self.names or n == 0:
+            return results
+        if self.token_spec is not None and all(t.isascii() for t in texts):
+            from .vectorscan import scan_batch_arrays
+
+            doc_idx, starts, ends, pids = scan_batch_arrays(self, texts)
+            labels = self.labels
+            for di, s, e, pid in zip(
+                doc_idx.tolist(), starts.tolist(), ends.tolist(), pids.tolist()
+            ):
+                results[di].append(
+                    (s, e, pid) if with_pid else (s, e, labels[pid])
+                )
             return results
         if not self.sep_safe:
             return [self._annotate_single(t, with_pid) for t in texts]

@@ -225,7 +225,10 @@ def run_kg(
         per_shard = max(1, (total_cpus - cfg.shard_parallelism) // cfg.shard_parallelism)
         from dataclasses import replace
 
-        shard_cfg = replace(cfg, detect_concurrency=(1, per_shard))
+        # FIXED pool size (int), not autoscaling: concurrent pipelines keep
+        # autoscaling pools stuck at their minimum (each executor sees the
+        # others' load as cluster pressure), leaving most cores idle
+        shard_cfg = replace(cfg, detect_concurrency=per_shard)
 
     def _run_shard(i: int, shard: list[str]) -> bool:
         shard_out = os.path.join(phase_a_dir, f"shard={i:05d}")
@@ -306,12 +309,19 @@ def run_kg(
                 lambda b: add_triple_columns(b, subj_col=cfg.subj_col),
                 batch_format="pyarrow",
             ).write_parquet(tri_dir)
-        # prune at the read: the entity aggregate needs only 2 columns
-        ent_cols = ["surface_norm", "label" if cfg.write_annotated else "pred"]
-        canonical_entities(rd.read_parquet(graph_src, columns=ent_cols)).write_parquet(
-            ent_dir
-        )
-        label_counts_from_entities(rd.read_parquet(ent_dir)).write_parquet(lc_dir)
+        if cfg.write_annotated:
+            # prune at the read: the entity aggregate needs only 2 columns
+            canonical_entities(
+                rd.read_parquet(graph_src, columns=["surface_norm", "label"])
+            ).write_parquet(ent_dir)
+        else:
+            # fused triples carry the pattern id: aggregate ONE int32 column
+            from ..stages.canonicalize import canonical_entities_from_pids
+
+            canonical_entities_from_pids(
+                rd.read_parquet(graph_src, columns=["pid"]), gazetteer
+            ).write_parquet(ent_dir)
+        _write_label_counts(ent_dir, lc_dir)
         if build_indexes:
             from ..stages.indexes import build_entity_index, build_label_index
 
@@ -331,6 +341,27 @@ def run_kg(
     with open(os.path.join(out_dir, "_lineage", "run-metrics.json"), "w") as f:
         json.dump(metrics, f)
     return metrics
+
+
+def _write_label_counts(ent_dir: str, lc_dir: str) -> None:
+    """A5 from the canonical-entity table. The table is bounded by the
+    gazetteer's distinct (surface, label) pairs, so below a generous cap it
+    aggregates driver-side with pyarrow (saves a whole Ray pipeline's fixed
+    latency); a Ray groupby handles the oversized case."""
+    import pyarrow.parquet as pq
+
+    total = sum(f.metadata.num_rows for f in _parquet_fragments(ent_dir))
+    if total <= 2_000_000:
+        import pyarrow.dataset as pads
+
+        tab = pads.dataset(ent_dir).to_table(columns=["label", "n_mentions"])
+        out = tab.group_by(["label"]).aggregate([("n_mentions", "sum")])
+        out = out.rename_columns(["label", "n_mentions"])
+        pq.write_table(out, os.path.join(lc_dir, "label_counts.parquet"))
+    else:
+        import ray.data as rd
+
+        label_counts_from_entities(rd.read_parquet(ent_dir)).write_parquet(lc_dir)
 
 
 def _parquet_fragments(path: str):

@@ -203,6 +203,38 @@ def label_counts(mentions_ds):
     return partials.groupby("label").aggregate(Sum("partial_count", alias_name="n_mentions"))
 
 
+def canonical_entities_from_pids(triples_ds, gazetteer):
+    """Canonical entity table from the fused-path ``pid`` column: per-batch
+    int32 count combiner -> tiny groupby -> names/labels/ids attached from
+    the gazetteer driver-side. Reads ONE small integer column instead of two
+    string columns (the 100TB-scale phase-C saver)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by(["pid"]).aggregate([("pid", "count")])
+        return out.rename_columns(["pid", "partial_count"])
+
+    merged = triples_ds.map_batches(partial, batch_format="pyarrow")
+    merged = merged.groupby("pid").aggregate(Sum("partial_count", alias_name="n_mentions"))
+
+    norms = [n.lower() for n in gazetteer.names]
+    labels = list(gazetteer.labels)
+    eids = [entity_id(n, l) for n, l in zip(norms, labels)]
+
+    def attach(batch: pa.Table) -> pa.Table:
+        pids = batch.column("pid").to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "surface_norm": pa.array([norms[p] for p in pids], type=pa.string()),
+                "label": pa.array([labels[p] for p in pids], type=pa.string()),
+                "n_mentions": batch.column("n_mentions"),
+                "entity_id": pa.array([eids[p] for p in pids], type=pa.string()),
+            }
+        )
+
+    return merged.map_batches(attach, batch_format="pyarrow")
+
+
 def label_counts_from_entities(entities_ds):
     """A5 computed from the (tiny) canonical-entity table instead of a
     full-corpus pass: sum n_mentions per label."""

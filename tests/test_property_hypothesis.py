@@ -87,3 +87,49 @@ class TestGazetteerBuildProperties:
         g1 = Gazetteer(entities, case_sensitive=False)
         g2 = Gazetteer(list(zip(g1.names, g1.labels)), case_sensitive=False)
         assert g1.names == g2.names and g1.labels == g2.labels
+
+
+class TestVectorPathEquivalence:
+    """The numpy token fast path == the regex path == the oracle."""
+
+    TOKEN_GAZ = [
+        ("table scan", "OP"),
+        ("scan", "OP"),
+        ("the fast key", "PHRASE"),
+        ("key", "CONCEPT"),
+        ("merge", "OP"),
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="table scan merg-ekey, f.ast\nthe", max_size=120))
+    def test_vector_equals_regex_and_oracle(self, t):
+        gv = Gazetteer(self.TOKEN_GAZ)
+        assert gv.token_spec is not None
+        gr = Gazetteer(self.TOKEN_GAZ)
+        gr.token_spec = None  # force regex path
+        assert gv.annotate_batch([t]) == gr.annotate_batch([t])
+        assert gv.annotate(t) == gv.annotate_oracle(t)
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.text(alphabet="table scan key the fast ", max_size=60), max_size=5))
+    def test_vector_arrays_match_lists(self, batch):
+        gv = Gazetteer(self.TOKEN_GAZ)
+        doc_idx, s, e, p = gv.annotate_batch_arrays(batch)
+        spans = gv.annotate_batch_pids(batch)
+        flat = [
+            (di, *sp) for di, doc in enumerate(spans) for sp in doc
+        ]
+        got = list(zip(doc_idx.tolist(), s.tolist(), e.tolist(), p.tolist()))
+        assert got == flat
+
+    def test_non_ascii_batch_falls_back(self):
+        gv = Gazetteer(self.TOKEN_GAZ)
+        texts = ["table scan café", "merge"]
+        assert gv.annotate_batch(texts) == [
+            gv.annotate_oracle(t) for t in texts
+        ]
+
+    def test_non_token_gazetteer_uses_regex(self):
+        g = Gazetteer([("a.b", "X"), ("scan", "OP")])
+        assert g.token_spec is None
+        assert g.annotate("x a.b scan") == g.annotate_oracle("x a.b scan")
