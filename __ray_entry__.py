@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
+        "events_sliding_window": q.q_events_sliding_window,
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "media_features": q.q_media_features,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": sql_corpus_prep(),
         "lang_id": sql_lang_id(),
         "events_window": ev.sql_window_counts(),
+        "events_sliding_window": ev.sql_sliding_window_counts(),
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "media_features": mm.sql_image_features(),

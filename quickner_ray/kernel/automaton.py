@@ -240,17 +240,26 @@ class Gazetteer:
         results: list[list] = [[] for _ in range(n)]
         if not self.names or n == 0:
             return results
-        if self.token_spec is not None and all(t.isascii() for t in texts):
+        if self.token_spec is not None:
+            # vector path for the ASCII docs; per-doc regex fallback for the
+            # (typically rare) non-ASCII rest — mixed batches stay fast
             from .vectorscan import scan_batch_arrays
 
-            doc_idx, starts, ends, pids = scan_batch_arrays(self, texts)
-            labels = self.labels
-            for di, s, e, pid in zip(
-                doc_idx.tolist(), starts.tolist(), ends.tolist(), pids.tolist()
-            ):
-                results[di].append(
-                    (s, e, pid) if with_pid else (s, e, labels[pid])
-                )
+            ascii_mask = [t.isascii() for t in texts]
+            ascii_ids = [i for i, a in enumerate(ascii_mask) if a]
+            if ascii_ids:
+                sub = [texts[i] for i in ascii_ids]
+                doc_idx, starts, ends, pids = scan_batch_arrays(self, sub)
+                labels = self.labels
+                for di, s, e, pid in zip(
+                    doc_idx.tolist(), starts.tolist(), ends.tolist(), pids.tolist()
+                ):
+                    results[ascii_ids[di]].append(
+                        (s, e, pid) if with_pid else (s, e, labels[pid])
+                    )
+            for i, a in enumerate(ascii_mask):
+                if not a:
+                    results[i] = self._annotate_single(texts[i], with_pid)
             return results
         if not self.sep_safe:
             return [self._annotate_single(t, with_pid) for t in texts]

@@ -402,6 +402,13 @@ def q_events_window(sf_dir: str):
     return window_counts(_events(sf_dir, columns=["ts", "event_type", "value"]))
 
 
+def q_events_sliding_window(sf_dir: str):
+    """Sliding event-time windows (1 h size, 15 min slide)."""
+    from ..stages.events import sliding_window_counts
+
+    return sliding_window_counts(_events(sf_dir, columns=["ts", "event_type", "value"]))
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based per-user sessionization (30-min inactivity gap)."""
     from ..stages.events import sessionize

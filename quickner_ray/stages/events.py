@@ -80,6 +80,67 @@ def window_counts(ds, window_us: int = US_PER_HOUR):
     )
 
 
+def partial_sliding_counts(
+    batch: pa.Table, size_us: int, slide_us: int
+) -> pa.Table:
+    """Per-batch combiner for SLIDING windows: each event belongs to
+    ``size/slide`` windows; the assignment explodes per batch (vectorized)
+    and pre-aggregates, so the shuffle still moves at most one row per
+    (window, type) per batch."""
+    us = _ts_us(batch).to_numpy(zero_copy_only=False)
+    k = size_us // slide_us  # windows per event
+    # first (latest-starting) window containing the event: floor(ts/slide)
+    first_w = us // slide_us
+    offs = np.arange(k, dtype=np.int64)
+    starts = (first_w[:, None] - offs[None, :]) * slide_us  # (n, k)
+    # an event at ts belongs to every window [start, start+size) with
+    # start in {(floor(ts/slide) - i) * slide : i < k} — including starts
+    # before epoch for early events (the oracle generates the same set)
+    n = len(us)
+    et = batch.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    vals = batch.column("value")
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+    t = pa.Table.from_pydict(
+        {
+            "window_start_us": pa.array(starts.reshape(-1)),
+            "event_type": et.take(rep),
+            "value": vals.take(rep),
+        }
+    )
+    out = t.group_by(["window_start_us", "event_type"]).aggregate(
+        [("value", "count"), ("value", "sum")]
+    )
+    return out.rename_columns(
+        ["window_start_us", "event_type", "partial_count", "partial_sum"]
+    )
+
+
+def sliding_window_counts(ds, size_us: int = US_PER_HOUR, slide_us: int | None = None):
+    """Sliding event-time windows (size, slide): (window_start_us,
+    event_type) -> n_events, sum_value_cents. ``slide`` must divide
+    ``size``; defaults to size/4."""
+    from ray.data.aggregate import Sum
+
+    slide_us = slide_us or size_us // 4
+    if size_us % slide_us != 0:
+        raise ValueError("slide must divide size")
+    partials = ds.map_batches(
+        lambda b: partial_sliding_counts(b, size_us, slide_us),
+        batch_format="pyarrow",
+    )
+    agg = partials.groupby(["window_start_us", "event_type"]).aggregate(
+        Sum("partial_count", alias_name="n_events"),
+        Sum("partial_sum", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        lambda b: _cents(b, "sum_value", "sum_value_cents"), batch_format="pyarrow"
+    )
+
+
 def _sessionize_group(group: pa.Table, gap_us: int = SESSION_GAP_US) -> pa.Table:
     """One user's events -> session summary rows. Vectorized within the
     group: sort by (ts, event_id), gap > gap_us starts a new session."""
@@ -155,6 +216,20 @@ def sql_window_counts(window_us: int = US_PER_HOUR, table: str = "events") -> st
         f"  event_type, CAST(count(*) AS BIGINT) AS n_events,\n"
         f"  CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents\n"
         f"FROM {table} GROUP BY 1, 2"
+    )
+
+
+def sql_sliding_window_counts(
+    size_us: int = US_PER_HOUR, slide_us: int | None = None, table: str = "events"
+) -> str:
+    slide_us = slide_us or size_us // 4
+    k = size_us // slide_us
+    return (
+        f"SELECT (epoch_us(ts) // {slide_us} - i) * {slide_us} AS window_start_us,\n"
+        f"  event_type, CAST(count(*) AS BIGINT) AS n_events,\n"
+        f"  CAST(ROUND(sum(value) * 100) AS BIGINT) AS sum_value_cents\n"
+        f"FROM {table} CROSS JOIN (SELECT unnest(range({k})) AS i) w\n"
+        f"GROUP BY 1, 2"
     )
 
 

@@ -130,3 +130,35 @@ class TestPipelines:
         assert ours["n_events"].tolist() == oracle["n_events"].tolist()
         assert ours["n_errors"].tolist() == oracle["n_errors"].tolist()
         assert ours["sum_value_cents"].tolist() == oracle["sum_value_cents"].tolist()
+
+
+class TestSlidingWindows:
+    def test_event_window_membership(self):
+        """Each event lands in exactly size/slide windows covering its ts."""
+        t = _events_table(ROWS)
+        out = ev.partial_sliding_counts(t, ev.US_PER_HOUR, ev.US_PER_HOUR // 4)
+        assert out["partial_count"].to_pandas().sum() == len(ROWS) * 4
+
+    def test_sliding_matches_sql(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        p = str(tmp_path / "events.parquet")
+        pq.write_table(_events_table(ROWS), p)
+        cols = ["window_start_us", "event_type"]
+        ours = (
+            ev.sliding_window_counts(rd.read_parquet(p))
+            .to_pandas()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{p}'")
+        oracle = (
+            con.sql(ev.sql_sliding_window_counts())
+            .df()
+            .sort_values(cols)
+            .reset_index(drop=True)
+        )
+        assert ours["n_events"].tolist() == oracle["n_events"].tolist()
+        assert ours["sum_value_cents"].tolist() == oracle["sum_value_cents"].tolist()
+        assert (ours["window_start_us"].values == oracle["window_start_us"].values).all()
