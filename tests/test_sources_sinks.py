@@ -139,3 +139,51 @@ class TestLoaders:
         q.process()
         labels = {lbl for _, _, lbl in q.documents[0].label}
         assert labels == {"PL"}
+
+
+class TestDistributedAnnotationImport:
+    """S4 in Ray Data form: JSONL dump -> docs -> inferred gazetteer,
+    matching the driver-side api.Quickner.from_jsonl result."""
+
+    def test_roundtrip_and_gazetteer_inference(self, ray_session, tmp_path):
+        import json
+
+        from quickner_ray.api import Document, Entity, Quickner
+        from quickner_ray.sources.annotations import (
+            infer_gazetteer,
+            read_annotations_jsonl,
+        )
+
+        texts = [
+            "rust is made by mozilla",
+            "python was created by guido van rossum",
+            "rust and python are languages",
+        ]
+        entities = [
+            Entity("rust", "PL"),
+            Entity("python", "PL"),
+            Entity("mozilla", "ORG"),
+            Entity("guido van rossum", "PERSON"),
+        ]
+        q = Quickner(documents=[Document(t) for t in texts])
+        q.entities = entities
+        q.process()
+        path = str(tmp_path / "ann.jsonl")
+        q.to_jsonl(path)
+
+        ds = read_annotations_jsonl(path)
+        docs = ds.to_pandas()
+        assert len(docs) == 3
+        assert set(docs.columns) == {"doc_id", "text", "label"}
+
+        gaz = infer_gazetteer(ds).to_pandas()
+        got = {(r["name"], r["label"]) for _, r in gaz.iterrows()}
+        # reference semantics: inferred gazetteer = lowercased surfaces of
+        # all annotated spans (same as api.from_jsonl)
+        q2 = Quickner.from_jsonl(path)
+        expected = {(e.name, e.label) for e in q2.entities}
+        assert got == expected
+        assert ("rust", "PL") in got
+        # counts: "rust" appears in 2 docs -> at least 2 mentions
+        rust_count = int(gaz[gaz["name"] == "rust"]["n_mentions"].iloc[0])
+        assert rust_count >= 2
