@@ -78,8 +78,11 @@ class KGPipelineConfig:
     # User-extension surface (SURVEY §2.7): custom stages inserted between
     # the prep chain (extract/hash/filter/dedup) and detection. Each entry
     # is ``(name, stage)`` where ``stage`` is a callable ``Dataset ->
-    # Dataset`` (attach your own map_batches / actor pools). Names feed the
-    # config fingerprint, so adding/changing a stage invalidates resume.
+    # Dataset`` (attach your own map_batches / actor pools). The config
+    # fingerprint hashes the stage name, the function bytecode (for plain
+    # functions/lambdas) and an optional ``stage.stage_version`` attribute —
+    # set ``stage_version`` on class-based stages so editing their logic
+    # invalidates resume; renaming always invalidates.
     extra_stages: tuple = ()
 
     def fingerprint(self, gazetteer: Gazetteer) -> str:
@@ -92,10 +95,23 @@ class KGPipelineConfig:
                     self.dedup,
                     self.subj_col,
                     self.write_annotated,
-                    tuple(name for name, _ in self.extra_stages),
                 )
             ).encode()
         )
+        for name, stage in self.extra_stages:
+            h.update(name.encode())
+            h.update(b"\x1f")
+            # content-derived stage identity: bytecode for plain functions /
+            # lambdas, explicit version for class-based stages. NOT repr()
+            # (memory addresses would break resume across processes).
+            ver = getattr(stage, "stage_version", None)
+            if ver is not None:
+                h.update(str(ver).encode())
+            code = getattr(stage, "__code__", None)
+            if code is not None:
+                h.update(code.co_code)
+                h.update(repr(code.co_consts).encode())
+            h.update(b"\x1e")
         if self.filters is not None:
             h.update(repr(self.filters).encode())
         for name, label in zip(gazetteer.names, gazetteer.labels):
@@ -323,15 +339,30 @@ def run_kg(
             ).write_parquet(ent_dir)
         _write_label_counts(ent_dir, lc_dir)
         if build_indexes:
+            # salted two-phase builders (stages/indexes.py): label cardinality
+            # is tiny and surfaces are Zipf-hot, so unsalted groupbys would
+            # colocate the whole corpus on a handful of reducers at scale.
+            # Column mapping differs by layout: the standard mentions table
+            # carries (doc_id, surface_norm, label); fused triples carry
+            # (subj, surface_norm, pred).
             from ..stages.indexes import build_entity_index, build_label_index
 
-            idx_src = mentions_dir if cfg.write_annotated else tri_dir
+            if cfg.write_annotated:
+                idx_src, id_col, label_col = mentions_dir, "doc_id", "label"
+            else:
+                idx_src, id_col, label_col = tri_dir, "subj", "pred"
             ei_dir = os.path.join(out_dir, "entity_index")
             li_dir = os.path.join(out_dir, "label_index")
             reset_shard_dir(ei_dir)
             reset_shard_dir(li_dir)
-            build_entity_index(rd.read_parquet(idx_src)).write_parquet(ei_dir)
-            build_label_index(rd.read_parquet(idx_src)).write_parquet(li_dir)
+            build_entity_index(
+                rd.read_parquet(idx_src, columns=["surface_norm", id_col]), id_col
+            ).write_parquet(ei_dir)
+            build_label_index(
+                rd.read_parquet(idx_src, columns=[label_col, id_col]),
+                id_col,
+                key_col=label_col,
+            ).write_parquet(li_dir)
         write_manifest(
             out_dir, "graph", 0, inputs=[graph_src], rows=-1, fingerprint=fp,
             extra={"seconds": time.perf_counter() - t0},

@@ -41,12 +41,17 @@ def _docs_batch(ids, texts, labels) -> pa.Table:
 def parse_jsonl_batch(batch: pa.Table) -> pa.Table:
     """`read_text` lines -> annotated-doc rows (JSON parse is inherently
     per-record; everything downstream is vectorized)."""
+    from ..kernel.hashing import hash_text
+
     ids, texts, labels = [], [], []
     for line in batch.column("text").to_pylist():
         if not line.strip():
             continue
         row = json.loads(line)
-        ids.append(row.get("id", len(ids)))
+        # missing id -> content hash (the in-memory facade's Document.id
+        # semantics). A batch-local counter would collide across read_text
+        # blocks and corrupt downstream per-doc dedup/joins.
+        ids.append(row["id"] if "id" in row else hash_text(row["text"]))
         texts.append(row["text"])
         labels.append([(int(s), int(e), str(l)) for s, e, l in row.get("label", [])])
     return _docs_batch(ids, texts, labels)
@@ -54,12 +59,14 @@ def parse_jsonl_batch(batch: pa.Table) -> pa.Table:
 
 def parse_spacy_batch(batch: pa.Table) -> pa.Table:
     """JSONL of spaCy pairs ``[text, {"entity": [...]}]`` -> doc rows."""
+    from ..kernel.hashing import hash_text
+
     ids, texts, labels = [], [], []
     for line in batch.column("text").to_pylist():
         if not line.strip():
             continue
         text, meta = json.loads(line)
-        ids.append(len(ids))
+        ids.append(hash_text(text))  # content hash: stable across blocks
         texts.append(text)
         labels.append(
             [(int(s), int(e), str(l)) for s, e, l in meta.get("entity", [])]

@@ -26,6 +26,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _as_combined(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def entity_id(surface_norm: str, label: str) -> str:
     return hashlib.md5(
         surface_norm.encode("utf-8") + b"\x00" + label.encode("utf-8")
@@ -207,19 +211,37 @@ def canonical_entities_from_pids(triples_ds, gazetteer):
     """Canonical entity table from the fused-path ``pid`` column: per-batch
     int32 count combiner -> tiny groupby -> names/labels/ids attached from
     the gazetteer driver-side. Reads ONE small integer column instead of two
-    string columns (the 100TB-scale phase-C saver)."""
+    string columns (the 100TB-scale phase-C saver).
+
+    With case_sensitive=True, case-variant names with the same label (e.g.
+    'Apple'/'apple') are DISTINCT pids but the same canonical
+    (surface_norm, label) entity — pids are folded to a representative pid
+    inside the per-batch combiner (a small int->int take), so the shuffle
+    key is already canonical and the output matches the standard path's
+    groupby(surface_norm, label)."""
+    import numpy as np
     from ray.data.aggregate import Sum
 
+    norms = [n.lower() for n in gazetteer.names]
+    labels = list(gazetteer.labels)
+    eids = [entity_id(n, l) for n, l in zip(norms, labels)]
+    rep_of: dict[tuple[str, str], int] = {}
+    rep = np.empty(len(norms), dtype=np.int32)
+    for pid, key in enumerate(zip(norms, labels)):
+        rep[pid] = rep_of.setdefault(key, pid)
+    identity_rep = bool((rep == np.arange(len(norms), dtype=np.int32)).all())
+
     def partial(batch: pa.Table) -> pa.Table:
+        if not identity_rep:
+            pids = _as_combined(batch.column("pid")).to_numpy(zero_copy_only=False)
+            batch = batch.set_column(
+                batch.column_names.index("pid"), "pid", pa.array(rep[pids])
+            )
         out = batch.group_by(["pid"]).aggregate([("pid", "count")])
         return out.rename_columns(["pid", "partial_count"])
 
     merged = triples_ds.map_batches(partial, batch_format="pyarrow")
     merged = merged.groupby("pid").aggregate(Sum("partial_count", alias_name="n_mentions"))
-
-    norms = [n.lower() for n in gazetteer.names]
-    labels = list(gazetteer.labels)
-    eids = [entity_id(n, l) for n, l in zip(norms, labels)]
 
     def attach(batch: pa.Table) -> pa.Table:
         pids = batch.column("pid").to_pylist()

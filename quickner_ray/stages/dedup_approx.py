@@ -339,12 +339,19 @@ def sql_minhash_signatures(table: str = "documents") -> str:
 
 
 def sql_lsh_pairs_cte() -> str:
-    """CTE chain sigs -> verified near-dup candidate pairs (unfiltered)."""
+    """CTE chain sigs -> verified near-dup candidate pairs (unfiltered).
+
+    Mirrors ``_bucket_pairs``'s MAX_BUCKET guard exactly: each LSH bucket is
+    truncated to its MAX_BUCKET lowest doc ids before pair enumeration, so
+    the oracle and the Ray path agree even on oversized buckets."""
     return (
         f"bands AS (\n"
-        f"  SELECT doc_id, perm_id // {ROWS_PER_BAND} AS band_id,\n"
-        f"    string_agg(sig, ':' ORDER BY perm_id) AS band_key\n"
-        f"  FROM sigs GROUP BY doc_id, perm_id // {ROWS_PER_BAND}\n"
+        f"  SELECT * FROM (\n"
+        f"    SELECT doc_id, perm_id // {ROWS_PER_BAND} AS band_id,\n"
+        f"      string_agg(sig, ':' ORDER BY perm_id) AS band_key\n"
+        f"    FROM sigs GROUP BY doc_id, perm_id // {ROWS_PER_BAND})\n"
+        f"  QUALIFY row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)"
+        f" <= {MAX_BUCKET}\n"
         f"), cand AS (\n"
         f"  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
         f"  FROM bands x JOIN bands y ON x.band_id = y.band_id "

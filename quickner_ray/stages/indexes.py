@@ -4,45 +4,129 @@
 ``documents_entities_index`` (surface_norm -> [doc ids], quickner.rs:730-742)
 become groupby-collect stages over the exploded mentions Dataset.
 
-Partitioning note (SURVEY.md §2.6/§4): posting-list collection is the one
-truly skew-exposed shuffle — a web-scale hot surface ("apple") makes one
-giant group. ``max_postings`` caps the materialized list per key (the full
-posting set stays queryable as the mentions table partitioned by
-surface_norm); index rows record the true count alongside the (possibly
-truncated) list.
+Partitioning (SURVEY.md §2.6/§4): posting-list collection is the one truly
+skew-exposed shuffle — label cardinality is tiny (at 100x scale one reducer
+would colocate the entire corpus's "ORG" posting list) and surface forms are
+Zipf-hot. So EVERY builder here is the salted two-phase shape (the north
+rule's "salted keys for skewed hot entities"):
+
+- phase 1 shuffles on ``(key, salt)`` — a hot key splits across ``salt``
+  reducers, each collecting a bounded partial list;
+- phase 2 shuffles only the partial rows (<= salt per key) and merges.
+
+Posting lists come out SORTED (deterministic across runs/parallelism —
+arrival order is scheduling-dependent). ``max_postings`` caps the
+materialized list per key (the full posting set stays queryable as the
+mentions table partitioned by the key); index rows record the true count
+alongside the (possibly truncated) list.
+
+All stages are ``batch_format="pyarrow"`` — list collection is offset
+surgery (ListArray.from_arrays), no pandas conversion anywhere.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _collect(id_col: str, key_cols: list[str], max_postings: int | None):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
+def _as_array(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _single_row_list(values: pa.Array) -> pa.ListArray:
+    """Wrap an array as a one-row list column (zero-copy: offsets only)."""
+    offsets = pa.array([0, len(values)], type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, values)
+
+
+def build_posting_index(
+    ds,
+    key_col: str,
+    id_col: str = "doc_id",
+    *,
+    salt: int = 16,
+    max_postings: int | None = None,
+    out_key_col: str | None = None,
+):
+    """Generic salted posting-list index: ``key_col -> sorted [id_col]``.
+
+    Output schema: (out_key_col or key_col, doc_ids: list<id>, n_postings).
+    """
+    out_key = out_key_col or key_col
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        # positional salt: assignment doesn't need to be content-based —
+        # phase 2 merges and sorts, so any spread of a hot key's rows works
+        return batch.append_column(
+            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64) % salt)
+        )
+
+    def collect_partial(group: pa.Table) -> pa.Table:
+        ids = _as_array(group.column(id_col))
+        return pa.Table.from_pydict(
+            {
+                key_col: _as_array(group.column(key_col)).slice(0, 1),
+                "_ids": _single_row_list(ids),
+                "_n": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        parts = _as_array(group.column("_ids"))
+        ids = pc.list_flatten(parts)
+        ids = ids.take(pc.array_sort_indices(ids))
         n = len(ids)
         if max_postings is not None and n > max_postings:
-            ids = ids[:max_postings]
-        row = {k: [group[k].iloc[0]] for k in key_cols}
-        row["doc_ids"] = [ids]
-        row["n_postings"] = [n]
-        return pd.DataFrame(row)
+            ids = ids.slice(0, max_postings)
+        return pa.Table.from_pydict(
+            {
+                out_key: _as_array(group.column(key_col)).slice(0, 1),
+                "doc_ids": _single_row_list(ids),
+                "n_postings": pa.array([n], type=pa.int64()),
+            }
+        )
 
-    return fn
+    salted = ds.map_batches(add_salt, batch_format="pyarrow")
+    partials = salted.groupby([key_col, "_salt"]).map_groups(
+        collect_partial, batch_format="pyarrow"
+    )
+    return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")
 
 
-def build_label_index(mentions_ds, id_col: str = "doc_id", max_postings: int | None = None):
-    """A1: label -> posting list of document ids (duplicates per doc retained,
-    matching the reference's per-span append)."""
-    return mentions_ds.groupby("label").map_groups(
-        _collect(id_col, ["label"], max_postings), batch_format="pandas"
+def build_label_index(
+    mentions_ds,
+    id_col: str = "doc_id",
+    *,
+    salt: int = 16,
+    max_postings: int | None = None,
+    key_col: str = "label",
+):
+    """A1: label -> sorted posting list of document ids (duplicates per doc
+    retained, matching the reference's per-span append). ``key_col='pred'``
+    serves the fused triples layout (output column stays ``label``)."""
+    return build_posting_index(
+        mentions_ds,
+        key_col,
+        id_col,
+        salt=salt,
+        max_postings=max_postings,
+        out_key_col="label",
     )
 
 
-def build_entity_index(mentions_ds, id_col: str = "doc_id", max_postings: int | None = None):
-    """A2: lowercased surface form -> posting list of document ids."""
-    return mentions_ds.groupby("surface_norm").map_groups(
-        _collect(id_col, ["surface_norm"], max_postings), batch_format="pandas"
+def build_entity_index(
+    mentions_ds,
+    id_col: str = "doc_id",
+    *,
+    salt: int = 16,
+    max_postings: int | None = None,
+):
+    """A2: lowercased surface form -> sorted posting list of document ids."""
+    return build_posting_index(
+        mentions_ds, "surface_norm", id_col, salt=salt, max_postings=max_postings
     )
 
 
@@ -54,50 +138,7 @@ def build_entity_index_salted(
     max_postings: int | None = None,
     key_col: str = "surface_norm",
 ):
-    """A2 with SALTED keys — the hot-key path (north rule: "salted keys for
-    skewed hot entities").
-
-    Two-phase: phase 1 shuffles on ``(key, hash(id) % salt)`` so a Zipf-hot
-    surface form splits across ``salt`` reducers (each collects a bounded
-    partial list); phase 2 shuffles only the partial rows (<= salt per key)
-    and concatenates. Posting lists come out SORTED (deterministic across
-    runs/parallelism — unlike arrival order, which scheduling perturbs).
-    """
-    import pyarrow as pa
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        # positional salt: assignment doesn't need to be content-based —
-        # phase 2 merges and sorts, so any spread of a hot key's rows works
-        return batch.append_column(
-            "_salt", pa.array(np.arange(batch.num_rows, dtype=np.int64) % salt)
-        )
-
-    def collect_partial(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group[id_col].tolist()
-        return pd.DataFrame(
-            {
-                key_col: [group[key_col].iloc[0]],
-                "_ids": [ids],
-                "_n": [len(ids)],
-            }
-        )
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        ids: list = []
-        for part in group["_ids"]:
-            ids.extend(part)
-        ids.sort()
-        n = len(ids)
-        if max_postings is not None and n > max_postings:
-            ids = ids[:max_postings]
-        return pd.DataFrame(
-            {key_col: [group[key_col].iloc[0]], "doc_ids": [ids], "n_postings": [n]}
-        )
-
-    salted = mentions_ds.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.groupby([key_col, "_salt"]).map_groups(
-        collect_partial, batch_format="pandas"
+    """Backward-compatible alias — salting is now the only path."""
+    return build_posting_index(
+        mentions_ds, key_col, id_col, salt=salt, max_postings=max_postings
     )
-    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -127,6 +127,31 @@ class TestSQLParity:
 
 
 class TestLSHPipeline:
+    def test_max_bucket_cap_matches_oracle(self, ray_session, tmp_path):
+        """A bucket larger than MAX_BUCKET is truncated to its MAX_BUCKET
+        lowest doc ids on BOTH sides (Ray `_bucket_pairs` and the SQL
+        QUALIFY mirror) — pair sets must stay identical."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        n = da.MAX_BUCKET + 30
+        base = " ".join(f"tok{i}" for i in range(50))
+        rows = [(i, base) for i in range(n)]  # one giant all-identical bucket
+        path = str(tmp_path / "docs.parquet")
+        pq.write_table(_tbl(rows), path)
+
+        pairs = da.lsh_dup_pairs(rd.read_parquet(path), threshold=0.5).to_pandas()
+        ours = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        m = da.MAX_BUCKET
+        assert len(ours) == m * (m - 1) // 2  # capped, not n*(n-1)/2
+        assert max(b for _, b in ours) == m - 1  # only the m lowest ids pair
+
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        oracle = con.sql(da.sql_lsh_dup_pairs(threshold=0.5)).df()
+        theirs = set(zip(oracle["doc_a"], oracle["doc_b"]))
+        assert ours == theirs
+
     def test_planted_near_dups_found(self, ray_session, tmp_path):
         import pyarrow.parquet as pq
         import ray.data as rd

@@ -193,34 +193,137 @@ class TestFusedFastPath:
         assert not os.path.exists(os.path.join(out_fast, "annotated"))
         assert not os.path.exists(os.path.join(out_fast, "mentions"))
 
+    def test_build_indexes_both_layouts(self, pages_dir, tmp_path, ray_session):
+        """run_kg(build_indexes=True) works on BOTH layouts (the fused
+        triples layout has different column names) and the posting sets
+        agree: entity index keyed by surface_norm, label index by label."""
+        gaz = Gazetteer(GAZ)
+        out_std = str(tmp_path / "std")
+        out_fast = str(tmp_path / "fast")
+        run_kg(
+            pages_dir, gaz, out_std, KGPipelineConfig(source="html"),
+            shards=1, build_indexes=True,
+        )
+        run_kg(
+            pages_dir, gaz, out_fast,
+            KGPipelineConfig(source="html", write_annotated=False),
+            shards=1, build_indexes=True,
+        )
 
-class TestSaltedIndex:
-    def test_salted_matches_unsalted_on_zipf_key(self, tmp_path, ray_session):
-        """A Zipf-hot surface (one key holding 80% of rows) must produce the
-        same posting sets through the salted two-phase path."""
+        def load(out, sub, key):
+            t = pq.read_table(os.path.join(out, sub))
+            return {
+                k: n
+                for k, n in zip(
+                    t.column(key).to_pylist(), t.column("n_postings").to_pylist()
+                )
+            }
+
+        # posting COUNTS must agree across layouts (ids differ: doc_id vs
+        # subj=url, both one per mention)
+        assert load(out_std, "entity_index", "surface_norm") == load(
+            out_fast, "entity_index", "surface_norm"
+        )
+        assert load(out_std, "label_index", "label") == load(
+            out_fast, "label_index", "label"
+        )
+        ei = pq.read_table(os.path.join(out_std, "entity_index"))
+        n_mentions = _rows(os.path.join(out_std, "mentions"))
+        assert sum(ei.column("n_postings").to_pylist()) == n_mentions
+
+    def test_fused_case_sensitive_merges_case_variants(self, ray_session):
+        """With case_sensitive=True, 'Apple' and 'apple' are distinct pids
+        but ONE canonical (surface_norm, label) entity — the fused-path
+        aggregate must merge them exactly like the standard path."""
         import pyarrow as pa
         import ray.data as rd
 
-        from quickner_ray.stages.indexes import build_entity_index, build_entity_index_salted
+        from quickner_ray.stages.canonicalize import (
+            canonical_entities,
+            canonical_entities_from_pids,
+        )
+
+        gaz = Gazetteer([("Apple", "ORG"), ("apple", "ORG"), ("Kiwi", "F")],
+                        case_sensitive=True)
+        # triples-shaped input: pid rows for both case variants
+        tri = rd.from_arrow(
+            pa.Table.from_pydict(
+                {"pid": pa.array([0, 0, 1, 1, 1, 2], type=pa.int32())}
+            )
+        )
+        got = {
+            (r["surface_norm"], r["label"]): r["n_mentions"]
+            for r in canonical_entities_from_pids(tri, gaz).take_all()
+        }
+        assert got == {("apple", "ORG"): 5, ("kiwi", "F"): 1}
+        # standard path on the equivalent mention rows agrees
+        mentions = rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "surface_norm": pa.array(
+                        ["apple", "apple", "apple", "apple", "apple", "kiwi"]
+                    ),
+                    "label": pa.array(["ORG"] * 5 + ["F"]),
+                }
+            )
+        )
+        std = {
+            (r["surface_norm"], r["label"]): r["n_mentions"]
+            for r in canonical_entities(mentions).take_all()
+        }
+        assert std == got
+
+
+class TestSaltedIndex:
+    def test_salted_matches_driver_truth_on_zipf_key(self, tmp_path, ray_session):
+        """A Zipf-hot surface (one key holding 80% of rows) must produce the
+        same posting sets through the salted two-phase path as a trivial
+        driver-side groupby, with SORTED (deterministic) posting lists."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.indexes import build_entity_index
 
         n = 5000
+        surfaces = ["apple" if i % 5 != 0 else f"rare{i % 37}" for i in range(n)]
         rows = {
             "doc_id": pa.array(range(n), type=pa.int64()),
-            "surface_norm": pa.array(
-                ["apple" if i % 5 != 0 else f"rare{i % 37}" for i in range(n)]
-            ),
+            "surface_norm": pa.array(surfaces),
         }
+        expected: dict[str, list[int]] = {}
+        for i, s in enumerate(surfaces):
+            expected.setdefault(s, []).append(i)
         ds = rd.from_arrow(pa.Table.from_pydict(rows))
-        plain = {
-            r["surface_norm"]: (sorted(r["doc_ids"]), r["n_postings"])
-            for r in build_entity_index(ds).take_all()
-        }
         salted = {
             r["surface_norm"]: (list(r["doc_ids"]), r["n_postings"])
-            for r in build_entity_index_salted(ds, salt=8).take_all()
+            for r in build_entity_index(ds, salt=8).take_all()
         }
-        assert plain == salted
+        assert salted == {k: (sorted(v), len(v)) for k, v in expected.items()}
         assert salted["apple"][1] == 4000
+
+    def test_label_index_fused_key_col(self, ray_session):
+        """build_label_index(key_col='pred') serves the fused triples layout
+        and emits a 'label' output column."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.indexes import build_label_index
+
+        ds = rd.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "subj": pa.array([f"u{i}" for i in range(40)]),
+                    "pred": pa.array(["ORG" if i % 4 else "LOC" for i in range(40)]),
+                }
+            )
+        )
+        out = {
+            r["label"]: (list(r["doc_ids"]), r["n_postings"])
+            for r in build_label_index(ds, "subj", key_col="pred", salt=4).take_all()
+        }
+        assert set(out) == {"ORG", "LOC"}
+        assert out["LOC"][1] == 10 and out["ORG"][1] == 30
+        assert out["LOC"][0] == sorted(f"u{i}" for i in range(40) if i % 4 == 0)
 
     def test_salted_max_postings_cap(self, ray_session):
         import pyarrow as pa
@@ -275,3 +378,30 @@ class TestExtraStages:
         assert m["stages"]["annotated"]["skipped_shards"] == 0
         n_filtered = pq.read_table(os.path.join(out, "triples")).num_rows
         assert 0 < n_filtered < n_all
+
+    def test_stage_logic_change_invalidates_fingerprint(self):
+        """Editing a stage's CODE (same name) must invalidate resume — the
+        fingerprint hashes function bytecode and the optional stage_version
+        attribute, not just the name."""
+        gaz = Gazetteer(GAZ)
+
+        def stage_v1(ds):
+            return ds.limit(10)
+
+        def stage_v2(ds):
+            return ds.limit(20)
+
+        fp1 = KGPipelineConfig(extra_stages=(("s", stage_v1),)).fingerprint(gaz)
+        fp2 = KGPipelineConfig(extra_stages=(("s", stage_v2),)).fingerprint(gaz)
+        assert fp1 != fp2
+
+        class VersionedStage:
+            def __init__(self, version):
+                self.stage_version = version
+
+            def __call__(self, ds):
+                return ds
+
+        fp3 = KGPipelineConfig(extra_stages=(("c", VersionedStage(1)),)).fingerprint(gaz)
+        fp4 = KGPipelineConfig(extra_stages=(("c", VersionedStage(2)),)).fingerprint(gaz)
+        assert fp3 != fp4
