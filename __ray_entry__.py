@@ -76,14 +76,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
-        # rows-only (boundary-rule NER / approximate or stateful ops):
+        # boundary-rule NER family (oracled via pipelines/ner_oracle.py):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
+        "quality_scores": q.q_quality_scores,
+        # rows-only (approximate / stateful ops with no exact SQL form):
         "similarity_topk_ivf": q.q_similarity_topk_ivf,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
-        "quality_scores": q.q_quality_scores,
     }
 
 
@@ -99,7 +100,7 @@ def oracle_sql() -> dict[str, str]:
     (full NER semantics) are intentionally absent."""
     from quickner_ray.stages import dedup_approx as da
     from quickner_ray.stages import multimodal as mm
-    from quickner_ray.stages.text_analysis import sql_lang_id
+    from quickner_ray.stages.text_analysis import sql_lang_id, sql_quality_score
 
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
@@ -107,9 +108,22 @@ def oracle_sql() -> dict[str, str]:
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
 
+    from quickner_ray.pipelines.ner_oracle import (
+        sql_canonical_entities,
+        sql_label_mention_counts,
+        sql_triples,
+    )
+    from quickner_ray.pipelines.queries import DEFAULT_GAZETTEER
+
     return {
         "corpus_prep": sql_corpus_prep(),
         "lang_id": sql_lang_id(),
+        "quality_scores": sql_quality_score(),
+        # boundary-rule NER family: the acceptance rules collapse to a
+        # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
+        "triples": sql_triples(DEFAULT_GAZETTEER),
+        "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
+        "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "events_window": ev.sql_window_counts(),
         "events_sliding_window": ev.sql_sliding_window_counts(),
         "sessionize": ev.sql_sessionize(),

@@ -33,15 +33,30 @@ from .kernel import (
     synth_page,
 )
 
+# reference package surface (src/lib.rs:12-24, quickner.pyi): the model
+# classes and module-level loaders live at the TOP level, so
+# ``from quickner import Quickner`` ports as ``from quickner_ray import
+# Quickner`` one-for-one.
+from .api import Document, Entity, Quickner, Text
+
+from_jsonl = Quickner.from_jsonl
+from_spacy = Quickner.from_spacy
+
 __version__ = "0.1.0"
 
 __all__ = [
     "Config",
+    "Document",
+    "Entity",
     "Filters",
     "Gazetteer",
+    "Quickner",
+    "Text",
     "annotate_text",
     "annotate_texts",
     "extract_text",
+    "from_jsonl",
+    "from_spacy",
     "hash_text",
     "synth_page",
 ]

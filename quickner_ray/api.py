@@ -34,6 +34,25 @@ from .sinks.formats import save_annotations
 from .sources.csv_sources import read_entities_csv, read_excludes_csv, read_texts_csv
 
 
+class Text:
+    """Plain text row (quickner-core/src/models.rs:13-16, src/pymodels.rs:9-12):
+    a one-field value object; Eq/Hash on the text."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str):
+        self.text = text
+
+    def __eq__(self, other):
+        return isinstance(other, Text) and self.text == other.text
+
+    def __hash__(self):
+        return hash(self.text)
+
+    def __repr__(self):
+        return f'Text(text="{self.text}")'
+
+
 class Entity:
     """Gazetteer row (quickner-core/src/entity.rs:9-26): Eq/Hash on (name, label)."""
 
@@ -90,6 +109,40 @@ class Document:
             if t not in seen:
                 seen.append(t)
         self.label = seen
+
+    # ANSI color cycle (src/utils.rs:25-35): red green yellow blue magenta cyan
+    _PRETTY_COLORS = (31, 32, 33, 34, 35, 36)
+
+    def pretty(self) -> str:
+        """ANSI span render (src/pydocument.rs:121-167), quirks preserved:
+
+        - colors assigned per label in FIRST-APPEARANCE order of the
+          (unsorted) label list, cycling 6 ANSI codes;
+        - spans rendered in stable start-order; OVERLAPPING spans garble the
+          output (the reference's own TODO — slices are taken from the
+          running cursor, not merged);
+        - indices are treated as byte offsets into the UTF-8 text (the
+          reference's Rust `&str[a..b]` slicing); out-of-range offsets raise
+          ValueError (pydocument.rs:151-156).
+        """
+        color_of: dict[str, int] = {}
+        for _s, _e, label in self.label:
+            if label not in color_of:
+                color_of[label] = self._PRETTY_COLORS[
+                    len(color_of) % len(self._PRETTY_COLORS)
+                ]
+        raw = self.text.encode("utf-8")
+        out = bytearray()
+        cursor = 0
+        for start, end, label in sorted(self.label, key=lambda t: t[0]):
+            if start > len(raw) or end > len(raw):
+                raise ValueError("start_label is greater than the length of the text")
+            out += raw[cursor:start]
+            out += b"\x1b[%dm" % color_of[label] + raw[start:end] + b"\x1b[0m"
+            out += b"[%s]" % label.encode("utf-8")
+            cursor = end
+        out += raw[cursor:]
+        return out.decode("utf-8")
 
     def __eq__(self, other):
         return (

@@ -32,9 +32,16 @@ DUP_THRESHOLD = 0.5
 
 
 def corpus_prep(sf_dir: str):
-    """documents.parquet -> surviving (doc_id, n_tokens)."""
-    import ray
+    """documents.parquet -> surviving (doc_id, n_tokens).
+
+    The near-dup drop set goes through ``antijoin.anti_join`` — broadcast
+    only when measurably small, hash-partitioned ``left_anti`` otherwise;
+    nothing corpus-proportional lands on the driver. (The LSH pass is a
+    second read of the input by design: dedup semantics are defined over the
+    FULL corpus, before the length/lang filters.)"""
     import ray.data as rd
+
+    from ..stages.antijoin import anti_join
 
     path = os.path.join(sf_dir, "documents.parquet")
     docs = rd.read_parquet(path, columns=["doc_id", "text"])
@@ -42,8 +49,6 @@ def corpus_prep(sf_dir: str):
     pairs = lsh_dup_pairs(
         rd.read_parquet(path, columns=["doc_id", "text"]), threshold=DUP_THRESHOLD
     )
-    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
-    drop_ref = ray.put(drop)
 
     def length_filter(b: pa.Table) -> pa.Table:
         n = pc.binary_length(b.column("text"))
@@ -52,21 +57,10 @@ def corpus_prep(sf_dir: str):
         )
         return b.filter(mask)
 
-    class DropDupes:
-        def __init__(self, ref):
-            self.drop = ray.get(ref)
-
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mask = pa.array([d not in self.drop for d in b.column("doc_id").to_pylist()])
-            return b.filter(mask)
-
     ds = docs.map_batches(length_filter, batch_format="pyarrow")
     ds = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
     ds = ds.filter(expr=f"lang_pred == '{LANG}'")
-    ds = ds.map_batches(
-        DropDupes, fn_constructor_kwargs={"ref": drop_ref},
-        batch_format="pyarrow", concurrency=(1, 2),
-    )
+    ds = anti_join(ds, "doc_id", pairs, "doc_b")
     ds = ds.map_batches(add_token_count, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "n_tokens"])
 

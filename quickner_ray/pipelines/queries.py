@@ -78,10 +78,11 @@ def annotated_documents(sf_dir: str, *, batch_size: int = 2048):
     )
 
 
-def mentions_dataset(sf_dir: str):
+def mentions_dataset(sf_dir: str, *, keep_text: bool = False):
     ann = annotated_documents(sf_dir)
     return ann.map_batches(
-        lambda b: explode_mentions(b, subj_col="doc_id"), batch_format="pyarrow"
+        lambda b: explode_mentions(b, subj_col="doc_id", keep_text=keep_text),
+        batch_format="pyarrow",
     )
 
 
@@ -185,30 +186,36 @@ def q_orders_per_nation(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
+    # nation is a true dim (25 rows); customer is fact-SIZED, broadcast here
+    # as a compact Arrow table (two columns, zero-copy in the object store,
+    # vectorized index_in/take lookups — never a Python dict). At 10^12-doc
+    # scale, swap this stage for ds.join(customer, "inner", N) — the Arrow
+    # broadcast holds far longer than a dict, but not forever.
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     )
-    nation_name = dict(
-        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    # pre-resolve nation names onto the customer table driver-side (25-row dim)
+    nidx = pc.index_in(
+        cust.column("c_nationkey").combine_chunks(),
+        value_set=nation.column("n_nationkey").combine_chunks(),
     )
-    cust_nation = {
-        c: nation_name[n]
-        for c, n in zip(
-            cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist()
-        )
-    }
-    lookup_ref = ray.put(cust_nation)
+    cust_keys = cust.column("c_custkey").combine_chunks()
+    cust_names = nation.column("n_name").combine_chunks().take(nidx)
+    lookup_ref = ray.put((cust_keys, cust_names))
 
     class AddNation:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            names = [self.lookup.get(k) for k in b.column("o_custkey").to_pylist()]
-            return b.append_column("n_name", pa.array(names, type=pa.string()))
+            col = b.column("o_custkey")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            idx = pc.index_in(col, value_set=self.keys)
+            return b.append_column("n_name", self.names.take(idx))
 
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
     ds = ds.map_batches(
@@ -226,10 +233,10 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
     candidates then a tiny global sort+limit."""
     import ray.data as rd
 
+    from ..stages.similarity import fetch_vector
+
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qtab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    idx = qtab.column("vec_id").to_pylist().index(query_id)
-    qvec = np.asarray(qtab.column("embedding")[idx].as_py(), dtype=np.float64)
+    qvec = fetch_vector(emb_path, query_id)  # row-group-pruned single-row read
     qnorm = np.linalg.norm(qvec)
     dim = len(qvec)
 
@@ -275,23 +282,16 @@ def q_minhash_lsh_pairs(sf_dir: str):
 
 
 def q_minhash_dedup_docs(sf_dir: str):
-    """Greedy keep-first near-dup dedup: surviving doc ids. The (tiny)
-    pair list is collected driver-side and broadcast as an anti-join set."""
-    import ray
-
+    """Greedy keep-first near-dup dedup: surviving doc ids. The pair list is
+    NEVER collected driver-side — ``anti_join`` broadcasts it only when it is
+    measurably small, else runs a hash-partitioned ``left_anti`` shuffle
+    (web-text drop sets are corpus-proportional at scale)."""
+    from ..stages.antijoin import anti_join
     from ..stages.dedup_approx import lsh_dup_pairs
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     pairs = lsh_dup_pairs(ds, threshold=0.5)
-    drop = {r["doc_b"] for r in pairs.select_columns(["doc_b"]).take_all()}
-    drop_ref = ray.put(drop)
-
-    def keep(b: pa.Table, drop=drop_ref) -> pa.Table:
-        d = ray.get(drop) if not isinstance(drop, set) else drop
-        mask = pa.array([x not in d for x in b.column("doc_id").to_pylist()])
-        return b.filter(mask)
-
-    return _docs(sf_dir, columns=["doc_id"]).map_batches(keep, batch_format="pyarrow")
+    return anti_join(_docs(sf_dir, columns=["doc_id"]), "doc_id", pairs, "doc_b")
 
 
 def q_simhash(sf_dir: str):
@@ -342,21 +342,25 @@ def q_parts_by_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
+    # broadcast the dim as Arrow arrays; per-batch lookup is vectorized
+    # index_in + take (dictionary-style gather), no Python row loop
     part = pq.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
     )
-    lookup = dict(
-        zip(part.column("p_partkey").to_pylist(), part.column("p_type").to_pylist())
+    ref = ray.put(
+        (part.column("p_partkey").combine_chunks(), part.column("p_type").combine_chunks())
     )
-    ref = ray.put(lookup)
 
     class AddType:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.keys, self.types = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            types = [self.lookup.get(kk) for kk in b.column("l_partkey").to_pylist()]
-            return b.append_column("p_type", pa.array(types, type=pa.string()))
+            col = b.column("l_partkey")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            idx = pc.index_in(col, value_set=self.keys)
+            return b.append_column("p_type", self.types.take(idx))
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
@@ -495,15 +499,16 @@ def q_fingerprints(sf_dir: str):
 
 
 def q_entity_link(sf_dir: str):
-    """Entity-link candidate scoring over the mention stream: the canonical
-    entity table (computed first, small) is the candidate source broadcast
-    to the linker actor pool; each mention gets its best entity by prior
-    (context scoring exercised in tests with doc text attached)."""
+    """Entity-link candidate scoring over the mention stream. Detection runs
+    ONCE: the mention stream (with doc context attached) is materialized in
+    the object store and reused for both the candidate source (the canonical
+    entity table — bounded by the gazetteer, collected driver-side) and the
+    link pass, so context scoring is exercised end-to-end."""
     from ..stages.entity_link import link_mentions
 
-    ents = canonical_entities(mentions_dataset(sf_dir)).take_all()
+    m = mentions_dataset(sf_dir, keep_text=True).materialize()
+    ents = canonical_entities(m).take_all()
     entities = [(r["surface_norm"], r["label"], float(r["n_mentions"])) for r in ents]
-    m = mentions_dataset(sf_dir)
     linked = link_mentions(m, entities, text_col="doc_text")
     return linked.select_columns(
         ["doc_id", "surface_norm", "label", "linked_entity_id", "link_score", "n_candidates"]

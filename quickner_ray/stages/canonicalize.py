@@ -82,9 +82,15 @@ def _slice_surfaces(text_arr: pa.Array, parents, starts, ends) -> pa.Array:
     )
 
 
-def explode_mentions(batch: pa.Table, *, subj_col: str = "doc_id") -> pa.Table:
+def explode_mentions(
+    batch: pa.Table, *, subj_col: str = "doc_id", keep_text: bool = False
+) -> pa.Table:
     """Annotated-docs batch -> mentions batch
-    (subj, doc_id?, label, start, end, surface, surface_norm)."""
+    (subj, doc_id?, label, start, end, surface, surface_norm).
+
+    ``keep_text=True`` adds a ``doc_text`` column (the matched-on text taken
+    per mention) for stages that need mention context, e.g. entity linking —
+    Arrow ``take`` references the same string buffer, no per-mention copy."""
     labels = batch.column("label")
     if isinstance(labels, pa.ChunkedArray):
         labels = labels.combine_chunks()
@@ -111,6 +117,12 @@ def explode_mentions(batch: pa.Table, *, subj_col: str = "doc_id") -> pa.Table:
     cols["end"] = ends
     cols["surface"] = surface_arr
     cols["surface_norm"] = surface_norm
+    if keep_text:
+        # dictionary-encoded: each doc's text stored ONCE per batch, mentions
+        # hold int indices (a plain take would copy the text per mention)
+        cols["doc_text"] = pa.DictionaryArray.from_arrays(
+            parents.cast(pa.int32()), text_arr
+        )
     return pa.Table.from_pydict(cols)
 
 

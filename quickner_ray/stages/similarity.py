@@ -212,7 +212,27 @@ def ivf_topk(
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
         os.makedirs(index_dir, exist_ok=True)
         build_ivf_index(emb_path, index_dir, n_clusters=n_clusters)
-    tab = pq.read_table(emb_path, columns=["vec_id", "embedding"])
-    idx = tab.column("vec_id").to_pylist().index(query_id)
-    qvec = np.asarray(tab.column("embedding")[idx].as_py(), dtype=np.float64)
+    qvec = fetch_vector(emb_path, query_id)
     return query_ivf_index(index_dir, qvec, k, nprobe=nprobe)
+
+
+def fetch_vector(emb_path: str, query_id: int, id_col: str = "vec_id") -> np.ndarray:
+    """Fetch ONE embedding by id without reading the whole table: parquet
+    row-group statistics prune to the group(s) that can contain the id, then
+    a vectorized filter picks the row."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(emb_path)
+    ncols = pf.schema_arrow.names
+    col_idx = ncols.index(id_col)
+    groups = []
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(col_idx).statistics
+        if st is None or st.min is None or (st.min <= query_id <= st.max):
+            groups.append(rg)
+    tab = pf.read_row_groups(groups, columns=[id_col, "embedding"])
+    row = tab.filter(pc.equal(tab.column(id_col), query_id))
+    if row.num_rows == 0:
+        raise KeyError(f"{id_col}={query_id} not found in {emb_path}")
+    return np.asarray(row.column("embedding")[0].as_py(), dtype=np.float64)

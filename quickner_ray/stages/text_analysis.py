@@ -14,6 +14,7 @@ import pyarrow.compute as pc
 
 # whitespace-delimited tokens; explicit class, identical in Python/RE2/DuckDB
 TOKEN_RE = "[^ \\t\\n\\x0b\\x0c\\r]+"
+TOKEN_SPLIT_RE = "[ \\t\\n\\x0b\\x0c\\r]+"  # the complementary separator class
 PUNCT_RE = "[!-/:-@\\[-`{-~]"
 DIGIT_RE = "[0-9]"
 
@@ -46,24 +47,77 @@ def add_quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic document quality in [0,1]: penalizes very short/very long
-    docs, high punct/digit density, low token diversity."""
-    texts = batch.column(text_col).to_pylist()
-    scores = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        n = len(t)
-        if n == 0:
-            continue
-        toks = t.split()
-        if not toks:
-            continue
-        length_score = min(1.0, n / 200.0) * (1.0 if n < 20000 else 0.5)
-        diversity = len(set(toks)) / len(toks)
-        punct = sum(c in "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~" for c in t) / n
-        digits = sum(c.isdigit() for c in t) / n
-        scores[i] = max(
-            0.0, min(1.0, 0.5 * length_score + 0.5 * diversity - punct - digits)
-        )
+    docs, high punct/digit density, low token diversity.
+
+    Fully vectorized: char/punct/digit counts are the same Arrow regex
+    kernels as ``add_quality_counts``; token diversity counts distinct
+    whitespace-split tokens per row via one dictionary-encode over the
+    flattened token lists. The formula is DuckDB-expressible
+    (``sql_quality_score``) so the driver oracle checks it bit-exactly."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = (
+        pc.count_substring_regex(texts, PUNCT_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n_digits = (
+        pc.count_substring_regex(texts, DIGIT_RE)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    # distinct-token counts: split once, count uniques per row with a single
+    # global dictionary-encode + (row, code) unique pass. Splitting on the
+    # separator class yields empty strings at text edges — masked out so
+    # token semantics equal TOKEN_RE matches (== str.split on ASCII).
+    toks = pc.split_pattern_regex(texts, TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    n_toks = np.zeros(len(texts), dtype=np.float64)
+    n_distinct = np.zeros(len(texts), dtype=np.float64)
+    if len(flat):
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+    if len(flat):
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+        np.add.at(n_toks, parents, 1.0)
+        pair = parents.astype(np.int64) * (int(codes.max()) + 1) + codes
+        uniq_parents = parents[np.unique(pair, return_index=True)[1]]
+        np.add.at(n_distinct, uniq_parents, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        length_score = np.minimum(1.0, n / 200.0) * np.where(n < 20000, 1.0, 0.5)
+        diversity = np.where(n_toks > 0, n_distinct / np.maximum(n_toks, 1.0), 0.0)
+        punct = np.where(n > 0, n_punct / np.maximum(n, 1.0), 0.0)
+        digits = np.where(n > 0, n_digits / np.maximum(n, 1.0), 0.0)
+    scores = np.clip(0.5 * length_score + 0.5 * diversity - punct - digits, 0.0, 1.0)
+    scores = np.where((n == 0) | (n_toks == 0), 0.0, scores)
     return batch.append_column("quality_score", pa.array(scores))
+
+
+def sql_quality_score(table: str = "documents") -> str:
+    """DuckDB oracle for ``add_quality_score`` — same counts, same double
+    arithmetic in the same operation order (both engines do IEEE doubles, so
+    the values hash-compare exactly)."""
+    return (
+        f"WITH t AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    CAST(length(text) AS DOUBLE) AS n,\n"
+        f"    CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS DOUBLE) AS np,\n"
+        f"    CAST(length(regexp_extract_all(text, '{DIGIT_RE}')) AS DOUBLE) AS nd,\n"
+        f"    CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS DOUBLE) AS ntok,\n"
+        f"    CAST(length(list_distinct(regexp_extract_all(text, '{TOKEN_RE}')))"
+        f" AS DOUBLE) AS ndis\n"
+        f"  FROM {table})\n"
+        f"SELECT doc_id,\n"
+        f"  CASE WHEN n = 0 OR ntok = 0 THEN 0.0 ELSE\n"
+        f"    LEAST(1.0, GREATEST(0.0,\n"
+        f"      0.5 * (LEAST(1.0, n / 200.0) * (CASE WHEN n < 20000 THEN 1.0 ELSE 0.5 END))\n"
+        f"      + 0.5 * (ndis / ntok) - np / n - nd / n)) END AS quality_score\n"
+        f"FROM t"
+    )
 
 
 # -- language ID (n-gram/stopword heuristic; no external models) -------------

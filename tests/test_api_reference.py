@@ -153,3 +153,51 @@ class TestQuicknerReferenceSuite:
         quick.add_entity(Entity("a", "L"))
         quick.add_entity(Entity("a", "L"))
         assert len(quick.entities) == 1
+
+
+class TestPackageSurface:
+    """src/lib.rs:12-24: model classes + loaders at package top level;
+    Document.pretty (src/pydocument.rs:121-167)."""
+
+    def test_top_level_imports(self, tmp_path):
+        import quickner_ray as q
+
+        assert q.Quickner is Quickner and q.Document is Document
+        assert q.Entity is Entity
+        assert q.Text("abc") == q.Text("abc") and q.Text("abc") != q.Text("b")
+        quick = make_quick()
+        quick.process()
+        path = str(tmp_path / "a.jsonl")
+        quick.to_jsonl(path)
+        q2 = q.from_jsonl(path)  # module-level loader
+        assert len(q2.documents) == len(TEXTS)
+        quick.to_spacy(str(tmp_path / "a.json"))
+        q3 = q.from_spacy(str(tmp_path / "a.json"))
+        assert len(q3.documents) == len(TEXTS)
+
+    def test_pretty_render(self):
+        doc = Document("rust is made by mozilla")
+        doc.label = [(0, 4, "PL"), (16, 23, "ORG")]
+        out = doc.pretty()
+        # first-appearance color order: PL=red(31), ORG=green(32)
+        assert out == (
+            "\x1b[31mrust\x1b[0m[PL] is made by \x1b[32mmozilla\x1b[0m[ORG]"
+        )
+
+    def test_pretty_color_cycle_and_sorting(self):
+        doc = Document("a b c d e f g h")
+        # 7 labels -> the 7th cycles back to red; spans given out of order
+        doc.label = [(2 * i, 2 * i + 1, f"L{i}") for i in range(7)][::-1]
+        out = doc.pretty()
+        # color map is first-appearance over the UNSORTED list: L6 (listed
+        # first) gets red; L0 is the 7th distinct label -> cycles to red too
+        assert "\x1b[31mg\x1b[0m[L6]" in out
+        assert "\x1b[31ma\x1b[0m[L0]" in out
+        # render order is by start: L0's span comes first in the output
+        assert out.index("[L0]") < out.index("[L6]")
+
+    def test_pretty_out_of_range_raises(self):
+        doc = Document("short")
+        doc.label = [(0, 99, "X")]
+        with pytest.raises(ValueError):
+            doc.pretty()

@@ -1,0 +1,129 @@
+"""The boundary-rule NER family's DuckDB oracle (pipelines/ner_oracle.py)
+must equal the Ray pipeline bit-for-bit — including the reference's quirky
+rule 4 (end-aligned matches accepted mid-word) and rejections of mid-word
+occurrences. This is the closed SQL form of kernel/boundary.py for ASCII."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from quickner_ray.pipelines.ner_oracle import (
+    sql_canonical_entities,
+    sql_label_mention_counts,
+    sql_triples,
+)
+from quickner_ray.pipelines.queries import DEFAULT_GAZETTEER
+
+TEXTS = [
+    # plain word-boundary matches
+    "the sort and the hash join run a table scan",
+    # rule 4: end-aligned matches accepted even mid-word
+    "nonsensejoin",
+    "we do a megasort",
+    # mid-word occurrences NOT at the end are rejected
+    "joinx is not a match, nor sorting here",
+    # punctuation boundaries, doc edges, multi-word phrase at the very end
+    "sort! (join) merge... the fast key",
+    "SORT and JOIN in upper case",
+    "",
+    "sort",
+    "a window window window sort",
+    # adjacent with exactly-one-space requirement for multi-word names
+    "table  scan has two spaces; table scan has one",
+]
+
+
+@pytest.fixture(scope="module")
+def docs_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nerdocs") / "documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
+                "text": pa.array(TEXTS),
+            }
+        ),
+        path,
+    )
+    return path
+
+
+def _ray_triples(docs_path):
+    import ray.data as rd
+
+    from quickner_ray.pipelines.queries import documents_gazetteer
+    from quickner_ray.stages.canonicalize import (
+        add_triple_columns,
+        canonical_entities,
+        explode_mentions,
+        label_counts,
+    )
+    from quickner_ray.stages.detect import detect_mentions
+
+    ds = rd.read_parquet(docs_path)
+    ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+    mentions = ann.map_batches(
+        lambda b: explode_mentions(b, subj_col="doc_id"), batch_format="pyarrow"
+    )
+    tri = mentions.map_batches(
+        lambda b: add_triple_columns(b, subj_col="doc_id"), batch_format="pyarrow"
+    )
+    return tri, canonical_entities(mentions), label_counts(mentions)
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+class TestNerOracle:
+    def test_family_matches_duckdb(self, ray_session, docs_path):
+        tri_ds, ents_ds, lc_ds = _ray_triples(docs_path)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+
+        tri = _canon(tri_ds.to_pandas())
+        otri = _canon(con.sql(sql_triples(DEFAULT_GAZETTEER)).df())
+        assert tri.equals(otri), (len(tri), len(otri))
+        # the quirks actually fired in this corpus:
+        surf_by_doc = {
+            (int(s), sn) for s, sn in zip(tri["subj"], tri["surface_norm"])
+        }
+        assert (1, "join") in surf_by_doc  # rule-4 mid-word, end-aligned
+        assert (2, "sort") in surf_by_doc
+        assert (3, "join") not in surf_by_doc  # mid-word, not end-aligned
+        assert (7, "sort") in surf_by_doc  # whole-doc match (rule 4 at 0)
+        doc9 = sorted(r for d, r in surf_by_doc if d == 9)
+        assert "table scan" in doc9  # single-space form matches
+        n9 = (tri["subj"] == "9").sum()
+        assert n9 == int((otri["subj"] == "9").sum())
+
+        ents = _canon(ents_ds.to_pandas())
+        oents = _canon(con.sql(sql_canonical_entities(DEFAULT_GAZETTEER)).df())
+        assert ents.equals(oents)
+
+        lc = _canon(lc_ds.to_pandas())
+        olc = _canon(con.sql(sql_label_mention_counts(DEFAULT_GAZETTEER)).df())
+        assert lc.equals(olc)
+
+    def test_quality_score_oracle(self, ray_session, docs_path):
+        from quickner_ray.stages.text_analysis import (
+            add_quality_score,
+            sql_quality_score,
+        )
+
+        tab = pq.read_table(docs_path)
+        ours = (
+            add_quality_score(tab)
+            .select(["doc_id", "quality_score"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        oracle = con.sql(sql_quality_score()).df().sort_values("doc_id").reset_index(drop=True)
+        assert (ours["quality_score"].values == oracle["quality_score"].values).all()
