@@ -81,10 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
         "quality_scores": q.q_quality_scores,
-        # rows-only (approximate / stateful ops with no exact SQL form):
-        "similarity_topk_ivf": q.q_similarity_topk_ivf,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
+        # rows-only: IVF top-k is approximate by construction (recall >= 0.9
+        # pinned in tests) — no exact SQL form exists
+        "similarity_topk_ivf": q.q_similarity_topk_ivf,
     }
 
 
@@ -100,7 +101,11 @@ def oracle_sql() -> dict[str, str]:
     (full NER semantics) are intentionally absent."""
     from quickner_ray.stages import dedup_approx as da
     from quickner_ray.stages import multimodal as mm
-    from quickner_ray.stages.text_analysis import sql_lang_id, sql_quality_score
+    from quickner_ray.stages.text_analysis import (
+        sql_fingerprint,
+        sql_lang_id,
+        sql_quality_score,
+    )
 
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
@@ -110,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
 
     from quickner_ray.pipelines.ner_oracle import (
         sql_canonical_entities,
+        sql_entity_link,
         sql_label_mention_counts,
         sql_triples,
     )
@@ -124,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "triples": sql_triples(DEFAULT_GAZETTEER),
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
+        "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
+        "fingerprints": sql_fingerprint(),
         "events_window": ev.sql_window_counts(),
         "events_sliding_window": ev.sql_sliding_window_counts(),
         "sessionize": ev.sql_sessionize(),

@@ -104,3 +104,62 @@ def sql_label_mention_counts(
         f"WITH {sql_match_ctes(entities, table)}\n"
         f"SELECT plabel AS label, count(*) AS n_mentions FROM acc GROUP BY plabel"
     )
+
+
+def sql_entity_link(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    window: int = 50,
+    prior_weight: float = 1.0,
+    context_weight: float = 2.0,
+) -> str:
+    """Oracle for ``q_entity_link``: every accepted mention scored against
+    the canonical entities sharing its surface form —
+    ``score = prior_weight * ln(1 + prior) + context_weight * jaccard(window
+    tokens, alias tokens)`` (stages/entity_link.score_candidates), argmax
+    with (score desc, label asc, eid asc) tie-break, score rounded AFTER
+    selection. Float parity: the Python side computes ``math.log(1.0 +
+    prior)``, bit-identical to DuckDB ``ln`` here; jaccard is exact rational
+    arithmetic in the same operation order."""
+    tok = "[a-z0-9]+"
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"ents AS (\n"
+        f"  SELECT pname, plabel, eid, CAST(count(*) AS DOUBLE) AS prior\n"
+        f"  FROM acc GROUP BY pname, plabel, eid\n"
+        f"),\n"
+        f"ncand AS (SELECT pname, count(*) AS n_candidates FROM ents GROUP BY pname),\n"
+        f"scored AS (\n"
+        f"  SELECT a.doc_id, a.pname, a.plabel, a.start, a.\"end\",\n"
+        f"    e.eid AS cand_eid, e.plabel AS cand_label, e.prior,\n"
+        f"    list_distinct(regexp_extract_all(e.pname, '{tok}')) AS ctx_e,\n"
+        f"    list_distinct(regexp_extract_all(substr(lt.t,\n"
+        f"      greatest(a.start - {window}, 0) + 1,\n"
+        f"      least(a.\"end\" + {window}, lt.n) - greatest(a.start - {window}, 0)),\n"
+        f"      '{tok}')) AS ctx_w\n"
+        f"  FROM acc a JOIN lt USING (doc_id) JOIN ents e ON e.pname = a.pname\n"
+        f"),\n"
+        f"s2 AS (\n"
+        f"  SELECT *, len(list_filter(ctx_e, x -> list_contains(ctx_w, x))) AS inter\n"
+        f"  FROM scored\n"
+        f"),\n"
+        f"s3 AS (\n"
+        f"  SELECT doc_id, pname, plabel, start, \"end\", cand_eid, cand_label,\n"
+        f"    {prior_weight} * ln(1.0 + prior) + {context_weight} * (\n"
+        f"      CASE WHEN inter > 0\n"
+        f"           THEN CAST(inter AS DOUBLE) / (len(ctx_e) + len(ctx_w) - inter)\n"
+        f"           ELSE 0.0 END) AS raw_score\n"
+        f"  FROM s2\n"
+        f"),\n"
+        f"best AS (\n"
+        f"  SELECT *, row_number() OVER (\n"
+        f"    PARTITION BY doc_id, pname, plabel, start, \"end\"\n"
+        f"    ORDER BY raw_score DESC, cand_label, cand_eid) AS rn\n"
+        f"  FROM s3\n"
+        f")\n"
+        f"SELECT b.doc_id, b.pname AS surface_norm, b.plabel AS label,\n"
+        f"  b.cand_eid AS linked_entity_id, ROUND(b.raw_score, 6) AS link_score,\n"
+        f"  nc.n_candidates\n"
+        f"FROM best b JOIN ncand nc ON nc.pname = b.pname WHERE rn = 1"
+    )

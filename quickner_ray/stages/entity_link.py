@@ -72,7 +72,10 @@ def score_candidates(
             j = inter / (len(ctx) + len(context_tokens) - inter) if inter else 0.0
         else:
             j = 0.0
-        score = prior_weight * math.log1p(prior) + context_weight * j
+        # ln(1.0 + prior) via math.log — bit-identical to DuckDB's ln() on
+        # this platform (math.log1p is NOT), which keeps the driver oracle
+        # hash-exact; priors are integers so 1.0 + prior is exact
+        score = prior_weight * math.log(1.0 + prior) + context_weight * j
         out.append((score, eid, label))
     out.sort(key=lambda t: (-t[0], t[2], t[1]))
     return out

@@ -220,3 +220,43 @@ def add_fingerprint(
         sel = np.unique(mins)
         fps.append(int(np.bitwise_xor.reduce(sel) ^ np.uint64(len(sel))))
     return batch.append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+
+
+def sql_fingerprint(table: str = "documents", k: int = 5, window: int = 8) -> str:
+    """DuckDB oracle for ``add_fingerprint``. The k-gram polynomial hash
+    never exceeds 127 * 257^(k-1) + ... < 2^63 for k=5, so the numpy uint64
+    arithmetic never wraps and plain BIGINT math matches it exactly.
+    ASCII assumption: byte index == char index (``ord`` == byte value)."""
+    assert k == 5, "coefficients below are for k=5"
+    coef = [257 ** (k - 1 - j) for j in range(k)]
+    gram = " + ".join(
+        f"ord(substr(t, s + {j}, 1)) * {c}::BIGINT" if c != 1 else f"ord(substr(t, s + {j}, 1))"
+        for j, c in enumerate(coef)
+    )
+    return (
+        f"WITH norm AS (\n"
+        f"  SELECT doc_id, coalesce(array_to_string(regexp_extract_all(lower(text),"
+        f" '{TOKEN_RE}'), ' '), '') AS t FROM {table}\n"
+        f"), m AS (SELECT doc_id, t, length(t) AS n FROM norm),\n"
+        f"grams AS (\n"
+        f"  SELECT m.doc_id, gs.s, {gram} AS h, m.n\n"
+        f"  FROM m CROSS JOIN LATERAL (SELECT unnest(range(1, m.n - {k} + 2)) AS s) gs\n"
+        f"), wins AS (\n"
+        f"  SELECT doc_id, s, n,\n"
+        f"    min(h) OVER (PARTITION BY doc_id ORDER BY s\n"
+        f"                 ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,\n"
+        f"    h\n"
+        f"  FROM grams\n"
+        f"), fps AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    CASE WHEN max(n) - {k} + 1 <= {window} THEN min(h)\n"
+        f"         ELSE xor(bit_xor(DISTINCT wmin_valid),"
+        f" count(DISTINCT wmin_valid)) END AS fp\n"
+        f"  FROM (SELECT doc_id, n, h,\n"
+        f"          CASE WHEN s <= n - {k} + 1 - {window - 1} THEN wmin END AS wmin_valid\n"
+        f"        FROM wins)\n"
+        f"  GROUP BY doc_id\n"
+        f")\n"
+        f"SELECT m.doc_id, CAST(coalesce(f.fp, m.n) AS UBIGINT) AS fingerprint\n"
+        f"FROM m LEFT JOIN fps f ON f.doc_id = m.doc_id AND m.n >= {k}"
+    )

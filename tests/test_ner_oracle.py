@@ -44,6 +44,7 @@ def docs_path(tmp_path_factory):
             {
                 "doc_id": pa.array(range(len(TEXTS)), type=pa.int64()),
                 "text": pa.array(TEXTS),
+                "lang": pa.array(["en"] * len(TEXTS)),
             }
         ),
         path,
@@ -127,3 +128,40 @@ class TestNerOracle:
         con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
         oracle = con.sql(sql_quality_score()).df().sort_values("doc_id").reset_index(drop=True)
         assert (ours["quality_score"].values == oracle["quality_score"].values).all()
+
+    def test_fingerprint_oracle(self, ray_session, docs_path):
+        from quickner_ray.stages.text_analysis import add_fingerprint, sql_fingerprint
+
+        tab = pq.read_table(docs_path)
+        ours = (
+            add_fingerprint(tab)
+            .select(["doc_id", "fingerprint"])
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        oracle = con.sql(sql_fingerprint()).df().sort_values("doc_id").reset_index(drop=True)
+        assert (
+            ours["fingerprint"].astype("uint64").values
+            == oracle["fingerprint"].astype("uint64").values
+        ).all()
+
+    def test_entity_link_oracle(self, ray_session, docs_path, tmp_path):
+        """Mention stream -> linked entities: Ray actor-pool scoring equals
+        the SQL form (same ln/jaccard arithmetic, argmax + post-round)."""
+        import os
+        import shutil
+
+        from quickner_ray.pipelines.ner_oracle import sql_entity_link
+        from quickner_ray.pipelines.queries import q_entity_link
+
+        sf_dir = str(tmp_path / "sf")
+        os.makedirs(sf_dir, exist_ok=True)
+        shutil.copy(docs_path, os.path.join(sf_dir, "documents.parquet"))
+        ours = _canon(q_entity_link(sf_dir).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        oracle = _canon(con.sql(sql_entity_link(DEFAULT_GAZETTEER)).df())
+        assert ours.equals(oracle), (len(ours), len(oracle))
