@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_stats": q.q_source_lang_stats,
         "revenue_by_returnflag": q.q_revenue_by_returnflag,
         "orders_per_nation": q.q_orders_per_nation,
+        "orders_per_nation_shuffle": q.q_orders_per_nation_shuffle,
         "top_customers": q.q_top_customers,
         "parts_by_type": q.q_parts_by_type,
         "props_key_counts": q.q_props_key_counts,
@@ -178,6 +179,11 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"
         ),
         "orders_per_nation": (
+            "SELECT n_name, count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "orders_per_nation_shuffle": (
             "SELECT n_name, count(*) AS n_orders FROM orders "
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"

@@ -227,6 +227,48 @@ def q_orders_per_nation(sf_dir: str):
     return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
 
 
+def q_orders_per_nation_shuffle(sf_dir: str):
+    """The PARTITIONED-join path for fact-sized sides: orders ⋈ customer via
+    Ray Data's hash-partitioned inner join (both sides shuffle on the key;
+    bounded memory per partition — the 10^12-row shape), then the 25-row
+    nation dim broadcast-attached, then grouped count. Same oracle as
+    ``orders_per_nation`` (which demonstrates the broadcast shape)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    ref = ray.put(
+        (nation.column("n_nationkey").combine_chunks(), nation.column("n_name").combine_chunks())
+    )
+
+    class AttachNation:
+        def __init__(self, ref):
+            self.keys, self.names = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            col = b.column("c_nationkey")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            idx = pc.index_in(col, value_set=self.keys)
+            return b.append_column("n_name", self.names.take(idx))
+
+    joined = joined.map_batches(
+        AttachNation, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
 def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
     """Brute-force cosine top-k over the embeddings table: the broadcast
     query vector is applied per batch with a vectorized matmul; per-batch

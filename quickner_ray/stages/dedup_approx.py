@@ -173,33 +173,53 @@ def lsh_dup_pairs(ds, *, threshold: float = 0.5, text_col: str = "text"):
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Batch -> (doc_id, simhash): 64-bit SimHash over word unigrams, each
     occurrence voting +/-1 per bit. Docs with zero words are dropped (the
-    SQL oracle's unnest does the same)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    shifts = np.arange(64, dtype=np.uint64)
-    cache: dict[str, int] = {}
-    out_ids, out_sim = [], []
-    for d, t in zip(doc_ids, texts):
-        words = WORD_RE.findall(t.lower())
-        if not words:
-            continue
-        hs = np.fromiter(
-            (cache.get(w) or cache.setdefault(w, h64(w)) for w in words),
-            dtype=np.uint64,
-            count=len(words),
+    SQL oracle's unnest does the same).
+
+    Vectorized: ONE split over the lowered batch, md5 computed only per
+    DISTINCT word in the batch (Zipf: the vocabulary is far smaller than the
+    occurrence stream), bit votes accumulated with a single scatter-add."""
+    import pyarrow.compute as pc
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    # findall(WORD_RE) == split on the complement class, empties dropped
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), "[^a-z0-9]+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat):
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(keep))
+        parents = parents[keep]
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    if not len(flat):
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "simhash": pa.array([], type=pa.uint64()),
+            }
         )
-        bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
-        votes = 2 * bits.astype(np.int64).sum(axis=0) - len(words)
-        sim = np.uint64(0)
-        sel = votes > 0
-        if sel.any():
-            sim = np.bitwise_or.reduce((np.uint64(1) << shifts)[sel])
-        out_ids.append(d)
-        out_sim.append(int(sim))
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    vocab = enc.dictionary.to_pylist()
+    shifts = np.arange(64, dtype=np.uint64)
+    vh = np.fromiter((h64(w) for w in vocab), dtype=np.uint64, count=len(vocab))
+    vocab_bits = ((vh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    ones = np.zeros((n_docs, 64), dtype=np.int64)
+    np.add.at(ones, parents, vocab_bits[codes])
+    n_words = np.bincount(parents, minlength=n_docs)
+    votes = 2 * ones - n_words[:, None]
+    sims = ((votes > 0).astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    has_words = n_words > 0
     return pa.Table.from_pydict(
         {
-            "doc_id": pa.array(out_ids, type=pa.int64()),
-            "simhash": pa.array(out_sim, type=pa.uint64()),
+            "doc_id": doc_ids.take(pa.array(np.flatnonzero(has_words))),
+            "simhash": pa.array(sims[has_words]),
         }
     )
 

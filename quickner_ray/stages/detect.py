@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..kernel.annotate import annotate_texts
 from ..kernel.automaton import Gazetteer
 
 LABEL_TYPE = pa.list_(
@@ -51,18 +50,38 @@ class MentionDetector:
 
 
 def annotate_batch_table(batch: pa.Table, gaz: Gazetteer, text_col: str = "text") -> pa.Table:
+    """Annotate a batch; the ``label`` list<struct> column is assembled from
+    the kernel's numpy arrays (offsets + struct children + label take) —
+    no per-mention Python dicts."""
+    import numpy as np
+
     texts = batch.column(text_col).to_pylist()
-    matched, spans = annotate_texts(texts, gaz)
-    label_arr = pa.array(
-        [[{"start": s, "end": e, "label": l} for s, e, l in doc] for doc in spans],
-        type=LABEL_TYPE,
+    if gaz.case_sensitive:
+        matched = texts
+    else:
+        matched = [t.lower() for t in texts]
+    doc_idx, starts, ends, pids = gaz.annotate_batch_arrays(matched)
+    n_docs = len(texts)
+    counts = np.bincount(doc_idx, minlength=n_docs) if len(doc_idx) else np.zeros(
+        n_docs, dtype=np.int64
     )
-    n = pa.array([len(doc) for doc in spans], type=pa.int64())
+    offsets = np.zeros(n_docs + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    label_lookup = pa.array(gaz.labels, type=pa.string())
+    struct = pa.StructArray.from_arrays(
+        [
+            pa.array(starts),
+            pa.array(ends),
+            label_lookup.take(pa.array(pids)) if len(pids) else pa.array([], pa.string()),
+        ],
+        names=["start", "end", "label"],
+    )
+    label_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
     out = batch
     idx = out.column_names.index(text_col)
     out = out.set_column(idx, text_col, pa.array(matched, type=pa.large_string()))
-    out = out.append_column("label", label_arr)
-    out = out.append_column("n_mentions", n)
+    out = out.append_column("label", label_arr.cast(LABEL_TYPE))
+    out = out.append_column("n_mentions", pa.array(counts, type=pa.int64()))
     return out
 
 

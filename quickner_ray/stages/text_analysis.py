@@ -131,26 +131,51 @@ _STOPWORDS = {
 
 class LangIdStage:
     """Actor-pool stage: stopword tables built once per actor (__init__),
-    scored per batch (__call__). Falls back to 'und' when no evidence."""
+    scored per batch (__call__). Falls back to 'und' when no evidence.
+
+    Vectorized: tokens come from ONE split over the lowered batch (findall
+    of the word class == split on its complement, empties dropped), the
+    first-200-words cap is a rank mask, and per-language hits are ``is_in``
+    + segment sums — no per-row Python."""
 
     def __init__(self):
-        import re
-
-        self.word_re = re.compile(r"[a-zA-Zäöüßéèàçñ]+")
-        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = list(_STOPWORDS)
+        self.tables = [
+            pa.array(sorted(_STOPWORDS[lang]), type=pa.large_string())
+            for lang in self.langs
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        langs = []
-        for t in texts:
-            words = self.word_re.findall(t.lower())[:200]
-            best, best_hits = "und", 0
-            for lang, table in self.tables.items():
-                hits = sum(w in table for w in words)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-        return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        lowered = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(lowered, "[^a-zäöüßéèàçñ]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat):
+            keep = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            parents = parents[keep]
+        hits = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            # rank of each token within its doc; score only the first LANG_CAP
+            first_idx = np.zeros(n_docs, dtype=np.int64)
+            counts = np.bincount(parents, minlength=n_docs)
+            first_idx[1:] = np.cumsum(counts)[:-1]
+            rank = np.arange(len(parents)) - first_idx[parents]
+            capped = rank < LANG_CAP
+            flat_c = flat.filter(pa.array(capped))
+            par_c = parents[capped]
+            for li, table in enumerate(self.tables):
+                m = pc.is_in(flat_c, value_set=table).to_numpy(zero_copy_only=False)
+                np.add.at(hits[:, li], par_c[m], 1)
+        best = hits.argmax(axis=1)  # ties -> earliest language (dict order)
+        none = hits.max(axis=1) == 0
+        names = np.array(self.langs + ["und"])
+        out = names[np.where(none, len(self.langs), best)]
+        return batch.append_column("lang_pred", pa.array(out, type=pa.string()))
 
 
 LANG_WORD_RE_SQL = "[a-zäöüßéèàçñ]+"
