@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dedup": q.q_doc_dedup,
         "filter_valid": q.q_filter_valid,
         "token_counts": q.q_token_counts,
+        "bpe_token_counts": q.q_bpe_token_counts,
         "quality_counts": q.q_quality_counts,
         "docs_by_lang": q.q_docs_by_lang,
         "source_lang_stats": q.q_source_lang_stats,
@@ -103,6 +104,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages import dedup_approx as da
     from quickner_ray.stages import multimodal as mm
     from quickner_ray.stages.text_analysis import (
+        sql_bpe_token_count,
         sql_fingerprint,
         sql_lang_id,
         sql_quality_score,
@@ -156,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}')) AS BIGINT)"
             " AS n_tokens FROM documents"
         ),
+        "bpe_token_counts": sql_bpe_token_count(),
         "quality_counts": (
             "SELECT doc_id, "
             "CAST(length(text) AS BIGINT) AS n_chars_m, "

@@ -122,6 +122,14 @@ def q_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
+def q_bpe_token_counts(sf_dir: str):
+    from ..stages.text_analysis import add_bpe_token_count
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_bpe_token_count, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_bpe_tokens"])
+
+
 def q_quality_counts(sf_dir: str):
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     ds = ds.map_batches(add_quality_counts, batch_format="pyarrow")

@@ -25,6 +25,38 @@ def add_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", n.cast(pa.int64()))
 
 
+# GPT-2-style pretokenizer, ASCII + RE2-safe: contraction suffixes, then
+# space-prefixed letter / digit / punctuation runs, then whitespace runs.
+# RE2 has no lookahead, so GPT-2's trailing-space rule ``\s+(?!\S)`` is
+# dropped (whitespace runs become single pretokens). pyarrow and DuckDB both
+# run RE2 with leftmost-first alternation, so counts agree bit-exactly.
+PRETOKEN_RE = (
+    "'(?:s|t|re|ve|m|ll|d)"
+    "| ?[a-zA-Z]+"
+    "| ?[0-9]+"
+    "| ?[^a-zA-Z0-9 \\t\\n\\x0b\\x0c\\r]+"
+    "|[ \\t\\n\\x0b\\x0c\\r]+"
+)
+
+
+def add_bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token budget estimate: number of GPT-2-style pretokens per
+    document (the pretokenizer is the dominant term of a real BPE token
+    count; merges only shrink within-pretoken counts)."""
+    texts = batch.column(text_col)
+    n = pc.count_substring_regex(texts, PRETOKEN_RE)
+    return batch.append_column("n_bpe_tokens", n.cast(pa.int64()))
+
+
+def sql_bpe_token_count(table: str = "documents") -> str:
+    """DuckDB oracle for ``add_bpe_token_count`` (same RE2 pattern)."""
+    pat = PRETOKEN_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+        f" AS n_bpe_tokens FROM {table}"
+    )
+
+
 def add_quality_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality-signal counts: chars, tokens, ASCII punct, digits, spaces."""
     texts = batch.column(text_col)
