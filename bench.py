@@ -219,7 +219,9 @@ def bench_once(
             )
             queries = {}
         else:
-            head = run_headline(sf_dir, num_cpus=num_cpus)
+            # same steady-state methodology as --scaling (documented in
+            # BASELINE.md): full-size untimed warm-up, best-of-2 timed reps
+            head = run_headline(sf_dir, num_cpus=num_cpus, warmup=True, reps=2)
             queries = run_queries(sf_dir)
     finally:
         ray.shutdown()

@@ -30,9 +30,15 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 WORD_RE = re.compile(r"[a-z0-9]+")
 WORD_RE_SQL = "[a-z0-9]+"  # RE2 class, identical semantics in DuckDB
+WORD_SPLIT_RE_SQL = "[^a-z0-9]+"  # complement class (split form of WORD_RE)
+
+# per-position shingle-combine multipliers (odd, 32-bit: keeps the DuckDB
+# oracle's UHUGEINT partial sums below 2^128 — xxhash primes)
+SH_C = np.array([0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D], dtype=np.uint64)
 
 N_SHINGLE = 3  # word n-gram size
 K_PERMS = 16
@@ -55,14 +61,26 @@ def h64(s: str) -> int:
 
 
 def shingle_hashes(text: str, n: int = N_SHINGLE) -> np.ndarray:
-    """Distinct word-``n``-gram hashes (uint64). Texts with < n words
-    contribute one shingle: all words joined (so every doc has >=1)."""
+    """Distinct word-``n``-gram hashes (uint64), scalar reference path.
+
+    Shingle hash = positional polynomial over per-WORD md5 hashes
+    (``sum_j h64(w[i+j]) * SH_C[j] mod 2^64``) — md5 runs once per word,
+    not once per n-gram, and the combine is plain integer arithmetic that
+    the DuckDB oracle replicates exactly (``sql_shingle_ctes``). Texts with
+    < n words contribute one shingle over the available words (so every doc
+    has >= 1; zero words -> hash 0)."""
     w = WORD_RE.findall(text.lower())
-    if len(w) >= n:
-        shingles = {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
-    else:
-        shingles = {" ".join(w)}
-    return np.fromiter((h64(s) for s in shingles), dtype=np.uint64, count=len(shingles))
+    hw = np.fromiter((h64(x) for x in w), dtype=np.uint64, count=len(w))
+    with np.errstate(over="ignore"):
+        if len(w) >= n:
+            h = np.zeros(len(w) - n + 1, dtype=np.uint64)
+            for j in range(n):
+                h += hw[j : len(w) - n + 1 + j] * SH_C[j]
+        elif len(w):
+            h = np.array([np.sum(hw * SH_C[: len(w)], dtype=np.uint64)])
+        else:
+            h = np.zeros(1, dtype=np.uint64)
+    return np.unique(h)
 
 
 def minhash_signature(hashes: np.ndarray) -> np.ndarray:
@@ -71,18 +89,88 @@ def minhash_signature(hashes: np.ndarray) -> np.ndarray:
         return (hashes[:, None] * PERM_A[None, :] + PERM_B[None, :]).min(axis=0)
 
 
+def _shingle_rows(texts, n: int = N_SHINGLE):
+    """Vectorized batch shingling: Arrow string array -> distinct
+    (row, shingle-hash) pairs, sorted by row.
+
+    One Arrow lower+split over the whole batch, md5 only per DISTINCT word
+    (dictionary-encode), n-gram combine as numpy uint64 arithmetic, per-row
+    dedup via one lexsort. Returns ``(parents, hashes, starts)`` where
+    ``starts[i]`` is the first index of row i's run (every row has >= 1
+    shingle, mirroring ``shingle_hashes``)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_rows = len(texts)
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_SPLIT_RE_SQL)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat):
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+    enc = pc.dictionary_encode(flat)
+    vocab_h = np.fromiter(
+        (h64(w) for w in enc.dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(enc.dictionary),
+    )
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    hw = vocab_h[codes] if len(codes) else np.empty(0, dtype=np.uint64)
+    wc = np.bincount(parents, minlength=n_rows) if len(parents) else np.zeros(
+        n_rows, dtype=np.int64
+    )
+    with np.errstate(over="ignore"):
+        # full n-gram windows (rows with >= n words)
+        if len(hw) >= n:
+            win = np.zeros(len(hw) - n + 1, dtype=np.uint64)
+            for j in range(n):
+                win += hw[j : len(hw) - n + 1 + j] * SH_C[j]
+            ok = parents[: -(n - 1)] == parents[n - 1 :]
+            win_h, win_p = win[ok], parents[: -(n - 1)][ok]
+        else:
+            win_h = np.empty(0, dtype=np.uint64)
+            win_p = np.empty(0, dtype=np.int64)
+        # short rows (< n words, incl. zero): one polynomial over all words
+        short = np.flatnonzero(wc < n)
+        acc = np.zeros(n_rows, dtype=np.uint64)
+        if len(parents):
+            doc_start = np.searchsorted(parents, np.arange(n_rows))
+            pos = np.arange(len(parents)) - doc_start[parents]
+            sel = wc[parents] < n
+            np.add.at(acc, parents[sel], hw[sel] * SH_C[pos[sel]])
+    all_p = np.concatenate([win_p, short])
+    all_h = np.concatenate([win_h, acc[short]])
+    order = np.lexsort((all_h, all_p))
+    p, h = all_p[order], all_h[order]
+    keep = np.ones(len(p), dtype=bool)
+    keep[1:] = (p[1:] != p[:-1]) | (h[1:] != h[:-1])
+    p, h = p[keep], h[keep]
+    starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]]) if len(p) else np.empty(
+        0, dtype=np.int64
+    )
+    return p, h, starts
+
+
+def _batch_signatures(texts) -> np.ndarray:
+    """Vectorized per-row MinHash signatures: (n_rows, K_PERMS) uint64."""
+    p, h, starts = _shingle_rows(texts)
+    with np.errstate(over="ignore"):
+        affine = h[:, None] * PERM_A[None, :] + PERM_B[None, :]
+    sigs = np.minimum.reduceat(affine, starts, axis=0)
+    return sigs, p, h, starts
+
+
 def minhash_signatures_long(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Batch -> long-form signatures (doc_id, perm_id, sig). Oracle-checked
     shape: one row per (doc, permutation)."""
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    n = len(texts)
-    sigs = np.empty((n, K_PERMS), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sigs[i] = minhash_signature(shingle_hashes(t))
+    doc_ids = batch.column("doc_id")
+    n = len(doc_ids)
+    sigs, _, _, _ = _batch_signatures(batch.column(text_col))
     return pa.Table.from_pydict(
         {
-            "doc_id": pa.array(np.repeat(np.asarray(doc_ids), K_PERMS)),
+            "doc_id": doc_ids.take(
+                pa.array(np.repeat(np.arange(n, dtype=np.int64), K_PERMS))
+            ),
             "perm_id": pa.array(np.tile(np.arange(K_PERMS, dtype=np.int64), n)),
             "sig": pa.array(sigs.reshape(-1)),
         }
@@ -95,27 +183,40 @@ def band_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ``band_key`` = ':'-joined decimal sigs of the band (string key shuffles
     cheaply and matches the SQL string_agg form). The distinct shingle-hash
     set rides along so bucket groups can verify exact Jaccard without a
-    second pass over the corpus.
-    """
-    doc_ids = batch.column("doc_id").to_pylist()
-    texts = batch.column(text_col).to_pylist()
-    out_doc, out_band, out_key, out_sh = [], [], [], []
-    for d, t in zip(doc_ids, texts):
-        hs = shingle_hashes(t)
-        sig = minhash_signature(hs)
-        sh_list = hs.tolist()
-        for b in range(BANDS):
-            rows = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            out_doc.append(d)
-            out_band.append(b)
-            out_key.append(":".join(str(int(v)) for v in rows))
-            out_sh.append(sh_list)
+    second pass over the corpus. Key strings are built with one Arrow
+    element-wise join per band; the shingle list column is one ListArray
+    over the vectorized shingle rows (no per-doc Python)."""
+    doc_ids = batch.column("doc_id")
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    n = len(doc_ids)
+    sigs, p, h, starts = _batch_signatures(batch.column(text_col))
+    counts = np.diff(np.r_[starts, len(p)])
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    shingle_list = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(h, type=pa.uint64())
+    )
+    rep = np.repeat(np.arange(n, dtype=np.int64), BANDS)
+    keys = []
+    for b in range(BANDS):
+        cols = [
+            pa.array(sigs[:, b * ROWS_PER_BAND + r]).cast(pa.string())
+            for r in range(ROWS_PER_BAND)
+        ]
+        keys.append(pc.binary_join_element_wise(*cols, ":"))
+    key_all = pa.concat_arrays(keys)  # band-major: [b0 rows..., b1 rows...]
+    # reorder band-major -> doc-major (d0b0, d0b1, ...): output row d*B+b
+    # reads key_all[b*n + d]
+    doc_major = np.tile(np.arange(BANDS, dtype=np.int64), n) * n + np.repeat(
+        np.arange(n, dtype=np.int64), BANDS
+    )
     return pa.Table.from_pydict(
         {
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "band_id": pa.array(out_band, type=pa.int64()),
-            "band_key": pa.array(out_key, type=pa.string()),
-            "shingles": pa.array(out_sh, type=pa.list_(pa.uint64())),
+            "doc_id": doc_ids.take(pa.array(rep)).cast(pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(BANDS, dtype=np.int64), n)),
+            "band_key": key_all.take(pa.array(doc_major)),
+            "shingles": shingle_list.take(pa.array(rep)),
         }
     )
 
@@ -320,19 +421,30 @@ def sql_perm_values() -> str:
 
 def sql_shingle_ctes(table: str = "documents") -> str:
     """WITH-clauses: words -> distinct shingle hashes (h64) per doc.
-    range(1, len(w)-(n-2)) yields the len(w)-n+1 n-gram start positions
-    (DuckDB lists are 1-based, slices inclusive)."""
+
+    Mirrors ``shingle_hashes``: per-WORD md5 (``md5_number_upper`` ==
+    ``h64``) combined positionally with the 32-bit ``SH_C`` multipliers mod
+    2^64 (UHUGEINT partial sums stay < 2^128, so plain arithmetic is exact).
+    ``range(1, len-1)`` yields the ``len(w) - n + 1`` 3-gram start positions
+    (DuckDB lists are 1-based, ``range`` stop-exclusive)."""
+    assert N_SHINGLE == 3  # the CASE arms below are written for 3-grams
+    c0, c1, c2 = (int(c) for c in SH_C)
+    m = "18446744073709551616"  # 2^64
     return (
         f"words AS (\n"
-        f"  SELECT doc_id, regexp_extract_all(lower(text), '{WORD_RE_SQL}') AS w FROM {table}\n"
+        f"  SELECT doc_id, list_transform(\n"
+        f"    regexp_extract_all(lower(text), '{WORD_RE_SQL}'),\n"
+        f"    w -> CAST(md5_number_upper(w) AS UHUGEINT)) AS hw FROM {table}\n"
         f"), sh AS (\n"
-        f"  SELECT doc_id, unnest(CASE WHEN len(w) >= {N_SHINGLE}\n"
-        f"     THEN list_transform(range(1, len(w) - {N_SHINGLE - 2}), "
-        f"i -> array_to_string(w[i:i+{N_SHINGLE - 1}], ' '))\n"
-        f"     ELSE [array_to_string(w, ' ')] END) AS s\n"
+        f"  SELECT doc_id, unnest(CASE\n"
+        f"    WHEN len(hw) >= 3 THEN list_transform(range(1, len(hw) - 1),\n"
+        f"      i -> CAST((hw[i]*{c0} + hw[i+1]*{c1} + hw[i+2]*{c2}) % {m} AS UBIGINT))\n"
+        f"    WHEN len(hw) = 2 THEN [CAST((hw[1]*{c0} + hw[2]*{c1}) % {m} AS UBIGINT)]\n"
+        f"    WHEN len(hw) = 1 THEN [CAST((hw[1]*{c0}) % {m} AS UBIGINT)]\n"
+        f"    ELSE [CAST(0 AS UBIGINT)] END) AS h64\n"
         f"  FROM words\n"
         f"), hsh AS (\n"
-        f"  SELECT DISTINCT doc_id, md5_number_upper(s) AS h64 FROM sh\n"
+        f"  SELECT DISTINCT doc_id, h64 FROM sh\n"
         f")"
     )
 

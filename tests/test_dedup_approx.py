@@ -32,10 +32,30 @@ class TestKernel:
             assert int(v) == da.h64(s), s
 
     def test_shingles_short_text(self):
-        # < n words -> single joined shingle; deterministic
+        # < n words -> single polynomial shingle over the available words
         h = da.shingle_hashes("two words")
-        assert len(h) == 1 and h[0] == np.uint64(da.h64("two words"))
+        expect = (
+            np.uint64(da.h64("two")) * da.SH_C[0]
+            + np.uint64(da.h64("words")) * da.SH_C[1]
+        )
+        assert len(h) == 1 and h[0] == expect
         assert len(da.shingle_hashes("a b c d")) == 2  # two 3-grams
+        assert da.shingle_hashes("").tolist() == [0]  # zero words -> hash 0
+
+    def test_vectorized_shingles_equal_scalar(self):
+        import pyarrow as pa
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "two words", "one", "", "  !! punct only !!",
+            "a b c a b c a b c", "x1 y2 z3 w4",
+            "repeated repeated repeated repeated",
+            "Ümlaut straße mixed café 中文 words here",
+        ]
+        p, h, starts = da._shingle_rows(pa.array(texts))
+        assert len(starts) == len(texts)  # every row has >= 1 shingle
+        for i, t in enumerate(texts):
+            assert np.array_equal(np.sort(da.shingle_hashes(t)), np.sort(h[p == i])), t
 
     def test_identical_texts_identical_signatures(self):
         a = da.minhash_signature(da.shingle_hashes("the quick brown fox jumps"))
