@@ -58,7 +58,9 @@ def corpus_prep(sf_dir: str):
         return b.filter(mask)
 
     ds = docs.map_batches(length_filter, batch_format="pyarrow")
-    ds = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.taskstate import task_stage
+
+    ds = ds.map_batches(task_stage(LangIdStage), batch_format="pyarrow")
     ds = ds.filter(expr=f"lang_pred == '{LANG}'")
     ds = anti_join(ds, "doc_id", pairs, "doc_b")
     ds = ds.map_batches(add_token_count, batch_format="pyarrow")

@@ -225,12 +225,11 @@ def q_orders_per_nation(sf_dir: str):
             idx = pc.index_in(col, value_set=self.keys)
             return b.append_column("n_name", self.names.take(idx))
 
+    from ..stages.taskstate import task_stage
+
     ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
     ds = ds.map_batches(
-        AddNation,
-        fn_constructor_kwargs={"ref": lookup_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        task_stage(AddNation, ref=lookup_ref), batch_format="pyarrow"
     )
     return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
 
@@ -270,9 +269,10 @@ def q_orders_per_nation_shuffle(sf_dir: str):
             idx = pc.index_in(col, value_set=self.keys)
             return b.append_column("n_name", self.names.take(idx))
 
+    from ..stages.taskstate import task_stage
+
     joined = joined.map_batches(
-        AttachNation, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
+        task_stage(AttachNation, ref=ref), batch_format="pyarrow"
     )
     return joined.groupby("n_name").aggregate(Count(alias_name="n_orders"))
 
@@ -415,10 +415,9 @@ def q_parts_by_type(sf_dir: str):
     ds = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey", "l_quantity"]
     )
-    ds = ds.map_batches(
-        AddType, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    from ..stages.taskstate import task_stage
+
+    ds = ds.map_batches(task_stage(AddType, ref=ref), batch_format="pyarrow")
     return ds.groupby("p_type").aggregate(
         Sum("l_quantity", alias_name="sum_qty"), Count(alias_name="n_items")
     )
@@ -482,7 +481,9 @@ def q_lang_id(sf_dir: str):
     from ..stages.text_analysis import LangIdStage
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+    from ..stages.taskstate import task_stage
+
+    ds = ds.map_batches(task_stage(LangIdStage), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang_pred"])
 
 

@@ -78,9 +78,10 @@ def anti_join(
                 mask = pc.invert(pc.is_in(col, value_set=self.values))
                 return b.filter(mask)
 
+        from .taskstate import task_stage
+
         return ds.map_batches(
-            DropByKey, fn_constructor_kwargs={"ref": ref}, batch_format="pyarrow",
-            concurrency=(1, 4),
+            task_stage(DropByKey, ref=ref), batch_format="pyarrow"
         )
 
     # hash-partitioned anti-join: both sides shuffle on the key, partitions

@@ -159,16 +159,29 @@ def link_mentions(
     *,
     text_col: str = "doc_text",
     batch_size: int = 4096,
-    concurrency=(1, 8),
+    concurrency=None,
     **scoring,
 ):
-    """Attach the linker actor pool. ``entities`` is the (surface, label,
-    prior) candidate source — typically the canonical-entity table collected
-    driver-side (small) or a curated KB alias file."""
+    """Attach the linker stage. ``entities`` is the (surface, label, prior)
+    candidate source — typically the canonical-entity table collected
+    driver-side (small) or a curated KB alias file.
+
+    The alias table is LIGHT broadcast state (plasma-zero-copy Arrow), so
+    the default runs as a task stage with a once-per-worker-process instance
+    (no actor-pool spin-up); pass ``concurrency`` to force a bounded actor
+    pool (e.g. when the alias table is huge and copies must be capped)."""
     import ray
 
     payload = build_alias_table(entities)
     ref = ray.put(payload)
+    if concurrency is None:
+        from .taskstate import task_stage
+
+        return mentions_ds.map_batches(
+            task_stage(EntityLinker, alias_ref=ref, text_col=text_col, **scoring),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
     return mentions_ds.map_batches(
         EntityLinker,
         fn_constructor_kwargs={"alias_ref": ref, "text_col": text_col, **scoring},

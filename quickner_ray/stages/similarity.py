@@ -113,11 +113,10 @@ def build_ivf_index(
 
     cent_ref = ray.put(cent)
     ds = rd.read_parquet(emb_path, columns=[id_col, "embedding"])
+    from .taskstate import task_stage
+
     ds = ds.map_batches(
-        ClusterAssigner,
-        fn_constructor_kwargs={"cent_ref": cent_ref},
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        task_stage(ClusterAssigner, cent_ref=cent_ref), batch_format="pyarrow"
     )
     ds.write_parquet(out_dir, partition_cols=["cluster_id"])
     np.save(os.path.join(out_dir, "centroids.npy"), cent)
@@ -178,10 +177,9 @@ def query_ivf_index(
                 }
             )
 
-    ds = ds.map_batches(
-        Score, fn_constructor_kwargs={"q_ref": q_ref}, batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
+    from .taskstate import task_stage
+
+    ds = ds.map_batches(task_stage(Score, q_ref=q_ref), batch_format="pyarrow")
     return ds.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
 
 
