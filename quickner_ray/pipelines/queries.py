@@ -73,9 +73,9 @@ def scaled_gazetteer(n_extra: int = 50_000, case_sensitive: bool = False) -> Gaz
 def annotated_documents(sf_dir: str, *, batch_size: int = 2048):
     """documents.parquet -> annotated Dataset (text path of the flagship)."""
     ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
-    return detect_mentions(
-        ds, documents_gazetteer(), batch_size=batch_size, concurrency=(2, 8)
-    )
+    # small gazetteer -> detect_mentions picks the task-stage shape
+    # (once-per-worker automaton, no actor-pool spin-up)
+    return detect_mentions(ds, documents_gazetteer(), batch_size=batch_size)
 
 
 def mentions_dataset(sf_dir: str, *, keep_text: bool = False):

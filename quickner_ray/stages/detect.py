@@ -188,17 +188,32 @@ def detect_mentions(
     num_cpus: float = 1,
     text_col: str = "text",
 ):
-    """Attach the detector actor pool to a Dataset.
+    """Attach the detector stage to a Dataset.
 
-    ``concurrency`` defaults to an autoscaling pool (2, cluster CPUs); size
-    it with ``num_cpus`` so the pool leaves headroom for read/write stages.
+    The actor-pool-vs-task choice is DATA-dependent: a large gazetteer
+    (10^4+ names) compiles a heavy automaton whose copy count an actor pool
+    should bound — ``concurrency`` defaults to an autoscaling pool
+    (2, cluster CPUs) there; size it with ``num_cpus`` so the pool leaves
+    headroom for read/write stages. A small gazetteer's automaton is light
+    state, so the stage runs as tasks with a once-per-worker-process
+    instance (no pool spin-up). Pass ``concurrency`` explicitly to force
+    either shape.
     """
     import ray
 
+    gaz_ref = ray.put(gazetteer)
+    if concurrency is None and len(gazetteer.names) < 1000:
+        from .taskstate import task_stage
+
+        return ds.map_batches(
+            task_stage(MentionDetector, gazetteer=gaz_ref, text_col=text_col),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
     if concurrency is None:
         total = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (2, max(2, total - 2))
-    gaz_ref = ray.put(gazetteer)
     return ds.map_batches(
         MentionDetector,
         fn_constructor_kwargs={"gazetteer": gaz_ref, "text_col": text_col},
