@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": q.q_events_sliding_window,
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
+        "events_last_order": q.q_events_last_order,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
@@ -113,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
     token_re = r"[^ \t\n\x0b\x0c\r]+"
     punct_re = r"[!-/:-@\[-`{-~]"
     from quickner_ray.stages import events as ev
+    from quickner_ray.stages.asof import sql_asof_last_order as _sql_asof
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
 
@@ -139,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_window": ev.sql_sliding_window_counts(),
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
+        "events_last_order": _sql_asof(),
         "media_features": mm.sql_image_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

@@ -476,6 +476,22 @@ def q_user_event_stats(sf_dir: str):
     return user_stats(_events(sf_dir, columns=["user_id", "event_type", "value"]))
 
 
+def q_events_last_order(sf_dir: str):
+    """As-of join: each event attached to the user's most recent order at
+    event time (one hash shuffle on the user key, vectorized sorted-merge
+    per group — stages/asof.py)."""
+    import ray.data as rd
+
+    from ..stages.asof import asof_last_order
+
+    events = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    return asof_last_order(events, orders)
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
     from ..stages.text_analysis import LangIdStage
