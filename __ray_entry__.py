@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
+        "top_orders_per_priority": q.q_top_orders_per_priority,
+        "stratified_sample": q.q_stratified_sample,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
@@ -115,6 +117,10 @@ def oracle_sql() -> dict[str, str]:
     punct_re = r"[!-/:-@\[-`{-~]"
     from quickner_ray.stages import events as ev
     from quickner_ray.stages.asof import sql_asof_last_order as _sql_asof
+    from quickner_ray.stages.topk import (
+        sql_grouped_topk_orders as _sql_topk_orders,
+        sql_stratified_sample_docs as _sql_strat_sample,
+    )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
 
@@ -142,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
+        "top_orders_per_priority": _sql_topk_orders(),
+        "stratified_sample": _sql_strat_sample(),
         "media_features": mm.sql_image_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

@@ -476,6 +476,33 @@ def q_user_event_stats(sf_dir: str):
     return user_stats(_events(sf_dir, columns=["user_id", "event_type", "value"]))
 
 
+def q_top_orders_per_priority(sf_dir: str, k: int = 3):
+    """Grouped top-k with a partial combiner (stages/topk.py): top-k orders
+    per priority class by total price."""
+    import ray.data as rd
+
+    from ..stages.topk import grouped_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"],
+    )
+    out = grouped_topk(
+        ds, "o_orderpriority", ["o_totalprice", "o_orderkey"], k, descending=True
+    )
+    return out.select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+
+
+def q_stratified_sample(sf_dir: str, k: int = 20):
+    """Deterministic k-per-language document sample by md5 hash rank."""
+    from ..stages.topk import stratified_sample
+
+    ds = _docs(sf_dir, columns=["lang", "doc_id"])
+    return stratified_sample(ds, "lang", "doc_id", k).select_columns(
+        ["lang", "doc_id"]
+    )
+
+
 def q_events_last_order(sf_dir: str):
     """As-of join: each event attached to the user's most recent order at
     event time (one hash shuffle on the user key, vectorized sorted-merge

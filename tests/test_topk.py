@@ -1,0 +1,78 @@
+"""Grouped top-k (stages/topk.py): the per-batch combiner must never drop a
+row that belongs in the global top-k (total-order tie-breaks make pruning
+safe), and the stratified sample must be deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from quickner_ray.stages.topk import grouped_topk, stratified_sample
+
+
+def test_grouped_topk_across_blocks(ray_session):
+    import ray.data as rd
+
+    # one hot key spread over many blocks; values interleaved so every
+    # block holds some of the global top rows and some losers
+    rng = np.random.RandomState(7)
+    n = 5000
+    keys = np.where(rng.rand(n) < 0.8, "hot", "cold")
+    vals = rng.permutation(n).astype("float64")
+    ids = np.arange(n, dtype=np.int64)
+    tab = pa.table({"k": keys, "v": vals, "id": ids})
+    ds = rd.from_arrow(tab).repartition(10)
+    out = (
+        grouped_topk(ds, "k", ["v", "id"], 5, descending=True)
+        .to_pandas()
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    expect = (
+        tab.to_pandas()
+        .sort_values(["v", "id"], ascending=[False, True])
+        .groupby("k", sort=True)
+        .head(5)
+        .sort_values(["k", "v"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "v", "id"]], expect[["k", "v", "id"]])
+
+
+def test_grouped_topk_ties_and_small_groups(ray_session):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "k": ["a", "a", "a", "b"],
+            "v": [1.0, 1.0, 1.0, 9.0],  # all-ties: id ascending wins
+            "id": pa.array([3, 1, 2, 7], type=pa.int64()),
+        }
+    )
+    out = (
+        grouped_topk(rd.from_arrow(tab), "k", ["v", "id"], 2, descending=True)
+        .to_pandas()
+        .sort_values(["k", "id"])
+        .reset_index(drop=True)
+    )
+    assert out[out.k == "a"].id.tolist() == [1, 2]
+    assert out[out.k == "b"].id.tolist() == [7]  # group smaller than k
+
+
+def test_stratified_sample_deterministic(ray_session):
+    import ray.data as rd
+
+    tab = pa.table(
+        {
+            "lang": ["en"] * 50 + ["de"] * 10,
+            "doc_id": pa.array(range(60), type=pa.int64()),
+        }
+    )
+    a = stratified_sample(rd.from_arrow(tab), "lang", "doc_id", 4).to_pandas()
+    b = stratified_sample(rd.from_arrow(tab), "lang", "doc_id", 4).to_pandas()
+    a = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert a[["lang", "doc_id"]].equals(b[["lang", "doc_id"]])
+    assert (a.groupby("lang").size() == 4).all()
