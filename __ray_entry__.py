@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": q.q_events_last_order,
         "top_orders_per_priority": q.q_top_orders_per_priority,
         "stratified_sample": q.q_stratified_sample,
+        "doc_chunks": q.q_doc_chunks,
+        "vocab_df": q.q_vocab_df,
+        "redact_pii": q.q_redact_pii,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
@@ -121,6 +124,11 @@ def oracle_sql() -> dict[str, str]:
         sql_grouped_topk_orders as _sql_topk_orders,
         sql_stratified_sample_docs as _sql_strat_sample,
     )
+    from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
+    from quickner_ray.stages.text_analysis import (
+        sql_redact_pii as _sql_redact,
+        sql_vocab_df as _sql_vocab,
+    )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
 
@@ -150,6 +158,9 @@ def oracle_sql() -> dict[str, str]:
         "events_last_order": _sql_asof(),
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
+        "doc_chunks": _sql_chunks(size=200, overlap=40),
+        "vocab_df": _sql_vocab(),
+        "redact_pii": _sql_redact(),
         "media_features": mm.sql_image_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

@@ -503,6 +503,30 @@ def q_stratified_sample(sf_dir: str, k: int = 20):
     )
 
 
+def q_doc_chunks(sf_dir: str, size: int = 200, overlap: int = 40):
+    """Fixed-size character chunking with overlap (training-data prep)."""
+    from ..stages.chunking import chunk_documents
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return chunk_documents(ds, size=size, overlap=overlap)
+
+
+def q_vocab_df(sf_dir: str):
+    """Corpus vocabulary doc/term frequencies (partial-combiner shuffle)."""
+    from ..stages.text_analysis import vocab_df
+
+    return vocab_df(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_redact_pii(sf_dir: str):
+    """PII scrubbing: emails/phones/long digit runs -> typed placeholders."""
+    from ..stages.text_analysis import redact_pii
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(redact_pii, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "clean_text"])
+
+
 def q_events_last_order(sf_dir: str):
     """As-of join: each event attached to the user's most recent order at
     event time (one hash shuffle on the user key, vectorized sorted-merge

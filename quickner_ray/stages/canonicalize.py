@@ -50,13 +50,14 @@ def _slice_surfaces(text_arr: pa.Array, parents, starts, ends) -> pa.Array:
         pc.equal(pc.utf8_length(text_arr), pc.binary_length(text_arr))
     ).as_py()
     if not ascii_ok:
+        def _aslist(x):
+            return x.to_pylist() if hasattr(x, "to_pylist") else list(x)
+
         texts = text_arr.to_pylist()
         return pa.array(
             [
                 texts[pi][si:ei]
-                for pi, si, ei in zip(
-                    parents.to_pylist(), starts.to_pylist(), ends.to_pylist()
-                )
+                for pi, si, ei in zip(_aslist(parents), _aslist(starts), _aslist(ends))
             ],
             type=pa.large_string(),
         )

@@ -152,6 +152,106 @@ def sql_quality_score(table: str = "documents") -> str:
     )
 
 
+# -- vocabulary statistics (df/tf with a partial combiner) -------------------
+
+WORD_CLASS_RE = "[a-z0-9]+"
+WORD_CLASS_SPLIT_RE = "[^a-z0-9]+"
+
+
+def partial_vocab_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial (word, df, tf): tf = occurrences, df = docs
+    containing. A batch contributes at most ONE row per distinct word no
+    matter how hot the word is — the combiner that bounds the vocab shuffle.
+    One split + dictionary-encode per batch; counts via bincount."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat):
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+    if not len(flat):
+        return pa.table(
+            {
+                "word": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+            }
+        )
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = len(enc.dictionary)
+    tf = np.bincount(codes, minlength=n_words)
+    # df: distinct (doc, word) pairs
+    pair = parents.astype(np.int64) * n_words + codes
+    uniq = np.unique(pair)
+    df = np.bincount((uniq % n_words).astype(np.int64), minlength=n_words)
+    return pa.table(
+        {
+            "word": enc.dictionary.cast(pa.string()),
+            "df": pa.array(df, type=pa.int64()),
+            "tf": pa.array(tf, type=pa.int64()),
+        }
+    )
+
+
+def vocab_df(ds, text_col: str = "text"):
+    """Corpus vocabulary with document frequency and term frequency:
+    partial counts per batch, then one small groupby().sum over words."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_vocab_counts(b, text_col), batch_format="pyarrow"
+    )
+    return partials.groupby("word").aggregate(
+        Sum("df", alias_name="df"), Sum("tf", alias_name="tf")
+    )
+
+
+def sql_vocab_df(table: str = "documents") -> str:
+    return (
+        f"SELECT w AS word, count(DISTINCT doc_id) AS df, count(*) AS tf\n"
+        f"FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        f" '{WORD_CLASS_RE}')) AS w FROM {table})\n"
+        f"GROUP BY w"
+    )
+
+
+# -- PII redaction (corpus cleaning) -----------------------------------------
+
+# RE2-safe patterns, applied in order: email first (so its digits/dots are
+# not half-eaten), then unbroken long digit runs (ids/cards -> <NUM>; must
+# precede the phone rule, which would otherwise swallow every 9+-digit
+# run), then separator-shaped phone numbers. Identical semantics in DuckDB.
+PII_RULES: list[tuple[str, str]] = [
+    (r"[a-zA-Z0-9._%+\-]+@[a-zA-Z0-9.\-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"[0-9]{9,}", "<NUM>"),
+    (r"\+?[0-9][0-9()\-. ]{7,}[0-9]", "<PHONE>"),
+]
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Replace emails / phone-shaped runs / long digit runs with typed
+    placeholders. Vectorized: one ``replace_substring_regex`` pass per rule."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    for pat, repl in PII_RULES:
+        texts = pc.replace_substring_regex(texts, pat, repl)
+    return batch.append_column("clean_text", texts)
+
+
+def sql_redact_pii(table: str = "documents") -> str:
+    expr = "text"
+    for pat, repl in PII_RULES:
+        sq = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sq}', '{repl}', 'g')"
+    return f"SELECT doc_id, {expr} AS clean_text FROM {table}"
+
+
 # -- language ID (n-gram/stopword heuristic; no external models) -------------
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "in", "is", "it", "you", "that", "was", "for"},

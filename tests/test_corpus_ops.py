@@ -1,0 +1,90 @@
+"""Chunking, vocab-DF, and PII redaction: engine vs DuckDB oracle on
+crafted inputs that actually exercise the rules (the sf testdata contains
+no PII and little vocab variety)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+
+from quickner_ray.stages.chunking import chunk_batch, sql_chunks
+from quickner_ray.stages.text_analysis import (
+    partial_vocab_counts,
+    redact_pii,
+    sql_redact_pii,
+    sql_vocab_df,
+)
+
+
+def _oracle(tbl: pa.Table, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    con.register("documents", tbl)
+    return con.sql(sql).df()
+
+
+def test_chunking_matches_oracle_incl_edges():
+    texts = [
+        "a" * 450,          # 3 windows at size=200/step=160
+        "b" * 200,          # exactly one window
+        "c" * 201,          # wraps into a 41-char tail
+        "",                 # no chunks
+        "short",
+        "ü" * 170,          # non-ASCII: char semantics must match substr
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    got = chunk_batch(tbl, size=200, overlap=40).to_pandas()
+    ora = _oracle(tbl, sql_chunks(size=200, overlap=40))
+    cols = ["doc_id", "chunk_id", "chunk_text"]
+    got = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    ora = ora[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+    # overlap really overlaps
+    c0 = got[(got.doc_id == 0) & (got.chunk_id == 0)].chunk_text.iloc[0]
+    c1 = got[(got.doc_id == 0) & (got.chunk_id == 1)].chunk_text.iloc[0]
+    assert c0[-40:] == c1[:40]
+    assert (got.doc_id != 3).all()  # empty doc -> no chunks
+
+
+def test_redact_pii_rules():
+    texts = [
+        "mail me at john.doe+x@example.co.uk please",
+        "call +1 (415) 555-0199 or 020 7946 0958 now",
+        "ssn-ish 123456789 and card 4111111111111111",
+        "clean text with no pii at all",
+        "a@b.io end",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    got = redact_pii(tbl).to_pandas()[["doc_id", "clean_text"]]
+    ora = _oracle(tbl, sql_redact_pii())
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        ora.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    by = got.set_index("doc_id").clean_text
+    assert by[0] == "mail me at <EMAIL> please"
+    assert "<PHONE>" in by[1] and "555" not in by[1]
+    assert "<NUM>" in by[2] and "123456789" not in by[2]
+    assert by[3] == "clean text with no pii at all"
+    assert by[4] == "<EMAIL> end"
+
+
+def test_vocab_partial_counts():
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["the cat the dog", "THE bird", ""],
+        }
+    )
+    got = (
+        partial_vocab_counts(tbl)
+        .to_pandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    ora = _oracle(tbl, sql_vocab_df()).sort_values("word").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+    the = got[got.word == "the"].iloc[0]
+    assert the.df == 2 and the.tf == 3  # df counts docs, tf occurrences
