@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": q.q_doc_chunks,
         "vocab_df": q.q_vocab_df,
         "redact_pii": q.q_redact_pii,
+        "doc_keywords": q.q_doc_keywords,
+        "packed_sequences": q.q_packed_sequences,
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
@@ -126,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
     from quickner_ray.stages.text_analysis import (
+        sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
         sql_vocab_df as _sql_vocab,
     )
@@ -161,6 +164,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": _sql_chunks(size=200, overlap=40),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),
+        "doc_keywords": _sql_keywords(k=3),
+        # packed_sequences: intentionally no oracle (per-block greedy
+        # packing is order-dependent; invariants pinned in tests)
         "media_features": mm.sql_image_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

@@ -527,6 +527,25 @@ def q_redact_pii(sf_dir: str):
     return ds.select_columns(["doc_id", "clean_text"])
 
 
+def q_doc_keywords(sf_dir: str, k: int = 3):
+    """Top-k characteristic words per doc (tf/df weighting, exact-rational
+    so the oracle hash-matches)."""
+    from ..stages.text_analysis import doc_keywords
+
+    return doc_keywords(_docs(sf_dir, columns=["doc_id", "text"]), k=k)
+
+
+def q_packed_sequences(sf_dir: str, max_len: int = 600):
+    """Chunk -> greedy per-block sequence packing (rows-only: packing is
+    order-dependent per block; invariants pinned in tests/test_packing.py)."""
+    from ..stages.chunking import chunk_documents
+    from ..stages.packing import pack_sequences
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, size=200, overlap=40)
+    return pack_sequences(chunks, max_len=max_len)
+
+
 def q_events_last_order(sf_dir: str):
     """As-of join: each event attached to the user's most recent order at
     event time (one hash shuffle on the user key, vectorized sorted-merge

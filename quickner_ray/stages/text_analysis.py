@@ -220,6 +220,102 @@ def sql_vocab_df(table: str = "documents") -> str:
     )
 
 
+# -- per-doc keywords (tf-weighted by inverse document frequency) ------------
+
+
+def doc_keywords(ds, *, k: int = 3, text_col: str = "text"):
+    """Top-k characteristic words per document, ranked by tf/df (term count
+    over corpus document frequency — an exact-rational idf weighting so the
+    score is ONE IEEE division in both engines and the DuckDB oracle
+    hash-matches; classic log-idf would drift in the last ulp between numpy
+    and DuckDB ln). Ties break to the lexicographically smaller word.
+
+    Shape: vocab_df partials -> small word table collected driver-side and
+    broadcast (bounded: distinct words, zipf-capped in real corpora; at
+    10^12 docs cap it with a min-df filter) -> one vectorized pass
+    computing per-doc tf and the top-k mask."""
+    import ray
+
+    from .topk import _head_mask
+
+    df_tab = vocab_df(ds, text_col).select_columns(["word", "df"]).to_arrow_refs()
+    df_tbl = pa.concat_tables([ray.get(r) for r in df_tab]).combine_chunks()
+    ref = ray.put(df_tbl)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        words_arr = lookup.column("word")
+        if isinstance(words_arr, pa.ChunkedArray):
+            words_arr = words_arr.combine_chunks()
+        df_np = lookup.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty].astype(np.int64)
+        if not len(flat):
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").slice(0, 0),
+                    "word": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "df": pa.array([], type=pa.int64()),
+                }
+            )
+        # per-(doc, word) tf via one unique over packed pairs
+        gcodes = pc.index_in(flat, value_set=words_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_vocab = len(words_arr)
+        pair = parents * n_vocab + gcodes
+        uniq, tf = np.unique(pair, return_counts=True)
+        u_doc = uniq // n_vocab
+        u_word = uniq % n_vocab
+        score = tf.astype(np.float64) / df_np[u_word]
+        word_vals = words_arr.take(pa.array(u_word))
+        # top-k per doc: rank by score desc, tie word asc — word order via
+        # its global sorted rank (index_in against the sorted vocab)
+        sorted_vocab = pc.array_sort_indices(words_arr)
+        word_rank = np.empty(n_vocab, dtype=np.int64)
+        word_rank[sorted_vocab.to_numpy(zero_copy_only=False)] = np.arange(n_vocab)
+        order = np.lexsort((word_rank[u_word], -score, u_doc))
+        mask = _head_mask(u_doc, order, k)
+        sel = np.flatnonzero(mask)
+        doc_col = batch.column("doc_id")
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_col.take(pa.array(u_doc[sel])),
+                "word": word_vals.take(pa.array(sel)).cast(pa.string()),
+                "tf": pa.array(tf[sel], type=pa.int64()),
+                "df": pa.array(df_np[u_word[sel]].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def sql_doc_keywords(k: int = 3, table: str = "documents") -> str:
+    return (
+        f"WITH words AS (\n"
+        f"  SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        f" '{WORD_CLASS_RE}')) AS w FROM {table}\n"
+        f"), tf AS (\n"
+        f"  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w\n"
+        f"), df AS (\n"
+        f"  SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY w\n"
+        f")\n"
+        f"SELECT doc_id, tf.w AS word, tf, df FROM tf JOIN df USING (w)\n"
+        f"QUALIFY row_number() OVER (PARTITION BY doc_id\n"
+        f"  ORDER BY CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) DESC, tf.w) <= {k}"
+    )
+
+
 # -- PII redaction (corpus cleaning) -----------------------------------------
 
 # RE2-safe patterns, applied in order: email first (so its digits/dots are
