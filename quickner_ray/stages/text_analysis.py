@@ -239,7 +239,14 @@ def doc_keywords(ds, *, k: int = 3, text_col: str = "text"):
     from .topk import _head_mask
 
     df_tab = vocab_df(ds, text_col).select_columns(["word", "df"]).to_arrow_refs()
-    df_tbl = pa.concat_tables([ray.get(r) for r in df_tab]).combine_chunks()
+    # empty output blocks carry an empty schema — drop them before concat
+    blocks = [t for t in (ray.get(r) for r in df_tab) if t.num_rows]
+    if blocks:
+        df_tbl = pa.concat_tables(blocks).combine_chunks()
+    else:
+        df_tbl = pa.table(
+            {"word": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
+        )
     ref = ray.put(df_tbl)
 
     def per_doc(batch: pa.Table) -> pa.Table:
