@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
+        "graph_degree": q.q_graph_degree,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -150,6 +151,12 @@ def oracle_sql() -> dict[str, str]:
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
         "triples": sql_triples(DEFAULT_GAZETTEER),
+        "graph_degree": (
+            "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
+            " CAST(count(*) AS BIGINT) AS n_mentions FROM ("
+            + sql_triples(DEFAULT_GAZETTEER)
+            + ") GROUP BY subj, pred"
+        ),
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),

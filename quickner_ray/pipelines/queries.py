@@ -673,3 +673,37 @@ def q_triples(sf_dir: str):
     return m.map_batches(
         lambda b: add_triple_columns(b, subj_col="doc_id"), batch_format="pyarrow"
     )
+
+
+def q_graph_degree(sf_dir: str):
+    """Graph adjacency stats from the materialized triples: per (subj, pred)
+    the distinct-object degree and total mention count. Count-distinct is
+    composed scale-safely: per-batch distinct (s,p,o) partials with partial
+    mention counts -> groupby(s,p,o).sum -> tiny groupby(s,p) count+sum."""
+    from ray.data.aggregate import Count, Sum
+
+    t = q_triples(sf_dir).select_columns(["subj", "pred", "obj"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cols = []
+        for name in ("subj", "pred", "obj"):
+            c = b.column(name)
+            cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
+        enc = pc.dictionary_encode(pc.binary_join_element_wise(*cols, "\x00"))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_keys = len(enc.dictionary)
+        counts = np.bincount(codes, minlength=n_keys)
+        first = np.full(n_keys, len(codes), dtype=np.int64)
+        np.minimum.at(first, codes, np.arange(len(codes)))
+        # codes are assigned in first-appearance order, so row `first[c]`
+        # aligns with `counts[c]`
+        out = b.take(pa.array(first))
+        return out.append_column("n", pa.array(counts, type=pa.int64()))
+
+    per_spo = t.map_batches(partial, batch_format="pyarrow")
+    spo = per_spo.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("n", alias_name="n_mentions")
+    )
+    return spo.groupby(["subj", "pred"]).aggregate(
+        Count(alias_name="n_objects"), Sum("n_mentions", alias_name="n_mentions")
+    )
