@@ -304,7 +304,24 @@ def main() -> None:
         out = bench_once(
             sf_dir, num_cpus, headline_only=args.worker, args_engine=args.engine
         )
+    out["host_first_touch_mbps"] = _first_touch_mbps()
     print(json.dumps(out))
+
+
+def _first_touch_mbps() -> float:
+    """Host-health probe: anonymous-page first-touch bandwidth (MB/s).
+
+    On an overcommitted hypervisor host, guest page faults stall on
+    host-side reclaim — observed here collapsing from GB/s to ~60 MB/s
+    while reads and touched-page writes stayed full speed. Every fresh Ray
+    worker heap pays this cost, so a low value explains a slow run without
+    any code change. Healthy: > 2000; degraded: < 200."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    z = np.empty(25_000_000, dtype=np.uint64)
+    z.fill(1)  # 200 MB first touch
+    return round(200.0 / (time.perf_counter() - t0), 1)
 
 
 if __name__ == "__main__":
