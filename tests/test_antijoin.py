@@ -48,3 +48,37 @@ def test_anti_join_empty_drop_side(ray_session):
     empty = rd.from_arrow(pa.table({"doc_b": pa.array([], type=pa.int64())}))
     out = anti_join(_ds(50), "doc_id", empty, "doc_b")
     assert out.count() == 50
+
+
+def test_bloom_kernels():
+    import numpy as np
+
+    from quickner_ray.stages.antijoin import bloom_build, bloom_contains, _mix64
+
+    keys = _mix64(np.arange(10_000, dtype=np.int64))
+    bits = bloom_build(keys, len(keys))
+    assert bloom_contains(bits, keys).all()  # no false negatives, ever
+    probe = _mix64(np.arange(100_000, 200_000, dtype=np.int64))
+    fp = bloom_contains(bits, probe).mean()
+    assert fp < 0.03  # ~1% design point at 10 bits/key
+
+
+@pytest.mark.parametrize("bloom", [True, False])
+def test_anti_join_shuffle_bloom_equivalent(ray_session, bloom):
+    out = anti_join(
+        _ds(), "doc_id", _drops(), "doc_b", broadcast_cap=0, bloom_prefilter=bloom
+    )
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [i for i in range(200) if i not in (3, 50, 51, 199)]
+
+
+def test_anti_join_bloom_string_keys(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"k": [f"key{i}" for i in range(100)], "v": list(range(100))})
+    )
+    drops = rd.from_arrow(pa.table({"k": ["key7", "key42", "missing"]}))
+    out = anti_join(ds, "k", drops, broadcast_cap=0, bloom_prefilter=True)
+    ks = sorted(r["k"] for r in out.take_all())
+    assert len(ks) == 98 and "key7" not in ks and "key42" not in ks
