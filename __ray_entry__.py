@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
+        "event_value_quantiles": q.q_event_value_quantiles,
         "top_orders_per_priority": q.q_top_orders_per_priority,
         "stratified_sample": q.q_stratified_sample,
         "doc_chunks": q.q_doc_chunks,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
+        "event_value_quantiles": ev.sql_grouped_quantiles(),
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),

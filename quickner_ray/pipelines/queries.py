@@ -562,6 +562,15 @@ def q_events_last_order(sf_dir: str):
     return asof_last_order(events, orders)
 
 
+def q_event_value_quantiles(sf_dir: str):
+    """Per-event-type exact discrete quantiles of the value column."""
+    from ..stages.events import grouped_quantiles
+
+    return grouped_quantiles(
+        _events(sf_dir, columns=["event_type", "value"]), "event_type", "value"
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
     from ..stages.text_analysis import LangIdStage

@@ -262,3 +262,50 @@ def sql_user_stats(table: str = "events") -> str:
         f"  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors\n"
         f"FROM {table} GROUP BY user_id"
     )
+
+
+# -- grouped exact quantiles --------------------------------------------------
+
+def grouped_quantiles(ds, key_col: str, value_col: str, qs: tuple = (0.5, 0.9, 0.99)):
+    """Exact discrete quantiles per group: element at ``max(ceil(q*n)-1, 0)``
+    of the sorted values — DuckDB ``quantile_disc``'s convention, verified
+    element-for-element in tests, so the oracle hash-matches (no
+    interpolation arithmetic to drift). Per-group sort bounds memory by the
+    hottest group (the sessionization assumption); at extreme group sizes
+    swap in a mergeable sketch (t-digest) and drop the oracle to rows-only."""
+    import numpy as np
+    import pyarrow as pa
+
+    qs = tuple(float(q) for q in qs)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        col = group.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = np.sort(col.to_numpy(zero_copy_only=False))
+        n = len(v)
+        idx = [max(int(np.ceil(q * n)) - 1, 0) for q in qs]
+        key = group.column(key_col)
+        return pa.Table.from_pydict(
+            {
+                key_col: key.take(pa.array([0] * len(qs))),
+                "q": pa.array(qs, type=pa.float64()),
+                "qvalue": pa.array(v[idx], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def sql_grouped_quantiles(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.5, 0.9, 0.99),
+    table: str = "events",
+) -> str:
+    parts = [
+        f"SELECT {key_col}, {q} AS q, quantile_disc({value_col}, {q}) AS qvalue\n"
+        f"FROM {table} GROUP BY {key_col}"
+        for q in qs
+    ]
+    return "\nUNION ALL\n".join(parts)

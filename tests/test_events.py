@@ -162,3 +162,40 @@ class TestSlidingWindows:
         assert ours["n_events"].tolist() == oracle["n_events"].tolist()
         assert ours["sum_value_cents"].tolist() == oracle["sum_value_cents"].tolist()
         assert (ours["window_start_us"].values == oracle["window_start_us"].values).all()
+
+
+class TestGroupedQuantiles:
+    def test_matches_duckdb_across_sizes(self, ray_session):
+        """quantile_disc convention pinned element-for-element for every
+        group size 1..40 (guards the ceil boundary against float drift)."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import grouped_quantiles, sql_grouped_quantiles
+
+        rng = np.random.RandomState(11)
+        keys, vals = [], []
+        for size in range(1, 41):
+            keys += [f"g{size}"] * size
+            vals += rng.rand(size).tolist()
+        tbl = pa.table({"event_type": keys, "value": vals})
+        got = (
+            grouped_quantiles(rd.from_arrow(tbl), "event_type", "value")
+            .to_pandas()
+            .sort_values(["event_type", "q"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql("SET threads=2")
+        con.register("events", tbl)
+        ora = (
+            con.sql(sql_grouped_quantiles())
+            .df()
+            .sort_values(["event_type", "q"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=False)
