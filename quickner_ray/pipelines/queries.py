@@ -562,6 +562,17 @@ def q_events_last_order(sf_dir: str):
     return asof_last_order(events, orders)
 
 
+def q_repetition_stats(sf_dir: str):
+    """Duplicate-line repetition signal (quality filter input)."""
+    from ..stages.text_analysis import add_repetition_stats
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_repetition_stats, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "dup_line_frac"]
+    )
+
+
 def q_event_value_quantiles(sf_dir: str):
     """Per-event-type exact discrete quantiles of the value column."""
     from ..stages.events import grouped_quantiles

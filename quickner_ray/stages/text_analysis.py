@@ -152,6 +152,48 @@ def sql_quality_score(table: str = "documents") -> str:
     )
 
 
+# -- repetition stats (Gopher/RefinedWeb-style duplicate-line signal) --------
+
+
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc line counts and duplicate-line fraction: repetitive pages
+    (boilerplate, listings, spam) show high ``dup_line_frac``. Vectorized:
+    one newline split over the batch, one dictionary-encode, distinct
+    (row, line) via a unique pass. ``frac = (n_lines - n_distinct) /
+    n_lines`` is two IEEE ops, so the DuckDB oracle hash-matches."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines = pc.split_pattern(texts, "\n")
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    n_rows = len(texts)
+    n_lines = np.bincount(parents, minlength=n_rows) if len(parents) else np.zeros(
+        n_rows, dtype=np.int64
+    )
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    if len(flat):
+        codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+        pair = parents.astype(np.int64) * (int(codes.max()) + 1) + codes
+        uniq_parents = parents[np.unique(pair, return_index=True)[1]]
+        np.add.at(n_distinct, uniq_parents, 1)
+    frac = (n_lines - n_distinct) / np.maximum(n_lines, 1)
+    out = batch.append_column("n_lines", pa.array(n_lines, type=pa.int64()))
+    out = out.append_column("n_distinct_lines", pa.array(n_distinct, type=pa.int64()))
+    return out.append_column("dup_line_frac", pa.array(frac, type=pa.float64()))
+
+
+def sql_repetition_stats(table: str = "documents") -> str:
+    return (
+        f"SELECT doc_id,\n"
+        f"  CAST(len(l) AS BIGINT) AS n_lines,\n"
+        f"  CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct_lines,\n"
+        f"  CAST(len(l) - len(list_distinct(l)) AS DOUBLE)\n"
+        f"    / CAST(greatest(len(l), 1) AS DOUBLE) AS dup_line_frac\n"
+        f"FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM {table})"
+    )
+
+
 # -- vocabulary statistics (df/tf with a partial combiner) -------------------
 
 WORD_CLASS_RE = "[a-z0-9]+"

@@ -88,3 +88,34 @@ def test_vocab_partial_counts():
     pd.testing.assert_frame_equal(got, ora, check_dtype=False)
     the = got[got.word == "the"].iloc[0]
     assert the.df == 2 and the.tf == 3  # df counts docs, tf occurrences
+
+
+def test_repetition_stats_matches_oracle():
+    from quickner_ray.stages.text_analysis import (
+        add_repetition_stats,
+        sql_repetition_stats,
+    )
+
+    texts = [
+        "a\nb\na\nb\na",          # 5 lines, 2 distinct
+        "unique\nlines\nonly",
+        "",                        # one empty line
+        "same\nsame\nsame",
+        "no newline at all",
+        "trailing\n",              # trailing newline -> empty last line
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    got = add_repetition_stats(tbl).to_pandas()[
+        ["doc_id", "n_lines", "n_distinct_lines", "dup_line_frac"]
+    ]
+    ora = _oracle(tbl, sql_repetition_stats())
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        ora.sort_values("doc_id").reset_index(drop=True),
+        check_dtype=False,
+    )
+    by = got.set_index("doc_id")
+    assert by.loc[0, "n_lines"] == 5 and by.loc[0, "n_distinct_lines"] == 2
+    assert by.loc[0, "dup_line_frac"] == 0.6
+    assert by.loc[3, "dup_line_frac"] == 2 / 3
+    assert by.loc[2, "n_lines"] == 1 and by.loc[2, "dup_line_frac"] == 0.0
