@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q.q_media_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
+        "corpus_prep_full": q.q_corpus_prep_full,
         # boundary-rule NER family (oracled via pipelines/ner_oracle.py):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
@@ -138,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
+    from quickner_ray.pipelines.prep import sql_corpus_prep_full as _sql_prep_full
 
     from quickner_ray.pipelines.ner_oracle import (
         sql_canonical_entities,
@@ -149,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "corpus_prep": sql_corpus_prep(),
+        "corpus_prep_full": _sql_prep_full(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality_score(),
         # boundary-rule NER family: the acceptance rules collapse to a

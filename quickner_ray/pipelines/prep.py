@@ -81,3 +81,99 @@ def sql_corpus_prep(table: str = "documents") -> str:
         f"  AND lang.lang_pred = '{LANG}'\n"
         f"  AND d.doc_id NOT IN (SELECT doc_b FROM drops)"
     )
+
+
+# -- full prep chain (round 2): + PII redaction, repetition filter, quality --
+
+MAX_DUP_LINE_FRAC = 0.5
+
+
+def corpus_prep_full(sf_dir: str):
+    """The extended chain a real pretraining-corpus run uses — one streaming
+    flow, every stage vectorized, end-to-end oracle (``sql_corpus_prep_full``):
+
+        length filter -> PII redaction -> lang-ID (raw text) ->
+        repetition filter (clean text) -> near-dup anti-join ->
+        token + BPE-pretoken counts + quality score over the CLEAN text
+
+    Emits (doc_id, n_tokens, n_bpe_tokens, quality_score, dup_line_frac).
+    """
+    import ray.data as rd
+
+    from ..stages.antijoin import anti_join
+    from ..stages.taskstate import task_stage
+    from ..stages.text_analysis import (
+        add_bpe_token_count,
+        add_quality_score,
+        add_repetition_stats,
+        redact_pii,
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    pairs = lsh_dup_pairs(
+        rd.read_parquet(path, columns=["doc_id", "text"]), threshold=DUP_THRESHOLD
+    )
+
+    def length_filter(b: pa.Table) -> pa.Table:
+        n = pc.binary_length(b.column("text"))
+        return b.filter(
+            pc.and_(
+                pc.greater_equal(n, pa.scalar(MIN_LEN)),
+                pc.less_equal(n, pa.scalar(MAX_LEN)),
+            )
+        )
+
+    ds = docs.map_batches(length_filter, batch_format="pyarrow")
+    ds = ds.map_batches(redact_pii, batch_format="pyarrow")  # adds clean_text
+    ds = ds.map_batches(task_stage(LangIdStage), batch_format="pyarrow")
+    ds = ds.filter(expr=f"lang_pred == '{LANG}'")
+    ds = ds.map_batches(
+        lambda b: add_repetition_stats(b, text_col="clean_text"),
+        batch_format="pyarrow",
+    )
+    ds = ds.filter(expr=f"dup_line_frac <= {MAX_DUP_LINE_FRAC}")
+    ds = anti_join(ds, "doc_id", pairs, "doc_b")
+    ds = ds.map_batches(
+        lambda b: add_token_count(b, text_col="clean_text"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: add_bpe_token_count(b, text_col="clean_text"),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        lambda b: add_quality_score(b, text_col="clean_text"), batch_format="pyarrow"
+    )
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "n_bpe_tokens", "quality_score", "dup_line_frac"]
+    )
+
+
+def sql_corpus_prep_full(table: str = "documents") -> str:
+    from ..stages.text_analysis import (
+        sql_bpe_token_count,
+        sql_quality_score,
+        sql_redact_pii,
+        sql_repetition_stats,
+    )
+
+    token_re = r"[^ \t\n\x0b\x0c\r]+"
+    return (
+        f"WITH red AS (SELECT doc_id, clean_text AS text FROM ({sql_redact_pii(table)})),\n"
+        f"lang AS ({sql_lang_id(table)}),\n"
+        f"rep AS ({sql_repetition_stats('red')}),\n"
+        f"q AS ({sql_quality_score('red')}),\n"
+        f"bpe AS ({sql_bpe_token_count('red')}),\n"
+        f"tok AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}'))"
+        f" AS BIGINT) AS n_tokens FROM red),\n"
+        f"drops AS (SELECT DISTINCT doc_b FROM ({sql_lsh_dup_pairs(DUP_THRESHOLD, table)}))\n"
+        f"SELECT d.doc_id, tok.n_tokens, bpe.n_bpe_tokens, q.quality_score,\n"
+        f"  rep.dup_line_frac\n"
+        f"FROM {table} d\n"
+        f"JOIN lang USING (doc_id) JOIN rep USING (doc_id) JOIN q USING (doc_id)\n"
+        f"JOIN bpe USING (doc_id) JOIN tok USING (doc_id)\n"
+        f"WHERE strlen(d.text) >= {MIN_LEN} AND strlen(d.text) <= {MAX_LEN}\n"
+        f"  AND lang.lang_pred = '{LANG}'\n"
+        f"  AND rep.dup_line_frac <= {MAX_DUP_LINE_FRAC}\n"
+        f"  AND d.doc_id NOT IN (SELECT doc_b FROM drops)"
+    )

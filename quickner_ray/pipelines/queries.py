@@ -562,6 +562,13 @@ def q_events_last_order(sf_dir: str):
     return asof_last_order(events, orders)
 
 
+def q_corpus_prep_full(sf_dir: str):
+    """Extended corpus-prep chain (redaction, repetition filter, quality)."""
+    from .prep import corpus_prep_full
+
+    return corpus_prep_full(sf_dir)
+
+
 def q_repetition_stats(sf_dir: str):
     """Duplicate-line repetition signal (quality filter input)."""
     from ..stages.text_analysis import add_repetition_stats
