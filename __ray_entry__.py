@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
         "repetition_stats": q.q_repetition_stats,
+        "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
         "stratified_sample": q.q_stratified_sample,
         "doc_chunks": q.q_doc_chunks,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
         sql_repetition_stats as _sql_rep,
+        sql_top_bigrams as _sql_bigrams,
         sql_vocab_df as _sql_vocab,
     )
 
@@ -174,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),
         "repetition_stats": _sql_rep(),
+        "top_bigrams": _sql_bigrams(k=20),
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),

@@ -569,6 +569,13 @@ def q_corpus_prep_full(sf_dir: str):
     return corpus_prep_full(sf_dir)
 
 
+def q_top_bigrams(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k word bigrams (combiner → sum → tiny sort+limit)."""
+    from ..stages.text_analysis import top_bigrams
+
+    return top_bigrams(_docs(sf_dir, columns=["text"]), k=k)
+
+
 def q_repetition_stats(sf_dir: str):
     """Duplicate-line repetition signal (quality filter input)."""
     from ..stages.text_analysis import add_repetition_stats

@@ -152,6 +152,69 @@ def sql_quality_score(table: str = "documents") -> str:
     )
 
 
+# -- corpus n-gram frequencies ------------------------------------------------
+
+
+def partial_bigram_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial word-bigram counts (one row per distinct bigram per
+    batch — the combiner bound). Bigram strings are built with one Arrow
+    element-wise join over the shifted word arrays."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    if len(flat):
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+    empty = pa.table(
+        {"ngram": pa.array([], type=pa.string()), "n": pa.array([], type=pa.int64())}
+    )
+    if len(flat) < 2:
+        return empty
+    ok = parents[:-1] == parents[1:]
+    if not ok.any():
+        return empty
+    left = flat.slice(0, len(flat) - 1).filter(pa.array(ok))
+    right = flat.slice(1).filter(pa.array(ok))
+    grams = pc.binary_join_element_wise(left, right, " ")
+    enc = pc.dictionary_encode(grams)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    counts = np.bincount(codes, minlength=len(enc.dictionary))
+    return pa.table(
+        {
+            "ngram": enc.dictionary.cast(pa.string()),
+            "n": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def top_bigrams(ds, *, k: int = 20, text_col: str = "text"):
+    """Corpus-wide top-k word bigrams: partial counts per batch, one small
+    groupby().sum, then a tiny sort+limit (ties break to the
+    lexicographically smaller bigram — deterministic top-k set)."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        lambda b: partial_bigram_counts(b, text_col), batch_format="pyarrow"
+    )
+    agg = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "ngram"], descending=[True, False]).limit(k)
+
+
+def sql_top_bigrams(k: int = 20, table: str = "documents") -> str:
+    return (
+        f"WITH words AS (SELECT regexp_extract_all(lower(text),"
+        f" '{WORD_CLASS_RE}') AS w FROM {table}),\n"
+        f"bg AS (SELECT unnest(list_transform(range(1, len(w)),"
+        f" i -> w[i] || ' ' || w[i+1])) AS ngram FROM words WHERE len(w) >= 2)\n"
+        f"SELECT ngram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY ngram\n"
+        f"ORDER BY n DESC, ngram LIMIT {k}"
+    )
+
+
 # -- repetition stats (Gopher/RefinedWeb-style duplicate-line signal) --------
 
 

@@ -119,3 +119,31 @@ def test_repetition_stats_matches_oracle():
     assert by.loc[0, "dup_line_frac"] == 0.6
     assert by.loc[3, "dup_line_frac"] == 2 / 3
     assert by.loc[2, "n_lines"] == 1 and by.loc[2, "dup_line_frac"] == 0.0
+
+
+def test_partial_bigram_counts():
+    from quickner_ray.stages.text_analysis import (
+        partial_bigram_counts,
+        sql_top_bigrams,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": ["the cat sat", "the cat", "x", ""],  # no cross-doc bigrams
+        }
+    )
+    got = (
+        partial_bigram_counts(tbl)
+        .to_pandas()
+        .sort_values("ngram")
+        .reset_index(drop=True)
+    )
+    assert got.set_index("ngram").n.to_dict() == {"the cat": 2, "cat sat": 1}
+    # single-batch partials already equal the oracle's grouped totals
+    ora = _oracle(tbl, sql_top_bigrams(k=10)).sort_values("ngram").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["n", "ngram"], ascending=[False, True]).reset_index(drop=True),
+        ora.sort_values(["n", "ngram"], ascending=[False, True]).reset_index(drop=True),
+        check_dtype=False,
+    )
