@@ -147,3 +147,34 @@ def test_partial_bigram_counts():
         ora.sort_values(["n", "ngram"], ascending=[False, True]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_chunking_property_random():
+    """Random texts/sizes: chunks reassemble to the original text when the
+    overlap is stripped, and every window respects the size bound."""
+    import numpy as np
+
+    from quickner_ray.stages.chunking import chunk_batch
+
+    rng = np.random.RandomState(5)
+    alphabet = "abcdef \n"
+    for trial in range(20):
+        size = int(rng.randint(8, 60))
+        overlap = int(rng.randint(0, size - 1))
+        step = size - overlap
+        texts = [
+            "".join(rng.choice(list(alphabet), size=int(n)))
+            for n in rng.randint(0, 150, size=8)
+        ]
+        tbl = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+        )
+        out = chunk_batch(tbl, size=size, overlap=overlap).to_pandas()
+        for i, t in enumerate(texts):
+            chunks = out[out.doc_id == i].sort_values("chunk_id").chunk_text.tolist()
+            if not t:
+                assert chunks == []
+                continue
+            assert all(len(c) <= size for c in chunks)
+            rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+            assert rebuilt == t, (size, overlap, i)
