@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities": q.q_canonical_entities,
         "triples": q.q_triples,
         "graph_degree": q.q_graph_degree,
+        "entity_postings": q.q_entity_postings,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
 
     from quickner_ray.pipelines.ner_oracle import (
         sql_canonical_entities,
+        sql_entity_postings,
         sql_entity_link,
         sql_label_mention_counts,
         sql_triples,
@@ -166,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY subj, pred"
         ),
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
+        "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

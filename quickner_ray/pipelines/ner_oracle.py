@@ -163,3 +163,17 @@ def sql_entity_link(
         f"  nc.n_candidates\n"
         f"FROM best b JOIN ncand nc ON nc.pname = b.pname WHERE rn = 1"
     )
+
+
+def sql_entity_postings(
+    entities: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Oracle for ``q_entity_postings``: per surface form the sorted
+    per-mention doc-id posting list (joined) and its length."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT pname AS surface_norm,\n"
+        f"  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids_str,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_postings\n"
+        f"FROM acc GROUP BY pname"
+    )

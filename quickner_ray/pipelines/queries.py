@@ -709,6 +709,35 @@ def q_triples(sf_dir: str):
     )
 
 
+def q_entity_postings(sf_dir: str):
+    """A2 distributed posting-list index surfaced in the driver contract:
+    surface_norm -> sorted doc-id postings (per-mention append semantics),
+    built by the salted two-phase collector; the list column is emitted as
+    a joined string so the value-hash oracle can compare it."""
+    from ..stages.indexes import build_entity_index
+
+    m = mentions_dataset(sf_dir).select_columns(["surface_norm", "doc_id"])
+    idx = build_entity_index(m)
+
+    def stringify(b: pa.Table) -> pa.Table:
+        lists = b.column("doc_ids")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat_str = pc.cast(pc.list_flatten(lists), pa.string())
+        offsets = lists.offsets
+        as_str = pa.ListArray.from_arrays(offsets, flat_str)
+        joined = pc.binary_join(as_str, ",")
+        return pa.Table.from_pydict(
+            {
+                "surface_norm": b.column("surface_norm"),
+                "doc_ids_str": joined,
+                "n_postings": b.column("n_postings"),
+            }
+        )
+
+    return idx.map_batches(stringify, batch_format="pyarrow")
+
+
 def q_graph_degree(sf_dir: str):
     """Graph adjacency stats from the materialized triples: per (subj, pred)
     the distinct-object degree and total mention count. Count-distinct is
