@@ -379,6 +379,56 @@ class TestExtraStages:
         n_filtered = pq.read_table(os.path.join(out, "triples")).num_rows
         assert 0 < n_filtered < n_all
 
+    def test_corpus_prep_stages_compose_into_kg(self, pages_dir, tmp_path, ray_session):
+        """The round-2 corpus-prep operators plug into the flagship via
+        extra_stages: PII redaction (rewriting text in place) and a
+        repetition filter run between prep and detection, and the pipeline
+        stays resumable (stage_version fingerprinting)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc2
+
+        from quickner_ray.stages.text_analysis import (
+            add_repetition_stats,
+            redact_pii,
+        )
+
+        def redact_stage(ds):
+            def f(b: pa.Table) -> pa.Table:
+                out = redact_pii(b)
+                i = out.column_names.index("text")
+                clean = out.column("clean_text")
+                return out.set_column(i, "text", clean).drop_columns(["clean_text"])
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        redact_stage.stage_version = 1
+
+        def rep_filter(ds):
+            def f(b: pa.Table) -> pa.Table:
+                out = add_repetition_stats(b)
+                keep = pc2.less_equal(out.column("dup_line_frac"), pa.scalar(0.99))
+                return out.filter(keep).drop_columns(
+                    ["n_lines", "n_distinct_lines", "dup_line_frac"]
+                )
+
+            return ds.map_batches(f, batch_format="pyarrow")
+
+        rep_filter.stage_version = 1
+
+        gaz = Gazetteer(GAZ)
+        out = str(tmp_path / "out_prep_kg")
+        cfg = KGPipelineConfig(
+            source="html",
+            write_annotated=False,
+            detect_concurrency=2,
+            extra_stages=(("redact", redact_stage), ("rep_filter", rep_filter)),
+        )
+        m = run_kg(pages_dir, gaz, out, cfg, shards=1)
+        assert pq.read_table(os.path.join(out, "triples")).num_rows > 0
+        # resume: identical config skips the completed shard
+        m2 = run_kg(pages_dir, gaz, out, cfg, shards=1)
+        assert m2["stages"]["annotated"]["skipped_shards"] == 1
+
     def test_stage_logic_change_invalidates_fingerprint(self):
         """Editing a stage's CODE (same name) must invalidate resume — the
         fingerprint hashes function bytecode and the optional stage_version
