@@ -68,8 +68,14 @@ def shingle_hashes(text: str, n: int = N_SHINGLE) -> np.ndarray:
     not once per n-gram, and the combine is plain integer arithmetic that
     the DuckDB oracle replicates exactly (``sql_shingle_ctes``). Texts with
     < n words contribute one shingle over the available words (so every doc
-    has >= 1; zero words -> hash 0)."""
-    w = WORD_RE.findall(text.lower())
+    has >= 1; zero words -> hash 0).
+
+    Lowering uses the Arrow kernel, not ``str.lower()``: Arrow and DuckDB
+    share simple (1:1) case mapping while Python applies full case mapping
+    (e.g. U+0130 'İ' -> 'i' + combining dot), which would change the word
+    split on such inputs."""
+    lowered = pc.utf8_lower(pa.array([text]))[0].as_py()
+    w = WORD_RE.findall(lowered)
     hw = np.fromiter((h64(x) for x in w), dtype=np.uint64, count=len(w))
     with np.errstate(over="ignore"):
         if len(w) >= n:

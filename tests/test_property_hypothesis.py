@@ -133,3 +133,29 @@ class TestVectorPathEquivalence:
         g = Gazetteer([("a.b", "X"), ("scan", "OP")])
         assert g.token_spec is None
         assert g.annotate("x a.b scan") == g.annotate_oracle("x a.b scan")
+
+
+class TestMinhashVectorizedProperty:
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FF),
+                max_size=80,
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def test_batch_shingles_equal_scalar(self, texts):
+        """The vectorized batch shingler must equal the scalar reference on
+        arbitrary (incl. non-ASCII) text."""
+        import numpy as np
+        import pyarrow as pa
+
+        from quickner_ray.stages import dedup_approx as da
+
+        p, h, starts = da._shingle_rows(pa.array(texts, type=pa.string()))
+        assert len(starts) == len(texts)
+        for i, t in enumerate(texts):
+            assert np.array_equal(np.sort(da.shingle_hashes(t)), np.sort(h[p == i]))
