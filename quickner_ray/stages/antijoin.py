@@ -201,3 +201,58 @@ def anti_join(
     candidates = ds.map_batches(split(True), batch_format="pyarrow")
     joined = candidates.join(right, "left_anti", num_partitions, on=(key,))
     return clean.union(joined.select_columns(cols))
+
+
+def semi_join(
+    ds,
+    key: str,
+    keep_ds,
+    keep_key: str | None = None,
+    *,
+    broadcast_cap: int = DEFAULT_BROADCAST_CAP,
+    num_partitions: int | None = None,
+):
+    """Complement of ``anti_join``: KEEP rows of ``ds`` whose ``key`` appears
+    in ``keep_ds[keep_key]`` (distributed semi-join). Same two shapes:
+    broadcast ``is_in`` below the cap, hash-partitioned ``left_semi`` above
+    (a Bloom prefilter is unnecessary here — the semi-join output IS the
+    bloom-possible set, so prefiltering saves nothing on the kept side)."""
+    import ray
+
+    keep_key = keep_key or key
+    small = keep_ds.select_columns([keep_key]).materialize()
+    n_keep = small.count()
+
+    if n_keep <= broadcast_cap:
+        if n_keep:
+            blocks = [t for t in ray.get(small.to_arrow_refs()) if t.num_rows]
+            tab = pa.concat_tables(blocks)
+            values = pc.unique(tab.column(keep_key).combine_chunks())
+        else:
+            values = pa.array([])
+        ref = ray.put(values)
+
+        class KeepByKey:
+            def __init__(self, ref):
+                self.values = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if len(self.values) == 0:
+                    return b.slice(0, 0)
+                col = b.column(key)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                return b.filter(pc.is_in(col, value_set=self.values))
+
+        from .taskstate import task_stage
+
+        return ds.map_batches(task_stage(KeepByKey, ref=ref), batch_format="pyarrow")
+
+    if num_partitions is None:
+        num_partitions = max(8, small.num_blocks())
+    right = small
+    if keep_key != key:
+        right = right.map_batches(
+            lambda b: b.rename_columns([key]), batch_format="pyarrow"
+        )
+    return ds.join(right, "left_semi", num_partitions, on=(key,))

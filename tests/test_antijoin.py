@@ -82,3 +82,21 @@ def test_anti_join_bloom_string_keys(ray_session):
     out = anti_join(ds, "k", drops, broadcast_cap=0, bloom_prefilter=True)
     ks = sorted(r["k"] for r in out.take_all())
     assert len(ks) == 98 and "key7" not in ks and "key42" not in ks
+
+
+@pytest.mark.parametrize("cap", [1_000_000, 0])
+def test_semi_join_paths_equal(ray_session, cap):
+    from quickner_ray.stages.antijoin import semi_join
+
+    out = semi_join(_ds(), "doc_id", _drops(), "doc_b", broadcast_cap=cap)
+    ids = sorted(r["doc_id"] for r in out.take_all())
+    assert ids == [3, 50, 51, 199]
+
+
+def test_semi_join_empty_keep_side(ray_session):
+    import ray.data as rd
+
+    from quickner_ray.stages.antijoin import semi_join
+
+    empty = rd.from_arrow(pa.table({"doc_b": pa.array([], type=pa.int64())}))
+    assert semi_join(_ds(50), "doc_id", empty, "doc_b").count() == 0
