@@ -288,10 +288,22 @@ def run_kg(
         skipped = sum(_run_shard(i, s) for i, s in enumerate(shard_files))
     metrics["stages"]["annotated"] = {"skipped_shards": skipped}
 
+    # Content-derived roster of phase-A shard outputs: downstream phase
+    # manifests key on it (not just the directory path), so INCREMENTAL
+    # ingest works — appending input files (shards=None gives one stable
+    # shard per file) computes only the new shards AND re-runs the
+    # aggregate phases, instead of skipping them against a stale dir path.
+    from ..state.lineage import read_manifest as _read_m
+
+    roster = []
+    for _i in range(n_shards):
+        _m = _read_m(out_dir, "annotated", _i)
+        roster.append(f"{_i}:{_m['rows'] if _m else -1}")
+
     # ---- phase B (standard path only): explode mentions + triples -----------
     mentions_dir = os.path.join(out_dir, "mentions")
     if cfg.write_annotated:
-        if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir], fingerprint=fp):
+        if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir, *roster], fingerprint=fp):
             t0 = time.perf_counter()
             reset_shard_dir(mentions_dir)
             ann = rd.read_parquet(ann_dir)
@@ -301,7 +313,7 @@ def run_kg(
             )
             mentions.write_parquet(mentions_dir)
             write_manifest(
-                out_dir, "mentions", 0, inputs=[ann_dir], rows=-1, fingerprint=fp,
+                out_dir, "mentions", 0, inputs=[ann_dir, *roster], rows=-1, fingerprint=fp,
                 extra={"seconds": time.perf_counter() - t0},
             )
         graph_src = mentions_dir
@@ -312,7 +324,7 @@ def run_kg(
     # entities aggregate from the mention/triple rows (one shuffle);
     # label_counts derive from the (tiny) entities table, not a third
     # full-corpus pass.
-    if not shard_complete(out_dir, "graph", 0, inputs=[graph_src], fingerprint=fp):
+    if not shard_complete(out_dir, "graph", 0, inputs=[graph_src, *roster], fingerprint=fp):
         t0 = time.perf_counter()
         ent_dir = os.path.join(out_dir, "entities")
         lc_dir = os.path.join(out_dir, "label_counts")
@@ -364,7 +376,7 @@ def run_kg(
                 key_col=label_col,
             ).write_parquet(li_dir)
         write_manifest(
-            out_dir, "graph", 0, inputs=[graph_src], rows=-1, fingerprint=fp,
+            out_dir, "graph", 0, inputs=[graph_src, *roster], rows=-1, fingerprint=fp,
             extra={"seconds": time.perf_counter() - t0},
         )
 

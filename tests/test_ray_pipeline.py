@@ -379,6 +379,41 @@ class TestExtraStages:
         n_filtered = pq.read_table(os.path.join(out, "triples")).num_rows
         assert 0 < n_filtered < n_all
 
+    def test_incremental_ingest_recomputes_aggregates(self, tmp_path, ray_session):
+        """Appending input files (shards=None: one stable shard per file)
+        must compute ONLY the new shards but re-run the aggregate phases —
+        the graph manifest keys on the shard-output roster, not just the
+        directory path, so canonical entities reflect the new data."""
+        from quickner_ray.sources.pages import write_synth_pages
+
+        pages = str(tmp_path / "pages_inc")
+        write_synth_pages(pages, "/root/testdata/sf0.001/documents.parquet", repeat=2)
+        gaz = Gazetteer(GAZ)
+        out = str(tmp_path / "out_inc")
+        cfg = KGPipelineConfig(source="html", write_annotated=False, detect_concurrency=2)
+        run_kg(pages, gaz, out, cfg, shards=None)
+        n1 = _rows(os.path.join(out, "triples"))
+        ent1 = pq.read_table(os.path.join(out, "entities"))
+
+        # append a third file (distinct urls) and re-run
+        import pyarrow.parquet as _pq
+
+        tmp_extra = str(tmp_path / "pages_extra")
+        write_synth_pages(tmp_extra, "/root/testdata/sf0.001/documents.parquet", repeat=3)
+        src = os.path.join(tmp_extra, sorted(os.listdir(tmp_extra))[-1])
+        import shutil as _sh
+
+        _sh.copy(src, os.path.join(pages, "pages-0002.parquet"))
+        m = run_kg(pages, gaz, out, cfg, shards=None)
+        assert m["stages"]["annotated"]["skipped_shards"] == 2  # old shards reused
+        n2 = _rows(os.path.join(out, "triples"))
+        assert n2 > n1  # new shard's triples landed
+        ent2 = pq.read_table(os.path.join(out, "entities"))
+        # aggregates re-ran: mention counts grew
+        s1 = sum(ent1.column("n_mentions").to_pylist())
+        s2 = sum(ent2.column("n_mentions").to_pylist())
+        assert s2 > s1
+
     def test_corpus_prep_stages_compose_into_kg(self, pages_dir, tmp_path, ray_session):
         """The round-2 corpus-prep operators plug into the flagship via
         extra_stages: PII redaction (rewriting text in place) and a
