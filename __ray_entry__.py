@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": q.q_doc_keywords,
         "packed_sequences": q.q_packed_sequences,
         "media_features": q.q_media_features,
+        "audio_features": q.q_audio_features,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
         "corpus_prep_full": q.q_corpus_prep_full,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         # packed_sequences: intentionally no oracle (per-block greedy
         # packing is order-dependent; invariants pinned in tests)
         "media_features": mm.sql_image_features(),
+        "audio_features": mm.sql_audio_features(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),
         "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),

@@ -607,6 +607,33 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _media_path(sf_dir: str) -> str:
+    """Synth media parquet cache (v2: adds QAUD audio rows)."""
+    from ..stages.multimodal import synth_media_for_documents
+
+    media_path = os.path.join(
+        "/tmp/quickner_media",
+        os.path.basename(os.path.normpath(sf_dir)) + "-v2.parquet",
+    )
+    if not os.path.exists(media_path):
+        os.makedirs(os.path.dirname(media_path), exist_ok=True)
+        synth_media_for_documents(os.path.join(sf_dir, "documents.parquet"), media_path)
+    return media_path
+
+
+def q_audio_features(sf_dir: str):
+    """Audio decode plumbing: QAUD payloads -> duration/peak/sum features
+    (actor-pool stage; oracle recomputes the closed-form samples)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_features
+
+    ds = rd.read_parquet(_media_path(sf_dir))
+    ds = ds.filter(expr="media_type == 'audio'")
+    ds = audio_features(ds, batch_size=256)
+    return ds.select_columns(["media_id", "duration_ms", "peak_amp", "sum_amp"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic synthetic image payloads (binary
     column derived from documents) -> actor-pool decode -> feature columns.
@@ -615,14 +642,7 @@ def q_media_features(sf_dir: str):
 
     from ..stages.multimodal import decode_images, synth_media_for_documents
 
-    media_path = os.path.join(
-        "/tmp/quickner_media", os.path.basename(os.path.normpath(sf_dir)) + ".parquet"
-    )
-    if not os.path.exists(media_path):
-        os.makedirs(os.path.dirname(media_path), exist_ok=True)
-        synth_media_for_documents(
-            os.path.join(sf_dir, "documents.parquet"), media_path
-        )
+    media_path = _media_path(sf_dir)
     ds = rd.read_parquet(media_path)
     ds = ds.filter(expr="media_type == 'image'")
     ds = decode_images(ds, batch_size=256)
@@ -635,14 +655,7 @@ def q_frame_sample(sf_dir: str):
 
     from ..stages.multimodal import sample_frames, synth_media_for_documents
 
-    media_path = os.path.join(
-        "/tmp/quickner_media", os.path.basename(os.path.normpath(sf_dir)) + ".parquet"
-    )
-    if not os.path.exists(media_path):
-        os.makedirs(os.path.dirname(media_path), exist_ok=True)
-        synth_media_for_documents(
-            os.path.join(sf_dir, "documents.parquet"), media_path
-        )
+    media_path = _media_path(sf_dir)
     ds = rd.read_parquet(media_path)
     ds = ds.filter(expr="media_type == 'video'")
     return sample_frames(ds, step=5, batch_size=256)

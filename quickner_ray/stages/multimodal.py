@@ -32,6 +32,7 @@ import pyarrow as pa
 
 QIMG_MAGIC = b"QIMG"
 QVID_MAGIC = b"QVID"
+QAUD_MAGIC = b"QAUD"
 
 
 # ---- deterministic synthetic media ------------------------------------------
@@ -50,6 +51,16 @@ def synth_video_bytes(media_id: int) -> bytes:
     return QVID_MAGIC + struct.pack("<H", n_frames)
 
 
+def synth_audio_bytes(media_id: int) -> bytes:
+    """QAUD: magic + u32 sample_rate + u32 n_samples + i16 samples. Sample
+    values are closed-form in (media_id, i) so the DuckDB oracle recomputes
+    the decoded features arithmetically."""
+    rate = 8000
+    n = 800 + media_id % 160
+    s = ((np.arange(n, dtype=np.int64) * 7 + media_id * 31) % 256) - 128
+    return QAUD_MAGIC + struct.pack("<II", rate, n) + s.astype("<i2").tobytes()
+
+
 def synth_media_for_documents(documents_parquet: str, out_path: str) -> str:
     """documents.parquet -> media parquet (media_id=doc_id, one image + one
     video row per doc). Pure function of the source table."""
@@ -66,6 +77,9 @@ def synth_media_for_documents(documents_parquet: str, out_path: str) -> str:
         media_id.append(d)
         media_type.append("video")
         payload.append(synth_video_bytes(d))
+        media_id.append(d)
+        media_type.append("audio")
+        payload.append(synth_audio_bytes(d))
     tab = pa.Table.from_pydict(
         {
             "media_id": pa.array(media_id, type=pa.int64()),
@@ -181,6 +195,64 @@ def decode_images(ds, *, batch_size: int = 256, concurrency=(1, 8)):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+    )
+
+
+class AudioFeatureStage:
+    """Decode QAUD payloads -> (duration_ms, peak_amp, sum_amp). Actor-pool
+    stage like the image decoder; a real codec (soundfile/ffmpeg — absent in
+    this container) would slot into ``_decode_one`` behind the same guard."""
+
+    def __init__(self):
+        self.n_decoded = 0
+
+    def _decode_one(self, b: bytes):
+        if b[:4] != QAUD_MAGIC:
+            raise NotImplementedError(
+                "real audio codecs are not available in this environment; "
+                "only the QAUD synthetic format is supported"
+            )
+        rate, n = struct.unpack("<II", b[4:12])
+        s = np.frombuffer(b[12:], dtype="<i2").astype(np.int64)
+        if len(s) != n:
+            raise ValueError("corrupt QAUD payload")
+        return rate, n, s
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        dur, peak, total = [], [], []
+        for b in payloads.to_pylist():
+            rate, n, s = self._decode_one(b)
+            self.n_decoded += 1
+            dur.append(n * 1000 // rate)
+            peak.append(int(np.abs(s).max()) if n else 0)
+            total.append(int(s.sum()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("duration_ms", pa.array(dur, type=pa.int64()))
+        out = out.append_column("peak_amp", pa.array(peak, type=pa.int64()))
+        return out.append_column("sum_amp", pa.array(total, type=pa.int64()))
+
+
+def audio_features(ds, *, batch_size: int = 256, concurrency=(1, 8)):
+    return ds.map_batches(
+        AudioFeatureStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sql_audio_features(table: str = "documents") -> str:
+    """Expected QAUD decode output recomputed arithmetically per doc."""
+    return (
+        f"SELECT doc_id AS media_id,\n"
+        f"  CAST((800 + doc_id % 160) // 8 AS BIGINT) AS duration_ms,\n"
+        f"  CAST(list_max(list_transform(l, x -> abs(x))) AS BIGINT) AS peak_amp,\n"
+        f"  CAST(list_sum(l) AS BIGINT) AS sum_amp\n"
+        f"FROM (SELECT doc_id, list_transform(range(0, 800 + doc_id % 160),\n"
+        f"  i -> (i * 7 + doc_id * 31) % 256 - 128) AS l FROM {table})"
     )
 
 
