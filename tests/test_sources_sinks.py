@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 from quickner_ray.api import Document, Entity, Quickner
 from quickner_ray.kernel.filters import Filters
@@ -187,3 +188,66 @@ class TestDistributedAnnotationImport:
         # counts: "rust" appears in 2 docs -> at least 2 mentions
         rust_count = int(gaz[gaz["name"] == "rust"]["n_mentions"].iloc[0])
         assert rust_count >= 2
+
+
+class TestDistributedJsonlSink:
+    def test_lines_byte_equal_reference_sink(self, ray_session, tmp_path):
+        """Distributed part files carry the SAME line bytes as the
+        reference-conformant in-memory sink, and round-trip via the
+        from_jsonl loader."""
+        import glob as _glob
+
+        import ray.data as rd
+
+        from quickner_ray.api import Document
+        from quickner_ray.sinks.distributed import write_jsonl_dataset
+        from quickner_ray.sinks.formats import write_jsonl
+
+        docs = [
+            Document("the sort and hash join"),
+            Document("plain text, no entities"),
+            Document("ünïcode étexte"),
+        ]
+        docs[0].label = [(4, 8, "OPERATOR"), (13, 22, "OPERATOR")]
+        ref_path = write_jsonl(docs, str(tmp_path / "ref.jsonl"))
+        ref_lines = open(ref_path + ".jsonl", encoding="utf-8").read().splitlines()
+
+        tab = __import__("pyarrow").table(
+            {
+                "doc_id": [d.id for d in docs],
+                "text": [d.text for d in docs],
+                "label": [
+                    [
+                        {"start": s, "end": e, "label": l}
+                        for (s, e, l) in d.label
+                    ]
+                    for d in docs
+                ],
+            }
+        )
+        out = str(tmp_path / "dist")
+        manifest = write_jsonl_dataset(
+            rd.from_arrow(tab), out, id_col="doc_id"
+        ).take_all()
+        assert sum(m["rows"] for m in manifest) == len(docs)
+        got_lines = []
+        for f in sorted(_glob.glob(os.path.join(out, "part-*.jsonl"))):
+            got_lines += open(f, encoding="utf-8").read().splitlines()
+        assert sorted(got_lines) == sorted(ref_lines)
+
+    def test_retry_idempotent_part_names(self, ray_session, tmp_path):
+        import glob as _glob
+
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from quickner_ray.sinks.distributed import write_jsonl_dataset
+
+        tab = _pa.table(
+            {"doc_id": ["a", "b"], "text": ["t1", "t2"], "label": [[], []]}
+        )
+        out = str(tmp_path / "dist2")
+        write_jsonl_dataset(rd.from_arrow(tab), out).take_all()
+        write_jsonl_dataset(rd.from_arrow(tab), out).take_all()  # re-run
+        parts = _glob.glob(os.path.join(out, "part-*.jsonl"))
+        assert len(parts) == 1  # same content -> same name -> overwrite
