@@ -38,6 +38,18 @@ def main(argv: list[str] | None = None) -> int:
         help="also write reference-shaped annotated docs (slower two-pass layout)",
     )
     ap.add_argument("--build-indexes", action="store_true")
+    ap.add_argument(
+        "--export-format",
+        choices=["jsonl", "csv", "spacy", "brat", "conll"],
+        default=None,
+        help="also stream the annotated docs out as reference-format part "
+        "files (implies --annotated)",
+    )
+    ap.add_argument(
+        "--export-dir",
+        default=None,
+        help="directory for --export-format parts (default <out>/export)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -57,13 +69,27 @@ def main(argv: list[str] | None = None) -> int:
         case_sensitive=args.case_sensitive,
         dedup=args.dedup,
         batch_size=args.batch_size,
-        write_annotated=args.annotated,
+        write_annotated=args.annotated or args.export_format is not None,
         shard_parallelism=args.shard_parallelism,
     )
     metrics = run_kg(
         args.input, gaz, args.out, cfg, shards=args.shards,
         build_indexes=args.build_indexes,
     )
+    if args.export_format:
+        import os
+
+        import ray.data as rd
+
+        from quickner_ray.sinks.distributed import write_annotations_dataset
+
+        ann_dir = os.path.join(args.out, "annotated")
+        export_dir = args.export_dir or os.path.join(args.out, "export")
+        manifest = write_annotations_dataset(
+            rd.read_parquet(ann_dir), export_dir, format=args.export_format
+        ).take_all()
+        metrics["export_parts"] = len(manifest)
+        metrics["export_rows"] = int(sum(m["rows"] for m in manifest))
     print(json.dumps(metrics))
     ray.shutdown()
     return 0

@@ -332,7 +332,7 @@ def run_kg(
         reset_shard_dir(lc_dir)
         if cfg.write_annotated:
             reset_shard_dir(tri_dir)
-            mentions = rd.read_parquet(mentions_dir)
+            mentions = _read_mentions(mentions_dir, None, subj_col=cfg.subj_col)
             mentions.map_batches(
                 lambda b: add_triple_columns(b, subj_col=cfg.subj_col),
                 batch_format="pyarrow",
@@ -340,14 +340,14 @@ def run_kg(
         if cfg.write_annotated:
             # prune at the read: the entity aggregate needs only 2 columns
             canonical_entities(
-                rd.read_parquet(graph_src, columns=["surface_norm", "label"])
+                _read_mentions(graph_src, ["surface_norm", "label"])
             ).write_parquet(ent_dir)
         else:
             # fused triples carry the pattern id: aggregate ONE int32 column
             from ..stages.canonicalize import canonical_entities_from_pids
 
             canonical_entities_from_pids(
-                rd.read_parquet(graph_src, columns=["pid"]), gazetteer
+                _read_mentions(graph_src, ["pid"]), gazetteer
             ).write_parquet(ent_dir)
         _write_label_counts(ent_dir, lc_dir)
         if build_indexes:
@@ -368,10 +368,11 @@ def run_kg(
             reset_shard_dir(ei_dir)
             reset_shard_dir(li_dir)
             build_entity_index(
-                rd.read_parquet(idx_src, columns=["surface_norm", id_col]), id_col
+                _read_mentions(idx_src, ["surface_norm", id_col], subj_col=cfg.subj_col),
+                id_col,
             ).write_parquet(ei_dir)
             build_label_index(
-                rd.read_parquet(idx_src, columns=[label_col, id_col]),
+                _read_mentions(idx_src, [label_col, id_col], subj_col=cfg.subj_col),
                 id_col,
                 key_col=label_col,
             ).write_parquet(li_dir)
@@ -394,7 +395,14 @@ def _write_label_counts(ent_dir: str, lc_dir: str) -> None:
     import pyarrow.parquet as pq
 
     total = sum(f.metadata.num_rows for f in _parquet_fragments(ent_dir))
-    if total <= 2_000_000:
+    if next(_parquet_fragments(ent_dir), None) is None:
+        import pyarrow as pa
+
+        out = pa.table(
+            {"label": pa.array([], "string"), "n_mentions": pa.array([], "int64")}
+        )
+        pq.write_table(out, os.path.join(lc_dir, "label_counts.parquet"))
+    elif total <= 2_000_000:
         import pyarrow.dataset as pads
 
         tab = pads.dataset(ent_dir).to_table(columns=["label", "n_mentions"])
@@ -405,6 +413,42 @@ def _write_label_counts(ent_dir: str, lc_dir: str) -> None:
         import ray.data as rd
 
         label_counts_from_entities(rd.read_parquet(ent_dir)).write_parquet(lc_dir)
+
+
+# Types for the empty-corpus fallback schema in _read_mentions (matches
+# explode_mentions / detect_triples output types).
+_MENTION_TYPES = {
+    "surface": "string",
+    "surface_norm": "string",
+    "label": "string",
+    "pred": "string",
+    "subj": "string",
+    "obj": "string",
+    "doc_id": "string",
+    "url": "string",
+    "lang": "string",
+    "start": "int64",
+    "end": "int64",
+    "pid": "int32",
+}
+
+
+def _read_mentions(path: str, columns: list[str] | None, *, subj_col: str = "url"):
+    """Pruned ``read_parquet`` that tolerates an EMPTY mention/triple
+    directory: a corpus where the gazetteer matches nothing writes zero
+    parquet files, and a plain read would fail schema inference. Returns an
+    empty in-memory dataset with the expected column types instead."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if next(_parquet_fragments(path), None) is not None:
+        return rd.read_parquet(path, columns=columns)
+    if columns is None:
+        columns = [subj_col, "label", "start", "end", "surface", "surface_norm"]
+    empty = pa.table(
+        {c: pa.array([], type=_MENTION_TYPES.get(c, "string")) for c in columns}
+    )
+    return rd.from_arrow(empty)
 
 
 def _parquet_fragments(path: str):

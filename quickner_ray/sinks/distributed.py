@@ -1,71 +1,114 @@
-"""Distributed JSONL export: each block writes one part file whose LINES
-are byte-identical to the reference sink (``formats._doc_json`` — serde
-compact, field order id/text/label, label rows as [start, end, label]).
+"""Distributed annotation export: stream an annotated Dataset into
+per-block part files in any reference sink format (K1-K5). Part bytes are
+produced by the SAME conformance writers as the in-memory sinks
+(``formats.save_annotations``, ports of quickner-core/src/models.rs:39-165
+quirks included), called per block on shim documents — so each part's
+record bytes are identical to what the reference would write for those
+documents.
 
-The reference's ``to_jsonl`` writes one ordered in-memory file; at corpus
-scale the sink must stream, so this writes ``part-<hash>.jsonl`` per block
-(content-derived names: a retried task overwrites its own part instead of
-duplicating it — idempotent, same contract as the parquet shards) and
-returns a manifest Dataset (path, rows) instead of re-shipping the data.
-Line ORDER across parts is block order, not global order — reference-exact
-ordering still goes through the in-memory facade (SURVEY.md §4 Ordering).
+The reference's ``save`` writes one ordered in-memory file; at corpus
+scale the sink must stream, so this writes one part per block with a
+content-derived name (md5 of first id, last id, row count): a retried or
+re-run block overwrites its own part instead of duplicating it —
+idempotent, the same contract as the parquet shard checkpoints
+(state/lineage.py). Record ORDER across parts is block order, not global
+order — reference-exact single-file ordering still goes through the
+in-memory facade (SURVEY.md §4 Ordering).
+
+brat (K4) note: the reference emits ONE corpus-wide .txt/.ann pair with
+T-ids restarting per document (models.rs:113); here each part is its own
+.txt/.ann pair with the same per-document T-id semantics.
 """
 
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 
 import pyarrow as pa
 
+from .formats import save_annotations
 
-def write_jsonl_dataset(
+# extensions each format's writer produces; first entry is the primary
+# file recorded in the manifest (brat's .ann rides along with its .txt).
+_PART_EXTS = {
+    "jsonl": (".jsonl",),
+    "csv": (".csv",),
+    "spacy": (".json",),
+    "brat": (".txt", ".ann"),
+    "conll": (".txt",),
+}
+
+_EMPTY_MANIFEST = pa.table(
+    {"path": pa.array([], type=pa.string()), "rows": pa.array([], type=pa.int64())}
+)
+
+
+class _ShimDoc:
+    """Duck-typed Document (id/text/label) fed to the conformance writers."""
+
+    __slots__ = ("id", "text", "label")
+
+    def __init__(self, id: str, text: str, label: list) -> None:
+        self.id = id
+        self.text = text
+        self.label = label
+
+
+def write_annotations_dataset(
     annotated_ds,
     out_dir: str,
     *,
+    format: str = "jsonl",
     id_col: str = "doc_id",
     text_col: str = "text",
     label_col: str = "label",
 ):
-    """Annotated Dataset -> directory of JSONL parts; returns the manifest
-    Dataset (consume it to execute the write)."""
+    """Annotated Dataset (text + list<struct{start,end,label}>) -> directory
+    of format parts. Returns the manifest Dataset (path, rows), one row per
+    part — consume it to execute the write."""
+    if format not in _PART_EXTS:
+        raise ValueError(f"unsupported format: {format!r}")
     os.makedirs(out_dir, exist_ok=True)
+    exts = _PART_EXTS[format]
 
     def dump(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_pylist()
         texts = b.column(text_col).to_pylist()
-        labels = b.column(label_col).to_pylist() if label_col in b.column_names else [
-            [] for _ in ids
+        if not texts:
+            return _EMPTY_MANIFEST
+        if id_col in b.column_names:
+            ids = b.column(id_col).to_pylist()
+        else:
+            from ..kernel.hashing import hash_text
+
+            ids = [hash_text(t) for t in texts]
+        if label_col in b.column_names:
+            labels = b.column(label_col).to_pylist()
+        else:
+            labels = [None] * len(texts)
+        docs = [
+            _ShimDoc(i, t, [(x["start"], x["end"], x["label"]) for x in (lab or [])])
+            for i, t, lab in zip(ids, texts, labels)
         ]
-        if not ids:
-            return pa.table(
-                {"path": pa.array([], type=pa.string()),
-                 "rows": pa.array([], type=pa.int64())}
-            )
-        lines = []
-        for i, t, lab in zip(ids, texts, labels):
-            triples = [
-                [x["start"], x["end"], x["label"]] for x in (lab or [])
-            ]
-            lines.append(
-                json.dumps(
-                    {"id": i, "text": t, "label": triples},
-                    ensure_ascii=False,
-                    separators=(",", ":"),
-                )
-            )
         name = hashlib.md5(
             f"{ids[0]}:{ids[-1]}:{len(ids)}".encode()
         ).hexdigest()[:12]
-        path = os.path.join(out_dir, f"part-{name}.jsonl")
-        tmp = path + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write("\n".join(lines))
-            f.write("\n")
-        os.replace(tmp, path)
+        base = os.path.join(out_dir, f"part-{name}")
+        tmp = os.path.join(out_dir, f"tmp-{name}")
+        # the writer strips the extension itself (models.rs:49-55 quirk)
+        save_annotations(docs, tmp + ".x", format)
+        for ext in exts:
+            os.replace(tmp + ext, base + ext)
         return pa.table(
-            {"path": pa.array([path]), "rows": pa.array([len(lines)], type=pa.int64())}
+            {
+                "path": pa.array([base + exts[0]]),
+                "rows": pa.array([len(docs)], type=pa.int64()),
+            }
         )
 
     return annotated_ds.map_batches(dump, batch_format="pyarrow")
+
+
+def write_jsonl_dataset(annotated_ds, out_dir: str, **kwargs):
+    """JSONL (K1) distributed export — see ``write_annotations_dataset``."""
+    return write_annotations_dataset(annotated_ds, out_dir, format="jsonl", **kwargs)

@@ -231,6 +231,24 @@ class TestFusedFastPath:
         n_mentions = _rows(os.path.join(out_std, "mentions"))
         assert sum(ei.column("n_postings").to_pylist()) == n_mentions
 
+    def test_zero_match_corpus_completes(self, pages_dir, tmp_path, ray_session):
+        """A gazetteer that matches NOTHING must still complete: phase B/C
+        read empty mention/triple dirs (Ray writes no files for an empty
+        dataset), so the pruned reads fall back to an empty schema'd
+        dataset instead of failing schema inference."""
+        gaz = Gazetteer([("zzzqqq_never_present", "X")])
+        for name, cfg in [
+            ("fast", KGPipelineConfig(source="html", write_annotated=False)),
+            ("std", KGPipelineConfig(source="html")),
+        ]:
+            out = str(tmp_path / name)
+            run_kg(pages_dir, gaz, out, cfg, shards=1, build_indexes=True)
+            ents = pq.read_table(os.path.join(out, "entities"))
+            assert ents.num_rows == 0
+            lc = pq.read_table(os.path.join(out, "label_counts"))
+            assert lc.num_rows == 0
+            assert set(lc.column_names) == {"label", "n_mentions"}
+
     def test_fused_case_sensitive_merges_case_variants(self, ray_session):
         """With case_sensitive=True, 'Apple' and 'apple' are distinct pids
         but ONE canonical (surface_norm, label) entity — the fused-path

@@ -235,6 +235,63 @@ class TestDistributedJsonlSink:
             got_lines += open(f, encoding="utf-8").read().splitlines()
         assert sorted(got_lines) == sorted(ref_lines)
 
+    def test_all_formats_byte_equal_reference_sinks(self, ray_session, tmp_path):
+        """Every format's part files concatenate (in some part order) to the
+        same record set the in-memory conformance writers produce."""
+        import glob as _glob
+
+        import ray.data as rd
+
+        from quickner_ray.api import Document
+        from quickner_ray.sinks.distributed import (
+            _PART_EXTS,
+            write_annotations_dataset,
+        )
+        from quickner_ray.sinks.formats import save_annotations
+
+        docs = [
+            Document("the sort and hash join"),
+            Document("ünïcode étexte berlin"),
+        ]
+        docs[0].label = [(4, 8, "OPERATOR")]
+        docs[1].label = [(15, 21, "CITY")]
+
+        tab = __import__("pyarrow").table(
+            {
+                "doc_id": [d.id for d in docs],
+                "text": [d.text for d in docs],
+                "label": [
+                    [{"start": s, "end": e, "label": l} for (s, e, l) in d.label]
+                    for d in docs
+                ],
+            }
+        )
+        for fmt, exts in _PART_EXTS.items():
+            ref_base = save_annotations(docs, str(tmp_path / f"ref_{fmt}.x"), fmt)
+            out = str(tmp_path / f"dist_{fmt}")
+            manifest = write_annotations_dataset(
+                rd.from_arrow(tab), out, format=fmt
+            ).take_all()
+            assert sum(m["rows"] for m in manifest) == len(docs)
+            for ext in exts:
+                ref_bytes = open(ref_base + ext, "rb").read()
+                got = b"".join(
+                    open(f, "rb").read()
+                    for f in sorted(_glob.glob(os.path.join(out, "part-*" + ext)))
+                )
+                if fmt == "spacy":
+                    # spacy is one JSON array per file; compare parsed docs
+                    arrays = [
+                        json.load(open(f, encoding="utf-8"))
+                        for f in sorted(_glob.glob(os.path.join(out, "part-*" + ext)))
+                    ]
+                    flat = [d for a in arrays for d in a]
+                    assert sorted(map(json.dumps, flat)) == sorted(
+                        map(json.dumps, json.load(open(ref_base + ext, encoding="utf-8")))
+                    )
+                else:
+                    assert got == ref_bytes  # single block -> same order
+
     def test_retry_idempotent_part_names(self, ray_session, tmp_path):
         import glob as _glob
 
