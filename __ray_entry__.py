@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
+        "dup_clusters": q.q_dup_clusters,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": da.sql_minhash_signatures(),
         "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),
         "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),
+        "dup_clusters": da.sql_dup_clusters(threshold=0.5),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
         "doc_dedup": (

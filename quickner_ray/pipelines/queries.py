@@ -344,6 +344,27 @@ def q_minhash_dedup_docs(sf_dir: str):
     return anti_join(_docs(sf_dir, columns=["doc_id"]), "doc_id", pairs, "doc_b")
 
 
+def q_dup_clusters(sf_dir: str):
+    """Near-duplicate CLUSTERS: weakly-connected components over the
+    verified LSH pair graph (the principled dedup shape — keep one doc per
+    component instead of greedily dropping pair right-sides). Distributed
+    min-label propagation with pointer jumping; every doc appears, with
+    singletons labelling themselves."""
+    from ..stages.dedup_approx import lsh_dup_pairs
+    from ..stages.graph_cc import _project, connected_components
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pairs = lsh_dup_pairs(ds, threshold=0.5)
+    cc = connected_components(
+        pairs,
+        src_col="doc_a",
+        dst_col="doc_b",
+        nodes=_docs(sf_dir, columns=["doc_id"]),
+        node_col="doc_id",
+    )
+    return _project(cc, {"doc_id": "node", "component": "component"})
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash fingerprint per document."""
     from ..stages.dedup_approx import simhash_batch

@@ -527,6 +527,27 @@ def sql_dedup_keep_docs(threshold: float = 0.5, table: str = "documents") -> str
     )
 
 
+def sql_dup_clusters(threshold: float = 0.5, table: str = "documents") -> str:
+    """Connected components of the verified near-dup pair graph: for each
+    doc, the min doc_id reachable through pairs with jaccard >= threshold.
+    The recursive CTE enumerates (node, reachable-label) facts — UNION
+    dedup terminates it — and min-aggregates per node, which is exactly
+    the fixpoint the distributed min-label propagation computes."""
+    return (
+        f"WITH RECURSIVE {sql_shingle_ctes(table)}, {sql_sigs_cte()}, "
+        f"{sql_lsh_pairs_cte()},\n"
+        f"dup AS (SELECT doc_a, doc_b FROM pairs WHERE jaccard >= {threshold}),\n"
+        f"edges AS (SELECT doc_a AS src, doc_b AS dst FROM dup\n"
+        f"  UNION ALL SELECT doc_b, doc_a FROM dup),\n"
+        f"reach(node, lab) AS (\n"
+        f"  SELECT doc_id, doc_id FROM {table}\n"
+        f"  UNION\n"
+        f"  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node\n"
+        f")\n"
+        f"SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node"
+    )
+
+
 def sql_simhash(table: str = "documents") -> str:
     return (
         f"WITH words AS (\n"
