@@ -106,6 +106,23 @@ def sql_label_mention_counts(
     )
 
 
+def sql_entity_cooccurrence(
+    entities: list[tuple[str, str]], table: str = "documents", *, cap: int = 64
+) -> str:
+    """Oracle for ``q_entity_cooccurrence``: (entity_a, entity_b, n_docs) —
+    distinct entity pairs co-mentioned in a document, capped at the ``cap``
+    lowest eids per doc (mirrors MAX_ENT_PER_DOC's quadratic guard)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap})\n"
+        f"SELECT a.eid AS entity_a, b.eid AS entity_b, count(*) AS n_docs\n"
+        f"FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid\n"
+        f"GROUP BY a.eid, b.eid"
+    )
+
+
 def sql_entity_link(
     entities: list[tuple[str, str]],
     table: str = "documents",

@@ -743,6 +743,16 @@ def q_triples(sf_dir: str):
     )
 
 
+def q_entity_cooccurrence(sf_dir: str):
+    """KG co-occurrence edges: entity pairs co-mentioned in a document,
+    weighted by document count. Pair generation is per-batch (documents
+    never split across mention batches); only the pair-count aggregate
+    shuffles."""
+    from ..stages.graph_cc import cooccurrence_pairs
+
+    return cooccurrence_pairs(mentions_dataset(sf_dir))
+
+
 def q_entity_postings(sf_dir: str):
     """A2 distributed posting-list index surfaced in the driver contract:
     surface_norm -> sorted doc-id postings (per-mention append semantics),

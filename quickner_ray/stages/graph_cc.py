@@ -52,6 +52,107 @@ def _project(ds, mapping: dict[str, str]):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+MAX_ENT_PER_DOC = 64
+
+
+def _cooc_batch(
+    batch: pa.Table, *, cap: int = MAX_ENT_PER_DOC, doc_col: str = "doc_id"
+) -> pa.Table:
+    """Mentions batch -> per-batch partial co-occurrence counts
+    (entity_a, entity_b, n), entity_a < entity_b.
+
+    A document's mentions are contiguous within one batch (explode_mentions
+    is per-batch over whole documents), so per-doc pair generation needs NO
+    shuffle — only the final (a, b) count aggregation does.  Per doc the
+    distinct entity list is capped at ``cap`` lowest eids (quadratic guard,
+    mirrored in the SQL oracle), and the loop runs once per DOCUMENT over
+    numpy arrays, not once per mention or pair.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .canonicalize import entity_id
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "entity_a": pa.array([], type=pa.string()),
+                "entity_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    sn = batch.column("surface_norm")
+    if isinstance(sn, pa.ChunkedArray):
+        sn = sn.combine_chunks()
+    lb = batch.column("label")
+    if isinstance(lb, pa.ChunkedArray):
+        lb = lb.combine_chunks()
+    # eid per mention via md5 per DISTINCT (surface_norm, label) pair —
+    # the distinct set is bounded by the gazetteer, not the mention stream
+    key = pc.binary_join_element_wise(
+        sn.cast(pa.large_string()),
+        lb.cast(pa.large_string()),
+        pa.scalar("\x00", type=pa.large_string()),
+    )
+    enc = pc.dictionary_encode(key)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    eid_vocab = np.array(
+        [entity_id(*k.rsplit("\x00", 1)) for k in enc.dictionary.to_pylist()]
+    )
+    docs = np.asarray(batch.column(doc_col).to_pylist())
+    # distinct (doc, eid), sorted by doc then eid string — the cap order
+    de = np.unique(
+        np.stack([docs, eid_vocab[codes]], axis=1), axis=0
+    )
+    d, e = de[:, 0], de[:, 1]
+    bounds = np.flatnonzero(np.r_[True, d[1:] != d[:-1], True])
+    out_a, out_b = [], []
+    for s, t in zip(bounds[:-1], bounds[1:]):
+        ids = e[s : min(t, s + cap)]
+        k = len(ids)
+        if k >= 2:
+            iu, ju = np.triu_indices(k, 1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+    if not out_a:
+        return pa.table(
+            {
+                "entity_a": pa.array([], type=pa.string()),
+                "entity_b": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    ab = np.stack([np.concatenate(out_a), np.concatenate(out_b)], axis=1)
+    uniq, counts = np.unique(ab, axis=0, return_counts=True)
+    return pa.table(
+        {
+            "entity_a": pa.array(uniq[:, 0]),
+            "entity_b": pa.array(uniq[:, 1]),
+            "n": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def cooccurrence_pairs(mentions, *, cap: int = MAX_ENT_PER_DOC, doc_col: str = "doc_id"):
+    """KG edge construction: entity co-occurrence graph from the mention
+    stream.  Dataset(doc_id, surface_norm, label, ...) ->
+    Dataset(entity_a, entity_b, n_docs) — one edge per entity pair
+    co-mentioned in a document, weighted by the number of such documents.
+
+    Shape: per-batch partial counts (zero-shuffle pair generation, see
+    ``_cooc_batch``) then ONE groupby-sum on the pair key.
+    """
+    from ray.data.aggregate import Sum
+
+    partial = mentions.map_batches(
+        lambda b: _cooc_batch(b, cap=cap, doc_col=doc_col),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(["entity_a", "entity_b"]).aggregate(
+        Sum("n", alias_name="n_docs")
+    )
+
+
 def connected_components(
     edges,
     *,

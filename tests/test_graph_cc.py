@@ -71,3 +71,65 @@ class TestConnectedComponents:
         edge_ds = rd.from_items([{"src": 3, "dst": 9}])
         out = connected_components(edge_ds).take_all()
         assert {r["node"]: r["component"] for r in out} == {3: 3, 9: 3}
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCooccurrence:
+    @staticmethod
+    def _mentions(rows):
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [r[0] for r in rows],
+                    "surface_norm": [r[1] for r in rows],
+                    "label": [r[2] for r in rows],
+                }
+            )
+        )
+
+    def test_counts_distinct_pairs_per_doc(self):
+        from itertools import combinations
+
+        from quickner_ray.stages.canonicalize import entity_id
+        from quickner_ray.stages.graph_cc import cooccurrence_pairs
+
+        # d1 mentions a,b (b twice: still ONE co-occurrence); d2 mentions a,b,c
+        rows = [
+            ("d1", "apple", "ORG"),
+            ("d1", "bolt", "PART"),
+            ("d1", "bolt", "PART"),
+            ("d2", "apple", "ORG"),
+            ("d2", "bolt", "PART"),
+            ("d2", "coil", "PART"),
+        ]
+        got = {
+            (r["entity_a"], r["entity_b"]): r["n_docs"]
+            for r in cooccurrence_pairs(self._mentions(rows)).take_all()
+        }
+        ea = entity_id("apple", "ORG")
+        eb = entity_id("bolt", "PART")
+        ec = entity_id("coil", "PART")
+        want = {}
+        for doc_ents in (
+            [ea, eb],
+            [ea, eb, ec],
+        ):
+            for x, y in combinations(sorted(doc_ents), 2):
+                want[(x, y)] = want.get((x, y), 0) + 1
+        assert got == want
+
+    def test_cap_bounds_quadratic_blowup(self):
+        from quickner_ray.stages.graph_cc import cooccurrence_pairs
+
+        rows = [("d1", f"e{i:03d}", "L") for i in range(10)]
+        out = cooccurrence_pairs(self._mentions(rows), cap=4).take_all()
+        # 4 lowest eids -> C(4,2)=6 pairs, not C(10,2)=45
+        assert len(out) == 6
+
+    def test_single_entity_docs_emit_nothing(self):
+        from quickner_ray.stages.graph_cc import cooccurrence_pairs
+
+        rows = [("d1", "apple", "ORG"), ("d2", "bolt", "PART")]
+        assert cooccurrence_pairs(self._mentions(rows)).take_all() == []
