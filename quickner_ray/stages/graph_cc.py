@@ -153,6 +153,52 @@ def cooccurrence_pairs(mentions, *, cap: int = MAX_ENT_PER_DOC, doc_col: str = "
     )
 
 
+DRIVER_CAP = 200_000  # edges; below this the pair graph union-finds driver-side
+
+
+def _broadcast_cc(labels, edge_rows) -> "object":
+    """Small-graph path: union-find the collected edge list driver-side and
+    broadcast the (non-singleton) component map; one map_batches relabels
+    the node universe.  Same size-gated pattern as stages/antijoin.py —
+    the VERIFIED pair graph is usually far smaller than the corpus, but is
+    corpus-proportional in the worst case, hence the cap."""
+    import ray
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in edge_rows:
+        ra, rb = find(r["src"]), find(r["dst"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in list(parent):
+        root = find(x)
+        comp[x] = root
+    ref = ray.put(comp)
+
+    def relabel(b: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        nodes_py = b.column("node").to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(nodes_py, type=pa.int64()),
+                "component": pa.array(
+                    [m.get(n, n) for n in nodes_py], type=pa.int64()
+                ),
+            }
+        )
+
+    return labels.map_batches(relabel, batch_format="pyarrow")
+
+
 def connected_components(
     edges,
     *,
@@ -162,12 +208,20 @@ def connected_components(
     node_col: str = "node",
     num_partitions: int = 8,
     max_rounds: int = 25,
+    driver_cap: int = DRIVER_CAP,
 ):
     """Edge Dataset -> Dataset(node, component) where ``component`` is the
     minimum node id reachable from ``node`` (undirected reachability).
 
     ``nodes`` optionally supplies the full node universe so isolated nodes
     (no incident edge) appear as their own singleton components.
+
+    Two execution shapes, size-gated like ``antijoin.anti_join``: when the
+    edge list is measurably small (< ``driver_cap``) it is union-found
+    driver-side and the component map broadcast (one relabel pass, no join
+    rounds); above the cap, the distributed min-label propagation with
+    pointer jumping runs (module docstring).  Set ``driver_cap=0`` to
+    force the distributed path.
     """
     from ray.data.aggregate import Min
 
@@ -191,27 +245,28 @@ def connected_components(
         seed.groupby("node").aggregate(Min("node", alias_name="label")),
         {"node": "node", "label": "label"},
     ).repartition(num_partitions).materialize()
-    if labels.count() == 0 or und.count() == 0:
+    n_edges = und.count()
+    if labels.count() == 0 or n_edges == 0:
         # no nodes, or no edges: every node is already its own component
         return _project(labels, {"node": "node", "component": "label"})
+    if n_edges <= driver_cap:
+        return _broadcast_cc(labels, und.take_all())
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
-        m_edge = und.join(
+        # ONE tag-union join per round covers both message kinds: edge rows
+        # (key=src -> emit to dst) and pointer-jump rows (key=label(n) ->
+        # emit to n) share the join against labels on the key column.
+        e_tag = _project(und, {"k": "src", "out": "dst"})
+        p_tag = _project(labels, {"k": "label", "out": "node"})
+        joined = e_tag.union(p_tag).join(
             labels, "inner", num_partitions=num_partitions,
-            on=("src",), right_on=("node",),
+            on=("k",), right_on=("node",),
         )
-        m_edge = _project(m_edge, {"node": "dst", "cand": "label"})
-        ptr = _project(labels, {"pnode": "node", "plabel": "label"})
-        m_jump = ptr.join(
-            labels, "inner", num_partitions=num_partitions,
-            on=("plabel",), right_on=("node",),
-        )
-        m_jump = _project(m_jump, {"node": "pnode", "cand": "label"})
+        msgs = _project(joined, {"node": "out", "cand": "label"})
         m_self = _project(labels, {"node": "node", "cand": "label"})
         labels = _project(
-            m_edge.union(m_jump)
-            .union(m_self)
+            msgs.union(m_self)
             .groupby("node")
             .aggregate(Min("cand", alias_name="label")),
             {"node": "node", "label": "label"},

@@ -32,44 +32,51 @@ def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]
     return {v: root_min[find(v)] for v in range(n_nodes)}
 
 
-def _run(edges: list[tuple[int, int]], n_nodes: int) -> dict[int, int]:
+def _run(
+    edges: list[tuple[int, int]], n_nodes: int, driver_cap: int
+) -> dict[int, int]:
     edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
     node_ds = rd.from_items([{"node": v} for v in range(n_nodes)])
-    out = connected_components(edge_ds, nodes=node_ds).take_all()
+    out = connected_components(
+        edge_ds, nodes=node_ds, driver_cap=driver_cap
+    ).take_all()
     assert len(out) == n_nodes
     return {r["node"]: r["component"] for r in out}
 
 
+# driver_cap=0 forces the distributed label-propagation path; the default
+# exercises the size-gated driver-side union-find + broadcast relabel path
+@pytest.mark.parametrize("cap", [0, 200_000], ids=["distributed", "broadcast"])
 @pytest.mark.usefixtures("ray_session")
 class TestConnectedComponents:
-    def test_path_triangle_singleton(self):
+    def test_path_triangle_singleton(self, cap):
         # path 0-1-2-3, triangle 4-5-6, singleton 7
         edges = [(1, 0), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4)]
-        got = _run(edges, 8)
+        got = _run(edges, 8, cap)
         assert got == _uf_components(8, edges)
         assert got[3] == 0 and got[6] == 4 and got[7] == 7
 
-    def test_long_chain_converges(self):
+    def test_long_chain_converges(self, cap):
         # a 40-node chain needs pointer jumping to finish in few rounds
         edges = [(i, i + 1) for i in range(39)]
-        assert _run(edges, 40) == {v: 0 for v in range(40)}
+        assert _run(edges, 40, cap) == {v: 0 for v in range(40)}
 
-    def test_no_edges(self):
-        assert _run([], 5) == {v: v for v in range(5)}
+    def test_no_edges(self, cap):
+        assert _run([], 5, cap) == {v: v for v in range(5)}
 
-    def test_random_graphs_match_union_find(self):
+    def test_random_graphs_match_union_find(self, cap):
         rng = random.Random(7)
-        for trial in range(3):
+        for trial in range(2):
             n = 30 + 10 * trial
             edges = [
                 (rng.randrange(n), rng.randrange(n)) for _ in range(n // 2)
             ]
             edges = [(a, b) for a, b in edges if a != b]
-            assert _run(edges, n) == _uf_components(n, edges)
+            assert _run(edges, n, cap) == _uf_components(n, edges)
 
-    def test_endpoints_only_without_node_universe(self):
+    def test_endpoints_only_without_node_universe(self, cap):
         edge_ds = rd.from_items([{"src": 3, "dst": 9}])
-        out = connected_components(edge_ds).take_all()
+        out = connected_components(edge_ds, driver_cap=cap).take_all()
         assert {r["node"]: r["component"] for r in out} == {3: 3, 9: 3}
 
 
