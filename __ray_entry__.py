@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
+        "events_value_bands": q.q_events_value_bands,
+        "token_count_ranks": q.q_token_count_ranks,
         "repetition_stats": q.q_repetition_stats,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
@@ -136,6 +138,9 @@ def oracle_sql() -> dict[str, str]:
         sql_stratified_sample_docs as _sql_strat_sample,
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
+    from quickner_ray.pipelines.queries import (
+        sql_events_value_bands as _sql_bands,
+    )
     from quickner_ray.stages.text_analysis import (
         sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
@@ -215,6 +220,12 @@ def oracle_sql() -> dict[str, str]:
             " AS n_tokens FROM documents"
         ),
         "bpe_token_counts": sql_bpe_token_count(),
+        "events_value_bands": _sql_bands(),
+        "token_count_ranks": (
+            f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}')) AS BIGINT)"
+            " AS n_tokens, RANK() OVER (ORDER BY"
+            f" length(regexp_extract_all(text, '{token_re}'))) AS rnk FROM documents"
+        ),
         "quality_counts": (
             "SELECT doc_id, "
             "CAST(length(text) AS BIGINT) AS n_chars_m, "

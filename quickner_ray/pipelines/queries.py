@@ -381,6 +381,63 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+# value bands for the broadcast range join (lo, hi, name); the last band's
+# hi is an open-ended sentinel
+EVENT_VALUE_BANDS: list[tuple[float, float, str]] = [
+    (0.0, 50.0, "b0_small"),
+    (50.0, 100.0, "b1_mid"),
+    (100.0, 200.0, "b2_large"),
+    (200.0, 350.0, "b3_xl"),
+    (350.0, 1e9, "b4_huge"),
+]
+
+
+def q_events_value_bands(sf_dir: str):
+    """Broadcast RANGE JOIN: assign each event's value to an interval band
+    (searchsorted against the broadcast band table, no shuffle), then a
+    grouped aggregate. Money emitted as per-row cents ints so the
+    cross-engine sum compares exactly."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.rangejoin import band_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    ds = band_join(ds, EVENT_VALUE_BANDS, value_col="value")
+
+    def cents(b: pa.Table) -> pa.Table:
+        e2 = pc.round(pc.multiply(b.column("value"), pa.scalar(100.0)))
+        return b.append_column("value_e2", e2.cast(pa.int64()))
+
+    ds = ds.map_batches(cents, batch_format="pyarrow")
+    return ds.groupby("band").aggregate(
+        Count(alias_name="n_events"), Sum("value_e2", alias_name="sum_value_e2")
+    )
+
+
+def sql_events_value_bands() -> str:
+    rows = ", ".join(f"({lo}, {hi}, '{n}')" for lo, hi, n in EVENT_VALUE_BANDS)
+    return (
+        f"WITH bands(lo, hi, band) AS (VALUES {rows})\n"
+        f"SELECT b.band, count(*) AS n_events,\n"
+        f"  CAST(sum(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_value_e2\n"
+        f"FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi\n"
+        f"GROUP BY b.band"
+    )
+
+
+def q_token_count_ranks(sf_dir: str):
+    """Exact global RANK() over token counts WITHOUT a global sort: value
+    histogram (shuffle bounded by distinct-count) broadcast as a cumulative
+    array, ranks assigned per batch by searchsorted."""
+    from ..stages.rank import global_rank
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_token_count, batch_format="pyarrow")
+    ds = global_rank(ds, "n_tokens", out_col="rnk")
+    return ds.select_columns(["doc_id", "n_tokens", "rnk"])
+
+
 def q_top_customers(sf_dir: str, k: int = 10):
     """Sort + limit over a grouped aggregate: top-k customers by total
     order value (rounded to cents so the float sum compares exactly)."""

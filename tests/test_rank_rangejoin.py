@@ -1,0 +1,67 @@
+"""Broadcast range join and global rank: edge semantics pinned."""
+
+from __future__ import annotations
+
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from quickner_ray.stages.rangejoin import band_join
+from quickner_ray.stages.rank import global_rank
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBandJoin:
+    BANDS = [(0.0, 10.0, "lo"), (10.0, 20.0, "mid"), (30.0, 40.0, "hi")]
+
+    def _run(self, values):
+        ds = rd.from_arrow(pa.table({"value": pa.array(values, pa.float64())}))
+        out = band_join(ds, self.BANDS, value_col="value").take_all()
+        return {r["value"]: r["band"] for r in out}
+
+    def test_boundaries_half_open(self):
+        # lo <= v < hi: 10.0 belongs to "mid", 20.0 is in no band (gap)
+        got = self._run([0.0, 9.99, 10.0, 19.99, 30.0])
+        assert got == {
+            0.0: "lo",
+            9.99: "lo",
+            10.0: "mid",
+            19.99: "mid",
+            30.0: "hi",
+        }
+
+    def test_out_of_band_rows_dropped(self):
+        got = self._run([-1.0, 25.0, 40.0, 99.0])
+        assert got == {}
+
+    def test_overlapping_bands_rejected(self):
+        ds = rd.from_arrow(pa.table({"value": pa.array([1.0])}))
+        with pytest.raises(ValueError, match="overlapping"):
+            band_join(ds, [(0.0, 10.0, "a"), (5.0, 15.0, "b")], value_col="value")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRank:
+    def _run(self, values, **kw):
+        ds = rd.from_arrow(
+            pa.table({"i": list(range(len(values))), "v": values})
+        )
+        out = global_rank(ds, "v", **kw).take_all()
+        return {r["i"]: r["rnk"] for r in out}
+
+    def test_rank_with_ties_matches_sql_rank(self):
+        # values 5,3,3,1 -> asc ranks 4,2,2,1 (RANK leaves gaps)
+        assert self._run([5, 3, 3, 1]) == {0: 4, 1: 2, 2: 2, 3: 1}
+
+    def test_descending(self):
+        assert self._run([5, 3, 3, 1], descending=True) == {
+            0: 1,
+            1: 2,
+            2: 2,
+            3: 4,
+        }
+
+    def test_max_distinct_guard(self):
+        ds = rd.from_arrow(pa.table({"v": list(range(100))}))
+        with pytest.raises(ValueError, match="max_distinct"):
+            global_rank(ds, "v", max_distinct=10)
