@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": q.q_event_value_quantiles,
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
+        "source_mixture_sample": q.q_source_mixture_sample,
         "repetition_stats": q.q_repetition_stats,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages.asof import sql_asof_last_order as _sql_asof
     from quickner_ray.stages.topk import (
         sql_grouped_topk_orders as _sql_topk_orders,
+        sql_mixture_sample_docs as _sql_mix_sample,
         sql_stratified_sample_docs as _sql_strat_sample,
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
@@ -192,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": _sql_bigrams(k=20),
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
+        "source_mixture_sample": _sql_mix_sample(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),

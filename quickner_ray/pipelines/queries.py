@@ -426,6 +426,15 @@ def sql_events_value_bands() -> str:
     )
 
 
+def q_source_mixture_sample(sf_dir: str):
+    """Deterministic source-mixture subsample (LLM data mixing): per-source
+    hash-derived keep rates, pure per-batch filter."""
+    from ..stages.topk import mixture_sample
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+    return mixture_sample(ds, "source", "doc_id")
+
+
 def q_token_count_ranks(sf_dir: str):
     """Exact global RANK() over token counts WITHOUT a global sort: value
     histogram (shuffle bounded by distinct-count) broadcast as a cumulative

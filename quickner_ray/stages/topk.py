@@ -83,6 +83,55 @@ def stratified_sample(ds, key_col: str, id_col: str, k: int):
     return grouped_topk(ranked, key_col, ["sample_rank", id_col], k)
 
 
+def mixture_sample(ds, source_col: str, id_col: str, *, n_rates: int = 4):
+    """Deterministic source-mixture subsampling (the data-mixing step of an
+    LLM corpus: up-/down-weight each source by a keep rate).
+
+    Keep rate per source is k/``n_rates`` with k = (h64(source) % n_rates)+1
+    — deterministic, no config table to ship — and a row survives iff the
+    top bits of its id hash fall under k: ``h64(id) >> log2(2^64/n_rates) <
+    k``, exact integer math with no 2^64 overflow on either engine.  Pure
+    per-batch filter: no shuffle, no state, resumable by construction."""
+    import math
+
+    from ..stages.dedup_approx import h64
+
+    shift = 64 - int(math.log2(n_rates))
+    if 1 << (64 - shift) != n_rates:
+        raise ValueError("n_rates must be a power of two")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        srcs = b.column(source_col)
+        if isinstance(srcs, pa.ChunkedArray):
+            srcs = srcs.combine_chunks()
+        hid = np.fromiter(
+            (h64(s) for s in ids.cast(pa.string()).to_pylist()),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        rates = {s: (h64(s) % n_rates) + 1 for s in set(srcs.to_pylist())}
+        k = np.fromiter(
+            (rates[s] for s in srcs.to_pylist()), dtype=np.uint64, count=len(ids)
+        )
+        return b.filter(pa.array((hid >> np.uint64(shift)) < k))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sql_mixture_sample_docs(n_rates: int = 4) -> str:
+    """Oracle for the driver query: per-source hash-rate subsample of
+    documents. Integer division mirrors the >> shift (no 2^64 overflow)."""
+    div = (1 << 64) // n_rates
+    return (
+        "SELECT doc_id, source FROM documents\n"
+        f"WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) // {div}\n"
+        f"  < (md5_number_upper(source) % {n_rates}) + 1"
+    )
+
+
 def sql_grouped_topk_orders(k: int = 3) -> str:
     """Oracle for the driver query: top-k orders per priority class by
     total price (ties to the smaller orderkey)."""

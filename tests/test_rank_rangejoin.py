@@ -65,3 +65,41 @@ class TestGlobalRank:
         ds = rd.from_arrow(pa.table({"v": list(range(100))}))
         with pytest.raises(ValueError, match="max_distinct"):
             global_rank(ds, "v", max_distinct=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMixtureSample:
+    def test_rates_deterministic_and_proportional(self):
+        from quickner_ray.stages.dedup_approx import h64
+        from quickner_ray.stages.topk import mixture_sample
+
+        n = 2000
+        tab = pa.table(
+            {
+                "doc_id": list(range(n)),
+                "source": [f"s{i % 3}" for i in range(n)],
+            }
+        )
+        out1 = mixture_sample(
+            rd.from_arrow(tab), "source", "doc_id"
+        ).take_all()
+        out2 = mixture_sample(
+            rd.from_arrow(tab), "source", "doc_id"
+        ).take_all()
+        ids1 = sorted(r["doc_id"] for r in out1)
+        assert ids1 == sorted(r["doc_id"] for r in out2)  # deterministic
+        # per-source keep fraction tracks the hash-derived rate k/4
+        from collections import Counter
+
+        kept = Counter(r["source"] for r in out1)
+        for s in ("s0", "s1", "s2"):
+            k = (h64(s) % 4) + 1
+            frac = kept.get(s, 0) / (n / 3)
+            assert abs(frac - k / 4) < 0.07, (s, k, frac)
+
+    def test_n_rates_must_be_power_of_two(self):
+        from quickner_ray.stages.topk import mixture_sample
+
+        ds = rd.from_arrow(pa.table({"doc_id": [1], "source": ["a"]}))
+        with pytest.raises(ValueError, match="power of two"):
+            mixture_sample(ds, "source", "doc_id", n_rates=3)
