@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
+        "hll_user_registers": q.q_hll_user_registers,
         "repetition_stats": q.q_repetition_stats,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
@@ -143,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.pipelines.queries import (
         sql_events_value_bands as _sql_bands,
     )
+    from quickner_ray.stages.sketch import sql_hll_registers as _sql_hll
     from quickner_ray.stages.text_analysis import (
         sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
         "source_mixture_sample": _sql_mix_sample(),
+        "hll_user_registers": _sql_hll("user_id", "events"),
         "doc_chunks": _sql_chunks(size=200, overlap=40),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),

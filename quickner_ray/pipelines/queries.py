@@ -426,6 +426,19 @@ def sql_events_value_bands() -> str:
     )
 
 
+def q_hll_user_registers(sf_dir: str):
+    """Mergeable HyperLogLog cardinality sketch over event users: sparse
+    per-batch partial registers, one bucket-bounded groupby-max. The
+    register table is deterministic, hence exactly oracle-checkable; the
+    estimate derived from it is pinned by tests."""
+    import ray.data as rd
+
+    from ..stages.sketch import hll_registers
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return hll_registers(ds, "user_id")
+
+
 def q_source_mixture_sample(sf_dir: str):
     """Deterministic source-mixture subsample (LLM data mixing): per-source
     hash-derived keep rates, pure per-batch filter."""

@@ -1,0 +1,45 @@
+"""HyperLogLog sketch: register determinism, mergeability, estimate error."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from quickner_ray.stages.sketch import M, hll_estimate, hll_registers
+
+
+def _regs(ids) -> dict[int, int]:
+    ds = rd.from_arrow(pa.table({"k": pa.array(ids)}))
+    return {
+        r["bucket"]: r["register"] for r in hll_registers(ds, "k").take_all()
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLL:
+    def test_estimate_error_sweep(self):
+        # m=4096 -> expected relative error ~1.6%; allow 5%
+        for n in (100, 1_000, 20_000):
+            est = hll_estimate(list(_regs(range(n)).items()))
+            assert abs(est - n) / n < 0.05, (n, est)
+
+    def test_merge_is_elementwise_max(self):
+        a = _regs(range(0, 3_000))
+        b = _regs(range(2_000, 5_000))
+        u = _regs(range(0, 5_000))
+        merged = {
+            k: max(a.get(k, 0), b.get(k, 0)) for k in set(a) | set(b)
+        }
+        assert merged == u
+
+    def test_deterministic_and_duplicate_insensitive(self):
+        once = _regs([f"u{i}" for i in range(500)])
+        dup = _regs([f"u{i % 500}" for i in range(5_000)])
+        assert once == dup
+
+    def test_register_bounds(self):
+        regs = _regs(range(10_000))
+        assert all(0 <= b < M for b in regs)
+        assert all(1 <= r <= 53 for r in regs.values())
