@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
         "hll_user_registers": q.q_hll_user_registers,
+        "normalized_text": q.q_normalized_text,
         "repetition_stats": q.q_repetition_stats,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
@@ -146,6 +147,9 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.sketch import sql_hll_registers as _sql_hll
     from quickner_ray.stages.text_analysis import (
+        sql_normalized_text as _sql_norm,
+    )
+    from quickner_ray.stages.text_analysis import (
         sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
         sql_repetition_stats as _sql_rep,
@@ -198,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_strat_sample(),
         "source_mixture_sample": _sql_mix_sample(),
         "hll_user_registers": _sql_hll("user_id", "events"),
+        "normalized_text": _sql_norm(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),

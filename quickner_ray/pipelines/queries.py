@@ -426,6 +426,16 @@ def sql_events_value_bands() -> str:
     )
 
 
+def q_normalized_text(sf_dir: str):
+    """C4-style normalization (lower, collapse whitespace, trim) — pure
+    vectorized per-batch kernels."""
+    from ..stages.text_analysis import add_normalized_text
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_normalized_text, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "norm_text", "n_chars_norm"])
+
+
 def q_hll_user_registers(sf_dir: str):
     """Mergeable HyperLogLog cardinality sketch over event users: sparse
     per-batch partial registers, one bucket-bounded groupby-max. The

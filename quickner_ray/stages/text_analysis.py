@@ -257,6 +257,32 @@ def sql_repetition_stats(table: str = "documents") -> str:
     )
 
 
+def add_normalized_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """C4-style text normalization: lowercase (utf8proc simple case mapping
+    — identical in Arrow and DuckDB), collapse every ASCII-whitespace run
+    to one space, trim edge spaces. Pure per-batch kernels, no Python."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(texts), "[ \t\n\r\x0b\x0c]+", " "
+    )
+    norm = pc.utf8_trim(norm, " ")
+    out = batch.append_column("norm_text", norm)
+    return out.append_column("n_chars_norm", pc.utf8_length(norm).cast(pa.int64()))
+
+
+def sql_normalized_text(table: str = "documents") -> str:
+    return (
+        "SELECT doc_id,\n"
+        "  trim(regexp_replace(lower(text),"
+        " '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g'), ' ') AS norm_text,\n"
+        "  CAST(length(trim(regexp_replace(lower(text),"
+        " '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g'), ' ')) AS BIGINT) AS n_chars_norm\n"
+        f"FROM {table}"
+    )
+
+
 # -- vocabulary statistics (df/tf with a partial combiner) -------------------
 
 WORD_CLASS_RE = "[a-z0-9]+"

@@ -52,3 +52,28 @@ def test_bpe_count_contraction_and_prefix_semantics():
     batch = pa.table({"doc_id": [0, 1, 2], "text": ["it's", " won't x", "a  b"]})
     got = add_bpe_token_count(batch).column("n_bpe_tokens").to_pylist()
     assert got == [2, 3, 3]  # [it]['s] | [ won]['t][ x] | [a][  ][b]
+
+
+def test_normalized_text_matches_duckdb():
+    import duckdb
+
+    from quickner_ray.stages.text_analysis import (
+        add_normalized_text,
+        sql_normalized_text,
+    )
+
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["  A\t\tB\nC  ", "École  ÇA\x0b x", "", "\r\n\r\n"],
+        }
+    )
+    out = add_normalized_text(batch)
+    got = list(
+        zip(out.column("norm_text").to_pylist(), out.column("n_chars_norm").to_pylist())
+    )
+    assert got == [("a b c", 5), ("école ça x", 10), ("", 0), ("", 0)]
+    con = duckdb.connect()
+    con.register("documents", batch)
+    ora = {r[0]: (r[1], r[2]) for r in con.sql(sql_normalized_text()).fetchall()}
+    assert [ora[i] for i in range(4)] == got
