@@ -873,33 +873,48 @@ def q_entity_postings(sf_dir: str):
 
 def q_graph_degree(sf_dir: str):
     """Graph adjacency stats from the materialized triples: per (subj, pred)
-    the distinct-object degree and total mention count. Count-distinct is
-    composed scale-safely: per-batch distinct (s,p,o) partials with partial
-    mention counts -> groupby(s,p,o).sum -> tiny groupby(s,p) count+sum."""
-    from ray.data.aggregate import Count, Sum
+    the distinct-object degree and total mention count.
 
+    ZERO shuffles: subj IS the doc id and a document's triples are
+    contiguous within one batch by construction (explode/detect are
+    per-batch over whole documents — the same locality invariant
+    ``cooccurrence_pairs`` relies on), so every (subj, pred) group is
+    batch-local and the whole aggregate is a vectorized per-batch pass.
+    Were the key NOT aligned with the batch layout, this would need the
+    groupby(s,p,o) -> groupby(s,p) partial-aggregate chain instead."""
     t = q_triples(sf_dir).select_columns(["subj", "pred", "obj"])
 
-    def partial(b: pa.Table) -> pa.Table:
+    def degree(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "subj": pa.array([], type=pa.string()),
+                    "pred": pa.array([], type=pa.string()),
+                    "n_objects": pa.array([], type=pa.int64()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                }
+            )
         cols = []
         for name in ("subj", "pred", "obj"):
             c = b.column(name)
-            cols.append(c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c)
-        enc = pc.dictionary_encode(pc.binary_join_element_wise(*cols, "\x00"))
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        n_keys = len(enc.dictionary)
-        counts = np.bincount(codes, minlength=n_keys)
-        first = np.full(n_keys, len(codes), dtype=np.int64)
-        np.minimum.at(first, codes, np.arange(len(codes)))
-        # codes are assigned in first-appearance order, so row `first[c]`
-        # aligns with `counts[c]`
-        out = b.take(pa.array(first))
-        return out.append_column("n", pa.array(counts, type=pa.int64()))
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            cols.append(c.cast(pa.large_string()))
+        sep = pa.scalar("\x00", type=pa.large_string())
+        sp_enc = pc.dictionary_encode(pc.binary_join_element_wise(cols[0], cols[1], sep))
+        sp = sp_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        spo_enc = pc.dictionary_encode(
+            pc.binary_join_element_wise(cols[0], cols[1], cols[2], sep)
+        )
+        spo = spo_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_sp = len(sp_enc.dictionary)
+        n_mentions = np.bincount(sp, minlength=n_sp)
+        # distinct (s,p,o) -> its (s,p) group, counted once
+        first_spo = np.unique(spo, return_index=True)[1]
+        n_objects = np.bincount(sp[first_spo], minlength=n_sp)
+        first_sp = np.full(n_sp, len(sp), dtype=np.int64)
+        np.minimum.at(first_sp, sp, np.arange(len(sp)))
+        out = b.select(["subj", "pred"]).take(pa.array(first_sp))
+        out = out.append_column("n_objects", pa.array(n_objects, type=pa.int64()))
+        return out.append_column("n_mentions", pa.array(n_mentions, type=pa.int64()))
 
-    per_spo = t.map_batches(partial, batch_format="pyarrow")
-    spo = per_spo.groupby(["subj", "pred", "obj"]).aggregate(
-        Sum("n", alias_name="n_mentions")
-    )
-    return spo.groupby(["subj", "pred"]).aggregate(
-        Count(alias_name="n_objects"), Sum("n_mentions", alias_name="n_mentions")
-    )
+    return t.map_batches(degree, batch_format="pyarrow")
