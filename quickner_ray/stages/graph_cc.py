@@ -214,7 +214,9 @@ def connected_components(
     minimum node id reachable from ``node`` (undirected reachability).
 
     ``nodes`` optionally supplies the full node universe so isolated nodes
-    (no incident edge) appear as their own singleton components.
+    (no incident edge) appear as their own singleton components; when
+    given it must be DISTINCT and cover every edge endpoint (both true for
+    a document table keyed by id).
 
     Two execution shapes, size-gated like ``antijoin.anti_join``: when the
     edge list is measurably small (< ``driver_cap``) it is union-found
@@ -225,8 +227,27 @@ def connected_components(
     """
     from ray.data.aggregate import Min
 
-    fwd = _project(edges, {"src": src_col, "dst": dst_col})
-    rev = _project(edges, {"src": dst_col, "dst": src_col})
+    raw = _project(edges, {"src": src_col, "dst": dst_col}).materialize()
+    n_edges = raw.count()
+
+    if n_edges <= driver_cap:
+        # broadcast path needs neither symmetrization nor a distinct pass:
+        # union-find reads the raw pairs, and the node universe (caller-
+        # supplied, or the distinct endpoints) is relabelled lazily.
+        if nodes is not None:
+            universe = _project(nodes, {"node": node_col})
+        else:
+            universe = _project(
+                _project(raw, {"node": "src"})
+                .union(_project(raw, {"node": "dst"}))
+                .groupby("node")
+                .aggregate(Min("node", alias_name="label")),
+                {"node": "node"},
+            )
+        return _broadcast_cc(universe, raw.take_all() if n_edges else [])
+
+    fwd = _project(raw, {"src": "src", "dst": "dst"})
+    rev = _project(raw, {"src": "dst", "dst": "src"})
     # repartition for the same schema-normalization reason as labels below
     # (upstream aggregates can hand us schema-less empty blocks)
     und = fwd.union(rev).repartition(num_partitions).materialize()
@@ -245,12 +266,6 @@ def connected_components(
         seed.groupby("node").aggregate(Min("node", alias_name="label")),
         {"node": "node", "label": "label"},
     ).repartition(num_partitions).materialize()
-    n_edges = und.count()
-    if labels.count() == 0 or n_edges == 0:
-        # no nodes, or no edges: every node is already its own component
-        return _project(labels, {"node": "node", "component": "label"})
-    if n_edges <= driver_cap:
-        return _broadcast_cc(labels, und.take_all())
 
     prev_sum = labels.sum("label")
     for _ in range(max_rounds):
