@@ -426,6 +426,38 @@ def sql_events_value_bands() -> str:
     )
 
 
+GLOBAL_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_event_value_global_quantiles(sf_dir: str):
+    """EXACT global quantiles of the continuous value column with no global
+    sort: distributed quickselect by histogram refinement (O(levels)
+    counting passes, driver memory bounded by bins + the final sliver)."""
+    import ray.data as rd
+
+    from ..stages.rank import exact_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    pairs = exact_quantiles(ds, "value", GLOBAL_QUANTILES)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array([p[0] for p in pairs], type=pa.float64()),
+                "value": pa.array([p[1] for p in pairs], type=pa.float64()),
+            }
+        )
+    )
+
+
+def sql_event_value_global_quantiles() -> str:
+    parts = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, quantile_disc(value, {q}) AS value"
+        f" FROM events"
+        for q in GLOBAL_QUANTILES
+    )
+    return parts
+
+
 def q_normalized_text(sf_dir: str):
     """C4-style normalization (lower, collapse whitespace, trim) — pure
     vectorized per-batch kernels."""

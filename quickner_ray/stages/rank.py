@@ -23,6 +23,157 @@ import numpy as np
 import pyarrow as pa
 
 
+def exact_quantiles(
+    ds,
+    col: str,
+    qs: list[float],
+    *,
+    bins: int = 4096,
+    max_collect: int = 100_000,
+    max_depth: int = 6,
+):
+    """EXACT global quantiles of a CONTINUOUS column without a global sort
+    (``quantile_disc`` convention: element at index max(ceil(q*n)-1, 0) of
+    the ascending order).
+
+    Distributed quickselect by histogram refinement: each level runs one
+    counting pass (per-batch bincount partials -> a groupby bounded by the
+    bin count) over the candidate interval, narrowing every target rank to
+    one bin; a bin whose population is under ``max_collect`` is resolved
+    exactly by collecting just that sliver (predicate-pushdown re-read),
+    a heavier bin recurses. Total work: O(depth) passes, driver memory
+    bounded by bins + max_collect — never the row count. Returns
+    [(q, value)] sorted by q.
+
+    Degenerate mass (many duplicates of one value) stops refining an
+    interval of zero width and collects it regardless of size cap — the
+    duplicates are one value, so the collect is the distinct-value list.
+    """
+    import ray  # noqa: F401  (Dataset ops only)
+    from ray.data.aggregate import Count, Max as AMax, Min as AMin, Sum
+
+    agg = ds.aggregate(AMin(col), AMax(col), Count())
+    n = agg["count()"]
+    if not n:
+        return []
+    lo0, hi0 = agg[f"min({col})"], agg[f"max({col})"]
+    targets = {q: max(int(np.ceil(q * n)) - 1, 0) for q in qs}
+
+    def hist_pass(lo: float, hi: float):
+        """One counting pass over [lo, hi]: returns (edges, counts)."""
+        edges = np.linspace(lo, hi, bins + 1)
+
+        def partial(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            if len(v) == 0:
+                return pa.table(
+                    {
+                        "bin": pa.array([], type=pa.int64()),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            idx = np.clip(
+                np.searchsorted(edges, v, side="right") - 1, 0, bins - 1
+            )
+            counts = np.bincount(idx, minlength=bins)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "bin": pa.array(nz, type=pa.int64()),
+                    "n": pa.array(counts[nz], type=pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin")
+            .aggregate(Sum("n", alias_name="n"))
+            .take_all()
+        )
+        counts = np.zeros(bins, dtype=np.int64)
+        for r in rows:
+            counts[r["bin"]] = r["n"]
+        return edges, counts
+
+    def collect_slivers(
+        intervals: list[tuple[float, float]]
+    ) -> dict[int, np.ndarray]:
+        """ONE pass collecting every listed [lo, hi] sliver: rows are tagged
+        with their interval index inside map_batches, so resolving all
+        small bins of a refinement level costs a single read."""
+        los = np.array([iv[0] for iv in intervals])
+        his = np.array([iv[1] for iv in intervals])
+
+        def tag(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            hits_v, hits_i = [], []
+            for i in range(len(los)):
+                m = (v >= los[i]) & (v <= his[i])
+                if m.any():
+                    hits_v.append(v[m])
+                    hits_i.append(np.full(int(m.sum()), i, dtype=np.int64))
+            if not hits_v:
+                return pa.table(
+                    {
+                        "iv": pa.array([], type=pa.int64()),
+                        "v": pa.array([], type=pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "iv": pa.array(np.concatenate(hits_i)),
+                    "v": pa.array(np.concatenate(hits_v), type=pa.float64()),
+                }
+            )
+
+        rows = ds.map_batches(tag, batch_format="pyarrow").take_all()
+        out: dict[int, list[float]] = {i: [] for i in range(len(intervals))}
+        for r in rows:
+            out[r["iv"]].append(r["v"])
+        return {i: np.sort(np.array(vs)) for i, vs in out.items()}
+
+    # rank -> value; resolve iteratively, grouping targets by interval.
+    # Each level: one histogram pass per unresolved interval, then ONE
+    # shared collect pass for every interval that became small enough.
+    out: dict[float, float] = {}
+    work = [(float(lo0), float(hi0), 0, dict(targets))]  # lo, hi, offset, {q: k}
+    depth = 0
+    while work:
+        depth += 1
+        next_work = []
+        to_collect: list[tuple[float, float, int, dict[float, int]]] = []
+        for lo, hi, offset, tgts in work:
+            if lo == hi or depth > max_depth:
+                to_collect.append((lo, hi, offset, tgts))
+                continue
+            edges, counts = hist_pass(lo, hi)
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            by_bin: dict[int, dict[float, int]] = {}
+            for q, k in tgts.items():
+                b = int(np.searchsorted(cum, k - offset, side="right") - 1)
+                by_bin.setdefault(b, {})[q] = k
+            for b, sub in by_bin.items():
+                blo = float(edges[b])
+                bhi = float(edges[b + 1])
+                boff = offset + int(cum[b])
+                if counts[b] <= max_collect:
+                    # exact resolve: the sliver is small by measurement.
+                    # The inclusive upper edge may pull in next-bin rows
+                    # (v == bhi); they sort after every in-bin value and a
+                    # target's index never reaches them, so they're inert.
+                    to_collect.append((blo, bhi, boff, sub))
+                else:
+                    next_work.append((blo, bhi, boff, sub))
+        if to_collect:
+            slivers = collect_slivers([(c[0], c[1]) for c in to_collect])
+            for i, (_lo, _hi, boff, sub) in enumerate(to_collect):
+                for q, k in sub.items():
+                    out[q] = float(slivers[i][k - boff])
+        work = next_work
+    return sorted(out.items())
+
+
 class _RankAssign:
     def __init__(self, ref, col: str, out_col: str, descending: bool):
         import ray

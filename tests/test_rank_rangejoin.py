@@ -68,6 +68,52 @@ class TestGlobalRank:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestExactQuantiles:
+    QS = [0.01, 0.1, 0.5, 0.9, 0.99, 1.0]
+
+    @staticmethod
+    def _disc_reference(values, qs):
+        import numpy as np
+
+        s = np.sort(np.asarray(values, dtype=np.float64))
+        n = len(s)
+        return {q: float(s[max(int(np.ceil(q * n)) - 1, 0)]) for q in qs}
+
+    def _check(self, values, **kw):
+        from quickner_ray.stages.rank import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"v": pa.array(values, pa.float64())}))
+        got = dict(exact_quantiles(ds, "v", self.QS, **kw))
+        assert got == self._disc_reference(values, self.QS)
+
+    def test_uniform(self):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        self._check(list(rng.uniform(-5, 17, 5000)))
+
+    def test_recursion_forced_by_tiny_collect_cap(self):
+        import numpy as np
+
+        rng = np.random.RandomState(4)
+        self._check(list(rng.normal(0, 1, 4000)), bins=8, max_collect=50)
+
+    def test_degenerate_mass_single_value(self):
+        # 90% of the rows are the same value: zero-width interval path
+        vals = [7.5] * 900 + list(range(100))
+        self._check([float(v) for v in vals], bins=16, max_collect=32)
+
+    def test_few_rows(self):
+        self._check([3.0, 1.0, 2.0])
+
+    def test_empty(self):
+        from quickner_ray.stages.rank import exact_quantiles
+
+        ds = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+        assert exact_quantiles(ds, "v", [0.5]) == []
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestMixtureSample:
     def test_rates_deterministic_and_proportional(self):
         from quickner_ray.stages.dedup_approx import h64
