@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": q.q_hll_user_registers,
         "normalized_text": q.q_normalized_text,
         "event_value_global_quantiles": q.q_event_value_global_quantiles,
+        "customer_order_counts": q.q_customer_order_counts,
         "repetition_stats": q.q_repetition_stats,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
     from quickner_ray.pipelines.queries import (
+        sql_customer_order_counts as _sql_cust_orders,
         sql_event_value_global_quantiles as _sql_gq,
         sql_events_value_bands as _sql_bands,
     )
@@ -206,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_registers": _sql_hll("user_id", "events"),
         "normalized_text": _sql_norm(),
         "event_value_global_quantiles": _sql_gq(),
+        "customer_order_counts": _sql_cust_orders(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),

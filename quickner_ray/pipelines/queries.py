@@ -426,6 +426,45 @@ def sql_events_value_bands() -> str:
     )
 
 
+def q_customer_order_counts(sf_dir: str):
+    """LEFT OUTER hash-partitioned join: every customer with their order
+    count, zero-order customers included (the join shape the inner/semi/
+    anti variants can't express). Null-side rows count as 0 via a
+    vectorized null flag before the grouped sum."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    )
+    joined = cust.join(
+        orders, "left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(b.column("o_orderkey")), pa.int64())
+        return pa.table(
+            {"c_custkey": b.column("c_custkey"), "has_order": has}
+        )
+
+    joined = joined.map_batches(flag, batch_format="pyarrow")
+    return joined.groupby("c_custkey").aggregate(
+        Sum("has_order", alias_name="n_orders")
+    )
+
+
+def sql_customer_order_counts() -> str:
+    return (
+        "SELECT c_custkey, count(o_orderkey) AS n_orders\n"
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey\n"
+        "GROUP BY c_custkey"
+    )
+
+
 GLOBAL_QUANTILES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 

@@ -100,3 +100,29 @@ def test_semi_join_empty_keep_side(ray_session):
 
     empty = rd.from_arrow(pa.table({"doc_b": pa.array([], type=pa.int64())}))
     assert semi_join(_ds(50), "doc_id", empty, "doc_b").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestLeftOuterCounts:
+    def test_unmatched_left_rows_count_zero(self, tmp_path):
+        import os
+
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        from quickner_ray.pipelines.queries import q_customer_order_counts
+
+        sf = str(tmp_path)
+        pq.write_table(
+            pa.table({"c_custkey": [1, 2, 3, 4]}),
+            os.path.join(sf, "customer.parquet"),
+        )
+        pq.write_table(
+            pa.table({"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 3]}),
+            os.path.join(sf, "orders.parquet"),
+        )
+        out = {
+            r["c_custkey"]: r["n_orders"]
+            for r in q_customer_order_counts(sf).take_all()
+        }
+        assert out == {1: 2, 2: 0, 3: 1, 4: 0}
