@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree": q.q_graph_degree,
         "entity_postings": q.q_entity_postings,
         "entity_cooccurrence": q.q_entity_cooccurrence,
+        "entity_pagerank": q.q_entity_pagerank,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.pipelines.ner_oracle import (
         sql_canonical_entities,
         sql_entity_cooccurrence,
+        sql_entity_pagerank,
         sql_entity_postings,
         sql_entity_link,
         sql_label_mention_counts,
@@ -191,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
+        "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

@@ -182,6 +182,50 @@ def sql_entity_link(
     )
 
 
+def sql_entity_pagerank(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    n_iters: int = 3,
+) -> str:
+    """Oracle for ``q_entity_pagerank``: (entity_id, pr_score) — integer
+    fixed-point PageRank (damping 0.85, PR_SCALE=10^12 units) over the
+    entity co-occurrence graph, iterations unrolled as CTEs.
+
+    Mirrors stages/graph_cc.pagerank op-for-op: per-edge contribution is
+    ``score // deg`` (floor division — all values positive so DuckDB ``//``
+    == numpy ``//``), damped as ``base + (85 * inc) // 100``; DuckDB's
+    SUM(BIGINT) widens to HUGEINT, the final CAST narrows back to BIGINT
+    to match the Ray side's int64."""
+    pr_scale = 10**12
+    base = (15 * pr_scale) // 100
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS (SELECT ea AS s, eb AS d FROM e UNION ALL SELECT eb, ea FROM e),\n"
+        f"deg AS (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),\n"
+        f"nodes AS (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"s0 AS (SELECT node, CAST({pr_scale} AS BIGINT) AS sc FROM nodes)"
+    )
+    for i in range(n_iters):
+        sql += (
+            f",\ns{i + 1} AS (\n"
+            f"  SELECT n.node,\n"
+            f"    CAST({base} + (85 * COALESCE(x.inc, 0)) // 100 AS BIGINT) AS sc\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT u.d AS node, SUM(p.sc // g.deg) AS inc\n"
+            f"    FROM und u JOIN s{i} p ON p.node = u.s JOIN deg g ON g.node = u.s\n"
+            f"    GROUP BY u.d) x ON x.node = n.node)"
+        )
+    sql += f"\nSELECT node AS entity_id, sc AS pr_score FROM s{n_iters}"
+    return sql
+
+
 def sql_entity_postings(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

@@ -913,6 +913,38 @@ def q_entity_cooccurrence(sf_dir: str):
     return cooccurrence_pairs(mentions_dataset(sf_dir))
 
 
+def q_entity_pagerank(sf_dir: str):
+    """KG graph analytics: integer fixed-point PageRank over the entity
+    co-occurrence graph (damping 0.85, 3 power iterations, scores in
+    10^-12 units so every iteration is bit-deterministic and hash-
+    comparable against the unrolled SQL oracle).
+
+    The node universe is the canonical entity set — singletons (mentioned
+    but never co-mentioned) appear at the 0.15 damping base. The mention
+    stream is materialized ONCE (object-store backed, spillable) because
+    it has two consumers (edge generation + node universe); everything
+    downstream is the bounded (node, score) frontier."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, pagerank
+
+    m = mentions_dataset(sf_dir).materialize()
+    edges = cooccurrence_pairs(m)
+    nodes = canonical_entities(m)
+    pr = pagerank(
+        edges,
+        nodes=nodes,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_col="entity_id",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        pr,
+        {"entity_id": "node", "pr_score": "pr_score"},
+        {"entity_id": pa.string()},
+    )
+
+
 def q_entity_postings(sf_dir: str):
     """A2 distributed posting-list index surfaced in the driver contract:
     surface_norm -> sorted doc-id postings (per-mention append semantics),

@@ -153,6 +153,209 @@ def cooccurrence_pairs(mentions, *, cap: int = MAX_ENT_PER_DOC, doc_col: str = "
     )
 
 
+PR_SCALE = 10**12  # fixed-point unit for integer PageRank
+
+
+def _project_t(ds, mapping: dict[str, str], types: dict[str, "pa.DataType"]):
+    """``_project`` with per-column empty-block types: ``types`` maps an
+    OUT column name to its arrow type (default int64) so schema-less empty
+    blocks normalize correctly for non-int64 keys (string entity ids)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {out: pa.array([], type=types.get(out, pa.int64())) for out in mapping}
+            )
+        return pa.table({out: b.column(src) for out, src in mapping.items()})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pagerank(
+    edges,
+    *,
+    nodes,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    node_type: "pa.DataType | None" = None,
+    n_iters: int = 3,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Integer fixed-point PageRank over an undirected simple graph:
+    Dataset(node, pr_score) after ``n_iters`` power iterations with
+    damping 0.85 (scores in 10^-12 units; a singleton node scores
+    0.15*PR_SCALE, mass is intentionally NOT renormalized).
+
+    All arithmetic is INTEGER (contributions by floor division, damping as
+    (85*x)//100), which makes every iteration bit-deterministic across
+    engines — float summation order would drift ulps per round and break
+    the value-hash oracle; the unrolled SQL oracle
+    (ner_oracle.sql_pagerank_ctes) applies the identical integer ops.
+
+    Distributed shape per iteration: one hash join (edge src -> current
+    score/degree), one groupby-sum of contributions on the destination
+    key, one left-outer join back onto the node universe for the damping
+    base — the same bounded-frontier materialize-per-round pattern as
+    ``connected_components``; only the (node, score) frontier is ever
+    materialized.  ``nodes`` must be distinct and cover every edge
+    endpoint; ``node_type`` is the node id arrow type (int64 default,
+    pass ``pa.string()`` for entity-id graphs).
+
+    Size-gated like ``connected_components``: when the edge list is
+    measurably small (< ``driver_cap``, default ``DRIVER_CAP``) the power
+    iteration runs driver-side over numpy code arrays and only the
+    (endpoint -> score) map is broadcast — for an ENTITY graph the edge
+    set is bounded by the gazetteer squared, not the corpus, so this is
+    the common case; the distributed per-iteration join/aggregate path
+    covers the 10^5+-entity regime.  ``driver_cap=0`` forces distributed.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt, "jnode": nt, "inode": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    universe0 = _project_t(nodes, {"node": node_col}, ntypes)
+    if und.count() <= 2 * cap:
+        return _broadcast_pagerank(universe0, und.take_all(), nt, n_iters)
+
+    deg = _project_t(
+        und.groupby("src").aggregate(Count(alias_name="deg")),
+        {"node": "src", "deg": "deg"},
+        ntypes,
+    ).repartition(num_partitions).materialize()
+
+    universe = universe0.materialize()
+
+    def with_score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        return b.append_column(
+            "score", pa.array(np.full(b.num_rows, PR_SCALE, dtype=np.int64))
+        )
+
+    scores = universe.map_batches(with_score, batch_format="pyarrow").materialize()
+    base = (15 * PR_SCALE) // 100
+
+    def contrib(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], type=nt), "c": pa.array([], type=pa.int64())}
+            )
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"dst": b.column("dst"), "c": pa.array(s // d, type=pa.int64())}
+        )
+
+    def damp(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        inc_np = b.column("inc").fill_null(0).to_numpy(zero_copy_only=False)
+        score = base + (85 * inc_np) // 100
+        return pa.table(
+            {"node": b.column("node"), "score": pa.array(score, type=pa.int64())}
+        )
+
+    for _ in range(n_iters):
+        # attach deg to current scores (only edge endpoints contribute)
+        sd = scores.join(
+            deg, "inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",),
+        )
+        # repartition is load-bearing: the hash join can emit schema-LESS
+        # empty blocks, zero-row blocks SKIP map_batches (so _project_t's
+        # empty normalization never sees them), and a right-side partition
+        # of only those crashes the next acero join; repartition
+        # consolidates them into schema-ful blocks (see connected_components)
+        j = und.join(
+            _project_t(
+                sd, {"jnode": "node", "score": "score", "deg": "deg"}, ntypes
+            ).repartition(num_partitions),
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("jnode",),
+        )
+        inc = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inc"))
+        )
+        inc = _project_t(inc, {"inode": "dst", "inc": "inc"}, ntypes).repartition(
+            num_partitions
+        )
+        nxt = universe.join(
+            inc, "left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("inode",),
+        )
+        scores = nxt.map_batches(damp, batch_format="pyarrow").repartition(
+            num_partitions
+        ).materialize()
+    return _project_t(scores, {"node": "node", "pr_score": "score"}, ntypes)
+
+
+def _broadcast_pagerank(universe, und_rows, nt, n_iters: int):
+    """Small-graph PageRank path: the symmetrized edge list fits on the
+    driver; run the power iteration over numpy code arrays and broadcast
+    only the (edge-endpoint -> final score) map — nodes with no incident
+    edge score the damping base without appearing in the map, so the map
+    is bounded by the EDGE set (gazetteer-bounded for entity graphs), not
+    the node universe."""
+    import numpy as np
+    import ray
+
+    base = (15 * PR_SCALE) // 100
+    score_map: dict = {}
+    if und_rows:
+        s = np.asarray([r["src"] for r in und_rows])
+        d = np.asarray([r["dst"] for r in und_rows])
+        vocab, codes = np.unique(np.concatenate([s, d]), return_inverse=True)
+        sc, dc = codes[: len(s)], codes[len(s) :]
+        n = len(vocab)
+        deg = np.bincount(sc, minlength=n)
+        score = np.full(n, PR_SCALE, dtype=np.int64)
+        for _ in range(n_iters):
+            inc = np.zeros(n, dtype=np.int64)
+            np.add.at(inc, dc, score[sc] // deg[sc])
+            score = base + (85 * inc) // 100
+        score_map = dict(zip(vocab.tolist(), score.tolist()))
+    ref = ray.put(score_map)
+
+    def relabel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=nt),
+                    "pr_score": pa.array([], type=pa.int64()),
+                }
+            )
+        m = ray.get(ref)
+        nodes_py = b.column("node").to_pylist()
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "pr_score": pa.array(
+                    [m.get(x, base) for x in nodes_py], type=pa.int64()
+                ),
+            }
+        )
+
+    return universe.map_batches(relabel, batch_format="pyarrow")
+
+
 DRIVER_CAP = 200_000  # edges; below this the pair graph union-finds driver-side
 
 

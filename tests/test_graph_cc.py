@@ -140,3 +140,79 @@ class TestCooccurrence:
 
         rows = [("d1", "apple", "ORG"), ("d2", "bolt", "PART")]
         assert cooccurrence_pairs(self._mentions(rows)).take_all() == []
+
+
+def _ref_pagerank(
+    nodes: list, edges: list[tuple], n_iters: int = 3
+) -> dict:
+    """Driver-side integer-PageRank reference: same ops as the distributed
+    implementation (floor-division contributions, (85*x)//100 damping)."""
+    from quickner_ray.stages.graph_cc import PR_SCALE
+
+    und: list[tuple] = []
+    for a, b in edges:
+        und.append((a, b))
+        und.append((b, a))
+    deg: dict = {}
+    for s, _ in und:
+        deg[s] = deg.get(s, 0) + 1
+    score = {n: PR_SCALE for n in nodes}
+    base = (15 * PR_SCALE) // 100
+    for _ in range(n_iters):
+        inc = {n: 0 for n in nodes}
+        for s, d in und:
+            inc[d] += score[s] // deg[s]
+        score = {n: base + (85 * inc[n]) // 100 for n in nodes}
+    return score
+
+
+@pytest.mark.parametrize("cap", [0, None], ids=["distributed", "broadcast"])
+@pytest.mark.usefixtures("ray_session")
+class TestPagerank:
+    def test_matches_reference_int_nodes(self, cap):
+        from quickner_ray.stages.graph_cc import pagerank
+
+        # path 0-1-2, triangle 3-4-5, hub 6 to {0,3}, singleton 7
+        edges = [(0, 1), (1, 2), (3, 4), (4, 5), (5, 3), (6, 0), (6, 3)]
+        nodes = list(range(8))
+        pr = pagerank(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            nodes=rd.from_items([{"node": v} for v in nodes]),
+            driver_cap=cap,
+        ).take_all()
+        got = {r["node"]: r["pr_score"] for r in pr}
+        assert got == _ref_pagerank(nodes, edges)
+        # a singleton stays at the damping base
+        from quickner_ray.stages.graph_cc import PR_SCALE
+
+        assert got[7] == (15 * PR_SCALE) // 100
+
+    def test_matches_reference_string_nodes(self, cap):
+        import pyarrow as pa
+
+        from quickner_ray.stages.graph_cc import pagerank
+
+        edges = [("aa", "bb"), ("bb", "cc"), ("cc", "aa"), ("dd", "aa")]
+        nodes = ["aa", "bb", "cc", "dd", "ee"]
+        pr = pagerank(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            nodes=rd.from_items([{"node": v} for v in nodes]),
+            node_type=pa.string(),
+            n_iters=4,
+            driver_cap=cap,
+        ).take_all()
+        got = {r["node"]: r["pr_score"] for r in pr}
+        assert got == _ref_pagerank(nodes, edges, n_iters=4)
+
+    def test_mass_conservation_on_regular_graph(self, cap):
+        # on a cycle every node keeps exactly PR_SCALE (deg 2, symmetric)
+        from quickner_ray.stages.graph_cc import PR_SCALE, pagerank
+
+        n = 6
+        edges = [(i, (i + 1) % n) for i in range(n)]
+        pr = pagerank(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            nodes=rd.from_items([{"node": v} for v in range(n)]),
+            driver_cap=cap,
+        ).take_all()
+        assert {r["pr_score"] for r in pr} == {PR_SCALE}
