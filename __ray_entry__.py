@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_postings": q.q_entity_postings,
         "entity_cooccurrence": q.q_entity_cooccurrence,
         "entity_pagerank": q.q_entity_pagerank,
+        "entity_triangles": q.q_entity_triangles,
+        "event_gaps": q.q_event_gaps,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_cooccurrence,
         sql_entity_pagerank,
         sql_entity_postings,
+        sql_entity_triangles,
         sql_entity_link,
         sql_label_mention_counts,
         sql_triples,
@@ -194,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
+        "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
+        "event_gaps": ev.sql_event_gaps(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

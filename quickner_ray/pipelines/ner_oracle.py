@@ -226,6 +226,44 @@ def sql_entity_pagerank(
     return sql
 
 
+def sql_entity_triangles(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    wedge_cap: int = 256,
+) -> str:
+    """Oracle for ``q_entity_triangles``: (entity_id, degree, n_triangles)
+    over the co-occurrence graph — wedge enumeration at the lowest-id apex
+    with the same per-apex ``wedge_cap`` on the sorted out-neighbor list
+    as stages/graph_cc.triangle_counts, closed against the UNCAPPED edge
+    list; degree is the full undirected degree."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS s, b.eid AS d\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"ecap AS (SELECT s, d FROM e QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY s ORDER BY d) <= {wedge_cap}),\n"
+        f"w AS (SELECT e1.s AS a, e1.d AS x, e2.d AS y\n"
+        f"      FROM ecap e1 JOIN ecap e2 ON e2.s = e1.s AND e1.d < e2.d),\n"
+        f"tri AS (SELECT w.a, w.x, w.y FROM w JOIN e ON e.s = w.x AND e.d = w.y),\n"
+        f"tn AS (SELECT a AS node FROM tri UNION ALL SELECT x FROM tri\n"
+        f"       UNION ALL SELECT y FROM tri),\n"
+        f"und AS (SELECT s AS node FROM e UNION ALL SELECT d FROM e),\n"
+        f"nodes AS (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"degt AS (SELECT node, count(*) AS degree FROM und GROUP BY node),\n"
+        f"trit AS (SELECT node, count(*) AS n_triangles FROM tn GROUP BY node)\n"
+        f"SELECT n.node AS entity_id,\n"
+        f"  CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,\n"
+        f"  CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles\n"
+        f"FROM nodes n LEFT JOIN degt d ON d.node = n.node\n"
+        f"LEFT JOIN trit t ON t.node = n.node"
+    )
+
+
 def sql_entity_postings(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

@@ -945,6 +945,44 @@ def q_entity_pagerank(sf_dir: str):
     )
 
 
+def q_entity_triangles(sf_dir: str):
+    """Per-entity triangle participation + degree over the co-occurrence
+    graph (wedge-generate at the lowest-id apex, close with one hash join
+    against the edge list; degree/triangle/universe rows merged by a
+    single tag-union groupby-sum)."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, triangle_counts
+
+    m = mentions_dataset(sf_dir).materialize()
+    out = triangle_counts(
+        cooccurrence_pairs(m),
+        nodes=canonical_entities(m),
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_col="entity_id",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        out,
+        {"entity_id": "node", "degree": "degree", "n_triangles": "n_triangles"},
+        {"entity_id": pa.string()},
+    )
+
+
+def q_event_gaps(sf_dir: str):
+    """LAG window function: per-event inter-arrival gap within each user's
+    event-time order (first event gap = -1)."""
+    import ray.data as rd
+
+    from ..stages.events import event_gaps
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return event_gaps(ds)
+
+
 def q_entity_postings(sf_dir: str):
     """A2 distributed posting-list index surfaced in the driver contract:
     surface_norm -> sorted doc-id postings (per-mention append semantics),

@@ -175,6 +175,37 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
     )
 
 
+def _gaps_group(group: pa.Table) -> pa.Table:
+    """One user's events -> per-event lag gap (window-function LAG shape).
+    Vectorized: sort by (ts, event_id), diff; the first event's gap is -1
+    (not NULL — keeps the column int64 on both engines so the value-hash
+    oracle compares exactly)."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = np.asarray(group.column("event_id").to_pylist(), dtype=np.int64)
+    order = np.lexsort((eid, us))
+    us, eid = us[order], eid[order]
+    gap = np.empty(len(us), dtype=np.int64)
+    gap[0] = -1
+    if len(us) > 1:
+        gap[1:] = us[1:] - us[:-1]
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(us), user), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "us": pa.array(us, type=pa.int64()),
+            "gap_us": pa.array(gap, type=pa.int64()),
+        }
+    )
+
+
+def event_gaps(ds):
+    """Per-event inter-arrival gap (LAG window function over the per-user
+    event-time order). Shuffle key: user_id — same co-location contract as
+    ``sessionize`` (module docstring)."""
+    return ds.groupby("user_id").map_groups(_gaps_group, batch_format="pyarrow")
+
+
 def partial_user_stats(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for per-user stats."""
     err = pc.equal(batch.column("event_type"), pa.scalar("error"))
@@ -252,6 +283,15 @@ def sql_sessionize(gap_us: int = SESSION_GAP_US, table: str = "events") -> str:
         f"  CAST(count(*) AS BIGINT) AS n_events,\n"
         f"  min(us) AS start_us, max(us) AS end_us\n"
         f"FROM s GROUP BY user_id, session_id"
+    )
+
+
+def sql_event_gaps(table: str = "events") -> str:
+    return (
+        f"SELECT user_id, event_id, epoch_us(ts) AS us,\n"
+        f"  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (\n"
+        f"    PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us\n"
+        f"FROM {table}"
     )
 
 

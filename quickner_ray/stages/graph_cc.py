@@ -307,6 +307,198 @@ def pagerank(
     return _project_t(scores, {"node": "node", "pr_score": "score"}, ntypes)
 
 
+WEDGE_CAP = 256  # per-node out-neighbor cap for wedge generation
+
+
+def triangle_counts(
+    edges,
+    *,
+    nodes,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    node_type: "pa.DataType | None" = None,
+    wedge_cap: int = WEDGE_CAP,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Per-node triangle participation over an ORIENTED simple edge list
+    (``src < dst``, distinct — cooccurrence_pairs' output shape):
+    Dataset(node, degree, n_triangles).
+
+    Classic two-phase MapReduce triangle enumeration (Suri &
+    Vassilvitskii, WWW'11 shape): wedge generation at the lowest-id apex
+    (per-src sorted out-neighbor pairs — numpy, one group call per node),
+    then ONE hash join of wedge (x, y) candidates against the edge list
+    closes each wedge into a triangle.  Per-apex out-neighbors are capped
+    at the ``wedge_cap`` LOWEST dst ids (quadratic guard for hub
+    entities; the SQL oracle mirrors the cap with a QUALIFY row_number).
+
+    Degree (full undirected, uncapped) and triangle attribution (each
+    triangle counts for all 3 corners) are merged in a single tag-union
+    groupby-sum over (node, d, t) rows — no joins on the node universe.
+
+    Size-gated like ``pagerank``/``connected_components``: below
+    ``driver_cap`` edges (gazetteer-bounded entity graphs), wedges are
+    closed driver-side against a hash set and only the (node -> degree,
+    triangles) map is broadcast.  ``driver_cap=0`` forces distributed.
+    """
+    import numpy as np
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt, "a": nt, "x": nt, "y": nt}
+
+    e = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes).materialize()
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+    if e.count() <= cap:
+        return _broadcast_triangles(
+            _project_t(nodes, {"node": node_col}, ntypes),
+            e.take_all(),
+            nt,
+            wedge_cap,
+        )
+
+    def wedges(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], type=nt), "x": pa.array([], type=nt),
+             "y": pa.array([], type=nt)}
+        )
+        if g.num_rows < 2:
+            return empty
+        nb = np.sort(np.asarray(g.column("dst").to_pylist()))[:wedge_cap]
+        k = len(nb)
+        iu, ju = np.triu_indices(k, 1)
+        a = g.column("src")[0].as_py()
+        return pa.table(
+            {
+                "a": pa.array(np.repeat(a, len(iu))).cast(nt),
+                "x": pa.array(nb[iu]).cast(nt),
+                "y": pa.array(nb[ju]).cast(nt),
+            }
+        )
+
+    w = (
+        e.groupby("src")
+        .map_groups(wedges, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
+    # close wedges: candidate (x, y) is a triangle iff it is an edge
+    tri = w.join(
+        e.repartition(num_partitions),
+        "inner",
+        num_partitions=num_partitions,
+        on=("x", "y"),
+        right_on=("src", "dst"),
+    )
+
+    def tri_nodes(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt),
+                 "d": pa.array([], type=pa.int64()),
+                 "t": pa.array([], type=pa.int64())}
+            )
+        n = pa.concat_arrays(
+            [b.column(c).combine_chunks().cast(nt) for c in ("a", "x", "y")]
+        )
+        z = np.zeros(len(n), dtype=np.int64)
+        return pa.table(
+            {"node": n, "d": pa.array(z), "t": pa.array(z + 1)}
+        )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt),
+                 "d": pa.array([], type=pa.int64()),
+                 "t": pa.array([], type=pa.int64())}
+            )
+        n = pa.concat_arrays(
+            [b.column(c).combine_chunks().cast(nt) for c in ("src", "dst")]
+        )
+        z = np.zeros(len(n), dtype=np.int64)
+        return pa.table({"node": n, "d": pa.array(z + 1), "t": pa.array(z)})
+
+    def universe_rows(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt),
+                 "d": pa.array([], type=pa.int64()),
+                 "t": pa.array([], type=pa.int64())}
+            )
+        z = np.zeros(b.num_rows, dtype=np.int64)
+        return pa.table(
+            {"node": b.column(node_col).combine_chunks().cast(nt),
+             "d": pa.array(z), "t": pa.array(z)}
+        )
+
+    from ray.data.aggregate import Sum
+
+    tagged = (
+        tri.map_batches(tri_nodes, batch_format="pyarrow")
+        .union(e.map_batches(deg_rows, batch_format="pyarrow"))
+        .union(nodes.map_batches(universe_rows, batch_format="pyarrow"))
+    )
+    out = tagged.groupby("node").aggregate(
+        Sum("d", alias_name="degree"), Sum("t", alias_name="n_triangles")
+    )
+    return _project_t(
+        out,
+        {"node": "node", "degree": "degree", "n_triangles": "n_triangles"},
+        ntypes,
+    )
+
+
+def _broadcast_triangles(universe, edge_rows, nt, wedge_cap: int):
+    """Small-graph triangle path: close wedges driver-side against an
+    edge hash set (same wedge_cap semantics as the distributed path) and
+    broadcast the bounded (endpoint -> (deg, tri)) map; nodes with no
+    incident edge report (0, 0) without appearing in the map."""
+    import ray
+
+    adj: dict = {}
+    es = set()
+    deg: dict = {}
+    for r in edge_rows:
+        s, d = r["src"], r["dst"]
+        es.add((s, d))
+        adj.setdefault(s, []).append(d)
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    tri: dict = {}
+    for a, nbrs in adj.items():
+        nb = sorted(nbrs)[:wedge_cap]
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                if (nb[i], nb[j]) in es:
+                    for v in (a, nb[i], nb[j]):
+                        tri[v] = tri.get(v, 0) + 1
+    stats = {n: (deg.get(n, 0), tri.get(n, 0)) for n in deg}
+    ref = ray.put(stats)
+
+    def relabel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=nt),
+                    "degree": pa.array([], type=pa.int64()),
+                    "n_triangles": pa.array([], type=pa.int64()),
+                }
+            )
+        m = ray.get(ref)
+        nodes_py = b.column("node").to_pylist()
+        vals = [m.get(x, (0, 0)) for x in nodes_py]
+        return pa.table(
+            {
+                "node": b.column("node"),
+                "degree": pa.array([v[0] for v in vals], type=pa.int64()),
+                "n_triangles": pa.array([v[1] for v in vals], type=pa.int64()),
+            }
+        )
+
+    return universe.map_batches(relabel, batch_format="pyarrow")
+
+
 def _broadcast_pagerank(universe, und_rows, nt, n_iters: int):
     """Small-graph PageRank path: the symmetrized edge list fits on the
     driver; run the power iteration over numpy code arrays and broadcast

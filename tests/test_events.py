@@ -199,3 +199,52 @@ class TestGroupedQuantiles:
         import pandas as pd
 
         pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEventGaps:
+    def test_lag_matches_pandas(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.events import event_gaps
+
+        rng = np.random.default_rng(5)
+        n = 200
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 10**7, n), unit="us"
+                ),
+                "user_id": rng.integers(0, 9, n),
+            }
+        )
+        got = event_gaps(rd.from_pandas(df)).to_pandas()
+        # ts is datetime64[ns] in pandas; convert to epoch us
+        ref = df.assign(us=df.ts.astype("int64") // 1000)
+        ref = ref.sort_values(["user_id", "us", "event_id"])
+        ref["gap_us"] = ref.groupby("user_id")["us"].diff().fillna(-1).astype("int64")
+        a = got.sort_values(["user_id", "us", "event_id"]).reset_index(drop=True)
+        b = ref[["user_id", "event_id", "us", "gap_us"]].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            a[["user_id", "event_id", "us", "gap_us"]].astype("int64"), b.astype("int64")
+        )
+
+    def test_first_event_gap_is_minus_one(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.events import event_gaps
+
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2],
+                "ts": pd.to_datetime([100, 400], unit="us"),
+                "user_id": [7, 7],
+            }
+        )
+        out = event_gaps(rd.from_pandas(df)).take_all()
+        out.sort(key=lambda r: r["event_id"])
+        assert out[0]["gap_us"] == -1 and out[1]["gap_us"] == 300

@@ -216,3 +216,75 @@ class TestPagerank:
             driver_cap=cap,
         ).take_all()
         assert {r["pr_score"] for r in pr} == {PR_SCALE}
+
+
+def _ref_triangles(nodes: list, edges: list[tuple]) -> dict:
+    """Brute-force per-node triangle counts + degree (no caps)."""
+    from itertools import combinations
+
+    es = {tuple(sorted(e)) for e in edges}
+    deg: dict = {n: 0 for n in nodes}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            for v in (a, b, c):
+                tri[v] += 1
+    return {n: (deg[n], tri[n]) for n in nodes}
+
+
+@pytest.mark.parametrize("dcap", [0, None], ids=["distributed", "broadcast"])
+@pytest.mark.usefixtures("ray_session")
+class TestTriangles:
+    @staticmethod
+    def _run(edges, nodes, dcap, **kw):
+        from quickner_ray.stages.graph_cc import triangle_counts
+
+        out = triangle_counts(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            nodes=rd.from_items([{"node": v} for v in nodes]),
+            driver_cap=dcap,
+            **kw,
+        ).take_all()
+        return {r["node"]: (r["degree"], r["n_triangles"]) for r in out}
+
+    def test_matches_brute_force(self, dcap):
+        # K4 on 0-3 (4 triangles, 3 per node), pendant 4, singleton 5
+        edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4)]
+        nodes = list(range(6))
+        assert self._run(edges, nodes, dcap) == _ref_triangles(nodes, edges)
+
+    def test_random_graph(self, dcap):
+        import random
+
+        rng = random.Random(11)
+        n = 25
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(60)
+            }
+        )
+        edges = [e for e in edges if e[0] != e[1]]
+        nodes = list(range(n))
+        assert self._run(edges, nodes, dcap) == _ref_triangles(nodes, edges)
+
+    def test_wedge_cap_bounds_apex(self, dcap):
+        # star apex 0 with 6 leaves, all leaf pairs connected (wheel-ish):
+        # cap=3 keeps only the 3 lowest leaves' wedges at apex 0
+        leaves = list(range(1, 7))
+        edges = [(0, v) for v in leaves]
+        edges += [(a, b) for i, a in enumerate(leaves) for b in leaves[i + 1:]]
+        got = self._run(edges, list(range(7)), dcap, wedge_cap=3)
+        # apex 0: C(3,2)=3 closed wedges instead of C(6,2)=15
+        assert got[0][1] == 3
+
+    def test_string_nodes(self, dcap):
+        import pyarrow as pa
+
+        edges = [("aa", "bb"), ("aa", "cc"), ("bb", "cc"), ("bb", "dd")]
+        nodes = ["aa", "bb", "cc", "dd", "ee"]
+        got = self._run(edges, nodes, dcap, node_type=pa.string())
+        assert got == _ref_triangles(nodes, edges)
