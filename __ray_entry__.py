@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
         "hll_user_registers": q.q_hll_user_registers,
+        "cms_token_registers": q.q_cms_token_registers,
         "normalized_text": q.q_normalized_text,
         "event_value_global_quantiles": q.q_event_value_global_quantiles,
         "customer_order_counts": q.q_customer_order_counts,
@@ -108,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_cooccurrence": q.q_entity_cooccurrence,
         "entity_pagerank": q.q_entity_pagerank,
         "entity_triangles": q.q_entity_triangles,
+        "relation_candidates": q.q_relation_candidates,
         "event_gaps": q.q_event_gaps,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
@@ -152,7 +154,10 @@ def oracle_sql() -> dict[str, str]:
         sql_event_value_global_quantiles as _sql_gq,
         sql_events_value_bands as _sql_bands,
     )
-    from quickner_ray.stages.sketch import sql_hll_registers as _sql_hll
+    from quickner_ray.stages.sketch import (
+        sql_cms_registers as _sql_cms,
+        sql_hll_registers as _sql_hll,
+    )
     from quickner_ray.stages.text_analysis import (
         sql_normalized_text as _sql_norm,
     )
@@ -173,6 +178,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_pagerank,
         sql_entity_postings,
         sql_entity_triangles,
+        sql_relation_candidates,
         sql_entity_link,
         sql_label_mention_counts,
         sql_triples,
@@ -198,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
         "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
+        "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
@@ -214,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_strat_sample(),
         "source_mixture_sample": _sql_mix_sample(),
         "hll_user_registers": _sql_hll("user_id", "events"),
+        "cms_token_registers": _sql_cms(),
         "normalized_text": _sql_norm(),
         "event_value_global_quantiles": _sql_gq(),
         "customer_order_counts": _sql_cust_orders(),

@@ -264,6 +264,30 @@ def sql_entity_triangles(
     )
 
 
+def sql_relation_candidates(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    window: int = 40,
+    cap: int = 64,
+) -> str:
+    """Oracle for ``q_relation_candidates``: (doc_id, subj, obj, gap) —
+    directed proximity pairs of accepted mentions of different entities,
+    per-doc mention list capped at the first ``cap`` rows in
+    (start, end, eid) order (mirrors stages/relations.MENTION_CAP)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"mcap AS (SELECT doc_id, eid, start, \"end\" FROM acc QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id\n"
+        f"    ORDER BY start, \"end\", eid) <= {cap})\n"
+        f"SELECT a.doc_id, a.eid AS subj, b.eid AS obj,\n"
+        f"  CAST(b.start - a.\"end\" AS BIGINT) AS gap\n"
+        f"FROM mcap a JOIN mcap b ON a.doc_id = b.doc_id\n"
+        f"  AND a.start < b.start AND a.eid <> b.eid\n"
+        f"  AND b.start - a.\"end\" BETWEEN 0 AND {window}"
+    )
+
+
 def sql_entity_postings(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

@@ -945,6 +945,24 @@ def q_entity_pagerank(sf_dir: str):
     )
 
 
+def q_relation_candidates(sf_dir: str):
+    """KG relation-candidate generation: directed proximity pairs of
+    accepted mentions (different entities, char gap within a window).
+    Zero shuffles — pair generation is batch-local by doc contiguity."""
+    from ..stages.relations import relation_candidates
+
+    return relation_candidates(mentions_dataset(sf_dir))
+
+
+def q_cms_token_registers(sf_dir: str):
+    """Count-Min sketch of corpus word frequencies: the merged register
+    table (d x w bounded — the query output IS the sketch, so the SQL
+    oracle is exact; point-estimate guarantees pinned in tests)."""
+    from ..stages.sketch import cms_registers
+
+    return cms_registers(_docs(sf_dir, columns=["text"]))
+
+
 def q_entity_triangles(sf_dir: str):
     """Per-entity triangle participation + degree over the co-occurrence
     graph (wedge-generate at the lowest-id apex, close with one hash join

@@ -1,0 +1,113 @@
+"""Proximity-windowed relation-candidate generation.
+
+The classic KG relation-extraction candidate step between gazetteer
+annotation and relation scoring: two accepted mentions of DIFFERENT
+entities in the same document whose character gap (``b.start - a.end``
+with ``a.start < b.start``) is within a window become a directed
+candidate pair (doc_id, subj, obj, gap).
+
+Distributed shape: ZERO shuffles — a document's mentions are contiguous
+within one batch by construction (explode_mentions is per-batch over
+whole documents, the same locality invariant ``cooccurrence_pairs`` and
+``q_graph_degree`` exploit), so pair generation is a vectorized
+per-batch pass.  Per doc the mention list is capped at the ``cap`` first
+rows in (start, end, eid) order (quadratic guard for entity-dense pages,
+mirrored by the SQL oracle's QUALIFY row_number).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+MENTION_CAP = 64
+REL_WINDOW = 40  # max chars between the end of a and the start of b
+
+
+def _empty() -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "subj": pa.array([], type=pa.string()),
+            "obj": pa.array([], type=pa.string()),
+            "gap": pa.array([], type=pa.int64()),
+        }
+    )
+
+
+def _rel_batch(
+    batch: pa.Table, *, window: int = REL_WINDOW, cap: int = MENTION_CAP
+) -> pa.Table:
+    from .canonicalize import entity_id
+
+    if batch.num_rows == 0:
+        return _empty()
+    sn = batch.column("surface_norm")
+    if isinstance(sn, pa.ChunkedArray):
+        sn = sn.combine_chunks()
+    lb = batch.column("label")
+    if isinstance(lb, pa.ChunkedArray):
+        lb = lb.combine_chunks()
+    # eid per mention via md5 per DISTINCT (surface_norm, label) pair
+    key = pc.binary_join_element_wise(
+        sn.cast(pa.large_string()),
+        lb.cast(pa.large_string()),
+        pa.scalar("\x00", type=pa.large_string()),
+    )
+    enc = pc.dictionary_encode(key)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    eid_vocab = np.array(
+        [entity_id(*k.rsplit("\x00", 1)) for k in enc.dictionary.to_pylist()]
+    )
+    eid = eid_vocab[codes]
+    docs = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    start = batch.column("start").to_numpy(zero_copy_only=False).astype(np.int64)
+    end = batch.column("end").to_numpy(zero_copy_only=False).astype(np.int64)
+    # doc grouping must survive the sort: docs are contiguous but not
+    # globally ordered, so group by first-occurrence run id
+    grp = np.cumsum(np.r_[True, docs[1:] != docs[:-1]]) - 1
+    order = np.lexsort((eid, end, start, grp))
+    grp, start, end, eid, docs = (
+        grp[order], start[order], end[order], eid[order], docs[order]
+    )
+    bounds = np.flatnonzero(np.r_[True, grp[1:] != grp[:-1], True])
+    out_doc, out_s, out_o, out_g = [], [], [], []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        hi = min(hi, lo + cap)
+        k = hi - lo
+        if k < 2:
+            continue
+        iu, ju = np.triu_indices(k, 1)
+        s_i, s_j = start[lo + iu], start[lo + ju]
+        gap = s_j - end[lo + iu]
+        keep = (
+            (s_j > s_i)
+            & (eid[lo + iu] != eid[lo + ju])
+            & (gap >= 0)
+            & (gap <= window)
+        )
+        if not keep.any():
+            continue
+        out_doc.append(np.full(int(keep.sum()), docs[lo]))
+        out_s.append(eid[lo + iu[keep]])
+        out_o.append(eid[lo + ju[keep]])
+        out_g.append(gap[keep])
+    if not out_doc:
+        return _empty()
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+            "subj": pa.array(np.concatenate(out_s)),
+            "obj": pa.array(np.concatenate(out_o)),
+            "gap": pa.array(np.concatenate(out_g), type=pa.int64()),
+        }
+    )
+
+
+def relation_candidates(mentions, *, window: int = REL_WINDOW, cap: int = MENTION_CAP):
+    """Mention Dataset -> Dataset(doc_id, subj, obj, gap) of
+    proximity-windowed directed candidate pairs (module docstring)."""
+    return mentions.map_batches(
+        lambda b: _rel_batch(b, window=window, cap=cap), batch_format="pyarrow"
+    )

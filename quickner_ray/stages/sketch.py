@@ -108,3 +108,106 @@ def sql_hll_registers(col: str, table: str) -> str:
         f"  FROM parts)\n"
         f"SELECT bucket, CAST(max(r) AS BIGINT) AS register FROM rho GROUP BY bucket"
     )
+
+
+# -- Count-Min Sketch (heavy-hitter frequency sketch) -------------------------
+
+CMS_D = 4    # hash rows
+CMS_W = 512  # buckets per row
+
+
+def _cms_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    """Batch -> sparse (sketch_row, bucket, register) partial counts of the
+    Count-Min sketch over lowered ``[a-z0-9]+`` word tokens (same token
+    class as vocab_df, so the two oracles share semantics).
+
+    md5 runs once per DISTINCT word per hash row (vocab-bounded, not
+    token-stream-bounded); counting is a dictionary-encode + bincount;
+    the accumulate is one dense (d, w) add.  At most d*w rows leave the
+    batch regardless of its size — the combiner that bounds the shuffle.
+    """
+    import pyarrow.compute as pc
+
+    from .dedup_approx import h64
+    from .text_analysis import WORD_CLASS_SPLIT_RE
+
+    empty = pa.table(
+        {
+            "sketch_row": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "register": pa.array([], type=pa.int64()),
+        }
+    )
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+    if not len(flat):
+        return empty
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    tf = np.bincount(codes, minlength=len(vocab))
+    regs = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for r in range(CMS_D):
+        buckets = np.fromiter(
+            (h64(f"{r}:{w}") % CMS_W for w in vocab),
+            dtype=np.int64,
+            count=len(vocab),
+        )
+        np.add.at(regs[r], buckets, tf)
+    rr, bb = np.nonzero(regs)
+    return pa.table(
+        {
+            "sketch_row": pa.array(rr.astype(np.int64)),
+            "bucket": pa.array(bb.astype(np.int64)),
+            "register": pa.array(regs[rr, bb]),
+        }
+    )
+
+
+def cms_registers(ds, text_col: str = "text"):
+    """Dataset -> Dataset(sketch_row, bucket, register): merged Count-Min
+    sketch of corpus word frequencies.  Partials are (d*w)-bounded per
+    batch; the groupby key space is d*w, independent of corpus size."""
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: _cms_partial(b, text_col), batch_format="pyarrow"
+    )
+    return partial.groupby(["sketch_row", "bucket"]).aggregate(
+        Sum("register", alias_name="register")
+    )
+
+
+def cms_estimate(registers: list[tuple[int, int, int]], word: str) -> int:
+    """Point frequency estimate: min over rows of the word's bucket —
+    an upper bound on the true count (classic CMS guarantee)."""
+    from .dedup_approx import h64
+
+    table = {(r, b): v for r, b, v in registers}
+    return min(
+        table.get((r, h64(f"{r}:{word}") % CMS_W), 0) for r in range(CMS_D)
+    )
+
+
+def sql_cms_registers(table: str = "documents") -> str:
+    """Exact oracle: same registers via per-distinct-word md5 bucketing."""
+    return (
+        f"WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '[a-z0-9]+')) AS tok FROM {table}),\n"
+        f"tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),\n"
+        f"r AS (SELECT unnest(range({CMS_D})) AS sketch_row),\n"
+        f"hb AS (SELECT r.sketch_row,\n"
+        f"  CAST(md5_number_upper(CAST(r.sketch_row AS VARCHAR) || ':' || tok)"
+        f" % {CMS_W} AS BIGINT) AS bucket, c\n"
+        f"  FROM tc CROSS JOIN r)\n"
+        f"SELECT CAST(sketch_row AS BIGINT) AS sketch_row, bucket,\n"
+        f"  CAST(sum(c) AS BIGINT) AS register\n"
+        f"FROM hb GROUP BY sketch_row, bucket"
+    )

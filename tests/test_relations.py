@@ -1,0 +1,84 @@
+"""Proximity relation-candidate generation vs a brute-force reference."""
+
+from __future__ import annotations
+
+import pytest
+import ray.data as rd
+
+
+def _mention_table(rows):
+    import pyarrow as pa
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "surface_norm": [r[1] for r in rows],
+                "label": [r[2] for r in rows],
+                "start": pa.array([r[3] for r in rows], type=pa.int64()),
+                "end": pa.array([r[4] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _brute(rows, window, cap):
+    from quickner_ray.stages.canonicalize import entity_id
+
+    by_doc: dict = {}
+    for d, sn, lb, s, e in rows:
+        by_doc.setdefault(d, []).append((s, e, entity_id(sn, lb)))
+    out = set()
+    for d, ms in by_doc.items():
+        ms = sorted(ms)[:cap]
+        for a in ms:
+            for b in ms:
+                gap = b[0] - a[1]
+                if a[0] < b[0] and a[2] != b[2] and 0 <= gap <= window:
+                    out.add((d, a[2], b[2], gap))
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRelationCandidates:
+    def test_matches_brute_force(self):
+        from quickner_ray.stages.relations import relation_candidates
+
+        rows = [
+            # doc 1: a(0,5) b(8,12) c(60,64): a->b gap 3; b->c gap 48 (out)
+            (1, "alpha", "ORG", 0, 5),
+            (1, "bolt", "PART", 8, 12),
+            (1, "coil", "PART", 60, 64),
+            # doc 2: same entity twice (no pair), then a different entity close by
+            (2, "alpha", "ORG", 0, 5),
+            (2, "alpha", "ORG", 10, 15),
+            (2, "bolt", "PART", 16, 20),
+            # doc 3: overlapping mentions (negative gap -> excluded)
+            (3, "alpha", "ORG", 0, 10),
+            (3, "bolt", "PART", 4, 8),
+        ]
+        got = {
+            (r["doc_id"], r["subj"], r["obj"], r["gap"])
+            for r in relation_candidates(_mention_table(rows)).take_all()
+        }
+        assert got == _brute(rows, 40, 64)
+        assert len(got) == 3  # d1 a->b; d2 alpha@0->bolt? gap 11 ok, alpha@10->bolt gap 1
+
+    def test_window_and_cap(self):
+        from quickner_ray.stages.relations import relation_candidates
+
+        rows = [(7, f"e{i:02d}", "L", i * 10, i * 10 + 4) for i in range(10)]
+        got = relation_candidates(
+            _mention_table(rows), window=6, cap=5
+        ).take_all()
+        want = _brute(rows, 6, 5)
+        assert {
+            (r["doc_id"], r["subj"], r["obj"], r["gap"]) for r in got
+        } == want
+        # consecutive pairs only (gap 6 <= 6), capped to first 5 mentions
+        assert len(want) == 4
+
+    def test_empty(self):
+        from quickner_ray.stages.relations import relation_candidates
+
+        assert relation_candidates(_mention_table([])).take_all() == []

@@ -43,3 +43,52 @@ class TestHLL:
         regs = _regs(range(10_000))
         assert all(0 <= b < M for b in regs)
         assert all(1 <= r <= 53 for r in regs.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCMS:
+    @staticmethod
+    def _sketch(texts):
+        import ray.data as rd
+
+        from quickner_ray.stages.sketch import cms_registers
+
+        ds = rd.from_items([{"text": t} for t in texts])
+        return [
+            (r["sketch_row"], r["bucket"], r["register"])
+            for r in cms_registers(ds).take_all()
+        ]
+
+    def test_estimate_upper_bounds_true_count(self):
+        import re
+
+        from quickner_ray.stages.sketch import cms_estimate
+
+        texts = [f"alpha beta gamma{i % 7} alpha" for i in range(100)]
+        true = {}
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                true[w] = true.get(w, 0) + 1
+        regs = self._sketch(texts)
+        for w, c in true.items():
+            est = cms_estimate(regs, w)
+            assert est >= c, (w, est, c)
+        # small vocab -> no collisions expected at w=512: exact estimates
+        assert cms_estimate(regs, "alpha") == true["alpha"]
+
+    def test_row_sums_equal_token_count(self):
+        # every hash row distributes ALL token occurrences over its buckets
+        texts = ["one two three", "two three four", ""]  # 6 tokens total
+        regs = self._sketch(texts)
+        per_row = {}
+        for r, _, v in regs:
+            per_row[r] = per_row.get(r, 0) + v
+        from quickner_ray.stages.sketch import CMS_D
+
+        assert per_row == {r: 6 for r in range(CMS_D)}
+
+    def test_absent_word_estimates_small(self):
+        from quickner_ray.stages.sketch import cms_estimate
+
+        regs = self._sketch(["aa bb cc"] * 3)
+        assert cms_estimate(regs, "zzznotpresent") <= 3
