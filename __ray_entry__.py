@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_pagerank": q.q_entity_pagerank,
         "entity_triangles": q.q_entity_triangles,
         "relation_candidates": q.q_relation_candidates,
+        "entity_pmi": q.q_entity_pmi,
+        "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
@@ -178,6 +180,8 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_pagerank,
         sql_entity_postings,
         sql_entity_triangles,
+        sql_entity_pmi,
+        sql_mention_contexts,
         sql_relation_candidates,
         sql_entity_link,
         sql_label_mention_counts,
@@ -205,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
         "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
         "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
+        "entity_pmi": sql_entity_pmi(DEFAULT_GAZETTEER),
+        "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),

@@ -288,6 +288,48 @@ def sql_relation_candidates(
     )
 
 
+def sql_entity_pmi(
+    entities: list[tuple[str, str]], table: str = "documents", *, cap: int = 64
+) -> str:
+    """Oracle for ``q_entity_pmi``: exact-rational PMI components —
+    pair doc counts use the same per-doc cap as co-occurrence; entity doc
+    frequencies are UNCAPPED (both mirrored by the Ray side)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT a.eid AS ea, b.eid AS eb, count(*) AS np\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid\n"
+        f"      GROUP BY a.eid, b.eid),\n"
+        f"df AS (SELECT eid, count(*) AS df FROM de GROUP BY eid),\n"
+        f"n AS (SELECT count(*) AS n FROM {table})\n"
+        f"SELECT e.ea AS entity_a, e.eb AS entity_b,\n"
+        f"  CAST(e.np AS BIGINT) AS n_pair,\n"
+        f"  CAST(e.np * n.n AS BIGINT) AS pmi_num,\n"
+        f"  CAST(da.df * db.df AS BIGINT) AS pmi_den\n"
+        f"FROM e JOIN df da ON da.eid = e.ea JOIN df db ON db.eid = e.eb\n"
+        f"CROSS JOIN n"
+    )
+
+
+def sql_mention_contexts(
+    entities: list[tuple[str, str]], table: str = "documents", *, window: int = 20
+) -> str:
+    """Oracle for ``q_mention_contexts``: per-mention snippet
+    ``t[max(start-w,0):min(end+w,n)]`` over the lowered text (the engine's
+    in-place lowercase output semantics, P7)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT a.doc_id, a.pname AS surface_norm,\n"
+        f"  CAST(a.start AS BIGINT) AS start, CAST(a.\"end\" AS BIGINT) AS \"end\",\n"
+        f"  substr(lt.t, greatest(a.start - {window}, 0) + 1,\n"
+        f"    least(a.\"end\" + {window}, lt.n) - greatest(a.start - {window}, 0))"
+        f" AS context\n"
+        f"FROM acc a JOIN lt USING (doc_id)"
+    )
+
+
 def sql_entity_postings(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

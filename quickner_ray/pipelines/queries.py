@@ -954,6 +954,65 @@ def q_relation_candidates(sf_dir: str):
     return relation_candidates(mentions_dataset(sf_dir))
 
 
+def q_entity_pmi(sf_dir: str):
+    """Exact-rational PMI association scores for co-occurring entity pairs:
+    pmi = log(pmi_num / pmi_den) with pmi_num = n_pair * N and
+    pmi_den = df_a * df_b emitted as INTEGERS — the log is left to the
+    consumer so the oracle hash-matches bit-exactly (float log drifts ulps
+    between engines).
+
+    Shape: co-occurrence pairs (one shuffle) + per-entity doc frequency
+    (batch-local distinct + one groupby-sum); the df table is
+    gazetteer-bounded, so it broadcasts via ray.put and the pair lookup is
+    vectorized index_in/take — no join shuffle."""
+    import ray
+
+    from ..stages.graph_cc import cooccurrence_pairs, entity_doc_freq
+
+    m = mentions_dataset(sf_dir).materialize()
+    pairs = cooccurrence_pairs(m)
+    df_rows = entity_doc_freq(m).take_all()  # gazetteer-bounded
+    n_total = _docs(sf_dir, columns=["doc_id"]).count()
+    eids = pa.array([r["eid"] for r in df_rows], type=pa.string())
+    dfs = pa.array([r["df"] for r in df_rows], type=pa.int64())
+    ref = ray.put((eids, dfs))
+
+    def attach(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "entity_a": pa.array([], type=pa.string()),
+                    "entity_b": pa.array([], type=pa.string()),
+                    "n_pair": pa.array([], type=pa.int64()),
+                    "pmi_num": pa.array([], type=pa.int64()),
+                    "pmi_den": pa.array([], type=pa.int64()),
+                }
+            )
+        e_arr, d_arr = ray.get(ref)
+        da = pc.take(d_arr, pc.index_in(b.column("entity_a"), value_set=e_arr))
+        db = pc.take(d_arr, pc.index_in(b.column("entity_b"), value_set=e_arr))
+        n_pair = b.column("n_docs")
+        return pa.table(
+            {
+                "entity_a": b.column("entity_a"),
+                "entity_b": b.column("entity_b"),
+                "n_pair": n_pair,
+                "pmi_num": pc.multiply(n_pair, pa.scalar(n_total, type=pa.int64())),
+                "pmi_den": pc.multiply(da, db),
+            }
+        )
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def q_mention_contexts(sf_dir: str):
+    """KWIC context snippets per accepted mention (vectorized buffer
+    gather over the dictionary-encoded per-doc text)."""
+    from ..stages.relations import mention_contexts
+
+    return mention_contexts(mentions_dataset(sf_dir, keep_text=True))
+
+
 def q_cms_token_registers(sf_dir: str):
     """Count-Min sketch of corpus word frequencies: the merged register
     table (d x w bounded — the query output IS the sketch, so the SQL

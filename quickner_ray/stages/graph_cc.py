@@ -686,3 +686,55 @@ def connected_components(
             break
         prev_sum = cur
     return _project(labels, {"node": "node", "component": "label"})
+
+
+def _df_batch(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    """Mentions batch -> per-batch partial entity document frequency
+    (eid, pdf).  Distinct (doc, eid) is batch-local by doc contiguity
+    (same invariant as ``_cooc_batch``), so the partial sums to the exact
+    global distinct-doc count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .canonicalize import entity_id
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "eid": pa.array([], type=pa.string()),
+                "pdf": pa.array([], type=pa.int64()),
+            }
+        )
+    sn = batch.column("surface_norm")
+    if isinstance(sn, pa.ChunkedArray):
+        sn = sn.combine_chunks()
+    lb = batch.column("label")
+    if isinstance(lb, pa.ChunkedArray):
+        lb = lb.combine_chunks()
+    key = pc.binary_join_element_wise(
+        sn.cast(pa.large_string()),
+        lb.cast(pa.large_string()),
+        pa.scalar("\x00", type=pa.large_string()),
+    )
+    enc = pc.dictionary_encode(key)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    eid_vocab = np.array(
+        [entity_id(*k.rsplit("\x00", 1)) for k in enc.dictionary.to_pylist()]
+    )
+    docs = np.asarray(batch.column(doc_col).to_pylist())
+    de = np.unique(np.stack([docs, eid_vocab[codes]], axis=1), axis=0)
+    uniq, counts = np.unique(de[:, 1], return_counts=True)
+    return pa.table(
+        {"eid": pa.array(uniq), "pdf": pa.array(counts, type=pa.int64())}
+    )
+
+
+def entity_doc_freq(mentions, *, doc_col: str = "doc_id"):
+    """Mention Dataset -> Dataset(eid, df): distinct-document frequency per
+    entity.  Batch-local distinct then ONE groupby-sum on the eid key."""
+    from ray.data.aggregate import Sum
+
+    partial = mentions.map_batches(
+        lambda b: _df_batch(b, doc_col), batch_format="pyarrow"
+    )
+    return partial.groupby("eid").aggregate(Sum("pdf", alias_name="df"))

@@ -111,3 +111,57 @@ def relation_candidates(mentions, *, window: int = REL_WINDOW, cap: int = MENTIO
     return mentions.map_batches(
         lambda b: _rel_batch(b, window=window, cap=cap), batch_format="pyarrow"
     )
+
+
+CTX_WINDOW = 20
+
+
+def _ctx_batch(batch: pa.Table, *, window: int = CTX_WINDOW) -> pa.Table:
+    """Mentions batch (with dictionary-encoded ``doc_text``) -> per-mention
+    context snippet ``text[max(start-w,0):min(end+w,len)]``.  One vectorized
+    buffer gather via canonicalize._slice_surfaces — no per-mention Python,
+    no text copies beyond the snippets themselves."""
+    from .canonicalize import _slice_surfaces
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "surface_norm": pa.array([], type=pa.string()),
+                "start": pa.array([], type=pa.int64()),
+                "end": pa.array([], type=pa.int64()),
+                "context": pa.array([], type=pa.string()),
+            }
+        )
+    dt = batch.column("doc_text")
+    if isinstance(dt, pa.ChunkedArray):
+        dt = dt.combine_chunks()
+    texts, parents = dt.dictionary, dt.indices
+    start = batch.column("start").to_numpy(zero_copy_only=False).astype(np.int64)
+    end = batch.column("end").to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = (
+        pc.utf8_length(texts)
+        .cast(pa.int64())
+        .take(parents)
+        .to_numpy(zero_copy_only=False)
+    )
+    lo = np.maximum(start - window, 0)
+    hi = np.minimum(end + window, lens)
+    ctx = _slice_surfaces(texts, parents, pa.array(lo), pa.array(hi))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "surface_norm": batch.column("surface_norm"),
+            "start": pa.array(start),
+            "end": pa.array(end),
+            "context": ctx,
+        }
+    )
+
+
+def mention_contexts(mentions, *, window: int = CTX_WINDOW):
+    """Mention Dataset (keep_text=True) -> Dataset(doc_id, surface_norm,
+    start, end, context): KWIC snippets for linker/relation training data."""
+    return mentions.map_batches(
+        lambda b: _ctx_batch(b, window=window), batch_format="pyarrow"
+    )

@@ -82,3 +82,66 @@ class TestRelationCandidates:
         from quickner_ray.stages.relations import relation_candidates
 
         assert relation_candidates(_mention_table([])).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMentionContexts:
+    def test_clamped_windows(self):
+        import pyarrow as pa
+
+        from quickner_ray.stages.relations import mention_contexts
+
+        text = "abcdefghijklmnopqrstuvwxyz0123456789"
+        # mentions at the very start, middle, and very end
+        rows = [(0, 3), (10, 14), (30, 36)]
+        parents = pa.array([0, 0, 0], type=pa.int32())
+        batch = pa.table(
+            {
+                "doc_id": pa.array([5, 5, 5], type=pa.int64()),
+                "surface_norm": ["a", "b", "c"],
+                "start": pa.array([r[0] for r in rows], type=pa.int64()),
+                "end": pa.array([r[1] for r in rows], type=pa.int64()),
+                "doc_text": pa.DictionaryArray.from_arrays(
+                    parents, pa.array([text])
+                ),
+            }
+        )
+        out = mention_contexts(
+            rd.from_arrow(batch), window=4
+        ).take_all()
+        got = {(r["start"], r["context"]) for r in out}
+        assert got == {
+            (0, text[0:7]),          # lo clamped to 0
+            (10, text[6:18]),
+            (30, text[26:36]),       # hi clamped to len
+        }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEntityDocFreq:
+    def test_distinct_doc_counts(self):
+        import pyarrow as pa
+
+        from quickner_ray.stages.canonicalize import entity_id
+        from quickner_ray.stages.graph_cc import entity_doc_freq
+
+        rows = [
+            (1, "apple", "ORG"),
+            (1, "apple", "ORG"),   # same doc twice -> df 1 contribution
+            (2, "apple", "ORG"),
+            (2, "bolt", "PART"),
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "surface_norm": [r[1] for r in rows],
+                    "label": [r[2] for r in rows],
+                }
+            )
+        )
+        got = {r["eid"]: r["df"] for r in entity_doc_freq(ds).take_all()}
+        assert got == {
+            entity_id("apple", "ORG"): 2,
+            entity_id("bolt", "PART"): 1,
+        }
