@@ -200,14 +200,14 @@ def run_kg(
             files = sorted(
                 os.path.join(input_paths, f)
                 for f in os.listdir(input_paths)
-                if f.endswith(".parquet")
+                if f.endswith((".parquet", ".warc", ".warc.gz"))
             )
         else:
             files = [input_paths]
     else:
         files = sorted(input_paths)
     if not files:
-        raise ValueError("no input parquet files")
+        raise ValueError("no input parquet/warc files")
     n_shards = min(shards or len(files), len(files))
     shard_files = [files[i::n_shards] for i in range(n_shards)]
     fp = cfg.fingerprint(gazetteer)
@@ -253,11 +253,17 @@ def run_kg(
         t0 = time.perf_counter()
         reset_shard_dir(shard_out)
         with _read_lock:
-            ds = rd.read_parquet(
-                shard,
-                columns=_read_columns(cfg),
-                concurrency=cfg.read_concurrency,
-            )
+            if shard[0].endswith((".warc", ".warc.gz")):
+                from ..sources.warc import read_warc
+
+                # WARC records always need the html path; prune warc_ts
+                ds = read_warc(shard).select_columns(["url", "html", "lang"])
+            else:
+                ds = rd.read_parquet(
+                    shard,
+                    columns=_read_columns(cfg),
+                    concurrency=cfg.read_concurrency,
+                )
         if cfg.write_annotated:
             ds = annotate_dataset(ds, gazetteer, shard_cfg)
         else:
