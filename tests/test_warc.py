@@ -71,3 +71,46 @@ def test_run_kg_over_warc_input(tmp_path):
     key = lambda r: (r["subj"], r["pred"], r["obj"], r["start"], r["end"])
     assert sorted(map(key, tw)) == sorted(map(key, tp))
     assert len(tw) > 0
+
+
+def test_warc_parser_binary_safe():
+    """Content-Length framing must survive bodies containing header-like
+    bytes, blank lines, and CRLFs — no resynchronization on content."""
+    import datetime as dt
+    import io
+
+    from quickner_ray.sources.warc import _parse_warc_stream, _record
+
+    nasty = b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nbody-impostor\x00\xff"
+    ts = dt.datetime(2023, 5, 1)
+    buf = (
+        _record("https://a/1", ts, nasty, "en")
+        + _record("https://a/2", ts, b"", "fr")       # empty body
+        + _record("https://a/3", ts, b"plain", "")
+    )
+    recs = list(_parse_warc_stream(io.BufferedReader(io.BytesIO(buf))))
+    assert [(r[0], r[2], r[3]) for r in recs] == [
+        ("https://a/1", nasty, "en"),
+        ("https://a/2", b"", "fr"),
+        ("https://a/3", b"plain", ""),
+    ]
+    assert all(r[1] == ts for r in recs)
+
+
+def test_warc_skips_non_response_records():
+    import datetime as dt
+    import io
+
+    from quickner_ray.sources.warc import _parse_warc_stream
+
+    ts = dt.datetime(2023, 5, 1).strftime("%Y-%m-%dT%H:%M:%SZ")
+    req = (
+        f"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x\r\n"
+        f"WARC-Date: {ts}\r\nContent-Length: 3\r\n\r\nGET\r\n\r\n"
+    ).encode()
+    resp = (
+        f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://y\r\n"
+        f"WARC-Date: {ts}\r\nContent-Length: 2\r\n\r\nok\r\n\r\n"
+    ).encode()
+    recs = list(_parse_warc_stream(io.BufferedReader(io.BytesIO(req + resp))))
+    assert [(r[0], r[2]) for r in recs] == [("https://y", b"ok")]
