@@ -330,6 +330,20 @@ def sql_mention_contexts(
     )
 
 
+def sql_entity_aliases(
+    entities: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Oracle for ``q_entity_aliases``: alias-normalized entity groups —
+    (alias_key, label, n_surfaces, n_mentions)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT regexp_replace(pname, '[^a-z0-9]', '', 'g') AS alias_key,\n"
+        f"  plabel AS label, CAST(count(DISTINCT pname) AS BIGINT) AS n_surfaces,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_mentions\n"
+        f"FROM acc GROUP BY 1, 2"
+    )
+
+
 def sql_entity_postings(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

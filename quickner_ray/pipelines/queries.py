@@ -1013,6 +1013,49 @@ def q_mention_contexts(sf_dir: str):
     return mention_contexts(mentions_dataset(sf_dir, keep_text=True))
 
 
+def q_entity_aliases(sf_dir: str):
+    """Entity resolution by alias normalization: canonical surface forms
+    that collapse to the same punctuation/space-stripped key (e.g.
+    "u.s." / "u s" / "us") grouped per label — (alias_key, label,
+    n_surfaces, n_mentions). One vectorized regexp per batch over the
+    (gazetteer-bounded) canonical entity table, then a tiny groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.canonicalize import canonical_entities
+
+    ents = canonical_entities(mentions_dataset(sf_dir))
+
+    def add_key(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "alias_key": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                }
+            )
+        sn = b.column("surface_norm")
+        if isinstance(sn, pa.ChunkedArray):
+            sn = sn.combine_chunks()
+        key = pc.replace_substring_regex(sn, "[^a-z0-9]", "")
+        return pa.table(
+            {
+                "alias_key": key,
+                "label": b.column("label"),
+                "n_mentions": b.column("n_mentions"),
+            }
+        )
+
+    return (
+        ents.map_batches(add_key, batch_format="pyarrow")
+        .groupby(["alias_key", "label"])
+        .aggregate(
+            Count(alias_name="n_surfaces"),
+            Sum("n_mentions", alias_name="n_mentions"),
+        )
+    )
+
+
 def q_cms_token_registers(sf_dir: str):
     """Count-Min sketch of corpus word frequencies: the merged register
     table (d x w bounded — the query output IS the sketch, so the SQL

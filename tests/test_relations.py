@@ -145,3 +145,51 @@ class TestEntityDocFreq:
             entity_id("apple", "ORG"): 2,
             entity_id("bolt", "PART"): 1,
         }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_entity_aliases_collapse():
+    """Surface forms differing only in punctuation/spacing collapse to one
+    alias group; different labels stay distinct (same alias_key + groupby
+    shape as q_entity_aliases, driven on a crafted canonical table — the
+    sf corpora have no colliding aliases to exercise)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    rows = [
+        ("u.s.", "GPE", 3),
+        ("u s", "GPE", 2),
+        ("us", "GPE", 5),
+        ("us", "ORG", 1),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "surface_norm": [r[0] for r in rows],
+                "label": [r[1] for r in rows],
+                "n_mentions": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+    )
+    import pyarrow.compute as pc
+
+    def add_key(b):
+        key = pc.replace_substring_regex(
+            b.column("surface_norm").combine_chunks(), "[^a-z0-9]", ""
+        )
+        return pa.table(
+            {
+                "alias_key": key,
+                "label": b.column("label"),
+                "n_mentions": b.column("n_mentions"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby(["alias_key", "label"])
+        .aggregate(Count(alias_name="n_surfaces"), Sum("n_mentions", alias_name="n_mentions"))
+        .take_all()
+    )
+    got = {(r["alias_key"], r["label"]): (r["n_surfaces"], r["n_mentions"]) for r in out}
+    assert got == {("us", "GPE"): (3, 10), ("us", "ORG"): (1, 1)}
