@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_candidates": q.q_relation_candidates,
         "entity_pmi": q.q_entity_pmi,
         "entity_aliases": q.q_entity_aliases,
+        "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
         "quality_scores": q.q_quality_scores,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),
         "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),
         "dup_clusters": da.sql_dup_clusters(threshold=0.5),
+        "contamination": da.sql_contamination(),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
         "doc_dedup": (

@@ -1013,6 +1013,28 @@ def q_mention_contexts(sf_dir: str):
     return mention_contexts(mentions_dataset(sf_dir, keep_text=True))
 
 
+BENCH_MAX_DOC_ID = 20  # docs below this id form the synthetic "benchmark" set
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: docs sharing >= 1 word-3-gram shingle
+    with the benchmark set (deterministically: doc_id < 20 of the same
+    corpus — no external data). The tiny benchmark shingle set broadcasts
+    sorted; membership is one searchsorted per batch, zero shuffles."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup_approx import benchmark_shingles, contamination_counts
+
+    bench_tab = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "<", BENCH_MAX_DOC_ID)],
+    )
+    hashes = benchmark_shingles(bench_tab.column("text").to_pylist())
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return contamination_counts(ds, hashes)
+
+
 def q_entity_aliases(sf_dir: str):
     """Entity resolution by alias normalization: canonical surface forms
     that collapse to the same punctuation/space-stripped key (e.g.

@@ -574,3 +574,73 @@ def sql_embedding_topk_pairs(k: int = 20, table: str = "embeddings") -> str:
         f"FROM {table} a JOIN {table} b ON a.vec_id < b.vec_id\n"
         f"ORDER BY cos_sim DESC, vec_a, vec_b LIMIT {k}"
     )
+
+
+# -- benchmark decontamination ------------------------------------------------
+
+
+def benchmark_shingles(texts: list[str]) -> np.ndarray:
+    """Benchmark-set shingle hashes, sorted for searchsorted membership."""
+    if not texts:
+        return np.empty(0, dtype=np.uint64)
+    _, h, _ = _shingle_rows(pa.array(texts, type=pa.string()))
+    return np.unique(h)
+
+
+def contamination_counts(ds, bench_hashes: np.ndarray, *, text_col: str = "text"):
+    """Benchmark decontamination: Dataset(doc_id, text) ->
+    Dataset(doc_id, n_shared) for every doc sharing >= 1 word-n-gram
+    shingle with the benchmark set (n_shared = distinct shared shingles).
+
+    The benchmark shingle set is SMALL by definition (a test set, not the
+    corpus) — it broadcasts once via ``ray.put`` as a sorted uint64 array
+    and membership is one ``searchsorted`` per batch.  Zero shuffles; the
+    flagged set streams out for the downstream anti-join
+    (``antijoin.anti_join``) that actually drops contaminated docs.
+    """
+    import ray
+
+    ref = ray.put(np.asarray(bench_hashes, dtype=np.uint64))
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_shared": pa.array([], type=pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        hs = ray.get(ref)
+        p, h, _ = _shingle_rows(batch.column(text_col))
+        if len(hs) == 0 or len(h) == 0:
+            return empty
+        idx = np.searchsorted(hs, h)
+        idx[idx == len(hs)] = 0
+        found = hs[idx] == h
+        n_shared = np.bincount(p[found], minlength=batch.num_rows)
+        rows = np.flatnonzero(n_shared)
+        if not len(rows):
+            return empty
+        ids = batch.column("doc_id").take(pa.array(rows))
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_shared": pa.array(n_shared[rows], type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_contamination(bench_max_doc_id: int = 20, table: str = "documents") -> str:
+    """Oracle: benchmark set = docs with doc_id < ``bench_max_doc_id`` of
+    the same corpus (deterministic, no external data); n_shared = distinct
+    shingles shared with it."""
+    return (
+        f"WITH {sql_shingle_ctes(table)},\n"
+        f"bench AS (SELECT DISTINCT h64 FROM hsh WHERE doc_id < {bench_max_doc_id})\n"
+        f"SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shared\n"
+        f"FROM hsh h JOIN bench b ON b.h64 = h.h64\n"
+        f"GROUP BY h.doc_id"
+    )

@@ -216,3 +216,52 @@ class TestLSHPipeline:
         assert (out.iloc[0]["vec_a"], out.iloc[0]["vec_b"]) == (3, 11)
         assert out.iloc[0]["cos_sim"] > 0.99
         assert (out["cos_sim"].values[:-1] >= out["cos_sim"].values[1:]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestContamination:
+    def test_flags_overlapping_docs_only(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.dedup_approx import (
+            benchmark_shingles,
+            contamination_counts,
+        )
+
+        bench = ["the quick brown fox jumps over the lazy dog"]
+        hashes = benchmark_shingles(bench)
+        assert hashes.dtype == np.uint64 and len(hashes) == 7  # 9 words -> 7 3-grams
+        docs = [
+            (1, "the quick brown fox sat"),         # shares "the quick brown", "quick brown fox"
+            (2, "completely unrelated text here"),  # no overlap
+            (3, bench[0]),                          # full overlap: all 7
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], type=pa.int64()),
+                    "text": [d[1] for d in docs],
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["n_shared"]
+            for r in contamination_counts(ds, hashes).take_all()
+        }
+        assert got == {1: 2, 3: 7}
+
+    def test_empty_benchmark_flags_nothing(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.dedup_approx import (
+            benchmark_shingles,
+            contamination_counts,
+        )
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["x y z"]})
+        )
+        assert contamination_counts(ds, benchmark_shingles([])).take_all() == []
