@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
         "dup_clusters": q.q_dup_clusters,
+        "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),
         "dup_clusters": da.sql_dup_clusters(threshold=0.5),
         "contamination": da.sql_contamination(),
+        "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
         "doc_dedup": (

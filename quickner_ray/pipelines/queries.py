@@ -365,6 +365,18 @@ def q_dup_clusters(sf_dir: str):
     return _project(cc, {"doc_id": "node", "component": "component"})
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Corpus-quality report: histogram of near-dup cluster sizes
+    (cluster_size, n_clusters) — two small aggregates over the connected
+    components (the per-component count is bounded by doc count, the
+    histogram by max cluster size)."""
+    from ray.data.aggregate import Count
+
+    cc = q_dup_clusters(sf_dir)
+    sizes = cc.groupby("component").aggregate(Count(alias_name="cluster_size"))
+    return sizes.groupby("cluster_size").aggregate(Count(alias_name="n_clusters"))
+
+
 def q_simhash(sf_dir: str):
     """64-bit SimHash fingerprint per document."""
     from ..stages.dedup_approx import simhash_batch

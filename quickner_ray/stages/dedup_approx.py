@@ -644,3 +644,18 @@ def sql_contamination(bench_max_doc_id: int = 20, table: str = "documents") -> s
         f"FROM hsh h JOIN bench b ON b.h64 = h.h64\n"
         f"GROUP BY h.doc_id"
     )
+
+
+def sql_dup_cluster_sizes(threshold: float = 0.5, table: str = "documents") -> str:
+    """Oracle for ``q_dup_cluster_sizes``: (cluster_size, n_clusters)
+    histogram over the connected components of the near-dup graph."""
+    return (
+        sql_dup_clusters(threshold, table).replace(
+            "SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node",
+            ", cc AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),\n"
+            "cs AS (SELECT component, count(*) AS cluster_size FROM cc GROUP BY component)\n"
+            "SELECT CAST(cluster_size AS BIGINT) AS cluster_size,\n"
+            "  CAST(count(*) AS BIGINT) AS n_clusters\n"
+            "FROM cs GROUP BY cluster_size",
+        )
+    )
