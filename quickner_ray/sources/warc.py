@@ -45,10 +45,13 @@ WARC_SCHEMA = pa.schema(
 )
 
 
-def _parse_warc_stream(stream) -> Iterator[tuple[str, _dt.datetime, bytes, str]]:
-    """Yield (url, ts, body, lang) per response record. Streaming: reads
-    header lines then exactly Content-Length body bytes — never the whole
-    file at once."""
+def _parse_warc_stream(
+    stream, record_type: str = "response"
+) -> Iterator[tuple[str, _dt.datetime, bytes, str]]:
+    """Yield (url, ts, body, lang) per record of ``record_type``
+    ("response" for .warc, "conversion" for .wet). Streaming: reads header
+    lines then exactly Content-Length body bytes — never the whole file at
+    once."""
     while True:
         line = stream.readline()
         if not line:
@@ -66,7 +69,7 @@ def _parse_warc_stream(stream) -> Iterator[tuple[str, _dt.datetime, bytes, str]]
             headers[k.strip().lower()] = v.strip()
         length = int(headers.get("content-length", "0"))
         body = stream.read(length)
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         url = headers.get("warc-target-uri", "")
         ts_raw = headers.get("warc-date", "1970-01-01T00:00:00Z")
@@ -137,10 +140,12 @@ def read_warc(paths, **kwargs):
     return rd.read_datasource(WarcDatasource(paths), **kwargs)
 
 
-def _record(url: str, ts: _dt.datetime, body: bytes, lang: str) -> bytes:
+def _record(
+    url: str, ts: _dt.datetime, body: bytes, lang: str, rec_type: str = "response"
+) -> bytes:
     head = (
         "WARC/1.0\r\n"
-        "WARC-Type: response\r\n"
+        f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
         f"WARC-Identified-Content-Language: {lang}\r\n"
@@ -182,5 +187,101 @@ def write_synth_warc(
                 pages.column("lang").to_pylist(),
             ):
                 f.write(_record(url, ts, html, lang))
+        out_files.append(path)
+    return out_files
+
+
+# -- WET (extracted-text conversion records) ----------------------------------
+
+WET_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us")),
+        pa.field("text", pa.large_string()),
+        pa.field("lang", pa.string()),
+    ]
+)
+
+
+def _wet_rows_to_batch(rows: list[tuple]) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], type=pa.string()),
+            pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+            pa.array(
+                [r[2].decode("utf-8", "replace") for r in rows],
+                type=pa.large_string(),
+            ),
+            pa.array([r[3] for r in rows], type=pa.string()),
+        ],
+        schema=WET_SCHEMA,
+    )
+
+
+class WetDatasource:
+    """WET sibling of ``WarcDatasource``: ``WARC-Type: conversion`` records
+    whose body is the already-extracted page TEXT (utf-8) — Common Crawl's
+    .wet files. Output matches the pages schema's text path
+    (url, warc_ts, text, lang), feeding ``KGPipelineConfig(source="text")``
+    with no HTML extraction stage."""
+
+    def __new__(cls, paths, **kwargs):
+        from ray.data.datasource import FileBasedDatasource
+
+        class _WetDatasource(FileBasedDatasource):
+            _FILE_EXTENSIONS = ["wet", "wet.gz"]
+
+            def _read_stream(self, f, path: str):
+                raw = io.BufferedReader(_NativeWrapper(f))
+                rows: list[tuple] = []
+                for rec in _parse_warc_stream(raw, record_type="conversion"):
+                    rows.append(rec)
+                    if len(rows) >= _BATCH_RECORDS:
+                        yield _wet_rows_to_batch(rows)
+                        rows = []
+                if rows:
+                    yield _wet_rows_to_batch(rows)
+
+        return _WetDatasource(paths, **kwargs)
+
+
+def read_wet(paths, **kwargs):
+    """WET file(s)/dir -> Dataset(url, warc_ts, text, lang)."""
+    import ray.data as rd
+
+    return rd.read_datasource(WetDatasource(paths), **kwargs)
+
+
+def write_synth_wet(
+    out_dir: str,
+    source_documents_parquet: str,
+    *,
+    repeat: int = 1,
+    gzip_files: bool = False,
+) -> list[str]:
+    """Deterministic synthetic WET shards: conversion records whose body is
+    the document TEXT (same urls/timestamps as the synthetic crawl)."""
+    import pyarrow.parquet as pq
+
+    from .pages import synth_pages_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    tab = pq.read_table(source_documents_parquet, columns=["text", "lang"])
+    texts = tab.column("text").to_pylist()
+    langs = tab.column("lang").to_pylist()
+    out_files = []
+    for r in range(repeat):
+        pages = synth_pages_table(texts, langs, base_seq=r * len(texts))
+        name = f"crawl-{r:04d}.wet" + (".gz" if gzip_files else "")
+        path = os.path.join(out_dir, name)
+        opener = gzip.open if gzip_files else open
+        with opener(path, "wb") as f:
+            for url, ts, text, lang in zip(
+                pages.column("url").to_pylist(),
+                pages.column("warc_ts").to_pylist(),
+                pages.column("text").to_pylist(),
+                pages.column("lang").to_pylist(),
+            ):
+                f.write(_record(url, ts, text.encode(), lang, rec_type="conversion"))
         out_files.append(path)
     return out_files

@@ -114,3 +114,21 @@ def test_warc_skips_non_response_records():
     ).encode()
     recs = list(_parse_warc_stream(io.BufferedReader(io.BytesIO(req + resp))))
     assert [(r[0], r[2]) for r in recs] == [("https://y", b"ok")]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_wet_roundtrip_feeds_text_path(tmp_path):
+    """WET conversion records carry extracted TEXT; feeding the kg text
+    path yields the same mention stream as parquet text input."""
+    import pyarrow.parquet as pq
+
+    from quickner_ray.sources.warc import read_wet, write_synth_wet
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    files = write_synth_wet(str(tmp_path), src, gzip_files=True)
+    rows = read_wet(files).take_all()
+    texts = pq.read_table(src, columns=["text"]).column("text").to_pylist()
+    assert len(rows) == len(texts)
+    by_url = {r["url"]: r["text"] for r in rows}
+    for i, t in enumerate(texts):
+        assert by_url[f"https://example.org/crawl/{i:012d}"] == t
