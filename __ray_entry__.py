@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_candidates": q.q_relation_candidates,
         "entity_pmi": q.q_entity_pmi,
         "entity_aliases": q.q_entity_aliases,
+        "entity_kcore": q.q_entity_kcore,
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
@@ -184,6 +185,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_postings,
         sql_entity_triangles,
         sql_entity_aliases,
+        sql_entity_kcore,
         sql_entity_pmi,
         sql_mention_contexts,
         sql_relation_candidates,
@@ -215,6 +217,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
         "entity_pmi": sql_entity_pmi(DEFAULT_GAZETTEER),
         "entity_aliases": sql_entity_aliases(DEFAULT_GAZETTEER),
+        "entity_kcore": sql_entity_kcore(DEFAULT_GAZETTEER),
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),

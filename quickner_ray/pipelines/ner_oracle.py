@@ -207,9 +207,10 @@ def sql_entity_pagerank(
         f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
         f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
         f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
-        f"und AS (SELECT ea AS s, eb AS d FROM e UNION ALL SELECT eb, ea FROM e),\n"
-        f"deg AS (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),\n"
-        f"nodes AS (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"deg AS MATERIALIZED (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),\n"
+        f"nodes AS MATERIALIZED (SELECT DISTINCT eid AS node FROM acc),\n"
         f"s0 AS (SELECT node, CAST({pr_scale} AS BIGINT) AS sc FROM nodes)"
     )
     for i in range(n_iters):
@@ -342,6 +343,48 @@ def sql_entity_aliases(
         f"  CAST(count(*) AS BIGINT) AS n_mentions\n"
         f"FROM acc GROUP BY 1, 2"
     )
+
+
+def sql_entity_kcore(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    k: int = 2,
+    rounds: int = 8,
+    cap: int = 64,
+) -> str:
+    """Oracle for ``q_entity_kcore``: (entity_id, core_deg) after exactly
+    ``rounds`` unrolled peel rounds over the co-occurrence graph — the Ray
+    side early-stops on the fixpoint, which converged rounds make
+    value-identical (stages/graph_cc.kcore)."""
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"a0 AS MATERIALIZED (SELECT DISTINCT s AS node FROM und)"
+    )
+    # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default and each
+    # round references the previous alive set twice — inlining would
+    # re-evaluate the whole upstream chain 2^rounds times
+    for i in range(rounds):
+        sql += (
+            f",\nd{i} AS (SELECT u.s AS node, count(*) AS dg FROM und u\n"
+            f"  JOIN a{i} x ON x.node = u.s JOIN a{i} y ON y.node = u.d\n"
+            f"  GROUP BY u.s),\n"
+            f"a{i + 1} AS MATERIALIZED (SELECT node FROM d{i} WHERE dg >= {k})"
+        )
+    sql += (
+        f",\ndfin AS (SELECT u.s AS node, count(*) AS dg FROM und u\n"
+        f"  JOIN a{rounds} x ON x.node = u.s JOIN a{rounds} y ON y.node = u.d\n"
+        f"  GROUP BY u.s)\n"
+        f"SELECT node AS entity_id, CAST(dg AS BIGINT) AS core_deg FROM dfin"
+    )
+    return sql
 
 
 def sql_entity_postings(

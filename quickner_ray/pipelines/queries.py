@@ -1047,6 +1047,26 @@ def q_contamination(sf_dir: str):
     return contamination_counts(ds, hashes)
 
 
+def q_entity_kcore(sf_dir: str):
+    """k-core of the entity co-occurrence graph (k=2): entities in the
+    densely-connected core with their within-core degree — peel rounds
+    early-stop on the fixpoint; the oracle unrolls the same round count."""
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, kcore
+
+    out = kcore(
+        cooccurrence_pairs(mentions_dataset(sf_dir)),
+        k=2,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        out,
+        {"entity_id": "node", "core_deg": "core_deg"},
+        {"entity_id": pa.string()},
+    )
+
+
 def q_entity_aliases(sf_dir: str):
     """Entity resolution by alias normalization: canonical surface forms
     that collapse to the same punctuation/space-stripped key (e.g.

@@ -738,3 +738,151 @@ def entity_doc_freq(mentions, *, doc_col: str = "doc_id"):
         lambda b: _df_batch(b, doc_col), batch_format="pyarrow"
     )
     return partial.groupby("eid").aggregate(Sum("pdf", alias_name="df"))
+
+
+def _broadcast_kcore(edge_rows, nt, k: int, rounds: int):
+    """Small-graph k-core peel: numpy rounds over code arrays driver-side;
+    returns the surviving (node, core_deg) rows as a materialized list."""
+    import numpy as np
+
+    if not edge_rows:
+        return []
+    s = np.asarray([r["src"] for r in edge_rows])
+    d = np.asarray([r["dst"] for r in edge_rows])
+    vocab, codes = np.unique(np.concatenate([s, d]), return_inverse=True)
+    sc, dc = codes[: len(s)], codes[len(s) :]
+    n = len(vocab)
+    alive = np.ones(n, dtype=bool)
+    deg = np.zeros(n, dtype=np.int64)
+    for _ in range(rounds):
+        deg[:] = 0
+        mask = alive[sc] & alive[dc]
+        np.add.at(deg, sc[mask], 1)
+        new_alive = deg >= k
+        if (new_alive == alive).all():
+            break
+        alive = new_alive
+    deg[:] = 0
+    mask = alive[sc] & alive[dc]
+    np.add.at(deg, sc[mask], 1)
+    # mirror the distributed/SQL shape: the final degree table only has
+    # rows for nodes with >= 1 surviving edge
+    keep = np.flatnonzero(alive & (deg >= 1))
+    return [
+        {"node": vocab[i].item() if hasattr(vocab[i], "item") else vocab[i],
+         "core_deg": int(deg[i])}
+        for i in keep
+    ]
+
+
+def kcore(
+    edges,
+    *,
+    k: int = 2,
+    rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """R-round k-core peel over an undirected simple graph:
+    Dataset(node, core_deg) of nodes surviving ``rounds`` peel rounds
+    (each round removes nodes whose degree within the surviving subgraph
+    is < k), with their final within-core degree.  Equals the exact
+    k-core whenever peeling converges within ``rounds`` (the loop
+    early-stops on a fixed point, so extra rounds are free); the SQL
+    oracle unrolls the SAME fixed round count, keeping the two engines
+    value-identical even pre-convergence.
+
+    Distributed round: two hash semi-joins restrict the symmetrized edge
+    list to alive endpoints, one groupby-count re-derives degrees, one
+    filter peels — only the (node,) frontier materializes per round.
+    Size-gated driver path as in ``pagerank``/``triangle_counts``.
+    """
+    from ray.data.aggregate import Count
+
+    import ray.data as rd
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    if und.count() <= 2 * cap:
+        # und holds both directions; _broadcast_kcore degrees count s-side
+        # occurrences, i.e. full undirected degree
+        rows = _broadcast_kcore(und.take_all(), nt, k, rounds)
+        if not rows:
+            return rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], type=nt),
+                     "core_deg": pa.array([], type=pa.int64())}
+                )
+            )
+        return rd.from_items(rows)
+
+    alive = _project_t(
+        und.groupby("src").aggregate(Count(alias_name="_c")),
+        {"node": "src"},
+        ntypes,
+    ).repartition(num_partitions).materialize()
+    prev_n = alive.count()
+
+    def degrees(live):
+        e1 = und.join(
+            live, "inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        )
+        e1 = _project_t(e1, {"src": "src", "dst": "dst"}, ntypes).repartition(
+            num_partitions
+        )
+        e2 = e1.join(
+            _project_t(live, {"dnode": "node"}, {"dnode": nt}).repartition(
+                num_partitions
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("dst",),
+            right_on=("dnode",),
+        )
+        return _project_t(e2, {"src": "src", "dst": "dst"}, ntypes).groupby(
+            "src"
+        ).aggregate(Count(alias_name="deg"))
+
+    def keep_ge_k(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=nt)})
+        import pyarrow.compute as pc
+
+        m = pc.greater_equal(b.column("deg"), pa.scalar(k))
+        return pa.table({"node": b.column("src").filter(m)})
+
+    import ray.data as _rd
+
+    empty_out = _rd.from_arrow(
+        pa.table(
+            {"node": pa.array([], type=nt), "core_deg": pa.array([], type=pa.int64())}
+        )
+    )
+    for _ in range(rounds):
+        deg = degrees(alive)
+        alive = (
+            deg.map_batches(keep_ge_k, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur = alive.count()
+        if cur == 0:
+            # everything peeled: joins over an all-empty frontier would
+            # see schema-less blocks (zero-row blocks skip map_batches)
+            return empty_out
+        if cur == prev_n:
+            break
+        prev_n = cur
+    # output = final within-core degree table over the surviving set
+    # (nodes with zero alive-alive edges drop out, mirroring the oracle)
+    return _project_t(degrees(alive), {"node": "src", "core_deg": "deg"}, ntypes)

@@ -288,3 +288,70 @@ class TestTriangles:
         nodes = ["aa", "bb", "cc", "dd", "ee"]
         got = self._run(edges, nodes, dcap, node_type=pa.string())
         assert got == _ref_triangles(nodes, edges)
+
+
+def _ref_kcore(edges: list[tuple], k: int, rounds: int = 8) -> dict:
+    """Brute-force R-round peel: {surviving node: final within-core degree}."""
+    und = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    alive = {n for e in und for n in e}
+    for _ in range(rounds):
+        deg: dict = {}
+        for s, d in und:
+            if s in alive and d in alive:
+                deg[s] = deg.get(s, 0) + 1
+        new_alive = {n for n, dg in deg.items() if dg >= k}
+        if new_alive == alive:
+            break
+        alive = new_alive
+    deg = {}
+    for s, d in und:
+        if s in alive and d in alive:
+            deg[s] = deg.get(s, 0) + 1
+    return deg
+
+
+@pytest.mark.parametrize("dcap", [0, None], ids=["distributed", "broadcast"])
+@pytest.mark.usefixtures("ray_session")
+class TestKCore:
+    @staticmethod
+    def _run(edges, k, dcap, **kw):
+        from quickner_ray.stages.graph_cc import kcore
+
+        out = kcore(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            k=k,
+            driver_cap=dcap,
+            **kw,
+        ).take_all()
+        return {r["node"]: r["core_deg"] for r in out}
+
+    def test_pendant_chain_peels_off(self, dcap):
+        # triangle 0-1-2 with a pendant chain 2-3-4: 2-core = the triangle
+        edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+        got = self._run(edges, 2, dcap)
+        assert got == {0: 2, 1: 2, 2: 2}
+        assert got == _ref_kcore(edges, 2)
+
+    def test_no_core(self, dcap):
+        # a tree has no 2-core
+        edges = [(0, 1), (1, 2), (2, 3)]
+        assert self._run(edges, 2, dcap) == {}
+
+    def test_random_matches_reference(self, dcap):
+        import random
+
+        rng = random.Random(13)
+        n = 24
+        edges = sorted(
+            {tuple(sorted((rng.randrange(n), rng.randrange(n)))) for _ in range(50)}
+        )
+        edges = [e for e in edges if e[0] != e[1]]
+        for k in (2, 3):
+            assert self._run(edges, k, dcap) == _ref_kcore(edges, k)
+
+    def test_string_nodes(self, dcap):
+        import pyarrow as pa
+
+        edges = [("aa", "bb"), ("bb", "cc"), ("aa", "cc"), ("cc", "dd")]
+        got = self._run(edges, 2, dcap, node_type=pa.string())
+        assert got == _ref_kcore(edges, 2)
