@@ -308,3 +308,30 @@ class TestDistributedJsonlSink:
         write_jsonl_dataset(rd.from_arrow(tab), out).take_all()  # re-run
         parts = _glob.glob(os.path.join(out, "part-*.jsonl"))
         assert len(parts) == 1  # same content -> same name -> overwrite
+
+
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_parquet(tmp_path):
+    """Many small shards -> few target-size files, content-identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from quickner_ray.sinks.distributed import compact_parquet
+
+    src = tmp_path / "small"
+    src.mkdir()
+    rows = []
+    for i in range(12):
+        tab = pa.table({"k": [i * 10 + j for j in range(10)]})
+        pq.write_table(tab, src / f"part-{i:03d}.parquet")
+        rows += tab.column("k").to_pylist()
+    out = tmp_path / "compact"
+    stats = compact_parquet(str(src), str(out), target_rows_per_file=60)
+    assert stats == {"rows": 120, "files_in": 12, "files_out": 2}
+    got = sorted(
+        pq.read_table(str(out)).column("k").to_pylist()
+    )
+    assert got == sorted(rows)
