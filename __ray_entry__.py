@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
+        "events_resampled": q.q_events_resampled,
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": sql_fingerprint(),
         "events_window": ev.sql_window_counts(),
         "events_sliding_window": ev.sql_sliding_window_counts(),
+        "events_resampled": ev.sql_resample_user_windows(),
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),

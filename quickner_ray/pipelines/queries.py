@@ -1047,6 +1047,19 @@ def q_contamination(sf_dir: str):
     return contamination_counts(ds, hashes)
 
 
+def q_events_resampled(sf_dir: str):
+    """Time-series densification: per-user hourly event counts with gap
+    hours filled as zeros between each user's first and last event."""
+    import ray.data as rd
+
+    from ..stages.events import resample_user_windows
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return resample_user_windows(ds)
+
+
 def q_entity_kcore(sf_dir: str):
     """k-core of the entity co-occurrence graph (k=2): entities in the
     densely-connected core with their within-core degree — peel rounds

@@ -239,6 +239,36 @@ def user_stats(ds):
     )
 
 
+def _resample_group(group: pa.Table, window_us: int) -> pa.Table:
+    """One user's events -> DENSE per-window counts between the user's
+    first and last event (empty windows emitted as zero)."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    w = us // window_us
+    lo, hi = int(w.min()), int(w.max())
+    counts = np.bincount(w - lo, minlength=hi - lo + 1)
+    user = group.column("user_id")[0].as_py()
+    wins = (np.arange(lo, hi + 1) * window_us).astype(np.int64)
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(wins), user), type=pa.int64()),
+            "window_start_us": pa.array(wins),
+            "n_events": pa.array(counts, type=pa.int64()),
+        }
+    )
+
+
+def resample_user_windows(ds, window_us: int = US_PER_HOUR):
+    """Time-series densification: per-user fixed-window event counts with
+    gap windows filled as zeros (resample semantics). Shuffle key:
+    user_id; per-user output is bounded by the user's active time span
+    over the window size, not by event count — a years-idle user with two
+    events pays for the dense range between them (document the window
+    size accordingly)."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _resample_group(g, window_us), batch_format="pyarrow"
+    )
+
+
 # ---- DuckDB oracle SQL ------------------------------------------------------
 
 def sql_window_counts(window_us: int = US_PER_HOUR, table: str = "events") -> str:
@@ -349,3 +379,15 @@ def sql_grouped_quantiles(
         for q in qs
     ]
     return "\nUNION ALL\n".join(parts)
+def sql_resample_user_windows(
+    window_us: int = US_PER_HOUR, table: str = "events"
+) -> str:
+    return (
+        f"WITH b AS (SELECT user_id, epoch_us(ts) // {window_us} AS w FROM {table}),\n"
+        f"r AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM b GROUP BY user_id),\n"
+        f"g AS (SELECT user_id, unnest(range(lo, hi + 1)) AS w FROM r),\n"
+        f"c AS (SELECT user_id, w, count(*) AS n FROM b GROUP BY user_id, w)\n"
+        f"SELECT g.user_id, CAST(g.w * {window_us} AS BIGINT) AS window_start_us,\n"
+        f"  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events\n"
+        f"FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.w = g.w"
+    )

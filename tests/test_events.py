@@ -248,3 +248,26 @@ class TestEventGaps:
         out = event_gaps(rd.from_pandas(df)).take_all()
         out.sort(key=lambda r: r["event_id"])
         assert out[0]["gap_us"] == -1 and out[1]["gap_us"] == 300
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resample_fills_gap_windows():
+    import pandas as pd
+    import ray.data as rd
+
+    from quickner_ray.stages.events import resample_user_windows
+
+    H = 3_600_000_000
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            # user 1: events in hour 0 and hour 3 -> hours 1,2 filled with 0
+            "ts": pd.to_datetime([10, 3 * H + 5, 7 * H], unit="us"),
+        }
+    )
+    out = resample_user_windows(rd.from_pandas(df)).take_all()
+    got = {(r["user_id"], r["window_start_us"]): r["n_events"] for r in out}
+    assert got == {
+        (1, 0): 1, (1, H): 0, (1, 2 * H): 0, (1, 3 * H): 1,
+        (2, 7 * H): 1,
+    }
