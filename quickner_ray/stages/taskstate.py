@@ -34,9 +34,16 @@ def task_stage(cls, **ctor):
     key = tuple(parts)
 
     def fn(batch):
-        inst = _CACHE.get(key)
+        # resolve the cache through the module at CALL time, never as a
+        # captured global: cloudpickle serializes closure globals by value,
+        # so closing over _CACHE would ship every previously-built stage
+        # instance (stale automatons, other pipelines' state — possibly
+        # classes from modules the worker can't import) with every task
+        from quickner_ray.stages.taskstate import _CACHE as cache
+
+        inst = cache.get(key)
         if inst is None:
-            inst = _CACHE[key] = cls(**ctor)
+            inst = cache[key] = cls(**ctor)
         return inst(batch)
 
     fn.__name__ = f"task_{cls.__name__}"
