@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
         "events_resampled": q.q_events_resampled,
+        "user_event_pivot": q.q_user_event_pivot,
+        "source_lang_rollup": q.q_source_lang_rollup,
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
     from quickner_ray.pipelines.queries import (
+        sql_source_lang_rollup as _sql_rollup,
+        sql_user_event_pivot as _sql_pivot,
         sql_customer_order_counts as _sql_cust_orders,
         sql_event_value_global_quantiles as _sql_gq,
         sql_events_value_bands as _sql_bands,
@@ -227,6 +231,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": ev.sql_window_counts(),
         "events_sliding_window": ev.sql_sliding_window_counts(),
         "events_resampled": ev.sql_resample_user_windows(),
+        "user_event_pivot": _sql_pivot(),
+        "source_lang_rollup": _sql_rollup(),
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),

@@ -1047,6 +1047,119 @@ def q_contamination(sf_dir: str):
     return contamination_counts(ds, hashes)
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_event_pivot(sf_dir: str):
+    """PIVOT: one row per user with one count column per event type
+    (conditional aggregation — the per-batch partial emits the fixed
+    pivoted layout, so the shuffle moves at most one row per user per
+    batch and the groupby is a plain column-wise sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        cols = {"user_id": b.column("user_id")}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pc.equal(et, pa.scalar(t)).cast(pa.int64())
+        out = pa.table(cols)
+        return out.group_by(["user_id"]).aggregate(
+            [(f"n_{t}", "sum") for t in EVENT_TYPES]
+        ).rename_columns(["user_id"] + [f"n_{t}" for t in EVENT_TYPES])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
+def sql_user_event_pivot() -> str:
+    cols = ",\n  ".join(
+        f"CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in EVENT_TYPES
+    )
+    return f"SELECT user_id,\n  {cols}\nFROM events GROUP BY user_id"
+
+
+ROLLUP_ALL = "_ALL_"  # subtotal marker (not NULL: keeps both engines string-typed)
+
+
+def q_source_lang_rollup(sf_dir: str):
+    """OLAP ROLLUP over (source, lang): per-group doc counts plus source
+    subtotals and the grand total, subtotal keys marked '_ALL_'.  ONE
+    shuffle: the three rollup levels re-aggregate the (tiny) finest-level
+    aggregate with map_batches relabels — no second pass over the data."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "lang", "n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .materialize()  # tiny: |source| x |lang| rows; reused 3x below
+    )
+
+    def relabel(keep_source: bool):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "source": pa.array([], type=pa.string()),
+                        "lang": pa.array([], type=pa.string()),
+                        "n_docs": pa.array([], type=pa.int64()),
+                    }
+                )
+            all_col = pa.array([ROLLUP_ALL] * b.num_rows, type=pa.string())
+            return pa.table(
+                {
+                    "source": b.column("source") if keep_source else all_col,
+                    "lang": all_col,
+                    "n_docs": b.column("n_docs"),
+                }
+            )
+
+        return f
+
+    from ray.data.aggregate import Sum as _Sum
+
+    sub_source = (
+        fine.map_batches(relabel(True), batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(_Sum("n_docs", alias_name="n_docs"))
+    )
+    grand = (
+        fine.map_batches(relabel(False), batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(_Sum("n_docs", alias_name="n_docs"))
+    )
+    return fine.union(sub_source).union(grand)
+
+
+def sql_source_lang_rollup() -> str:
+    return (
+        f"SELECT COALESCE(source, '{ROLLUP_ALL}') AS source,\n"
+        f"  COALESCE(lang, '{ROLLUP_ALL}') AS lang,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_docs\n"
+        f"FROM documents GROUP BY ROLLUP (source, lang)"
+    )
+
+
 def q_events_resampled(sf_dir: str):
     """Time-series densification: per-user hourly event counts with gap
     hours filled as zeros between each user's first and last event."""
