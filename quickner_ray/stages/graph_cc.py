@@ -473,10 +473,17 @@ def _broadcast_triangles(universe, edge_rows, nt, wedge_cap: int):
                 if (nb[i], nb[j]) in es:
                     for v in (a, nb[i], nb[j]):
                         tri[v] = tri.get(v, 0) + 1
-    stats = {n: (deg.get(n, 0), tri.get(n, 0)) for n in deg}
-    ref = ray.put(stats)
+    keys = sorted(deg)
+    payload = (
+        pa.array(keys, type=nt),
+        pa.array([deg[n] for n in keys], type=pa.int64()),
+        pa.array([tri.get(n, 0) for n in keys], type=pa.int64()),
+    )
+    ref = ray.put(payload)
 
     def relabel(b: pa.Table) -> pa.Table:
+        # vectorized lookup: the universe is corpus-sized even when the
+        # edge map is small — no per-row Python here
         if b.num_rows == 0:
             return pa.table(
                 {
@@ -485,14 +492,18 @@ def _broadcast_triangles(universe, edge_rows, nt, wedge_cap: int):
                     "n_triangles": pa.array([], type=pa.int64()),
                 }
             )
-        m = ray.get(ref)
-        nodes_py = b.column("node").to_pylist()
-        vals = [m.get(x, (0, 0)) for x in nodes_py]
+        import pyarrow.compute as pc
+
+        k, dv, tv = ray.get(ref)
+        nodes = b.column("node")
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        idx = pc.index_in(nodes, value_set=k)
         return pa.table(
             {
-                "node": b.column("node"),
-                "degree": pa.array([v[0] for v in vals], type=pa.int64()),
-                "n_triangles": pa.array([v[1] for v in vals], type=pa.int64()),
+                "node": nodes,
+                "degree": pc.take(dv, idx).fill_null(0),
+                "n_triangles": pc.take(tv, idx).fill_null(0),
             }
         )
 
@@ -523,10 +534,14 @@ def _broadcast_pagerank(universe, und_rows, nt, n_iters: int):
             inc = np.zeros(n, dtype=np.int64)
             np.add.at(inc, dc, score[sc] // deg[sc])
             score = base + (85 * inc) // 100
-        score_map = dict(zip(vocab.tolist(), score.tolist()))
-    ref = ray.put(score_map)
+        payload = (pa.array(vocab, type=nt), pa.array(score, type=pa.int64()))
+    else:
+        payload = (pa.array([], type=nt), pa.array([], type=pa.int64()))
+    ref = ray.put(payload)
 
     def relabel(b: pa.Table) -> pa.Table:
+        # vectorized lookup over the corpus-sized universe (see
+        # _broadcast_triangles.relabel)
         if b.num_rows == 0:
             return pa.table(
                 {
@@ -534,14 +549,17 @@ def _broadcast_pagerank(universe, und_rows, nt, n_iters: int):
                     "pr_score": pa.array([], type=pa.int64()),
                 }
             )
-        m = ray.get(ref)
-        nodes_py = b.column("node").to_pylist()
+        import pyarrow.compute as pc
+
+        k, v = ray.get(ref)
+        nodes = b.column("node")
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        idx = pc.index_in(nodes, value_set=k)
         return pa.table(
             {
-                "node": b.column("node"),
-                "pr_score": pa.array(
-                    [m.get(x, base) for x in nodes_py], type=pa.int64()
-                ),
+                "node": nodes,
+                "pr_score": pc.take(v, idx).fill_null(base),
             }
         )
 
@@ -573,23 +591,33 @@ def _broadcast_cc(labels, edge_rows) -> "object":
         ra, rb = find(r["src"]), find(r["dst"])
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    comp = {}
-    for x in list(parent):
-        root = find(x)
-        comp[x] = root
-    ref = ray.put(comp)
+    keys = sorted(parent)
+    payload = (
+        pa.array(keys, type=pa.int64()),
+        pa.array([find(x) for x in keys], type=pa.int64()),
+    )
+    ref = ray.put(payload)
 
     def relabel(b: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        nodes_py = b.column("node").to_pylist()
-        return pa.table(
-            {
-                "node": pa.array(nodes_py, type=pa.int64()),
-                "component": pa.array(
-                    [m.get(n, n) for n in nodes_py], type=pa.int64()
-                ),
-            }
-        )
+        # vectorized: the relabel pass covers the WHOLE node universe even
+        # when the dup map is small — index_in/take, no per-row Python
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "component": pa.array([], type=pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        k, v = ray.get(ref)
+        nodes = b.column("node")
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        nodes = nodes.cast(pa.int64())
+        idx = pc.index_in(nodes, value_set=k)
+        comp = pc.if_else(pc.is_valid(idx), pc.take(v, idx), nodes)
+        return pa.table({"node": nodes, "component": comp})
 
     return labels.map_batches(relabel, batch_format="pyarrow")
 
