@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resampled": q.q_events_resampled,
         "user_event_pivot": q.q_user_event_pivot,
         "source_lang_rollup": q.q_source_lang_rollup,
+        "doc_length_deciles": q.q_doc_length_deciles,
         "sessionize": q.q_sessionize,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
     from quickner_ray.pipelines.queries import (
+        sql_doc_length_deciles as _sql_deciles,
         sql_source_lang_rollup as _sql_rollup,
         sql_user_event_pivot as _sql_pivot,
         sql_customer_order_counts as _sql_cust_orders,
@@ -233,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "events_resampled": ev.sql_resample_user_windows(),
         "user_event_pivot": _sql_pivot(),
         "source_lang_rollup": _sql_rollup(),
+        "doc_length_deciles": _sql_deciles(),
         "sessionize": ev.sql_sessionize(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),

@@ -1160,6 +1160,64 @@ def sql_source_lang_rollup() -> str:
     )
 
 
+DECILE_QS = [i / 10 for i in range(1, 10)]
+
+
+def q_doc_length_deciles(sf_dir: str):
+    """Equi-depth histogram: decile boundaries of doc length via the
+    distributed quickselect (no global sort), then one zero-shuffle
+    bucket-count pass (searchsorted against the broadcast boundary list,
+    per-batch bincount partials, a 10-key groupby-sum)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.rank import exact_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
+    )
+    bounds = np.array(
+        [v for _, v in exact_quantiles(ds, "n_chars", DECILE_QS)], dtype=np.float64
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        # bucket = number of boundaries <= value (0..len(bounds))
+        bk = np.searchsorted(bounds, v, side="right")
+        counts = np.bincount(bk, minlength=len(bounds) + 1)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "bucket": pa.array(nz, type=pa.int64()),
+                "n": pa.array(counts[nz], type=pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+
+def sql_doc_length_deciles() -> str:
+    qs = ", ".join(str(q) for q in DECILE_QS)
+    return (
+        f"WITH b AS (SELECT quantile_disc(n_chars, [{qs}]) AS qs FROM documents)\n"
+        f"SELECT CAST(len(list_filter(b.qs, q -> d.n_chars >= q)) AS BIGINT)"
+        f" AS bucket,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_docs\n"
+        f"FROM documents d CROSS JOIN b GROUP BY 1"
+    )
+
+
 def q_events_resampled(sf_dir: str):
     """Time-series densification: per-user hourly event counts with gap
     hours filled as zeros between each user's first and last event."""

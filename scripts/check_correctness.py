@@ -2,7 +2,7 @@
 at a given sf and compare against oracle_sql() via DuckDB (row count, sorted
 column names, order-insensitive value equality). Usage:
 
-    python scripts/check_correctness.py [sf_dir]
+    python scripts/check_correctness.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -32,6 +32,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import ray
 
     if not ray.is_initialized():
@@ -47,6 +48,8 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.perf_counter()
         res = fn(sf_dir)
         df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)

@@ -114,6 +114,37 @@ class TestExactQuantiles:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestDocLengthDeciles:
+    def test_matches_numpy_reference(self, sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from quickner_ray.pipelines.queries import DECILE_QS, q_doc_length_deciles
+
+        got = {
+            r["bucket"]: r["n_docs"]
+            for r in q_doc_length_deciles(sf_dir).take_all()
+        }
+        v = (
+            pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+            .column("n_chars")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        s = np.sort(v)
+        bounds = np.array(
+            [s[max(int(np.ceil(q * len(s))) - 1, 0)] for q in DECILE_QS]
+        )
+        bk = np.searchsorted(bounds, v, side="right")
+        want = {
+            int(b): int(c)
+            for b, c in zip(*np.unique(bk, return_counts=True))
+        }
+        assert got == want
+        assert sum(got.values()) == len(v)
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestMixtureSample:
     def test_rates_deterministic_and_proportional(self):
         from quickner_ray.stages.dedup_approx import h64
