@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
+        "running_extrema": q.q_running_extrema,
+        "doc_sentences": q.q_doc_sentences,
+        "big_spenders": q.q_big_spenders,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -158,8 +161,12 @@ def oracle_sql() -> dict[str, str]:
         sql_mixture_sample_docs as _sql_mix_sample,
         sql_stratified_sample_docs as _sql_strat_sample,
     )
-    from quickner_ray.stages.chunking import sql_chunks as _sql_chunks
+    from quickner_ray.stages.chunking import (
+        sql_chunks as _sql_chunks,
+        sql_sentences as _sql_sentences,
+    )
     from quickner_ray.pipelines.queries import (
+        sql_big_spenders as _sql_big_spenders,
         sql_doc_length_deciles as _sql_deciles,
         sql_source_lang_rollup as _sql_rollup,
         sql_user_event_pivot as _sql_pivot,
@@ -227,6 +234,9 @@ def oracle_sql() -> dict[str, str]:
         "entity_kcore": sql_entity_kcore(DEFAULT_GAZETTEER),
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
+        "running_extrema": ev.sql_running_extrema(),
+        "doc_sentences": _sql_sentences(),
+        "big_spenders": _sql_big_spenders(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

@@ -1327,6 +1327,65 @@ def q_entity_triangles(sf_dir: str):
     )
 
 
+def q_running_extrema(sf_dir: str):
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING): running max/min
+    of event value per user in event-time order. Extrema only — exact
+    double comparisons, no accumulation arithmetic to drift vs the
+    oracle."""
+    import ray.data as rd
+
+    from ..stages.events import running_extrema
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return running_extrema(ds)
+
+
+def q_doc_sentences(sf_dir: str):
+    """Sentence-split explode: one row per sentence per document
+    (terminator+whitespace split, identical RE2 pattern on both engines)."""
+    from ..stages.chunking import split_sentences
+
+    return split_sentences(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+BIG_SPENDER_PRICE = 350_000.0
+
+
+def q_big_spenders(sf_dir: str):
+    """Distributed semi-join: customers with at least one order above a
+    price threshold. The kept-key side (distinct big-order custkeys) is
+    dedup-bounded, so the broadcast shape holds far longer than a raw
+    orders broadcast would; above the cap semi_join switches to a
+    hash-partitioned left_semi automatically."""
+    import ray.data as rd
+
+    from ..stages.antijoin import semi_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).filter(
+        expr=f"o_totalprice > {BIG_SPENDER_PRICE}"
+    )
+    return semi_join(cust, "c_custkey", big, "o_custkey")
+
+
+def sql_big_spenders() -> str:
+    return (
+        f"SELECT c_custkey, c_name, c_nationkey FROM customer c\n"
+        f"WHERE EXISTS (SELECT 1 FROM orders o\n"
+        f"  WHERE o.o_custkey = c.c_custkey\n"
+        f"    AND o.o_totalprice > {BIG_SPENDER_PRICE})"
+    )
+
+
 def q_event_gaps(sf_dir: str):
     """LAG window function: per-event inter-arrival gap within each user's
     event-time order (first event gap = -1)."""

@@ -206,6 +206,37 @@ def event_gaps(ds):
     return ds.groupby("user_id").map_groups(_gaps_group, batch_format="pyarrow")
 
 
+def _running_extrema_group(group: pa.Table) -> pa.Table:
+    """One user's events -> cumulative MAX/MIN of value in (ts, event_id)
+    order (the ``MAX(value) OVER (PARTITION BY user ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)`` window-frame shape). Extrema are exact double
+    comparisons — no accumulation arithmetic — so the oracle hash can't
+    drift a ulp the way a running SUM/AVG of doubles could."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us))
+    eid, val = eid[order], val[order]
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(eid), user), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "running_max": pa.array(np.maximum.accumulate(val), type=pa.float64()),
+            "running_min": pa.array(np.minimum.accumulate(val), type=pa.float64()),
+        }
+    )
+
+
+def running_extrema(ds):
+    """Cumulative window frame (ROWS UNBOUNDED PRECEDING) per user: running
+    max/min of ``value`` in event-time order. Shuffle key: user_id — one
+    shuffle, vectorized accumulate within each group."""
+    return ds.groupby("user_id").map_groups(
+        _running_extrema_group, batch_format="pyarrow"
+    )
+
+
 def partial_user_stats(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for per-user stats."""
     err = pc.equal(batch.column("event_type"), pa.scalar("error"))
@@ -322,6 +353,17 @@ def sql_event_gaps(table: str = "events") -> str:
         f"  COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (\n"
         f"    PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us\n"
         f"FROM {table}"
+    )
+
+
+def sql_running_extrema(table: str = "events") -> str:
+    return (
+        f"SELECT user_id, event_id,\n"
+        f"  max(value) OVER w AS running_max,\n"
+        f"  min(value) OVER w AS running_min\n"
+        f"FROM {table}\n"
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
 
 

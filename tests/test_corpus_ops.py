@@ -178,3 +178,30 @@ def test_chunking_property_random():
             assert all(len(c) <= size for c in chunks)
             rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
             assert rebuilt == t, (size, overlap, i)
+
+
+def test_split_sentences_matches_oracle_incl_edges():
+    from quickner_ray.stages.chunking import split_sentences_batch, sql_sentences
+
+    texts = [
+        "One. Two! Three? Four",        # mixed terminators, unterminated tail
+        "no terminators at all",         # single sentence
+        "",                              # one empty sentence (split semantics)
+        "Trailing dot. ",                # terminator+space at end -> empty tail
+        "a.b not split (no whitespace)", # dot without whitespace stays
+        "Multi   spaces.   After.",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    got = split_sentences_batch(tbl).to_pandas()
+    ora = _oracle(tbl, sql_sentences())
+    cols = ["doc_id", "sent_idx", "sentence", "sent_chars"]
+    got = got[cols].sort_values(cols[:2]).reset_index(drop=True)
+    ora = ora[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ora, check_dtype=False)
+    # dot-without-whitespace is NOT a boundary
+    assert (got[got.doc_id == 4].sentence == texts[4]).all()
+    # sent_idx is 1-based and dense per doc
+    d0 = got[got.doc_id == 0]
+    assert list(d0.sent_idx) == [1, 2, 3, 4]

@@ -271,3 +271,37 @@ def test_resample_fills_gap_windows():
         (1, 0): 1, (1, H): 0, (1, 2 * H): 0, (1, 3 * H): 1,
         (2, 7 * H): 1,
     }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_running_extrema_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quickner_ray.stages.events import running_extrema
+
+    rng = np.random.default_rng(11)
+    n = 300
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+            "user_id": rng.integers(0, 7, n),
+            "value": rng.normal(size=n),
+        }
+    )
+    got = running_extrema(rd.from_pandas(df)).to_pandas()
+    ref = df.assign(us=df.ts.astype("int64") // 1000).sort_values(
+        ["user_id", "us", "event_id"]
+    )
+    g = ref.groupby("user_id")["value"]
+    ref["running_max"] = g.cummax()
+    ref["running_min"] = g.cummin()
+    a = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    b = ref.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["user_id", "event_id", "running_max", "running_min"]],
+        b[["user_id", "event_id", "running_max", "running_min"]].reset_index(drop=True),
+        check_dtype=False,
+    )
