@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
         "running_extrema": q.q_running_extrema,
+        "trailing_max": q.q_trailing_max,
+        "session_funnel": q.q_session_funnel,
+        "first_seen_daily": q.q_first_seen_daily,
         "doc_sentences": q.q_doc_sentences,
         "big_spenders": q.q_big_spenders,
         "quality_scores": q.q_quality_scores,
@@ -235,6 +238,9 @@ def oracle_sql() -> dict[str, str]:
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
         "running_extrema": ev.sql_running_extrema(),
+        "trailing_max": ev.sql_trailing_max(),
+        "session_funnel": ev.sql_session_funnel(),
+        "first_seen_daily": ev.sql_first_seen_daily(),
         "doc_sentences": _sql_sentences(),
         "big_spenders": _sql_big_spenders(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),

@@ -1386,6 +1386,45 @@ def sql_big_spenders() -> str:
     )
 
 
+def q_trailing_max(sf_dir: str):
+    """Bounded window frame (ROWS 3 PRECEDING .. CURRENT ROW): trailing-4
+    max of event value per user in event-time order."""
+    import ray.data as rd
+
+    from ..stages.events import trailing_max
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "value"],
+    )
+    return trailing_max(ds)
+
+
+def q_session_funnel(sf_dir: str):
+    """Per-session click->purchase conversion funnel over gap sessions."""
+    import ray.data as rd
+
+    from ..stages.events import session_funnel
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return session_funnel(ds)
+
+
+def q_first_seen_daily(sf_dir: str):
+    """New users per UTC day (per-user min event time, then a day count)."""
+    import ray.data as rd
+
+    from ..stages.events import first_seen_daily
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return first_seen_daily(ds)
+
+
 def q_event_gaps(sf_dir: str):
     """LAG window function: per-event inter-arrival gap within each user's
     event-time order (first event gap = -1)."""

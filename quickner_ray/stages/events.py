@@ -237,6 +237,121 @@ def running_extrema(ds):
     )
 
 
+TRAILING_K = 4
+
+
+def _trailing_max_group(group: pa.Table, k: int = TRAILING_K) -> pa.Table:
+    """One user's events -> max of ``value`` over the trailing ``k`` rows
+    (the ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` window frame) in
+    (ts, event_id) order. Vectorized moving max via a sliding window view
+    over a -inf-padded prefix; exact double comparisons (no accumulation),
+    so the oracle hash is drift-free."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    val = group.column("value").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us))
+    eid, val = eid[order], val[order]
+    padded = np.concatenate([np.full(k - 1, -np.inf), val])
+    mov = np.lib.stride_tricks.sliding_window_view(padded, k).max(axis=1)
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(eid), user), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "trailing_max": pa.array(mov, type=pa.float64()),
+        }
+    )
+
+
+def trailing_max(ds, k: int = TRAILING_K):
+    """Bounded window frame (ROWS k-1 PRECEDING .. CURRENT ROW) per user:
+    moving max of ``value`` in event-time order. One shuffle on user_id."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _trailing_max_group(g, k), batch_format="pyarrow"
+    )
+
+
+def _funnel_group(group: pa.Table, gap_us: int = SESSION_GAP_US) -> pa.Table:
+    """One user's events -> per-session funnel row: click/purchase counts
+    and whether the session converted (some purchase at-or-after the first
+    click, compared on event time). Reuses the gap-sessionization cut, then
+    per-session segment reductions via np.minimum/maximum.reduceat."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    etype = group.column("event_type").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eid, us))
+    us, etype = us[order], etype[order]
+    new_sess = np.ones(len(us), dtype=np.int64)
+    if len(us) > 1:
+        new_sess[1:] = (us[1:] - us[:-1] > gap_us).astype(np.int64)
+    sess = np.cumsum(new_sess)
+    starts = np.flatnonzero(new_sess)
+    n_sessions = len(starts)
+    seg = sess - 1  # 0-based session index per event
+    is_click = etype == "click"
+    is_buy = etype == "purchase"
+    n_clicks = np.bincount(seg[is_click], minlength=n_sessions).astype(np.int64)
+    n_buys = np.bincount(seg[is_buy], minlength=n_sessions).astype(np.int64)
+    first_click = np.full(n_sessions, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(first_click, seg[is_click], us[is_click])
+    last_buy = np.full(n_sessions, np.iinfo(np.int64).min, dtype=np.int64)
+    np.maximum.at(last_buy, seg[is_buy], us[is_buy])
+    converted = ((n_clicks > 0) & (n_buys > 0) & (last_buy >= first_click)).astype(
+        np.int64
+    )
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(n_sessions, user), type=pa.int64()),
+            "session_id": pa.array(sess[starts], type=pa.int64()),
+            "n_clicks": pa.array(n_clicks, type=pa.int64()),
+            "n_purchases": pa.array(n_buys, type=pa.int64()),
+            "converted": pa.array(converted, type=pa.int64()),
+        }
+    )
+
+
+def session_funnel(ds, gap_us: int = SESSION_GAP_US):
+    """Per-session click->purchase conversion over gap sessions. Same single
+    user_id shuffle as sessionize; composes the session cut with per-segment
+    funnel reductions in one map_groups pass."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _funnel_group(g, gap_us), batch_format="pyarrow"
+    )
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def first_seen_daily(ds):
+    """New users per UTC day: per-user min event time (hash aggregate with
+    per-block partials — bounded by distinct users per block), then a tiny
+    day-level count. Two aggregates, the second over <=n_days rows."""
+    from ray.data.aggregate import Count, Min
+
+    def to_us(b: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"user_id": b.column("user_id"), "us": _ts_us(b)}
+        )
+
+    per_user = (
+        ds.map_batches(to_us, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("us", alias_name="first_us"))
+    )
+
+    def to_day(b: pa.Table) -> pa.Table:
+        day = pc.divide(b.column("first_us"), US_PER_DAY)  # int floor (us >= 0)
+        return pa.Table.from_pydict({"day": day})
+
+    out = (
+        per_user.map_batches(to_day, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="new_users"))
+    )
+    return out
+
+
 def partial_user_stats(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for per-user stats."""
     err = pc.equal(batch.column("event_type"), pa.scalar("error"))
@@ -364,6 +479,54 @@ def sql_running_extrema(table: str = "events") -> str:
         f"FROM {table}\n"
         f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
         f"  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+
+
+def sql_trailing_max(k: int = TRAILING_K, table: str = "events") -> str:
+    return (
+        f"SELECT user_id, event_id,\n"
+        f"  max(value) OVER w AS trailing_max\n"
+        f"FROM {table}\n"
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id\n"
+        f"  ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW)"
+    )
+
+
+def sql_session_funnel(gap_us: int = SESSION_GAP_US, table: str = "events") -> str:
+    return (
+        f"WITH e AS (\n"
+        f"  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,\n"
+        f"    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL\n"
+        f"         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}\n"
+        f"         THEN 1 ELSE 0 END AS new_s\n"
+        f"  FROM {table}\n"
+        f"  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        f"), s AS (\n"
+        f"  SELECT user_id, event_type, us,\n"
+        f"    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id\n"
+        f"      ROWS UNBOUNDED PRECEDING) AS session_id\n"
+        f"  FROM e\n"
+        f")\n"
+        f"SELECT user_id, CAST(session_id AS BIGINT) AS session_id,\n"
+        f"  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_clicks,\n"
+        f"  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)\n"
+        f"    AS n_purchases,\n"
+        f"  CAST(CASE WHEN count(*) FILTER (event_type = 'click') > 0\n"
+        f"        AND count(*) FILTER (event_type = 'purchase') > 0\n"
+        f"        AND max(us) FILTER (event_type = 'purchase')\n"
+        f"            >= min(us) FILTER (event_type = 'click')\n"
+        f"       THEN 1 ELSE 0 END AS BIGINT) AS converted\n"
+        f"FROM s GROUP BY user_id, session_id"
+    )
+
+
+def sql_first_seen_daily(table: str = "events") -> str:
+    return (
+        f"SELECT first_us // {US_PER_DAY} AS day,\n"
+        f"  CAST(count(*) AS BIGINT) AS new_users\n"
+        f"FROM (SELECT user_id, min(epoch_us(ts)) AS first_us\n"
+        f"      FROM {table} GROUP BY user_id)\n"
+        f"GROUP BY day"
     )
 
 

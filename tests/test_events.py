@@ -305,3 +305,96 @@ def test_running_extrema_matches_pandas():
         b[["user_id", "event_id", "running_max", "running_min"]].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trailing_max_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from quickner_ray.stages.events import trailing_max
+
+    rng = np.random.default_rng(13)
+    n = 250
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+            "user_id": rng.integers(0, 6, n),
+            "value": rng.normal(size=n),
+        }
+    )
+    got = trailing_max(rd.from_pandas(df), k=4).to_pandas()
+    ref = df.assign(us=df.ts.astype("int64") // 1000).sort_values(
+        ["user_id", "us", "event_id"]
+    )
+    ref["trailing_max"] = (
+        ref.groupby("user_id")["value"].rolling(4, min_periods=1).max().values
+    )
+    a = got.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    b = ref.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["user_id", "event_id", "trailing_max"]],
+        b[["user_id", "event_id", "trailing_max"]],
+        check_dtype=False,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSessionFunnel:
+    def _run(self, rows):
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.events import session_funnel
+
+        df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us", "event_type"])
+        df["ts"] = pd.to_datetime(df.ts_us, unit="us")
+        out = session_funnel(rd.from_pandas(df[["event_id", "user_id", "ts", "event_type"]])).take_all()
+        return {(r["user_id"], r["session_id"]): r for r in out}
+
+    def test_converted_and_order_rules(self):
+        M = 60_000_000  # 1 min
+        GAP = 1_800_000_000
+        got = self._run(
+            [
+                # session 1: click then purchase -> converted
+                (1, 7, 0, "click"),
+                (2, 7, M, "purchase"),
+                # session 2 (after gap): purchase BEFORE click -> not converted
+                (3, 7, GAP + 2 * M, "purchase"),
+                (4, 7, GAP + 3 * M, "click"),
+                # user 8: clicks only -> not converted
+                (5, 8, 0, "click"),
+            ]
+        )
+        assert got[(7, 1)]["converted"] == 1
+        assert got[(7, 1)]["n_clicks"] == 1 and got[(7, 1)]["n_purchases"] == 1
+        assert got[(7, 2)]["converted"] == 0
+        assert got[(8, 1)]["converted"] == 0 and got[(8, 1)]["n_purchases"] == 0
+
+    def test_same_timestamp_counts_as_conversion(self):
+        got = self._run([(1, 3, 500, "click"), (2, 3, 500, "purchase")])
+        assert got[(3, 1)]["converted"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_first_seen_daily():
+    import pandas as pd
+    import ray.data as rd
+
+    from quickner_ray.stages.events import US_PER_DAY, first_seen_daily
+
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 3, 3],
+            "ts": pd.to_datetime(
+                [10, 5 * US_PER_DAY, 2 * US_PER_DAY + 7, 99, 2 * US_PER_DAY],
+                unit="us",
+            ),
+        }
+    )
+    out = first_seen_daily(rd.from_pandas(df)).take_all()
+    got = {r["day"]: r["new_users"] for r in out}
+    assert got == {0: 2, 2: 1}  # users 1,3 first on day 0; user 2 on day 2
