@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_seen_daily": q.q_first_seen_daily,
         "doc_sentences": q.q_doc_sentences,
         "big_spenders": q.q_big_spenders,
+        "shipping_priority": q.q_shipping_priority,
         "quality_scores": q.q_quality_scores,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         sql_chunks as _sql_chunks,
         sql_sentences as _sql_sentences,
     )
+    from quickner_ray.pipelines import queries as q
     from quickner_ray.pipelines.queries import (
         sql_big_spenders as _sql_big_spenders,
         sql_doc_length_deciles as _sql_deciles,
@@ -243,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "first_seen_daily": ev.sql_first_seen_daily(),
         "doc_sentences": _sql_sentences(),
         "big_spenders": _sql_big_spenders(),
+        "shipping_priority": q.sql_shipping_priority(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

@@ -1386,6 +1386,98 @@ def sql_big_spenders() -> str:
     )
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-shaped multi-way join: segment-filtered customers semi-join
+    orders (date < cutoff), hash-partitioned join against shipdate-filtered
+    lineitem, exact integer revenue aggregate, top-10. Join plan for the
+    10^12-row shape: the only all-to-all is orders ⋈ lineitem on the
+    orderkey (both fact-sized, Ray native hash join); the customer
+    restriction reaches orders as a semi-join whose key side is the
+    dedup-bounded filtered custkey set (broadcast below cap, partitioned
+    left_semi above). Revenue is computed per row as
+    cents * (100 - discount_cents) — pure int64, so sums are bit-exact with
+    no float-order drift at any parallelism."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.antijoin import semi_join
+
+    cutoff_us = int(
+        pa.scalar(Q3_CUTOFF).cast(pa.timestamp("us")).cast(pa.int64()).as_py()
+    )
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    ).filter(expr=f"c_mktsegment == '{Q3_SEGMENT}'")
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def orders_pre(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").combine_chunks().cast(pa.int64())
+        b = b.set_column(
+            b.column_names.index("o_orderdate"), "o_orderdate_us", us
+        )
+        return b.filter(pc.less(us, pa.scalar(cutoff_us, type=pa.int64())))
+
+    orders = orders.map_batches(orders_pre, batch_format="pyarrow")
+    orders = semi_join(orders, "o_custkey", cust, "c_custkey").drop_columns(
+        ["o_custkey"]
+    )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        ship = b.column("l_shipdate").combine_chunks().cast(pa.int64())
+        b = b.filter(pc.greater(ship, pa.scalar(cutoff_us, type=pa.int64())))
+        cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(pa.int64())
+        disc = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, type=pa.int64()), disc))
+        return pa.Table.from_pydict(
+            {"l_orderkey": b.column("l_orderkey"), "revenue_e4": rev}
+        )
+
+    li = li.map_batches(li_pre, batch_format="pyarrow")
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    agg = joined.groupby(
+        ["l_orderkey", "o_orderdate_us", "o_orderpriority"]
+    ).aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    return agg.sort(
+        ["revenue_e4", "o_orderdate_us", "l_orderkey"],
+        descending=[True, False, False],
+    ).limit(10)
+
+
+def sql_shipping_priority() -> str:
+    return (
+        f"SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,\n"
+        f"  o_orderpriority,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS revenue_e4\n"
+        f"FROM customer, orders, lineitem\n"
+        f"WHERE c_mktsegment = '{Q3_SEGMENT}' AND c_custkey = o_custkey\n"
+        f"  AND l_orderkey = o_orderkey\n"
+        f"  AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'\n"
+        f"  AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'\n"
+        f"GROUP BY l_orderkey, o_orderdate_us, o_orderpriority\n"
+        f"ORDER BY revenue_e4 DESC, o_orderdate_us, l_orderkey\n"
+        f"LIMIT 10"
+    )
+
+
 def q_trailing_max(sf_dir: str):
     """Bounded window frame (ROWS 3 PRECEDING .. CURRENT ROW): trailing-4
     max of event value per user in event-time order."""
