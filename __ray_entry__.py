@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "big_spenders": q.q_big_spenders,
         "shipping_priority": q.q_shipping_priority,
         "quality_scores": q.q_quality_scores,
+        "rare_word_stats": q.q_rare_word_stats,
+        "keyword_search": q.q_keyword_search,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
         # rows-only: IVF top-k is approximate by construction (recall >= 0.9
@@ -152,8 +154,10 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages.text_analysis import (
         sql_bpe_token_count,
         sql_fingerprint,
+        sql_keyword_search,
         sql_lang_id,
         sql_quality_score,
+        sql_rare_word_stats,
     )
 
     token_re = r"[^ \t\n\x0b\x0c\r]+"
@@ -219,6 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_full": _sql_prep_full(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality_score(),
+        "rare_word_stats": sql_rare_word_stats(),
+        "keyword_search": sql_keyword_search(),
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
         "triples": sql_triples(DEFAULT_GAZETTEER),

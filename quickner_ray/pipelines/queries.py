@@ -892,6 +892,21 @@ def q_entity_link(sf_dir: str):
     )
 
 
+def q_rare_word_stats(sf_dir: str):
+    """Gopher-style rare-word fraction vs the corpus top-K vocabulary."""
+    from ..stages.text_analysis import rare_word_stats
+
+    return rare_word_stats(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_keyword_search(sf_dir: str):
+    """Boolean AND keyword search (whole-token containment, zero-shuffle)."""
+    from ..stages.text_analysis import keyword_search
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    return keyword_search(ds).select_columns(["doc_id", "lang"])
+
+
 def q_quality_scores(sf_dir: str):
     """Heuristic quality score in [0,1]; rows-only."""
     from ..stages.text_analysis import add_quality_score

@@ -651,3 +651,124 @@ def sql_fingerprint(table: str = "documents", k: int = 5, window: int = 8) -> st
         f"SELECT m.doc_id, CAST(coalesce(f.fp, m.n) AS UBIGINT) AS fingerprint\n"
         f"FROM m LEFT JOIN fps f ON f.doc_id = m.doc_id AND m.n >= {k}"
     )
+
+
+# -- rare-word fraction (Gopher-style quality signal) ------------------------
+
+RARE_VOCAB_K = 10
+
+
+def rare_word_stats(ds, *, k: int = RARE_VOCAB_K, text_col: str = "text"):
+    """Per-doc fraction of tokens outside the corpus top-``k`` vocabulary
+    (a Gopher-style "too many rare words" quality signal).
+
+    Scale shape: the broadcast side is the COMMON set (top-k by corpus tf,
+    ties to the smaller word) — bounded by construction at any corpus size,
+    unlike the rare set, which is most of a Zipf vocabulary. One vocab_df
+    pass (per-batch combiner bounds that shuffle), driver-side k-row sort,
+    then a zero-shuffle vectorized membership pass. rare_frac is one
+    int/int IEEE division in both engines, so the oracle hash is exact."""
+    import ray
+
+    tf_tab = vocab_df(ds, text_col).select_columns(["word", "tf"]).to_arrow_refs()
+    blocks = [t for t in (ray.get(r) for r in tf_tab) if t.num_rows]
+    if blocks:
+        tbl = pa.concat_tables(blocks).combine_chunks()
+        order = pc.sort_indices(
+            tbl, sort_keys=[("tf", "descending"), ("word", "ascending")]
+        )
+        common = tbl.take(order.slice(0, k)).column("word").combine_chunks()
+    else:
+        common = pa.array([], type=pa.string())
+    ref = ray.put(common)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        common_words = ray.get(ref)
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty].astype(np.int64)
+        n = len(batch)
+        n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+        is_rare = pc.is_null(pc.index_in(flat, value_set=common_words)).to_numpy(
+            zero_copy_only=False
+        )
+        n_rare = np.bincount(parents[is_rare], minlength=n).astype(np.int64)
+        frac = np.divide(
+            n_rare, n_tokens, out=np.zeros(n, dtype=np.float64), where=n_tokens > 0
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "n_rare": pa.array(n_rare),
+                "rare_frac": pa.array(frac),
+            }
+        )
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
+def sql_rare_word_stats(k: int = RARE_VOCAB_K, table: str = "documents") -> str:
+    return (
+        f"WITH tf AS (\n"
+        f"  SELECT w AS word, count(*) AS tf\n"
+        f"  FROM (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '{WORD_CLASS_RE}')) AS w FROM {table}) GROUP BY w\n"
+        f"), common AS (\n"
+        f"  SELECT word FROM tf ORDER BY tf DESC, word LIMIT {k}\n"
+        f"), toks AS (\n"
+        f"  SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        f" '{WORD_CLASS_RE}')) AS w FROM {table}\n"
+        f"), per_doc AS (\n"
+        f"  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,\n"
+        f"    CAST(count(*) FILTER (w NOT IN (SELECT word FROM common))"
+        f" AS BIGINT) AS n_rare\n"
+        f"  FROM toks GROUP BY doc_id\n"
+        f")\n"
+        f"SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,\n"
+        f"  coalesce(p.n_rare, 0) AS n_rare,\n"
+        f"  CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0\n"
+        f"       ELSE p.n_rare / p.n_tokens END AS rare_frac\n"
+        f"FROM {table} d LEFT JOIN per_doc p ON d.doc_id = p.doc_id"
+    )
+
+
+# -- boolean keyword search ---------------------------------------------------
+
+SEARCH_TERMS = ("spark", "window")
+
+
+def keyword_search(ds, terms=SEARCH_TERMS, *, text_col: str = "text"):
+    """Docs whose text contains ALL ``terms`` as whole word-class tokens
+    (boolean AND search). Zero-shuffle: one compiled RE2 containment test
+    per term per batch; the same patterns drive the DuckDB oracle."""
+
+    pats = [rf"(^|[^a-z0-9]){t}($|[^a-z0-9])" for t in terms]
+
+    def match(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        low = pc.utf8_lower(texts)
+        mask = pc.match_substring_regex(low, pats[0])
+        for p in pats[1:]:
+            mask = pc.and_(mask, pc.match_substring_regex(low, p))
+        return batch.filter(mask)
+
+    return ds.map_batches(match, batch_format="pyarrow")
+
+
+def sql_keyword_search(
+    terms=SEARCH_TERMS, table: str = "documents", cols: str = "doc_id, lang"
+) -> str:
+    conds = " AND ".join(
+        f"regexp_matches(lower(text), '(^|[^a-z0-9]){t}($|[^a-z0-9])')"
+        for t in terms
+    )
+    return f"SELECT {cols} FROM {table} WHERE {conds}"

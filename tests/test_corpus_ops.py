@@ -205,3 +205,55 @@ def test_split_sentences_matches_oracle_incl_edges():
     # sent_idx is 1-based and dense per doc
     d0 = got[got.doc_id == 0]
     assert list(d0.sent_idx) == [1, 2, 3, 4]
+
+
+def test_rare_word_stats_matches_oracle_with_tf_tie(ray_session):
+    import ray.data as rd
+
+    from quickner_ray.stages.text_analysis import rare_word_stats, sql_rare_word_stats
+
+    # k=2: "aa" tf=3 is in; "bb" and "cc" tie at tf=2 -> lexicographic
+    # tiebreak keeps "bb", makes "cc" rare. Empty doc -> n_tokens=0, frac=0.
+    texts = ["aa aa bb cc", "aa bb cc!", "", "zz zz zz zz"]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    # zz tf=4 beats aa -> common={zz, aa} at k=2
+    got = (
+        rare_word_stats(rd.from_arrow(tbl), k=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ora = (
+        _oracle(tbl, sql_rare_word_stats(k=2))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_tokens", "n_rare", "rare_frac"]
+    pd.testing.assert_frame_equal(got[cols], ora[cols], check_dtype=False)
+    assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "rare_frac"] == 0.0
+
+
+def test_keyword_search_whole_token_semantics(ray_session):
+    import ray.data as rd
+
+    from quickner_ray.stages.text_analysis import keyword_search, sql_keyword_search
+
+    texts = [
+        "Spark window functions",   # both, case-insensitive
+        "sparkly windows",          # substring only -> no match
+        "window spark",             # both at string edges
+        "spark only here",          # missing window
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+        }
+    )
+    got = keyword_search(rd.from_arrow(tbl)).to_pandas()
+    ora = _oracle(tbl, sql_keyword_search())
+    assert sorted(got.doc_id) == sorted(ora.doc_id) == [0, 2]
