@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "quality_scores": q.q_quality_scores,
         "rare_word_stats": q.q_rare_word_stats,
+        "embedding_kmeans": q.q_embedding_kmeans,
         "keyword_search": q.q_keyword_search,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,

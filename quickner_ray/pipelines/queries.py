@@ -892,6 +892,20 @@ def q_entity_link(sf_dir: str):
     )
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means assignments over the embeddings table
+    (rows-only: per-dimension float means drift ulps across engines, so no
+    exact SQL oracle; determinism + recovery pinned by tests)."""
+    import ray.data as rd
+
+    from ..stages.kmeans import kmeans
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kmeans(ds)
+
+
 def q_rare_word_stats(sf_dir: str):
     """Gopher-style rare-word fraction vs the corpus top-K vocabulary."""
     from ..stages.text_analysis import rare_word_stats
