@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q.q_quality_scores,
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_kmeans": q.q_embedding_kmeans,
+        "customer_ntile": q.q_customer_ntile,
+        "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
         "keyword_search": q.q_keyword_search,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
@@ -226,6 +228,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": sql_quality_score(),
         "rare_word_stats": sql_rare_word_stats(),
         "keyword_search": sql_keyword_search(),
+        "customer_ntile": q.sql_customer_ntile(),
+        "nation_acctbal_ranks": q.sql_nation_acctbal_ranks(),
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
         "triples": sql_triples(DEFAULT_GAZETTEER),

@@ -892,6 +892,111 @@ def q_entity_link(sf_dir: str):
     )
 
 
+NTILE_BUCKETS = 4
+
+
+def q_customer_ntile(sf_dir: str):
+    """Global ROW_NUMBER / NTILE / PERCENT_RANK over customers by account
+    balance: range-partitioned sort + per-block ordinal offsets
+    (zipWithIndex shape), then vectorized NTILE bucketing. The sort key
+    includes c_custkey so row numbers are unique and both engines agree."""
+    import ray.data as rd
+
+    from ..stages.rank import global_row_number, ntile_from_rn
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("c_acctbal"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {"c_custkey": b.column("c_custkey"), "acctbal_cents": cents}
+        )
+
+    ds = cust.map_batches(to_cents, batch_format="pyarrow")
+    ds = global_row_number(
+        ds, ["acctbal_cents", "c_custkey"], descending=[True, False]
+    )
+    total = ds.count()
+
+    def derive(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        quart = ntile_from_rn(rn, total, NTILE_BUCKETS)
+        pr = (rn - 1) / (total - 1) if total > 1 else np.zeros(len(rn))
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "acctbal_cents": b.column("acctbal_cents"),
+                "rn": b.column("rn"),
+                "quartile": pa.array(quart),
+                "pct_rank": pa.array(pr, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def sql_customer_ntile() -> str:
+    return (
+        f"SELECT c_custkey,\n"
+        f"  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,\n"
+        f"  row_number() OVER w AS rn,\n"
+        f"  CAST(ntile({NTILE_BUCKETS}) OVER w AS BIGINT) AS quartile,\n"
+        f"  percent_rank() OVER w AS pct_rank\n"
+        f"FROM customer\n"
+        f"WINDOW w AS (ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC,"
+        f" c_custkey)"
+    )
+
+
+def q_nation_acctbal_ranks(sf_dir: str):
+    """DENSE_RANK within each nation by account balance (descending):
+    groupby(nation).map_groups, rank via vectorized change-flag cumsum."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        cents = (
+            pc.round(pc.multiply(g.column("c_acctbal"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        key = g.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, -cents))
+        cents_s = cents[order]
+        dense = np.ones(len(cents_s), dtype=np.int64)
+        if len(cents_s) > 1:
+            dense[1:] = (cents_s[1:] != cents_s[:-1]).astype(np.int64)
+        dense = np.cumsum(dense)
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": g.column("c_nationkey").take(pa.array(order)),
+                "c_custkey": pa.array(key[order]),
+                "acctbal_cents": pa.array(cents_s),
+                "dense_rank": pa.array(dense),
+            }
+        )
+
+    return cust.groupby("c_nationkey").map_groups(rank_group, batch_format="pyarrow")
+
+
+def sql_nation_acctbal_ranks() -> str:
+    return (
+        "SELECT c_nationkey, c_custkey,\n"
+        "  CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents,\n"
+        "  dense_rank() OVER (PARTITION BY c_nationkey\n"
+        "    ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC) AS dense_rank\n"
+        "FROM customer"
+    )
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means assignments over the embeddings table
     (rows-only: per-dimension float means drift ulps across engines, so no

@@ -232,3 +232,61 @@ def global_rank(
         ),
         batch_format="pyarrow",
     )
+
+
+# -- global row_number via distributed sort + per-block offsets --------------
+
+
+def global_row_number(ds, keys: list[str], *, descending=None, out_col: str = "rn"):
+    """Exact 1-based ``ROW_NUMBER() OVER (ORDER BY keys)`` for every row.
+
+    The complement of ``global_rank``: that one is for bounded-cardinality
+    columns (histogram broadcast, no sort); this one handles arbitrary /
+    near-unique key tuples with Ray Data's native range-partitioned sort,
+    then assigns contiguous global ordinals the way Spark's zipWithIndex
+    does — per-block row counts (tiny remote tasks; blocks never leave the
+    object store), an exclusive prefix sum on the driver (one int per
+    block), and a per-block offset-add. Raw Ray tasks are used ONLY for the
+    offset-add because ``map_batches`` cannot see a block's position in the
+    dataset; everything stays zero-copy Arrow.
+
+    Pass a key tuple that is unique per row (e.g. include the primary key
+    as the last tiebreak) — otherwise ties get an arbitrary but
+    deterministic-per-sort order, which is row_number semantics anyway.
+    """
+    import ray
+    import ray.data as rd
+
+    if descending is None:
+        descending = [False] * len(keys)
+    sorted_ds = ds.sort(keys, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    @ray.remote
+    def _with_rn(t: pa.Table, off: int) -> pa.Table:
+        rn = pa.array(np.arange(off + 1, off + 1 + t.num_rows, dtype=np.int64))
+        return t.append_column(out_col, rn)
+
+    out_refs = [_with_rn.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)
+
+
+def ntile_from_rn(rn: np.ndarray, total: int, tiles: int) -> np.ndarray:
+    """SQL NTILE(tiles) from 1-based row numbers: the first ``total % tiles``
+    buckets get one extra row (DuckDB/ANSI semantics)."""
+    size, rem = divmod(total, tiles)
+    big = rem * (size + 1)
+    out = np.empty(len(rn), dtype=np.int64)
+    in_big = rn <= big
+    out[in_big] = (rn[in_big] - 1) // (size + 1) + 1
+    if size:
+        out[~in_big] = rem + (rn[~in_big] - 1 - big) // size + 1
+    return out

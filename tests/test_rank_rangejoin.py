@@ -180,3 +180,41 @@ class TestMixtureSample:
         ds = rd.from_arrow(pa.table({"doc_id": [1], "source": ["a"]}))
         with pytest.raises(ValueError, match="power of two"):
             mixture_sample(ds, "source", "doc_id", n_rates=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGlobalRowNumber:
+    def test_matches_argsort_and_survives_repartition(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.rank import global_row_number
+
+        rng = np.random.default_rng(21)
+        n = 500
+        df = pd.DataFrame({"k": rng.integers(0, 50, n), "id": np.arange(n)})
+        out = (
+            global_row_number(
+                rd.from_pandas(df).repartition(7), ["k", "id"], descending=[True, False]
+            )
+            .to_pandas()
+            .sort_values("rn")
+            .reset_index(drop=True)
+        )
+        ref = df.sort_values(["k", "id"], ascending=[False, True]).reset_index(drop=True)
+        assert (out.rn.values == np.arange(1, n + 1)).all()
+        assert (out.k.values == ref.k.values).all()
+        assert (out.id.values == ref.id.values).all()
+
+    def test_ntile_semantics(self):
+        import numpy as np
+
+        from quickner_ray.stages.rank import ntile_from_rn
+
+        # n=10, tiles=4 -> bucket sizes 3,3,2,2 (remainder to the front)
+        rn = np.arange(1, 11)
+        got = ntile_from_rn(rn, 10, 4)
+        assert list(got) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+        # n < tiles: one row per bucket, sizes 1,1,1 then empty tail
+        assert list(ntile_from_rn(np.arange(1, 4), 3, 4)) == [1, 2, 3]
