@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_max": q.q_trailing_max,
         "session_funnel": q.q_session_funnel,
         "first_seen_daily": q.q_first_seen_daily,
+        "recent_count": q.q_recent_count,
+        "event_type_transitions": q.q_event_type_transitions,
         "doc_sentences": q.q_doc_sentences,
         "big_spenders": q.q_big_spenders,
         "shipping_priority": q.q_shipping_priority,
@@ -254,6 +256,8 @@ def oracle_sql() -> dict[str, str]:
         "trailing_max": ev.sql_trailing_max(),
         "session_funnel": ev.sql_session_funnel(),
         "first_seen_daily": ev.sql_first_seen_daily(),
+        "recent_count": ev.sql_recent_count(),
+        "event_type_transitions": ev.sql_event_type_transitions(),
         "doc_sentences": _sql_sentences(),
         "big_spenders": _sql_big_spenders(),
         "shipping_priority": q.sql_shipping_priority(),

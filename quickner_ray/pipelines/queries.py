@@ -1639,6 +1639,33 @@ def q_session_funnel(sf_dir: str):
     return session_funnel(ds)
 
 
+def q_recent_count(sf_dir: str):
+    """Value-based window frame (RANGE 10min PRECEDING): per-event count of
+    the user's events in the trailing time window."""
+    import ray.data as rd
+
+    from ..stages.events import recent_count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id"],
+    )
+    return recent_count(ds)
+
+
+def q_event_type_transitions(sf_dir: str):
+    """Markov transition counts of consecutive event types per user."""
+    import ray.data as rd
+
+    from ..stages.events import event_type_transitions
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return event_type_transitions(ds)
+
+
 def q_first_seen_daily(sf_dir: str):
     """New users per UTC day (per-user min event time, then a day count)."""
     import ray.data as rd

@@ -320,6 +320,80 @@ def session_funnel(ds, gap_us: int = SESSION_GAP_US):
     )
 
 
+RECENT_WINDOW_US = 600_000_000  # 10 min
+
+
+def _recent_count_group(group: pa.Table, window_us: int) -> pa.Table:
+    """One user's events -> count of that user's events in the preceding
+    ``window_us`` including the current row (the value-based ``RANGE BETWEEN
+    window PRECEDING AND CURRENT ROW`` frame — a frame ROWS can't express).
+    Vectorized: sort by ts, one searchsorted of (ts - window) against the
+    sorted ts array; RANGE peer semantics fall out of the left/right
+    searchsorted sides. Exact int arithmetic."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, us))
+    us, eid = us[order], eid[order]
+    lo = np.searchsorted(us, us - window_us, side="left")
+    # RANGE frames include ALL peers of the current row's ORDER BY value
+    hi = np.searchsorted(us, us, side="right")
+    cnt = hi - lo
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(eid), user), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "recent_count": pa.array(cnt.astype(np.int64)),
+        }
+    )
+
+
+def recent_count(ds, window_us: int = RECENT_WINDOW_US):
+    """Value-based window frame (RANGE window PRECEDING) per user: events in
+    the trailing time window. One shuffle on user_id."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _recent_count_group(g, window_us), batch_format="pyarrow"
+    )
+
+
+def _transitions_group(group: pa.Table) -> pa.Table:
+    """One user's events -> partial (from_type, to_type, n) transition
+    counts over consecutive events in (ts, event_id) order. At most
+    |types|^2 rows per user — the combiner that keeps the final pair
+    shuffle tiny."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, us))
+    et = group.column("event_type").take(pa.array(order)).combine_chunks()
+    if len(et) < 2:
+        return pa.table(
+            {
+                "from_type": pa.array([], type=pa.string()),
+                "to_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    pairs = pa.table(
+        {"from_type": et.slice(0, len(et) - 1), "to_type": et.slice(1)}
+    )
+    out = pairs.group_by(["from_type", "to_type"]).aggregate([([], "count_all")])
+    return out.rename_columns(["from_type", "to_type", "n"])
+
+
+def event_type_transitions(ds):
+    """Markov transition counts of consecutive event types per user,
+    summed corpus-wide: per-user partials (bounded |types|^2 rows), then one
+    tiny groupby-sum on the pair key."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.groupby("user_id").map_groups(
+        _transitions_group, batch_format="pyarrow"
+    )
+    return partials.groupby(["from_type", "to_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
 US_PER_DAY = 86_400_000_000
 
 
@@ -517,6 +591,27 @@ def sql_session_funnel(gap_us: int = SESSION_GAP_US, table: str = "events") -> s
         f"            >= min(us) FILTER (event_type = 'click')\n"
         f"       THEN 1 ELSE 0 END AS BIGINT) AS converted\n"
         f"FROM s GROUP BY user_id, session_id"
+    )
+
+
+def sql_recent_count(window_us: int = RECENT_WINDOW_US, table: str = "events") -> str:
+    return (
+        f"SELECT user_id, event_id,\n"
+        f"  count(*) OVER w AS recent_count\n"
+        f"FROM {table}\n"
+        f"WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)\n"
+        f"  RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)"
+    )
+
+
+def sql_event_type_transitions(table: str = "events") -> str:
+    return (
+        f"SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n\n"
+        f"FROM (SELECT lag(event_type) OVER (PARTITION BY user_id\n"
+        f"        ORDER BY ts, event_id) AS from_type,\n"
+        f"      event_type AS to_type FROM {table})\n"
+        f"WHERE from_type IS NOT NULL\n"
+        f"GROUP BY from_type, to_type"
     )
 
 

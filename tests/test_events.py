@@ -398,3 +398,59 @@ def test_first_seen_daily():
     out = first_seen_daily(rd.from_pandas(df)).take_all()
     got = {r["day"]: r["new_users"] for r in out}
     assert got == {0: 2, 2: 1}  # users 1,3 first on day 0; user 2 on day 2
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRecentCountTransitions:
+    def test_recent_count_range_peer_semantics(self):
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.events import recent_count
+
+        W = 600_000_000
+        # events at t=0, W/2, W/2 (peer pair), 3W; RANGE frame counts ALL
+        # peers of the current ts, including later-event_id ones
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": pd.to_datetime([0, W // 2, W // 2, 3 * W], unit="us"),
+                "user_id": [5, 5, 5, 5],
+            }
+        )
+        out = {r["event_id"]: r["recent_count"]
+               for r in recent_count(rd.from_pandas(df), W).take_all()}
+        assert out == {1: 1, 2: 3, 3: 3, 4: 1}
+
+    def test_transitions_match_pandas(self):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from quickner_ray.stages.events import event_type_transitions
+
+        rng = np.random.default_rng(17)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime(rng.integers(0, 10**6, n), unit="us"),
+                "user_id": rng.integers(0, 10, n),
+                "event_type": rng.choice(["a", "b", "c"], n),
+            }
+        )
+        got = event_type_transitions(rd.from_pandas(df)).to_pandas()
+        ref = df.assign(us=df.ts.astype("int64") // 1000).sort_values(
+            ["user_id", "us", "event_id"]
+        )
+        ref["prev"] = ref.groupby("user_id")["event_type"].shift()
+        ref = (
+            ref.dropna(subset=["prev"])
+            .groupby(["prev", "event_type"])
+            .size()
+            .reset_index(name="n")
+        )
+        a = got.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        b = ref.rename(columns={"prev": "from_type", "event_type": "to_type"})
+        b = b.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
