@@ -134,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_kmeans": q.q_embedding_kmeans,
         "customer_ntile": q.q_customer_ntile,
+        "regression_stats": q.q_regression_stats,
+        "bpe_merges": q.q_bpe_merges,
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
         "keyword_search": q.q_keyword_search,
         "entity_link": q.q_entity_link,
@@ -231,6 +233,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_word_stats": sql_rare_word_stats(),
         "keyword_search": sql_keyword_search(),
         "customer_ntile": q.sql_customer_ntile(),
+        "regression_stats": q.sql_regression_stats(),
         "nation_acctbal_ranks": q.sql_nation_acctbal_ranks(),
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)

@@ -892,6 +892,72 @@ def q_entity_link(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer-merge training over the documents corpus (rows-only:
+    iterative re-tokenization has no closed SQL form; the algorithm is
+    pinned by tests against a brute-force reference)."""
+    from ..stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def q_regression_stats(sf_dir: str):
+    """Sufficient statistics for covariance / OLS slope per group, kept as
+    EXACT integers (cents-scaled) so the cross-engine hash can't drift:
+    n, sum_x, sum_y, sum_xy, sum_x2 over (quantity, extendedprice). The
+    downstream slope/corr is one driver-side float expression; shipping the
+    moments instead of the floats is also the right distributed shape (they
+    combine associatively)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").cast(pa.int64())
+        cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "x": qty,
+                "y": cents,
+                "xy": pc.multiply(qty, cents),
+                "x2": pc.multiply(qty, qty),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("x", alias_name="sum_x"),
+            Sum("y", alias_name="sum_y"),
+            Sum("xy", alias_name="sum_xy"),
+            Sum("x2", alias_name="sum_x2"),
+        )
+    )
+
+
+def sql_regression_stats() -> str:
+    return (
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,\n"
+        "  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_x,\n"
+        "  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)\n"
+        "    AS sum_y,\n"
+        "  CAST(sum(CAST(l_quantity AS BIGINT)\n"
+        "      * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_xy,\n"
+        "  CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))\n"
+        "    AS BIGINT) AS sum_x2\n"
+        "FROM lineitem GROUP BY l_returnflag"
+    )
+
+
 NTILE_BUCKETS = 4
 
 
