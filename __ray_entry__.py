@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ntile": q.q_customer_ntile,
         "regression_stats": q.q_regression_stats,
         "bpe_merges": q.q_bpe_merges,
+        "nation_rich_counts": q.q_nation_rich_counts,
+        "nation_customer_list": q.q_nation_customer_list,
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
         "keyword_search": q.q_keyword_search,
         "entity_link": q.q_entity_link,
@@ -234,6 +236,8 @@ def oracle_sql() -> dict[str, str]:
         "keyword_search": sql_keyword_search(),
         "customer_ntile": q.sql_customer_ntile(),
         "regression_stats": q.sql_regression_stats(),
+        "nation_rich_counts": q.sql_nation_rich_counts(),
+        "nation_customer_list": q.sql_nation_customer_list(),
         "nation_acctbal_ranks": q.sql_nation_acctbal_ranks(),
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)

@@ -892,6 +892,125 @@ def q_entity_link(sf_dir: str):
     )
 
 
+RICH_BAL = 900_000  # cents
+
+
+def q_nation_rich_counts(sf_dir: str):
+    """FULL OUTER shuffle join with genuine null sides: per-nation counts of
+    high-balance customers vs high-balance suppliers (each side filtered so
+    some nations appear on only one side). Nulls coalesce to 0 so the
+    column stays int64 on both engines."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def big_side(table: str, key: str, bal: str, out: str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, f"{table}.parquet"), columns=[key, bal]
+        )
+
+        def f(b: pa.Table) -> pa.Table:
+            cents = pc.round(pc.multiply(b.column(bal), pa.scalar(100.0))).cast(
+                pa.int64()
+            )
+            keep = pc.greater(cents, pa.scalar(RICH_BAL, type=pa.int64()))
+            return pa.Table.from_pydict({key: b.column(key).filter(keep)})
+
+        return (
+            ds.map_batches(f, batch_format="pyarrow")
+            .groupby(key)
+            .aggregate(Count(alias_name=out))
+            # hash aggregates can emit schema-less empty blocks that crash
+            # the downstream acero join — normalize the layout first
+            .repartition(4)
+        )
+
+    cust = big_side("customer", "c_nationkey", "c_acctbal", "n_rich_cust")
+    supp = big_side("supplier", "s_nationkey", "s_acctbal", "n_rich_supp")
+    joined = cust.join(
+        supp,
+        "full_outer",
+        num_partitions=4,
+        on=("c_nationkey",),
+        right_on=("s_nationkey",),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full_outer join already coalesces the key pair into the
+        # left-side column name
+        nk = b.column("c_nationkey").combine_chunks().cast(pa.int64())
+        zero = pa.scalar(0, type=pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "nationkey": nk,
+                "n_rich_cust": pc.coalesce(
+                    b.column("n_rich_cust").combine_chunks().cast(pa.int64()), zero
+                ),
+                "n_rich_supp": pc.coalesce(
+                    b.column("n_rich_supp").combine_chunks().cast(pa.int64()), zero
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_nation_rich_counts() -> str:
+    return (
+        f"WITH c AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n\n"
+        f"  FROM customer WHERE CAST(round(c_acctbal*100) AS BIGINT) > {RICH_BAL}\n"
+        f"  GROUP BY c_nationkey),\n"
+        f"s AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n\n"
+        f"  FROM supplier WHERE CAST(round(s_acctbal*100) AS BIGINT) > {RICH_BAL}\n"
+        f"  GROUP BY s_nationkey)\n"
+        f"SELECT coalesce(c.nk, s.nk) AS nationkey,\n"
+        f"  coalesce(c.n, 0) AS n_rich_cust,\n"
+        f"  coalesce(s.n, 0) AS n_rich_supp\n"
+        f"FROM c FULL OUTER JOIN s ON c.nk = s.nk"
+    )
+
+
+def q_nation_customer_list(sf_dir: str):
+    """Grouped ordered string aggregation (LISTAGG/string_agg shape): the
+    names of each nation's top-3 customers by balance, comma-joined in
+    (balance DESC, custkey ASC) order. Per-group vectorized: sort indices +
+    one binary_join_element_wise per group row."""
+    import ray.data as rd
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_name", "c_acctbal"],
+    )
+
+    def agg_group(g: pa.Table) -> pa.Table:
+        cents = (
+            pc.round(pc.multiply(g.column("c_acctbal"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        key = g.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((key, -cents))[:3]
+        names = g.column("c_name").take(pa.array(order)).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "c_nationkey": g.column("c_nationkey").slice(0, 1),
+                "top_names": pa.array([",".join(names)], type=pa.string()),
+            }
+        )
+
+    return cust.groupby("c_nationkey").map_groups(agg_group, batch_format="pyarrow")
+
+
+def sql_nation_customer_list() -> str:
+    return (
+        "SELECT c_nationkey, string_agg(c_name, ',' ORDER BY\n"
+        "    CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey) AS top_names\n"
+        "FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey\n"
+        "        ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey)\n"
+        "        AS rn FROM customer)\n"
+        "WHERE rn <= 3 GROUP BY c_nationkey"
+    )
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer-merge training over the documents corpus (rows-only:
     iterative re-tokenization has no closed SQL form; the algorithm is
