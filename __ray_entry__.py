@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_seen_daily": q.q_first_seen_daily,
         "recent_count": q.q_recent_count,
         "event_type_transitions": q.q_event_type_transitions,
+        "daily_active_users": q.q_daily_active_users,
+        "weekly_active_users": q.q_weekly_active_users,
+        "customers_no_big_orders": q.q_customers_no_big_orders,
         "doc_sentences": q.q_doc_sentences,
         "big_spenders": q.q_big_spenders,
         "shipping_priority": q.q_shipping_priority,
@@ -265,6 +268,9 @@ def oracle_sql() -> dict[str, str]:
         "first_seen_daily": ev.sql_first_seen_daily(),
         "recent_count": ev.sql_recent_count(),
         "event_type_transitions": ev.sql_event_type_transitions(),
+        "daily_active_users": ev.sql_daily_active_users(),
+        "weekly_active_users": ev.sql_weekly_active_users(),
+        "customers_no_big_orders": q.sql_customers_no_big_orders(),
         "doc_sentences": _sql_sentences(),
         "big_spenders": _sql_big_spenders(),
         "shipping_priority": q.sql_shipping_priority(),

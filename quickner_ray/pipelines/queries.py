@@ -1851,6 +1851,56 @@ def q_event_type_transitions(sf_dir: str):
     return event_type_transitions(ds)
 
 
+def q_daily_active_users(sf_dir: str):
+    """DAU: exact COUNT(DISTINCT user) per day, two-level aggregate."""
+    import ray.data as rd
+
+    from ..stages.events import daily_active_users
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return daily_active_users(ds)
+
+
+def q_weekly_active_users(sf_dir: str):
+    """Sliding 7-day active users (distinct pairs exploded to their
+    covering windows, dedup again, per-window count)."""
+    import ray.data as rd
+
+    from ..stages.events import weekly_active_users
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    )
+    return weekly_active_users(ds)
+
+
+def q_customers_no_big_orders(sf_dir: str):
+    """Set-op EXCEPT: custkeys with no order above the big-spender
+    threshold (distributed anti-join — the complement of the semi-join in
+    ``big_spenders``)."""
+    import ray.data as rd
+
+    from ..stages.antijoin import anti_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    big = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).filter(expr=f"o_totalprice > {BIG_SPENDER_PRICE}")
+    return anti_join(cust, "c_custkey", big, "o_custkey")
+
+
+def sql_customers_no_big_orders() -> str:
+    return (
+        f"SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders\n"
+        f"WHERE o_totalprice > {BIG_SPENDER_PRICE}"
+    )
+
+
 def q_first_seen_daily(sf_dir: str):
     """New users per UTC day (per-user min event time, then a day count)."""
     import ray.data as rd

@@ -426,6 +426,74 @@ def first_seen_daily(ds):
     return out
 
 
+def _distinct_day_users(ds):
+    """Event stream -> distinct (day, user_id) pairs: per-batch partial
+    dedup (bounded by the batch's distinct pairs), then one hash aggregate
+    on the pair key."""
+    from ray.data.aggregate import Count
+
+    def partial(b: pa.Table) -> pa.Table:
+        day = pc.divide(_ts_us(b), US_PER_DAY)
+        t = pa.Table.from_pydict({"day": day, "user_id": b.column("user_id")})
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def daily_active_users(ds):
+    """DAU: COUNT(DISTINCT user_id) per UTC day — two-level aggregate
+    (distinct pairs, then a tiny day-level count). The exact-distinct
+    shuffle is bounded by the true (day, user) pair count; the approximate
+    path for when even that is too wide is the HLL sketch (sketch.py)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _distinct_day_users(ds)
+        .groupby("day")
+        .aggregate(Count(alias_name="active_users"))
+    )
+
+
+WAU_WINDOW_DAYS = 7
+
+
+def weekly_active_users(ds, window_days: int = WAU_WINDOW_DAYS):
+    """Sliding 7-day active users: each distinct (day, user) pair explodes
+    to the ``window_days`` window starts covering it (vectorized repeat),
+    pairs dedup again (a user active on several days of one window counts
+    once), then a per-window count. Windows at the corpus edges are
+    partial by definition — both engines agree."""
+    from ray.data.aggregate import Count
+
+    def explode(b: pa.Table) -> pa.Table:
+        day = b.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        user = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(day)
+        offs = np.tile(np.arange(window_days, dtype=np.int64), n)
+        ws = np.repeat(day, window_days) - offs
+        return pa.Table.from_pydict(
+            {
+                "window_start_day": pa.array(ws),
+                "user_id": pa.array(np.repeat(user, window_days)),
+            }
+        )
+
+    pairs = _distinct_day_users(ds).map_batches(explode, batch_format="pyarrow")
+    dedup = pairs.groupby(["window_start_day", "user_id"]).aggregate(
+        Count(alias_name="_n")
+    )
+    return (
+        dedup.drop_columns(["_n"])
+        .groupby("window_start_day")
+        .aggregate(Count(alias_name="active_users"))
+    )
+
+
 def partial_user_stats(batch: pa.Table) -> pa.Table:
     """Per-batch combiner for per-user stats."""
     err = pc.equal(batch.column("event_type"), pa.scalar("error"))
@@ -622,6 +690,28 @@ def sql_first_seen_daily(table: str = "events") -> str:
         f"FROM (SELECT user_id, min(epoch_us(ts)) AS first_us\n"
         f"      FROM {table} GROUP BY user_id)\n"
         f"GROUP BY day"
+    )
+
+
+def sql_daily_active_users(table: str = "events") -> str:
+    return (
+        f"SELECT epoch_us(ts) // {US_PER_DAY} AS day,\n"
+        f"  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users\n"
+        f"FROM {table} GROUP BY day"
+    )
+
+
+def sql_weekly_active_users(
+    window_days: int = WAU_WINDOW_DAYS, table: str = "events"
+) -> str:
+    return (
+        f"WITH du AS (SELECT DISTINCT epoch_us(ts) // {US_PER_DAY} AS day,\n"
+        f"    user_id FROM {table}),\n"
+        f"w AS (SELECT day - o AS window_start_day, user_id FROM du\n"
+        f"  CROSS JOIN (SELECT unnest(range(0, {window_days})) AS o))\n"
+        f"SELECT window_start_day,\n"
+        f"  CAST(count(DISTINCT user_id) AS BIGINT) AS active_users\n"
+        f"FROM w GROUP BY window_start_day"
     )
 
 

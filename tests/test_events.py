@@ -454,3 +454,38 @@ class TestRecentCountTransitions:
         b = ref.rename(columns={"prev": "from_type", "event_type": "to_type"})
         b = b.sort_values(["from_type", "to_type"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_active_users_daily_and_weekly():
+    import pandas as pd
+    import ray.data as rd
+
+    from quickner_ray.stages.events import (
+        US_PER_DAY,
+        daily_active_users,
+        weekly_active_users,
+    )
+
+    D = US_PER_DAY
+    # user 1 active days 0,1 (twice on day 0); user 2 day 0; user 3 day 8
+    df = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            "ts": pd.to_datetime([5, 60, D + 1, 7, 8 * D], unit="us"),
+        }
+    )
+    dau = {r["day"]: r["active_users"]
+           for r in daily_active_users(rd.from_pandas(df)).take_all()}
+    assert dau == {0: 2, 1: 1, 8: 1}
+    wau = {r["window_start_day"]: r["active_users"]
+           for r in weekly_active_users(rd.from_pandas(df)).take_all()}
+    # window starting day 0 covers days 0-6: users 1,2 -> 2
+    assert wau[0] == 2
+    # window starting day 1 covers 1-7: user 1 only
+    assert wau[1] == 1
+    # windows 2..8 cover day 8 only via starts 2..8: user 3
+    assert wau[8] == 1 and wau[2] == 1
+    # dedup within window: user 1 active on 2 days of window -5..1? start -5
+    # covers days -5..1 -> users 1,2 once each
+    assert wau[-5] == 2
