@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ntile": q.q_customer_ntile,
         "regression_stats": q.q_regression_stats,
         "bpe_merges": q.q_bpe_merges,
+        "dup_shingle_stats": q.q_dup_shingle_stats,
         "nation_rich_counts": q.q_nation_rich_counts,
         "nation_customer_list": q.q_nation_customer_list,
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
@@ -311,6 +312,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_docs": da.sql_dedup_keep_docs(threshold=0.5),
         "dup_clusters": da.sql_dup_clusters(threshold=0.5),
         "contamination": da.sql_contamination(),
+        "dup_shingle_stats": da.sql_dup_shingle_stats(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),

@@ -1011,6 +1011,13 @@ def sql_nation_customer_list() -> str:
     )
 
 
+def q_dup_shingle_stats(sf_dir: str):
+    """Corpus-internal duplicate n-gram fraction per doc (exact)."""
+    from ..stages.dedup_approx import dup_shingle_stats
+
+    return dup_shingle_stats(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer-merge training over the documents corpus (rows-only:
     iterative re-tokenization has no closed SQL form; the algorithm is

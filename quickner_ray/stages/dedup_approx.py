@@ -659,3 +659,83 @@ def sql_dup_cluster_sizes(threshold: float = 0.5, table: str = "documents") -> s
             "FROM cs GROUP BY cluster_size",
         )
     )
+
+
+# -- corpus-internal duplicate-shingle fraction (Lee et al. dedup metric) ----
+
+
+def dup_shingle_stats(ds, *, text_col: str = "text", num_partitions: int = 8):
+    """Per-doc fraction of distinct word-n-gram shingles that appear in at
+    least one OTHER document — the corpus-internal exact-substring
+    duplication signal (the intra-corpus counterpart of ``contamination``,
+    which compares against a broadcast test set).
+
+    Scale shape: doc-shingle pairs -> shingle-df aggregate (shuffle keyed
+    on the uniform 64-bit shingle hash — no salting needed) -> one
+    hash-partitioned join back on the same key -> per-doc count reduce.
+    The two wide ops share the shingle-hash partitioning key. Exact; the
+    probabilistic alternative when even the df table is too wide is the CMS
+    sketch (sketch.py)."""
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        p, h, _ = _shingle_rows(batch.column(text_col))
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.take(pa.array(p)),
+                # int64 view of the uint64 hash (bit-pattern preserving) —
+                # Ray's hash join hashes int64 natively; the SQL mirror
+                # applies the same reinterpretation
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow")
+    df = (
+        pair_ds.groupby("h")
+        .aggregate(Count(alias_name="df"))
+        .repartition(num_partitions)  # normalize empty-block schemas for acero
+    )
+    joined = pair_ds.join(
+        df, "inner", num_partitions=num_partitions, on=("h",)
+    )
+
+    def flag(b: pa.Table) -> pa.Table:
+        dup = pc.greater(b.column("df"), pa.scalar(1)).cast(pa.int64())
+        return pa.Table.from_pydict({"doc_id": b.column("doc_id"), "dup": dup})
+
+    agg = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count(alias_name="n_shingles"), Sum("dup", alias_name="n_dup"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.float64)
+        d = b.column("n_dup").combine_chunks().cast(pa.int64())
+        frac = d.to_numpy(zero_copy_only=False) / n
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_shingles": b.column("n_shingles"),
+                "n_dup": d,
+                "dup_frac": pa.array(frac, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_dup_shingle_stats(table: str = "documents") -> str:
+    return (
+        f"WITH {sql_shingle_ctes(table)},\n"
+        f"df AS (SELECT h64, count(*) AS df FROM hsh GROUP BY h64)\n"
+        f"SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,\n"
+        f"  CAST(count(*) FILTER (d.df > 1) AS BIGINT) AS n_dup,\n"
+        f"  count(*) FILTER (d.df > 1) / count(*) AS dup_frac\n"
+        f"FROM hsh h JOIN df d ON d.h64 = h.h64\n"
+        f"GROUP BY h.doc_id"
+    )

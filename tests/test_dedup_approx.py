@@ -265,3 +265,47 @@ class TestContamination:
             pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": ["x y z"]})
         )
         assert contamination_counts(ds, benchmark_shingles([])).take_all() == []
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_shingle_stats_matches_oracle():
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from quickner_ray.stages.dedup_approx import (
+        dup_shingle_stats,
+        sql_dup_shingle_stats,
+    )
+
+    texts = [
+        "the quick brown fox jumps",      # shares "the quick brown"+.. with 1
+        "the quick brown fox sleeps",
+        "completely different words here",
+        "tiny",                            # < n words -> single short-shingle
+        "tiny",                            # exact dup of 3 -> dup_frac 1.0
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    got = (
+        dup_shingle_stats(rd.from_arrow(tbl), num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    con.register("documents", tbl)
+    ora = (
+        con.sql(sql_dup_shingle_stats())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cols = ["doc_id", "n_shingles", "n_dup", "dup_frac"]
+    pd.testing.assert_frame_equal(got[cols], ora[cols], check_dtype=False)
+    assert got.loc[3, "dup_frac"] == 1.0 and got.loc[4, "dup_frac"] == 1.0
+    assert got.loc[2, "n_dup"] == 0
+    assert 0 < got.loc[0, "dup_frac"] < 1
