@@ -140,6 +140,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_stats": q.q_regression_stats,
         "bpe_merges": q.q_bpe_merges,
         "dup_shingle_stats": q.q_dup_shingle_stats,
+        "customer_cumulative_spend": q.q_customer_cumulative_spend,
+        "order_price_histogram": q.q_order_price_histogram,
+        "user_event_unpivot": q.q_user_event_unpivot,
         "nation_rich_counts": q.q_nation_rich_counts,
         "nation_customer_list": q.q_nation_customer_list,
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
@@ -313,6 +316,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": da.sql_dup_clusters(threshold=0.5),
         "contamination": da.sql_contamination(),
         "dup_shingle_stats": da.sql_dup_shingle_stats(),
+        "customer_cumulative_spend": q.sql_customer_cumulative_spend(),
+        "order_price_histogram": q.sql_order_price_histogram(),
+        "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),

@@ -1011,6 +1011,142 @@ def sql_nation_customer_list() -> str:
     )
 
 
+def q_customer_cumulative_spend(sf_dir: str):
+    """Cumulative SUM window frame with EXACT arithmetic: running total of
+    order price (cents, int64) per customer in (o_orderdate, o_orderkey)
+    order — the running-aggregate shape running_extrema deliberately
+    avoided for doubles is exact here because the money grid is integral."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def cum_group(g: pa.Table) -> pa.Table:
+        date = g.column("o_orderdate").combine_chunks().cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (
+            pc.round(pc.multiply(g.column("o_totalprice"), pa.scalar(100.0)))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((okey, date))
+        cum = np.cumsum(cents[order])
+        cust = g.column("o_custkey")[0].as_py()
+        n = len(okey)
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": pa.array(np.full(n, cust), type=pa.int64()),
+                "o_orderkey": pa.array(okey[order]),
+                "cum_spend_cents": pa.array(cum.astype(np.int64)),
+            }
+        )
+
+    return ds.groupby("o_custkey").map_groups(cum_group, batch_format="pyarrow")
+
+
+def sql_customer_cumulative_spend() -> str:
+    return (
+        "SELECT o_custkey, o_orderkey,\n"
+        "  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER w AS BIGINT)\n"
+        "    AS cum_spend_cents\n"
+        "FROM orders\n"
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey\n"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+
+
+HIST_BINS = 20
+
+
+def q_order_price_histogram(sf_dir: str):
+    """Equal-width histogram over order price: pass 1 computes global
+    min/max cents (tiny aggregate, broadcast); pass 2 bins each row with
+    integer arithmetic and counts per bin. The bin rule (value==max goes to
+    the last bin) is mirrored exactly in SQL."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    path = os.path.join(sf_dir, "orders.parquet")
+
+    def cents_tbl(b: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.Table.from_pydict({"cents": c})
+
+    ds = rd.read_parquet(path, columns=["o_totalprice"]).map_batches(
+        cents_tbl, batch_format="pyarrow"
+    )
+    bounds = ds.aggregate(Min("cents"), Max("cents"))
+    lo, hi = int(bounds["min(cents)"]), int(bounds["max(cents)"])
+    span = max(hi - lo, 1)
+
+    def bin_rows(b: pa.Table) -> pa.Table:
+        c = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        # bin = floor((c-lo)*BINS/span), max value clamped into the last bin
+        bins = np.minimum((c - lo) * HIST_BINS // span, HIST_BINS - 1)
+        return pa.Table.from_pydict({"bin": pa.array(bins)})
+
+    return (
+        ds.map_batches(bin_rows, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def sql_order_price_histogram() -> str:
+    return (
+        f"WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) AS cents\n"
+        f"  FROM orders),\n"
+        f"b AS (SELECT min(cents) AS lo,\n"
+        f"  greatest(max(cents) - min(cents), 1) AS span FROM c)\n"
+        f"SELECT least((cents - lo) * {HIST_BINS} // span, {HIST_BINS - 1})"
+        f" AS bin,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_orders\n"
+        f"FROM c, b GROUP BY bin"
+    )
+
+
+def q_user_event_unpivot(sf_dir: str):
+    """UNPIVOT / melt: the fixed-width per-user pivot (one column per event
+    type) melted back to long form — one vectorized column-stack per batch,
+    zero rows move between workers. Zero counts survive the melt (that is
+    what distinguishes it from the plain groupby)."""
+    pivot = q_user_event_pivot(sf_dir)
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = len(b)
+        users = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = [f"n_{t}" for t in EVENT_TYPES]
+        counts = np.stack(
+            [b.column(c).to_numpy(zero_copy_only=False).astype(np.int64) for c in cols]
+        )
+        return pa.Table.from_pydict(
+            {
+                "user_id": pa.array(np.tile(users, len(cols))),
+                "event_type": pa.array(
+                    np.repeat(np.array(EVENT_TYPES, dtype=object), n)
+                ),
+                "n": pa.array(counts.reshape(-1)),
+            }
+        )
+
+    return pivot.map_batches(melt, batch_format="pyarrow")
+
+
+def sql_user_event_unpivot() -> str:
+    cols = ", ".join(f"n_{t}" for t in EVENT_TYPES)
+    return (
+        f"SELECT user_id, substr(name, 3) AS event_type, n\n"
+        f"FROM (UNPIVOT ({sql_user_event_pivot()})\n"
+        f"  ON {cols} INTO NAME name VALUE n)"
+    )
+
+
 def q_dup_shingle_stats(sf_dir: str):
     """Corpus-internal duplicate n-gram fraction per doc (exact)."""
     from ..stages.dedup_approx import dup_shingle_stats
