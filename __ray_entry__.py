@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
         "dup_clusters": q.q_dup_clusters,
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
+        "dedup_keep_best": q.q_dedup_keep_best,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -141,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q.q_bpe_merges,
         "dup_shingle_stats": q.q_dup_shingle_stats,
         "customer_cumulative_spend": q.q_customer_cumulative_spend,
+        "local_supplier_revenue": q.q_local_supplier_revenue,
         "order_price_histogram": q.q_order_price_histogram,
         "user_event_unpivot": q.q_user_event_unpivot,
         "nation_rich_counts": q.q_nation_rich_counts,
@@ -317,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "contamination": da.sql_contamination(),
         "dup_shingle_stats": da.sql_dup_shingle_stats(),
         "customer_cumulative_spend": q.sql_customer_cumulative_spend(),
+        "local_supplier_revenue": q.sql_local_supplier_revenue(),
+        "dedup_keep_best": q.sql_dedup_keep_best(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

@@ -365,6 +365,41 @@ def q_dup_clusters(sf_dir: str):
     return _project(cc, {"doc_id": "node", "component": "component"})
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup dedup — the composition a production corpus
+    run actually wants: connected components over the verified LSH pair
+    graph, joined with the vectorized quality score, keeping the
+    HIGHEST-quality doc per cluster (ties to the smaller doc_id) instead of
+    the arbitrary min-id. One hash join on doc_id + the combiner-bounded
+    grouped top-1 on the component key."""
+    from ..stages.text_analysis import add_quality_score
+    from ..stages.topk import grouped_topk
+
+    clusters = q_dup_clusters(sf_dir).repartition(8)
+    quality = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(add_quality_score, batch_format="pyarrow")
+        .select_columns(["doc_id", "quality_score"])
+    )
+    joined = clusters.join(quality, "inner", num_partitions=8, on=("doc_id",))
+    return grouped_topk(
+        joined, "component", ["quality_score", "doc_id"], 1, descending=True
+    ).select_columns(["component", "doc_id", "quality_score"])
+
+
+def sql_dedup_keep_best() -> str:
+    from ..stages.dedup_approx import sql_dup_clusters
+    from ..stages.text_analysis import sql_quality_score
+
+    return (
+        f"SELECT c.component, c.doc_id, qs.quality_score\n"
+        f"FROM ({sql_dup_clusters(0.5)}) c\n"
+        f"JOIN ({sql_quality_score()}) qs USING (doc_id)\n"
+        f"QUALIFY row_number() OVER (PARTITION BY c.component\n"
+        f"  ORDER BY qs.quality_score DESC, c.doc_id) = 1"
+    )
+
+
 def q_dup_cluster_sizes(sf_dir: str):
     """Corpus-quality report: histogram of near-dup cluster sizes
     (cluster_size, n_clusters) — two small aggregates over the connected
@@ -1008,6 +1043,145 @@ def sql_nation_customer_list() -> str:
         "        ORDER BY CAST(round(c_acctbal*100) AS BIGINT) DESC, c_custkey)\n"
         "        AS rn FROM customer)\n"
         "WHERE rn <= 3 GROUP BY c_nationkey"
+    )
+
+
+Q5_REGION = "ASIA"
+Q5_FROM = "1996-01-01"
+Q5_TO = "1998-01-01"
+
+
+def q_local_supplier_revenue(sf_dir: str):
+    """TPC-H-Q5-shaped 5-way join: revenue per nation from lineitems where
+    supplier and customer share the nation, restricted to one region and a
+    date range. Join plan: the single all-to-all is lineitem ⋈ orders on
+    orderkey (both fact-sized). supplier and customer nation keys attach as
+    BROADCAST Arrow lookups (supplier is a dim; customer's (custkey ->
+    nationkey) projection is the one fact-sized broadcast — documented
+    tradeoff, the partitioned alternative is a second orderkey-co-shuffle
+    as in shipping_priority). nation/region fold into one nationkey ->
+    name map applied batch-side; the n_nation == c_nation equality is a
+    vectorized filter, never a join."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo_us = int(pa.scalar(Q5_FROM).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+    hi_us = int(pa.scalar(Q5_TO).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    rkey = region.filter(pc.equal(region.column("r_name"), Q5_REGION)).column(
+        "r_regionkey"
+    )[0]
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), rkey))
+    nat_keys = nat.column("n_nationkey").combine_chunks()
+    nat_names = nat.column("n_name").combine_chunks()
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    ref = ray.put(
+        (
+            supp.column("s_suppkey").combine_chunks(),
+            supp.column("s_nationkey").combine_chunks(),
+            cust.column("c_custkey").combine_chunks(),
+            cust.column("c_nationkey").combine_chunks(),
+            nat_keys,
+            nat_names,
+        )
+    )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def orders_pre(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").combine_chunks().cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(us, pa.scalar(lo_us, type=pa.int64())),
+            pc.less(us, pa.scalar(hi_us, type=pa.int64())),
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": b.column("o_orderkey").filter(keep),
+                "o_custkey": b.column("o_custkey").filter(keep),
+            }
+        )
+
+    orders = orders.map_batches(orders_pre, batch_format="pyarrow")
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(pa.int64())
+        disc = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, type=pa.int64()), disc))
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "revenue_e4": rev,
+            }
+        )
+
+    li = li.map_batches(li_pre, batch_format="pyarrow")
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    class Finish:
+        def __init__(self):
+            sk, sn, ck, cn, nk, nn = ray.get(ref)
+            self.sk, self.sn, self.ck, self.cn = sk, sn, ck, cn
+            self.nk, self.nn = nk, nn
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            s_nat = self.sn.take(pc.index_in(b.column("l_suppkey"), value_set=self.sk))
+            c_nat = self.cn.take(pc.index_in(b.column("o_custkey"), value_set=self.ck))
+            idx = pc.index_in(s_nat, value_set=self.nk)
+            keep = pc.and_(
+                pc.equal(s_nat, c_nat).combine_chunks(), pc.is_valid(idx)
+            )
+            name = self.nn.take(idx.filter(keep))
+            return pa.Table.from_pydict(
+                {
+                    "n_name": name,
+                    "revenue_e4": b.column("revenue_e4").filter(keep),
+                }
+            )
+
+    out = joined.map_batches(Finish, batch_format="pyarrow", concurrency=4)
+    agg = out.groupby("n_name").aggregate(Sum("revenue_e4", alias_name="revenue_e4"))
+    return agg
+
+
+def sql_local_supplier_revenue() -> str:
+    return (
+        f"SELECT n_name,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS revenue_e4\n"
+        f"FROM customer, orders, lineitem, supplier, nation, region\n"
+        f"WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey\n"
+        f"  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey\n"
+        f"  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey\n"
+        f"  AND r_name = '{Q5_REGION}'\n"
+        f"  AND o_orderdate >= TIMESTAMP '{Q5_FROM}'\n"
+        f"  AND o_orderdate < TIMESTAMP '{Q5_TO}'\n"
+        f"GROUP BY n_name"
     )
 
 
