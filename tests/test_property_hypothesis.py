@@ -159,3 +159,102 @@ class TestMinhashVectorizedProperty:
         assert len(starts) == len(texts)
         for i, t in enumerate(texts):
             assert np.array_equal(np.sort(da.shingle_hashes(t)), np.sort(h[p == i]))
+
+
+# -- window / rank / sentence kernels vs DuckDB on random inputs -------------
+
+
+class TestWindowKernelProperties:
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=200),
+        tiles=st.integers(min_value=1, max_value=12),
+    )
+    def test_ntile_matches_duckdb(self, n, tiles):
+        import duckdb
+        import numpy as np
+
+        from quickner_ray.stages.rank import ntile_from_rn
+
+        got = ntile_from_rn(np.arange(1, n + 1), n, tiles)
+        con = duckdb.connect()
+        con.sql("SET threads=1")
+        ora = con.sql(
+            f"SELECT ntile({tiles}) OVER (ORDER BY r) FROM range({n}) t(r)"
+        ).fetchnumpy()
+        assert (got == list(ora.values())[0]).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        ts=st.lists(
+            st.integers(min_value=0, max_value=50), min_size=1, max_size=40
+        )
+    )
+    def test_recent_count_matches_duckdb_with_peers(self, ts):
+        """Duplicate timestamps exercise RANGE peer-inclusion."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from quickner_ray.stages.events import _recent_count_group
+
+        W = 7
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(len(ts)), type=pa.int64()),
+                "ts": pa.array(
+                    pd.to_datetime(pd.Series(ts), unit="us")
+                ).cast(pa.timestamp("us")),
+                "user_id": pa.array([1] * len(ts), type=pa.int64()),
+            }
+        )
+        got = _recent_count_group(tbl, W).to_pandas()
+        con = duckdb.connect()
+        con.sql("SET threads=1")
+        con.register("e", tbl)
+        ora = con.sql(
+            f"SELECT event_id, count(*) OVER (ORDER BY epoch_us(ts)\n"
+            f"  RANGE BETWEEN {W} PRECEDING AND CURRENT ROW) AS rc FROM e"
+        ).df()
+        a = got.sort_values("event_id").reset_index(drop=True)
+        b = ora.sort_values("event_id").reset_index(drop=True)
+        assert (a.recent_count.values == b.rc.values).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab .!?x\n\t", max_size=30), min_size=1, max_size=8
+        )
+    )
+    def test_sentence_split_matches_duckdb(self, texts):
+        import duckdb
+        import pyarrow as pa
+
+        from quickner_ray.stages.chunking import (
+            split_sentences_batch,
+            sql_sentences,
+        )
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts, type=pa.string()),
+            }
+        )
+        got = (
+            split_sentences_batch(tbl)
+            .to_pandas()
+            .sort_values(["doc_id", "sent_idx"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql("SET threads=1")
+        con.register("documents", tbl)
+        ora = (
+            con.sql(sql_sentences())
+            .df()
+            .sort_values(["doc_id", "sent_idx"])
+            .reset_index(drop=True)
+        )
+        assert got.sentence.tolist() == ora.sentence.tolist()
+        assert got.sent_chars.tolist() == ora.sent_chars.tolist()
