@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q.q_dup_clusters,
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "dedup_keep_best": q.q_dedup_keep_best,
+        "fuzzy_name_matches": q.q_fuzzy_name_matches,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -321,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_cumulative_spend": q.sql_customer_cumulative_spend(),
         "local_supplier_revenue": q.sql_local_supplier_revenue(),
         "dedup_keep_best": q.sql_dedup_keep_best(),
+        "fuzzy_name_matches": q.sql_fuzzy_name_matches(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

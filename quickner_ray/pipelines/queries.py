@@ -365,6 +365,28 @@ def q_dup_clusters(sf_dir: str):
     return _project(cc, {"doc_id": "node", "component": "component"})
 
 
+FUZZY_NAMES = [
+    "spark", "window", "table", "filter", "merge", "sort", "vector", "batch"
+]
+
+
+def q_fuzzy_name_matches(sf_dir: str):
+    """Approximate string join (Levenshtein <= 1) between the corpus
+    vocabulary and a reference name list, via SymSpell deletion-variant
+    blocking + exact verify."""
+    from ..stages.fuzzy import fuzzy_match_names
+
+    return fuzzy_match_names(
+        _docs(sf_dir, columns=["doc_id", "text"]), FUZZY_NAMES
+    )
+
+
+def sql_fuzzy_name_matches() -> str:
+    from ..stages.fuzzy import sql_fuzzy_match_names
+
+    return sql_fuzzy_match_names(FUZZY_NAMES)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Quality-aware near-dup dedup — the composition a production corpus
     run actually wants: connected components over the verified LSH pair
