@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": q.q_shipping_priority,
         "quality_scores": q.q_quality_scores,
         "rare_word_stats": q.q_rare_word_stats,
+        "embedding_dim_stats": q.q_embedding_dim_stats,
         "embedding_kmeans": q.q_embedding_kmeans,
         "customer_ntile": q.q_customer_ntile,
         "regression_stats": q.q_regression_stats,
@@ -323,6 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": q.sql_local_supplier_revenue(),
         "dedup_keep_best": q.sql_dedup_keep_best(),
         "fuzzy_name_matches": q.sql_fuzzy_name_matches(),
+        "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

@@ -1521,6 +1521,56 @@ def sql_nation_acctbal_ranks() -> str:
     )
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """List-column explode + per-dimension aggregate: min/max of each
+    embedding dimension. Extrema are exact comparisons (no accumulation),
+    and float32 -> float64 widening is value-preserving, so both engines
+    hash-match bit-exactly. The per-batch partial is <= dim rows — explode
+    never leaves the batch."""
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        dim = len(col[0])
+        mat = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, dim)
+        )
+        return pa.Table.from_pydict(
+            {
+                # 1-based to match generate_subscripts in the oracle
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "v_min": pa.array(mat.min(axis=0)),
+                "v_max": pa.array(mat.max(axis=0)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Min("v_min", alias_name="v_min"), Max("v_max", alias_name="v_max"))
+    )
+
+
+def sql_embedding_dim_stats() -> str:
+    return (
+        "SELECT dim, min(v) AS v_min, max(v) AS v_max\n"
+        "FROM (SELECT generate_subscripts(embedding, 1) AS dim,\n"
+        "        CAST(unnest(embedding) AS DOUBLE) AS v\n"
+        "      FROM embeddings)\n"
+        "GROUP BY dim"
+    )
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means assignments over the embeddings table
     (rows-only: per-dimension float means drift ulps across engines, so no
