@@ -370,6 +370,89 @@ FUZZY_NAMES = [
 ]
 
 
+URL_BLOCKLIST = ["spam7.example.com", "ads-net.io", "host11.example.com"]
+
+
+def q_url_filtered_docs(sf_dir: str):
+    """URL/host hygiene filter over the documents table. The documents
+    table carries no url column, so a deterministic crawl-style URL is
+    derived from (source, doc_id) — the same derivation runs in the SQL
+    oracle — then the broadcast-blocklist host filter (subdomain-suffix
+    semantics, one anchored RE2 alternation per batch) drops blocked pages.
+    Hosts hash to 40 buckets so the blocklist actually fires; one entry is
+    a SUBDOMAIN parent to exercise the suffix rule."""
+    from ..stages.urlfilter import add_host, filter_hosts
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def with_url(b: pa.Table) -> pa.Table:
+        # url = https://{sub.}hostN.example.com/{source}/{doc_id}
+        did = b.column("doc_id").combine_chunks().cast(pa.string())
+        n = pc.binary_length(did).cast(pa.int64())  # deterministic, cheap
+        bucket = pc.add(
+            pc.multiply(n, pa.scalar(7, type=pa.int64())),
+            pc.utf8_length(b.column("source").combine_chunks()).cast(pa.int64()),
+        )
+        host_id = pc.binary_join_element_wise(
+            pa.array(["host"] * len(b), type=pa.string()),
+            pc.cast(
+                pc.bit_wise_and(bucket, pa.scalar(31, type=pa.int64())), pa.string()
+            ),
+            "",
+        )
+        sub = pc.if_else(
+            pc.equal(
+                pc.bit_wise_and(n, pa.scalar(1, type=pa.int64())),
+                pa.scalar(1, type=pa.int64()),
+            ),
+            pa.scalar("www.", type=pa.string()),
+            pa.scalar("", type=pa.string()),
+        )
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(b), type=pa.string()),
+            sub,
+            host_id,
+            pa.array([".example.com/"] * len(b), type=pa.string()),
+            b.column("source").combine_chunks(),
+            pa.array(["/"] * len(b), type=pa.string()),
+            did,
+            "",
+        )
+        return b.append_column("url", url)
+
+    ds = ds.map_batches(with_url, batch_format="pyarrow")
+    ds = filter_hosts(ds, URL_BLOCKLIST)
+    ds = add_host(ds)
+    return ds.select_columns(["doc_id", "host"])
+
+
+def sql_url_filtered_docs() -> str:
+    alts = "|".join(
+        h.lower().replace(".", "\\.") for h in sorted(set(URL_BLOCKLIST))
+    )
+    return (
+        f"WITH u AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    'https://' || CASE WHEN length(CAST(doc_id AS VARCHAR)) % 2 = 1\n"
+        f"        THEN 'www.' ELSE '' END\n"
+        f"      || 'host' || CAST(\n"
+        f"        (length(CAST(doc_id AS VARCHAR)) * 7 + length(source)) % 32\n"
+        f"        AS VARCHAR)\n"
+        f"      || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR)\n"
+        f"      AS url\n"
+        f"  FROM documents\n"
+        f"), h AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    lower(regexp_replace(regexp_extract(url,\n"
+        f"      '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), ':[0-9]+$', ''))\n"
+        f"      AS host\n"
+        f"  FROM u\n"
+        f")\n"
+        f"SELECT doc_id, host FROM h\n"
+        f"WHERE NOT regexp_matches(host, '(^|\\.)({alts})$')"
+    )
+
+
 def q_fuzzy_name_matches(sf_dir: str):
     """Approximate string join (Levenshtein <= 1) between the corpus
     vocabulary and a reference name list, via SymSpell deletion-variant
