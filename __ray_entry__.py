@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q.q_dedup_keep_best,
         "fuzzy_name_matches": q.q_fuzzy_name_matches,
         "url_filtered_docs": q.q_url_filtered_docs,
+        "train_val_split": q.q_train_val_split,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_matches": q.sql_fuzzy_name_matches(),
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
+        "train_val_split": q.sql_train_val_split(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

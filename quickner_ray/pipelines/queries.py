@@ -370,6 +370,50 @@ FUZZY_NAMES = [
 ]
 
 
+VAL_PCT = 10
+N_FOLDS = 5
+
+
+def q_train_val_split(sf_dir: str):
+    """Deterministic hash-based train/val split + CV fold assignment —
+    zero-shuffle, reproducible at any parallelism, stable under corpus
+    growth (a doc's split never changes when other docs arrive). Uses the
+    shared md5-derived h64 so the SQL oracle recomputes identical buckets
+    (md5_number_upper)."""
+    from ..stages.dedup_approx import h64
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().cast(pa.string())
+        h = np.fromiter(
+            (h64(s) for s in ids.to_pylist()), dtype=np.uint64, count=len(ids)
+        )
+        bucket = (h % np.uint64(100)).astype(np.int64)
+        split = np.where(bucket < 100 - VAL_PCT, "train", "val")
+        fold = (h % np.uint64(N_FOLDS)).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": b.column("doc_id"),
+                "split": pa.array(split.astype(object), type=pa.string()),
+                "fold": pa.array(fold),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sql_train_val_split() -> str:
+    return (
+        f"SELECT doc_id,\n"
+        f"  CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100\n"
+        f"       < {100 - VAL_PCT} THEN 'train' ELSE 'val' END AS split,\n"
+        f"  CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % {N_FOLDS}\n"
+        f"    AS BIGINT) AS fold\n"
+        f"FROM documents"
+    )
+
+
 URL_BLOCKLIST = ["spam7.example.com", "ads-net.io", "host11.example.com"]
 
 
