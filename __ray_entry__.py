@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_matches": q.q_fuzzy_name_matches,
         "url_filtered_docs": q.q_url_filtered_docs,
         "train_val_split": q.q_train_val_split,
+        "events_above_p99": q.q_events_above_p99,
+        "orders_monthly_growth": q.q_orders_monthly_growth,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -329,6 +331,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
         "train_val_split": q.sql_train_val_split(),
+        "events_above_p99": q.sql_events_above_p99(),
+        "orders_monthly_growth": q.sql_orders_monthly_growth(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

@@ -370,6 +370,93 @@ FUZZY_NAMES = [
 ]
 
 
+P99 = 0.99
+
+
+def q_events_above_p99(sf_dir: str):
+    """Quantile-threshold anomaly filter: the exact global p99 of the
+    continuous value column (distributed quickselect — no global sort)
+    broadcasts as a scalar predicate; matching events stream through a
+    zero-shuffle filter. The composition a monitoring pipeline runs."""
+    import ray.data as rd
+
+    from ..stages.rank import exact_quantiles
+
+    path = os.path.join(sf_dir, "events.parquet")
+    vals = rd.read_parquet(path, columns=["value"])
+    (_, p99), = exact_quantiles(vals, "value", [P99])
+
+    ds = rd.read_parquet(path, columns=["event_id", "user_id", "value"])
+
+    def above(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater_equal(b.column("value"), pa.scalar(float(p99))))
+
+    return ds.map_batches(above, batch_format="pyarrow")
+
+
+def sql_events_above_p99() -> str:
+    return (
+        f"SELECT event_id, user_id, value FROM events\n"
+        f"WHERE value >= (SELECT quantile_disc(value, {P99}) FROM events)"
+    )
+
+
+def q_orders_monthly_growth(sf_dir: str):
+    """Time-bucketed trend: orders per calendar month plus the
+    month-over-month delta — a LAG window over the (tiny) aggregate
+    output, computed driver-side after the distributed month count."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
+    )
+
+    def to_month(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate").combine_chunks().cast(pa.timestamp("us"))
+        y = pc.year(d).cast(pa.int64())
+        m = pc.month(d).cast(pa.int64())
+        month = pc.add(pc.multiply(y, pa.scalar(100, type=pa.int64())), m)
+        return pa.Table.from_pydict({"month": month})
+
+    agg = (
+        ds.map_batches(to_month, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+    def add_delta(b: pa.Table) -> pa.Table:
+        month = b.column("month").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n_orders").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(month, kind="stable")
+        month, n = month[order], n[order]
+        delta = np.empty(len(n), dtype=np.int64)
+        delta[0] = 0
+        if len(n) > 1:
+            delta[1:] = n[1:] - n[:-1]
+        return pa.Table.from_pydict(
+            {
+                "month": pa.array(month),
+                "n_orders": pa.array(n),
+                "delta": pa.array(delta),
+            }
+        )
+
+    # months-per-corpus is tiny: one block, one vectorized LAG pass
+    return agg.repartition(1).map_batches(add_delta, batch_format="pyarrow")
+
+
+def sql_orders_monthly_growth() -> str:
+    return (
+        "SELECT month, n_orders,\n"
+        "  CAST(coalesce(n_orders - lag(n_orders) OVER (ORDER BY month), 0)\n"
+        "    AS BIGINT) AS delta\n"
+        "FROM (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month,\n"
+        "        CAST(count(*) AS BIGINT) AS n_orders\n"
+        "      FROM orders GROUP BY month)"
+    )
+
+
 VAL_PCT = 10
 N_FOLDS = 5
 
