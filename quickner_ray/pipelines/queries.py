@@ -466,7 +466,10 @@ def q_train_val_split(sf_dir: str):
     zero-shuffle, reproducible at any parallelism, stable under corpus
     growth (a doc's split never changes when other docs arrive). Uses the
     shared md5-derived h64 so the SQL oracle recomputes identical buckets
-    (md5_number_upper)."""
+    (md5_number_upper); md5 has no vectorized kernel, so this is a per-row
+    hash by necessity — the same documented cost as the P8 content-hash id
+    (dedup_exact.add_doc_id), amortized by its position on the tiny
+    doc_id-only projection."""
     from ..stages.dedup_approx import h64
 
     ds = _docs(sf_dir, columns=["doc_id"])

@@ -78,19 +78,18 @@ def fuzzy_match_names(
         for v in _deletion_variants(n):
             var_keys.append(v)
             var_name_idx.append(idx)
-    # one variant key can belong to several names — keep all (verified later)
-    ref = ray.put(
-        (
-            pa.array(var_keys, type=pa.string()),
-            np.asarray(var_name_idx, dtype=np.int64),
-            name_list,
-        )
-    )
+    # one variant key can belong to several names — keep all (verified
+    # later). Pre-SORT the key table once driver-side so every batch can
+    # searchsorted directly instead of re-sorting the broadcast.
+    order = np.argsort(np.asarray(var_keys, dtype=object), kind="stable")
+    sorted_keys = np.asarray(var_keys, dtype=object)[order]
+    sorted_idx = np.asarray(var_name_idx, dtype=np.int64)[order]
+    ref = ray.put((sorted_keys, sorted_idx, name_list))
 
     vocab = vocab_df(ds, text_col).select_columns(["word"])
 
     def match(batch: pa.Table) -> pa.Table:
-        keys, name_idx, nlist = ray.get(ref)
+        sorted_keys, sorted_idx, nlist = ray.get(ref)
         words = batch.column("word")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -114,17 +113,14 @@ def fuzzy_match_names(
                     "name": pa.array([], type=pa.string()),
                 }
             )
-        # all hit positions, not just the first: sort unique key table once
-        key_np = np.asarray(keys.to_pylist(), dtype=object)
-        order = np.argsort(key_np, kind="stable")
-        sorted_keys = key_np[order]
+        # all hit positions, not just the first, via the pre-sorted table
         fv = np.asarray(flat_vars, dtype=object)
         lo = np.searchsorted(sorted_keys, fv, side="left")
         hi = np.searchsorted(sorted_keys, fv, side="right")
         seen: set[tuple[int, int]] = set()
         for j in range(len(fv)):
             for p in range(lo[j], hi[j]):
-                wi, ni = parents[j], name_idx[order[p]]
+                wi, ni = parents[j], int(sorted_idx[p])
                 if (wi, ni) in seen:
                     continue
                 seen.add((wi, ni))
