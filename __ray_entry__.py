@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q.q_train_val_split,
         "events_above_p99": q.q_events_above_p99,
         "orders_monthly_growth": q.q_orders_monthly_growth,
+        "order_status_cube": q.q_order_status_cube,
+        "pattern_offsets": q.q_pattern_offsets,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "lang_id": q.q_lang_id,
@@ -333,6 +335,8 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": q.sql_train_val_split(),
         "events_above_p99": q.sql_events_above_p99(),
         "orders_monthly_growth": q.sql_orders_monthly_growth(),
+        "order_status_cube": q.sql_order_status_cube(),
+        "pattern_offsets": q.sql_pattern_offsets(),
         "order_price_histogram": q.sql_order_price_histogram(),
         "user_event_unpivot": q.sql_user_event_unpivot(),
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),

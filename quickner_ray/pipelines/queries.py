@@ -2085,6 +2085,149 @@ def sql_source_lang_rollup() -> str:
     )
 
 
+def q_order_status_cube(sf_dir: str):
+    """OLAP CUBE over (o_orderstatus, o_orderpriority): all four grouping
+    sets (fine, each single-key marginal, grand total) re-aggregated from
+    the tiny finest-level aggregate — one data pass, same '_ALL_' marker
+    convention as the ROLLUP query."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = b.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(Sum("n", alias_name="n_orders"))
+        .materialize()  # |status| x |priority| rows; reused 3x
+    )
+
+    def relabel(keep_status: bool, keep_priority: bool):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "o_orderstatus": pa.array([], type=pa.string()),
+                        "o_orderpriority": pa.array([], type=pa.string()),
+                        "n_orders": pa.array([], type=pa.int64()),
+                    }
+                )
+            all_col = pa.array([ROLLUP_ALL] * b.num_rows, type=pa.string())
+            return pa.table(
+                {
+                    "o_orderstatus": b.column("o_orderstatus")
+                    if keep_status
+                    else all_col,
+                    "o_orderpriority": b.column("o_orderpriority")
+                    if keep_priority
+                    else all_col,
+                    "n_orders": b.column("n_orders"),
+                }
+            )
+
+        return f
+
+    def marginal(keep_status: bool, keep_priority: bool):
+        from ray.data.aggregate import Sum as _Sum
+
+        return (
+            fine.map_batches(
+                relabel(keep_status, keep_priority), batch_format="pyarrow"
+            )
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(_Sum("n_orders", alias_name="n_orders"))
+        )
+
+    return (
+        fine.union(marginal(True, False))
+        .union(marginal(False, True))
+        .union(marginal(False, False))
+    )
+
+
+def sql_order_status_cube() -> str:
+    return (
+        f"SELECT COALESCE(o_orderstatus, '{ROLLUP_ALL}') AS o_orderstatus,\n"
+        f"  COALESCE(o_orderpriority, '{ROLLUP_ALL}') AS o_orderpriority,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_orders\n"
+        f"FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"
+    )
+
+
+SEARCH_PATTERN = "spark"
+
+
+def q_pattern_offsets(sf_dir: str):
+    """Grep-like full scan: every occurrence offset of a literal pattern
+    across the corpus (1-based char offsets, substr convention). Zero
+    shuffle; offsets reconstruct vectorized from the cumulative lengths of
+    the split pieces — no per-char Python.
+
+    Constraint: the pattern must be borderless (no proper prefix that is
+    also a suffix — true for 'spark') so split-piece enumeration equals the
+    oracle's overlap-inclusive substr scan; a self-overlapping pattern like
+    'aa' would need a different kernel."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    pat = SEARCH_PATTERN
+    plen = len(pat)
+
+    def scan(b: pa.Table) -> pa.Table:
+        texts = b.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        pieces = pc.split_pattern(texts, pat)
+        counts = pc.list_value_length(pieces).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(pieces)
+        piece_chars = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_docs = len(counts)
+        parents = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        first = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=first[1:])
+        # within-doc running position: piece length + pattern length each hop
+        step = piece_chars + plen
+        run = np.cumsum(step)
+        # per-doc cumsum: subtract the running total before each doc start
+        before = np.concatenate(([0], run))[first[:-1]]
+        offsets = run - np.repeat(before, counts)
+        # last piece of each doc has NO following match -> drop it
+        is_last = np.zeros(len(parents), dtype=bool)
+        is_last[first[1:] - 1] = True
+        keep = ~is_last
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": ids.take(pa.array(parents[keep])),
+                # 1-based start of the match that FOLLOWS piece i:
+                # pieces consumed + the pattern hops before it
+                "pos": pa.array(offsets[keep] - plen + 1),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def sql_pattern_offsets() -> str:
+    pat = SEARCH_PATTERN.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(s AS BIGINT) AS pos\n"
+        f"FROM documents, LATERAL (\n"
+        f"  SELECT unnest(range(1, length(text) - {len(SEARCH_PATTERN)} + 2))"
+        f" AS s)\n"
+        f"WHERE substr(text, s, {len(SEARCH_PATTERN)}) = '{pat}'"
+    )
+
+
 DECILE_QS = [i / 10 for i in range(1, 10)]
 
 

@@ -257,3 +257,39 @@ def test_keyword_search_whole_token_semantics(ray_session):
     got = keyword_search(rd.from_arrow(tbl)).to_pandas()
     ora = _oracle(tbl, sql_keyword_search())
     assert sorted(got.doc_id) == sorted(ora.doc_id) == [0, 2]
+
+
+def test_pattern_offsets_edges(ray_session):
+    from quickner_ray.pipelines import queries as Q
+
+    texts = [
+        "spark at start sparkspark adjacent, end with spark",
+        "no hits here",
+        "",
+        "spark",                       # exact-equal doc
+        "ssparkk",                     # embedded
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts}
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    con.register("documents", tbl)
+    ora = con.sql(Q.sql_pattern_offsets()).df()
+
+    # the query reads documents.parquet from a dir — stage the crafted table
+    import tempfile, os as _os
+    import pyarrow.parquet as _pq
+
+    with tempfile.TemporaryDirectory() as d:
+        _pq.write_table(tbl.append_column("lang", pa.array(["en"] * len(texts))), _os.path.join(d, "documents.parquet"))
+        got = Q.q_pattern_offsets(d).to_pandas()
+    key = ["doc_id", "pos"]
+    a = got.sort_values(key).reset_index(drop=True)
+    b = ora.sort_values(key).reset_index(drop=True)
+    assert a[key].values.tolist() == b[key].values.tolist()
+    # doc 0: positions 1, 16, 21, 46 (1-based)
+    assert a[a.doc_id == 0].pos.tolist() == [1, 16, 21, 46]
+    assert a[a.doc_id == 3].pos.tolist() == [1]
