@@ -431,8 +431,8 @@ def q_orders_monthly_growth(sf_dir: str):
         order = np.argsort(month, kind="stable")
         month, n = month[order], n[order]
         delta = np.empty(len(n), dtype=np.int64)
-        delta[0] = 0
-        if len(n) > 1:
+        if len(n):
+            delta[0] = 0
             delta[1:] = n[1:] - n[:-1]
         return pa.Table.from_pydict(
             {
@@ -513,7 +513,7 @@ def q_url_filtered_docs(sf_dir: str):
     derived from (source, doc_id) — the same derivation runs in the SQL
     oracle — then the broadcast-blocklist host filter (subdomain-suffix
     semantics, one anchored RE2 alternation per batch) drops blocked pages.
-    Hosts hash to 40 buckets so the blocklist actually fires; one entry is
+    Hosts hash to 32 buckets so the blocklist actually fires; one entry is
     a SUBDOMAIN parent to exercise the suffix rule."""
     from ..stages.urlfilter import add_host, filter_hosts
 

@@ -80,18 +80,16 @@ def bpe_train(
 
     One distributed vocab pass; the merge loop runs on the collected
     (word, tf) table, pruned by ``min_count``."""
-    import ray
     import ray.data as rd
 
-    from .text_analysis import vocab_df
+    from .text_analysis import collect_vocab
 
-    refs = vocab_df(ds, text_col).select_columns(["word", "tf"]).to_arrow_refs()
-    blocks = [t for t in (ray.get(r) for r in refs) if t.num_rows]
-    wc: list[tuple[str, int]] = []
-    for t in blocks:
-        words = t.column("word").to_pylist()
-        tfs = t.column("tf").to_pylist()
-        wc.extend((w, c) for w, c in zip(words, tfs) if c >= min_count)
+    tbl = collect_vocab(ds, text_col)
+    wc = [
+        (w, c)
+        for w, c in zip(tbl.column("word").to_pylist(), tbl.column("tf").to_pylist())
+        if c >= min_count
+    ]
     wc.sort()  # input order must not depend on block layout
     merges = learn_merges(wc, n_merges)
     tbl = pa.table(

@@ -34,11 +34,23 @@ def _ts_us(batch: pa.Table, col: str = "ts") -> pa.Array:
     return ts.cast(pa.timestamp("us")).cast(pa.int64())
 
 
+def _sorted_user_events(group: pa.Table):
+    """(us, eid, order) for one user's events — THE per-user event-time
+    ordering contract (ts, then event_id as the tiebreak), defined once for
+    every window/session kernel in this module."""
+    us = _ts_us(group).to_numpy(zero_copy_only=False)
+    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, us))
+    return us, eid, order
+
+
 def partial_window_counts(batch: pa.Table, window_us: int = US_PER_HOUR) -> pa.Table:
     """Per-batch combiner for the tumbling-window aggregate: at most one row
     per (window_start_us, event_type) per batch."""
-    us = _ts_us(batch)
-    window = pc.multiply(pc.divide(us, window_us), window_us)  # int floor
+    us = _ts_us(batch).to_numpy(zero_copy_only=False)
+    # FLOOR division (matches the oracle's //; pc.divide truncates, which
+    # differs for pre-1970 timestamps)
+    window = pa.array(np.floor_divide(us, window_us) * window_us)
     t = pa.Table.from_pydict(
         {
             "window_start_us": window,
@@ -212,10 +224,8 @@ def _running_extrema_group(group: pa.Table) -> pa.Table:
     UNBOUNDED PRECEDING)`` window-frame shape). Extrema are exact double
     comparisons — no accumulation arithmetic — so the oracle hash can't
     drift a ulp the way a running SUM/AVG of doubles could."""
-    us = _ts_us(group).to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    _, eid, order = _sorted_user_events(group)
     val = group.column("value").to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, us))
     eid, val = eid[order], val[order]
     user = group.column("user_id")[0].as_py()
     return pa.Table.from_pydict(
@@ -246,10 +256,8 @@ def _trailing_max_group(group: pa.Table, k: int = TRAILING_K) -> pa.Table:
     (ts, event_id) order. Vectorized moving max via a sliding window view
     over a -inf-padded prefix; exact double comparisons (no accumulation),
     so the oracle hash is drift-free."""
-    us = _ts_us(group).to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    _, eid, order = _sorted_user_events(group)
     val = group.column("value").to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, us))
     eid, val = eid[order], val[order]
     padded = np.concatenate([np.full(k - 1, -np.inf), val])
     mov = np.lib.stride_tricks.sliding_window_view(padded, k).max(axis=1)
@@ -276,10 +284,8 @@ def _funnel_group(group: pa.Table, gap_us: int = SESSION_GAP_US) -> pa.Table:
     and whether the session converted (some purchase at-or-after the first
     click, compared on event time). Reuses the gap-sessionization cut, then
     per-session segment reductions via np.minimum/maximum.reduceat."""
-    us = _ts_us(group).to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    us, _, order = _sorted_user_events(group)
     etype = group.column("event_type").to_numpy(zero_copy_only=False)
-    order = np.lexsort((eid, us))
     us, etype = us[order], etype[order]
     new_sess = np.ones(len(us), dtype=np.int64)
     if len(us) > 1:
@@ -330,9 +336,7 @@ def _recent_count_group(group: pa.Table, window_us: int) -> pa.Table:
     Vectorized: sort by ts, one searchsorted of (ts - window) against the
     sorted ts array; RANGE peer semantics fall out of the left/right
     searchsorted sides. Exact int arithmetic."""
-    us = _ts_us(group).to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((eid, us))
+    us, eid, order = _sorted_user_events(group)
     us, eid = us[order], eid[order]
     lo = np.searchsorted(us, us - window_us, side="left")
     # RANGE frames include ALL peers of the current row's ORDER BY value
@@ -361,9 +365,7 @@ def _transitions_group(group: pa.Table) -> pa.Table:
     counts over consecutive events in (ts, event_id) order. At most
     |types|^2 rows per user — the combiner that keeps the final pair
     shuffle tiny."""
-    us = _ts_us(group).to_numpy(zero_copy_only=False)
-    eid = group.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((eid, us))
+    _, _, order = _sorted_user_events(group)
     et = group.column("event_type").take(pa.array(order)).combine_chunks()
     if len(et) < 2:
         return pa.table(
@@ -415,8 +417,11 @@ def first_seen_daily(ds):
     )
 
     def to_day(b: pa.Table) -> pa.Table:
-        day = pc.divide(b.column("first_us"), US_PER_DAY)  # int floor (us >= 0)
-        return pa.Table.from_pydict({"day": day})
+        us = b.column("first_us").to_numpy(zero_copy_only=False)
+        # floor division matches DuckDB // for negative (pre-1970) us too
+        return pa.Table.from_pydict(
+            {"day": pa.array(np.floor_divide(us, US_PER_DAY))}
+        )
 
     out = (
         per_user.map_batches(to_day, batch_format="pyarrow")
@@ -433,7 +438,10 @@ def _distinct_day_users(ds):
     from ray.data.aggregate import Count
 
     def partial(b: pa.Table) -> pa.Table:
-        day = pc.divide(_ts_us(b), US_PER_DAY)
+        # FLOOR division (DuckDB //), not pc.divide's truncation — the two
+        # differ for pre-1970 timestamps
+        us = _ts_us(b).to_numpy(zero_copy_only=False)
+        day = pa.array(np.floor_divide(us, US_PER_DAY))
         t = pa.Table.from_pydict({"day": day, "user_id": b.column("user_id")})
         return t.group_by(["day", "user_id"]).aggregate([])
 

@@ -57,7 +57,6 @@ def fuzzy_match_names(
     names: list[str],
     *,
     text_col: str = "text",
-    max_len: int = 24,
 ):
     """Corpus -> (word, name) pairs with Levenshtein distance <= 1.
 
@@ -70,8 +69,9 @@ def fuzzy_match_names(
 
     name_list = sorted({n for n in names if n})
     # a word longer than the longest name + 1 can never be within dist 1 —
-    # deriving the cap keeps the skip EXACTLY consistent with the oracle
-    max_len = min(max_len, max((len(n) for n in name_list), default=0) + 1)
+    # the derived cap is the ONLY length skip, so the result stays exactly
+    # consistent with the cap-free SQL oracle for any name list
+    max_len = max((len(n) for n in name_list), default=0) + 1
     var_keys: list[str] = []
     var_name_idx: list[int] = []
     for idx, n in enumerate(name_list):

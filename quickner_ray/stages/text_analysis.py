@@ -342,6 +342,27 @@ def vocab_df(ds, text_col: str = "text"):
     )
 
 
+def collect_vocab(ds, text_col: str = "text", columns=("word", "tf")) -> pa.Table:
+    """Driver-side collect of the (bounded: distinct words, Zipf-capped in
+    real corpora) vocab_df table. The one place that knows hash-aggregate
+    outputs can contain schema-less empty blocks that must be dropped
+    before concat — shared by rare_word_stats, bpe_train, doc_keywords-style
+    consumers."""
+    import ray
+
+    cols = list(columns)
+    refs = vocab_df(ds, text_col).select_columns(cols).to_arrow_refs()
+    blocks = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if blocks:
+        return pa.concat_tables(blocks).combine_chunks()
+    empty = {
+        "word": pa.array([], type=pa.string()),
+        "df": pa.array([], type=pa.int64()),
+        "tf": pa.array([], type=pa.int64()),
+    }
+    return pa.table({c: empty[c] for c in cols})
+
+
 def sql_vocab_df(table: str = "documents") -> str:
     return (
         f"SELECT w AS word, count(DISTINCT doc_id) AS df, count(*) AS tf\n"
@@ -670,10 +691,8 @@ def rare_word_stats(ds, *, k: int = RARE_VOCAB_K, text_col: str = "text"):
     int/int IEEE division in both engines, so the oracle hash is exact."""
     import ray
 
-    tf_tab = vocab_df(ds, text_col).select_columns(["word", "tf"]).to_arrow_refs()
-    blocks = [t for t in (ray.get(r) for r in tf_tab) if t.num_rows]
-    if blocks:
-        tbl = pa.concat_tables(blocks).combine_chunks()
+    tbl = collect_vocab(ds, text_col)
+    if tbl.num_rows:
         order = pc.sort_indices(
             tbl, sort_keys=[("tf", "descending"), ("word", "ascending")]
         )
@@ -748,8 +767,9 @@ def keyword_search(ds, terms=SEARCH_TERMS, *, text_col: str = "text"):
     """Docs whose text contains ALL ``terms`` as whole word-class tokens
     (boolean AND search). Zero-shuffle: one compiled RE2 containment test
     per term per batch; the same patterns drive the DuckDB oracle."""
+    import re as _re
 
-    pats = [rf"(^|[^a-z0-9]){t}($|[^a-z0-9])" for t in terms]
+    pats = [rf"(^|[^a-z0-9]){_re.escape(t)}($|[^a-z0-9])" for t in terms]
 
     def match(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col)
@@ -767,8 +787,12 @@ def keyword_search(ds, terms=SEARCH_TERMS, *, text_col: str = "text"):
 def sql_keyword_search(
     terms=SEARCH_TERMS, table: str = "documents", cols: str = "doc_id, lang"
 ) -> str:
+    import re as _re
+
     conds = " AND ".join(
-        f"regexp_matches(lower(text), '(^|[^a-z0-9]){t}($|[^a-z0-9])')"
+        "regexp_matches(lower(text), '(^|[^a-z0-9])"
+        + _re.escape(t).replace("'", "''")
+        + "($|[^a-z0-9])')"
         for t in terms
     )
     return f"SELECT {cols} FROM {table} WHERE {conds}"
