@@ -141,6 +141,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentences": q.q_doc_sentences,
         "big_spenders": q.q_big_spenders,
         "shipping_priority": q.q_shipping_priority,
+        "nation_trade_volume": _rel("q_nation_trade_volume"),
+        "product_profit": _rel("q_product_profit"),
+        "returned_items": _rel("q_returned_items"),
+        "priority_line_counts": _rel("q_priority_line_counts"),
+        "promo_revenue": _rel("q_promo_revenue"),
+        "large_order_customers": _rel("q_large_order_customers"),
+        "customers_both_priorities": _rel("q_customers_both_priorities"),
         "quality_scores": q.q_quality_scores,
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_dim_stats": q.q_embedding_dim_stats,
@@ -169,6 +176,15 @@ def _corpus_prep(sf_dir: str):
     from quickner_ray.pipelines.prep import corpus_prep
 
     return corpus_prep(sf_dir)
+
+
+def _rel(fn_name: str) -> Callable[[str], Any]:
+    def call(sf_dir: str):
+        from quickner_ray.pipelines import relational
+
+        return getattr(relational, fn_name)(sf_dir)
+
+    return call
 
 
 def oracle_sql() -> dict[str, str]:
@@ -200,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         sql_sentences as _sql_sentences,
     )
     from quickner_ray.pipelines import queries as q
+    from quickner_ray.pipelines import relational as rel
     from quickner_ray.pipelines.queries import (
         sql_big_spenders as _sql_big_spenders,
         sql_doc_length_deciles as _sql_deciles,
@@ -288,6 +305,13 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentences": _sql_sentences(),
         "big_spenders": _sql_big_spenders(),
         "shipping_priority": q.sql_shipping_priority(),
+        "nation_trade_volume": rel.sql_nation_trade_volume(),
+        "product_profit": rel.sql_product_profit(),
+        "returned_items": rel.sql_returned_items(),
+        "priority_line_counts": rel.sql_priority_line_counts(),
+        "promo_revenue": rel.sql_promo_revenue(),
+        "large_order_customers": rel.sql_large_order_customers(),
+        "customers_both_priorities": rel.sql_customers_both_priorities(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),

@@ -1,0 +1,640 @@
+"""TPC-H-shaped relational operators beyond the Q1/Q3/Q5 family already in
+``pipelines.queries``: nation-pair trade volume (Q7), product profit by
+nation/year (Q9), returned-item customer report (Q10), priority line counts
+with conditional aggregation (Q12 shape), promo revenue share (Q14), the
+grouped-HAVING semi-join for large-volume orders (Q18), and an INTERSECT
+set-op. Matching DuckDB oracle SQL lives next to each query.
+
+Join-plan conventions (the 10^12-row shapes, same as queries.py):
+- the ONLY all-to-all exchanges are fact ⋈ fact joins on the orderkey;
+- dimension attaches (supplier, part, nation) are broadcast Arrow lookups
+  (``ray.put`` once, ``pc.index_in`` + ``take`` inside the batch fn) run as
+  ``task_stage`` stages — light state, so no actor pool is reserved and the
+  join's shuffle aggregators never starve for CPUs;
+- customer's (custkey -> nationkey/name) projection is the one fact-sized
+  broadcast, same documented tradeoff as q_local_supplier_revenue — the
+  partitioned alternative is a second orderkey-co-shuffle;
+- money is computed on the integer cent grid per row
+  (``cents * (100 - disc_cents)`` -> int64 "e4" units) so distributed sums
+  are bit-exact at any parallelism.
+
+Ray is initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..stages.taskstate import task_stage
+
+
+def _us(date: str) -> int:
+    """'YYYY-MM-DD' -> int64 epoch microseconds (matches timestamp[us])."""
+    return int(pa.scalar(date).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+
+def _revenue_e4(b: pa.Table) -> pa.ChunkedArray:
+    """Exact integer revenue: round(price*100) * (100 - round(disc*100))."""
+    cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(
+        pa.int64()
+    )
+    disc = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(
+        pa.int64()
+    )
+    return pc.multiply(cents, pc.subtract(pa.scalar(100, type=pa.int64()), disc))
+
+
+def _dim_arrays(path: str, key: str, *cols: str):
+    """Read a dimension projection as combined Arrow arrays for broadcast."""
+    t = pq.read_table(path, columns=[key, *cols])
+    return tuple(t.column(c).combine_chunks() for c in (key, *cols))
+
+
+def _ts_range_filter(b: pa.Table, col: str, lo: int, hi: int) -> pa.Table:
+    us = b.column(col).combine_chunks().cast(pa.int64())
+    keep = pc.and_(
+        pc.greater_equal(us, pa.scalar(lo, type=pa.int64())),
+        pc.less(us, pa.scalar(hi, type=pa.int64())),
+    )
+    return b.filter(keep)
+
+
+# --- Q7: nation-pair trade volume ------------------------------------------
+
+Q7_NATION_A = "NATION_3"
+Q7_NATION_B = "NATION_7"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+class _Q7LiPre:
+    """Filter shipdate range, attach + filter supplier nation name."""
+
+    def __init__(self, ref, lo: int, hi: int):
+        import ray
+
+        self.sk, self.sn, _ck, _cn, self.nat_keys, self.nat_names = ray.get(ref)
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        b = _ts_range_filter(b, "l_shipdate", self.lo, self.hi)
+        s_nat = self.sn.take(
+            pc.index_in(b.column("l_suppkey").combine_chunks(), value_set=self.sk)
+        )
+        idx = pc.index_in(s_nat, value_set=self.nat_keys)
+        keep = pc.is_valid(idx)
+        b = b.filter(keep)
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "supp_nation": self.nat_names.take(idx.filter(keep)),
+                "l_year": pc.year(b.column("l_shipdate")),
+                "revenue_e4": _revenue_e4(b),
+            }
+        )
+
+
+class _Q7OrdPre:
+    """Attach + filter customer nation name (fact-sized broadcast)."""
+
+    def __init__(self, ref):
+        import ray
+
+        _sk, _sn, self.ck, self.cn, self.nat_keys, self.nat_names = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        c_nat = self.cn.take(
+            pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
+        )
+        idx = pc.index_in(c_nat, value_set=self.nat_keys)
+        keep = pc.is_valid(idx)
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": b.column("o_orderkey").filter(keep),
+                "cust_nation": self.nat_names.take(idx.filter(keep)),
+            }
+        )
+
+
+def _q7_cross_only(b: pa.Table) -> pa.Table:
+    keep = pc.invert(
+        pc.equal(b.column("supp_nation"), b.column("cust_nation")).combine_chunks()
+    )
+    return b.filter(keep).select(["supp_nation", "cust_nation", "l_year", "revenue_e4"])
+
+
+def q_nation_trade_volume(sf_dir: str):
+    """TPC-H-Q7-shaped join: revenue shipped between two named nations, by
+    (supplier nation, customer nation, ship year). The supplier-nation
+    filter is pushed into the lineitem scan via a broadcast dim lookup, so
+    the orderkey shuffle only carries the ~2/25 of lineitems that survive;
+    the customer-nation filter shrinks orders the same way."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = _us(Q7_FROM), _us(Q7_TO)
+    nk, nn = _dim_arrays(
+        os.path.join(sf_dir, "nation.parquet"), "n_nationkey", "n_name"
+    )
+    pair = pc.or_(pc.equal(nn, Q7_NATION_A), pc.equal(nn, Q7_NATION_B))
+    sk, sn = _dim_arrays(
+        os.path.join(sf_dir, "supplier.parquet"), "s_suppkey", "s_nationkey"
+    )
+    ck, cn = _dim_arrays(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey", "c_nationkey"
+    )
+    ref = ray.put((sk, sn, ck, cn, nk.filter(pair), nn.filter(pair)))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(
+        task_stage(_Q7LiPre, ref=ref, lo=lo, hi=hi), batch_format="pyarrow"
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+    ).map_batches(task_stage(_Q7OrdPre, ref=ref), batch_format="pyarrow")
+
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = joined.map_batches(_q7_cross_only, batch_format="pyarrow")
+    return out.groupby(["supp_nation", "cust_nation", "l_year"]).aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4")
+    )
+
+
+def sql_nation_trade_volume() -> str:
+    return (
+        f"SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,\n"
+        f"  year(l_shipdate) AS l_year,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS revenue_e4\n"
+        f"FROM lineitem, orders, supplier, customer, nation n1, nation n2\n"
+        f"WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey\n"
+        f"  AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey\n"
+        f"  AND c_nationkey = n2.n_nationkey\n"
+        f"  AND n1.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')\n"
+        f"  AND n2.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')\n"
+        f"  AND n1.n_name <> n2.n_name\n"
+        f"  AND l_shipdate >= TIMESTAMP '{Q7_FROM}'\n"
+        f"  AND l_shipdate < TIMESTAMP '{Q7_TO}'\n"
+        f"GROUP BY supp_nation, cust_nation, l_year"
+    )
+
+
+# --- Q9: product profit by nation / year -----------------------------------
+
+Q9_NAME_FRAGMENT = "red"
+
+
+class _Q9Profit:
+    def __init__(self, ref):
+        import ray
+
+        self.red_keys, self.sk, self.sn, self.nk, self.nn = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b.column("l_partkey").combine_chunks(), value_set=self.red_keys
+        )
+        b = b.filter(keep)
+        s_nat = self.sn.take(
+            pc.index_in(b.column("l_suppkey").combine_chunks(), value_set=self.sk)
+        )
+        name = self.nn.take(pc.index_in(s_nat, value_set=self.nk))
+        return pa.Table.from_pydict(
+            {
+                "n_name": name,
+                "l_year": pc.year(b.column("l_shipdate")),
+                "profit_e4": _revenue_e4(b),
+            }
+        )
+
+
+def q_product_profit(sf_dir: str):
+    """TPC-H-Q9-shaped profit rollup: lineitems of parts whose name contains
+    a fragment, revenue grouped by supplier nation and ship year. part and
+    supplier are dim broadcasts; no shuffle join at all — the groupby on
+    (n_name, l_year) is the only exchange. (Deviation from stock Q9 noted:
+    profit uses the revenue term only — this schema has no partsupp table —
+    and the year is the ship year, keeping the query single-fact.)"""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pk, pname = _dim_arrays(
+        os.path.join(sf_dir, "part.parquet"), "p_partkey", "p_name"
+    )
+    red_keys = pk.filter(pc.match_substring(pname, Q9_NAME_FRAGMENT))
+    sk, sn = _dim_arrays(
+        os.path.join(sf_dir, "supplier.parquet"), "s_suppkey", "s_nationkey"
+    )
+    nk, nn = _dim_arrays(
+        os.path.join(sf_dir, "nation.parquet"), "n_nationkey", "n_name"
+    )
+    ref = ray.put((red_keys, sk, sn, nk, nn))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_shipdate",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    ).map_batches(task_stage(_Q9Profit, ref=ref), batch_format="pyarrow")
+    return li.groupby(["n_name", "l_year"]).aggregate(
+        Sum("profit_e4", alias_name="profit_e4")
+    )
+
+
+def sql_product_profit() -> str:
+    return (
+        f"SELECT n_name, year(l_shipdate) AS l_year,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS profit_e4\n"
+        f"FROM lineitem, part, supplier, nation\n"
+        f"WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey\n"
+        f"  AND s_nationkey = n_nationkey\n"
+        f"  AND p_name LIKE '%{Q9_NAME_FRAGMENT}%'\n"
+        f"GROUP BY n_name, l_year"
+    )
+
+
+# --- Q10: returned-item customer report ------------------------------------
+
+Q10_FROM = "1996-07-01"
+Q10_TO = "1996-10-01"
+Q10_K = 20
+
+
+def _q10_li_pre(b: pa.Table) -> pa.Table:
+    b = b.filter(pc.equal(b.column("l_returnflag"), "R").combine_chunks())
+    return pa.Table.from_pydict(
+        {"l_orderkey": b.column("l_orderkey"), "revenue_e4": _revenue_e4(b)}
+    )
+
+
+class _Q10Attach:
+    def __init__(self, ref):
+        import ray
+
+        self.ck, self.cname, self.cnat, self.nk, self.nn = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
+        nat = self.nn.take(pc.index_in(self.cnat.take(idx), value_set=self.nk))
+        return pa.Table.from_pydict(
+            {
+                "c_custkey": b.column("o_custkey"),
+                "c_name": self.cname.take(idx),
+                "n_name": nat,
+                "revenue_e4": b.column("revenue_e4"),
+            }
+        )
+
+
+def q_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped report: revenue lost to returned lineitems per
+    customer for one quarter of orders, top 20. One orderkey shuffle join
+    (returned lineitems ⋈ quarter orders), then customer name/nation attach
+    as a broadcast, exact-integer revenue aggregate, sort+limit."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = _us(Q10_FROM), _us(Q10_TO)
+    ck, cname, cnat = _dim_arrays(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey", "c_name", "c_nationkey"
+    )
+    nk, nn = _dim_arrays(
+        os.path.join(sf_dir, "nation.parquet"), "n_nationkey", "n_name"
+    )
+    ref = ray.put((ck, cname, cnat, nk, nn))
+
+    def ord_pre(b: pa.Table) -> pa.Table:
+        b = _ts_range_filter(b, "o_orderdate", lo, hi)
+        return b.select(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    ).map_batches(_q10_li_pre, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_pre, batch_format="pyarrow")
+
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = joined.map_batches(task_stage(_Q10Attach, ref=ref), batch_format="pyarrow")
+    agg = out.groupby(["c_custkey", "c_name", "n_name"]).aggregate(
+        Sum("revenue_e4", alias_name="revenue_e4")
+    )
+    return agg.sort(["revenue_e4", "c_custkey"], descending=[True, False]).limit(Q10_K)
+
+
+def sql_returned_items() -> str:
+    return (
+        f"SELECT c_custkey, c_name, n_name,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS revenue_e4\n"
+        f"FROM lineitem, orders, customer, nation\n"
+        f"WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey\n"
+        f"  AND c_nationkey = n_nationkey AND l_returnflag = 'R'\n"
+        f"  AND o_orderdate >= TIMESTAMP '{Q10_FROM}'\n"
+        f"  AND o_orderdate < TIMESTAMP '{Q10_TO}'\n"
+        f"GROUP BY c_custkey, c_name, n_name\n"
+        f"ORDER BY revenue_e4 DESC, c_custkey LIMIT {Q10_K}"
+    )
+
+
+# --- Q12 shape: conditional aggregation over a fact-fact join --------------
+
+Q12_YEAR = 1997
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def _q12_flag(b: pa.Table) -> pa.Table:
+    high = pc.is_in(
+        b.column("o_orderpriority").combine_chunks(), value_set=pa.array(Q12_HIGH)
+    ).cast(pa.int64())
+    return pa.Table.from_pydict(
+        {
+            "l_linestatus": b.column("l_linestatus"),
+            "high_count": high,
+            "low_count": pc.subtract(pa.scalar(1, type=pa.int64()), high),
+        }
+    )
+
+
+def q_priority_line_counts(sf_dir: str):
+    """TPC-H-Q12-shaped conditional aggregation: per lineitem linestatus,
+    how many 1997-shipped lineitems belong to high- vs low-priority orders.
+    The CASE is evaluated vectorized post-join; counts are 0/1 int columns
+    summed by the aggregate (partial sums per block, tiny final shuffle)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = _us(f"{Q12_YEAR}-01-01"), _us(f"{Q12_YEAR + 1}-01-01")
+
+    def li_pre(b: pa.Table) -> pa.Table:
+        b = _ts_range_filter(b, "l_shipdate", lo, hi)
+        return b.select(["l_orderkey", "l_linestatus"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+    ).map_batches(li_pre, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = li.join(
+        orders, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    out = joined.map_batches(_q12_flag, batch_format="pyarrow")
+    return out.groupby("l_linestatus").aggregate(
+        Sum("high_count", alias_name="high_count"),
+        Sum("low_count", alias_name="low_count"),
+    )
+
+
+def sql_priority_line_counts() -> str:
+    hi = ", ".join(f"'{p}'" for p in Q12_HIGH)
+    return (
+        f"SELECT l_linestatus,\n"
+        f"  CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS high_count,\n"
+        f"  CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END)"
+        f" AS BIGINT) AS low_count\n"
+        f"FROM lineitem JOIN orders ON l_orderkey = o_orderkey\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{Q12_YEAR}-01-01'\n"
+        f"  AND l_shipdate < TIMESTAMP '{Q12_YEAR + 1}-01-01'\n"
+        f"GROUP BY l_linestatus"
+    )
+
+
+# --- Q14: promo revenue share ----------------------------------------------
+
+Q14_FROM = "1996-09-01"
+Q14_TO = "1996-10-01"
+
+
+class _Q14Partial:
+    def __init__(self, ref, lo: int, hi: int):
+        import ray
+
+        self.promo_keys = ray.get(ref)
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        b = _ts_range_filter(b, "l_shipdate", self.lo, self.hi)
+        rev = _revenue_e4(b)
+        promo = pc.is_in(
+            b.column("l_partkey").combine_chunks(), value_set=self.promo_keys
+        ).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "promo_revenue_e4": pc.multiply(rev, promo),
+                "total_revenue_e4": rev,
+            }
+        )
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped global conditional aggregate: revenue from PROMO
+    parts vs all parts for one ship month, emitted as two exact integers
+    (numerator / denominator of the promo share — no float division, so the
+    result is bit-exact across engines). part-type attach is a dim
+    broadcast; the whole query is one scan plus a scalar aggregate."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = _us(Q14_FROM), _us(Q14_TO)
+    pk, ptype = _dim_arrays(
+        os.path.join(sf_dir, "part.parquet"), "p_partkey", "p_type"
+    )
+    ref = ray.put(pk.filter(pc.equal(ptype, "PROMO")))
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        task_stage(_Q14Partial, ref=ref, lo=lo, hi=hi), batch_format="pyarrow"
+    )
+    agg = li.aggregate(
+        Sum("promo_revenue_e4", alias_name="promo_revenue_e4"),
+        Sum("total_revenue_e4", alias_name="total_revenue_e4"),
+    )
+    return pa.Table.from_pydict(
+        {
+            "promo_revenue_e4": pa.array(
+                [int(agg["promo_revenue_e4"])], type=pa.int64()
+            ),
+            "total_revenue_e4": pa.array(
+                [int(agg["total_revenue_e4"])], type=pa.int64()
+            ),
+        }
+    )
+
+
+def sql_promo_revenue() -> str:
+    return (
+        f"SELECT\n"
+        f"  CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN\n"
+        f"    CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT)) END), 0)\n"
+        f"    AS BIGINT) AS promo_revenue_e4,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS total_revenue_e4\n"
+        f"FROM lineitem JOIN part ON l_partkey = p_partkey\n"
+        f"WHERE l_shipdate >= TIMESTAMP '{Q14_FROM}'\n"
+        f"  AND l_shipdate < TIMESTAMP '{Q14_TO}'"
+    )
+
+
+# --- Q18: large-volume orders (grouped HAVING semi-join) -------------------
+
+Q18_QTY = 300
+
+
+class _Q18Attach:
+    def __init__(self, ref):
+        import ray
+
+        self.ck, self.cname = ray.get(ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        name = self.cname.take(
+            pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
+        )
+        return pa.Table.from_pydict(
+            {
+                "c_name": name,
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "o_orderdate_us": b.column("o_orderdate")
+                .combine_chunks()
+                .cast(pa.int64()),
+                "total_cents": pc.round(
+                    pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))
+                ).cast(pa.int64()),
+                "sum_qty": b.column("sum_qty"),
+            }
+        )
+
+
+def q_large_order_customers(sf_dir: str):
+    """TPC-H-Q18-shaped grouped-HAVING semi-join: orders whose lineitems sum
+    to > 300 units, joined back to order/customer detail. The HAVING side is
+    a lineitem groupby(orderkey) — quantities are small integers stored as
+    doubles, so the double sum is exact (< 2^53). The surviving keyset is
+    tiny by construction; quantity sums ride the join back to orders."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    big = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_quantity"],
+        )
+        .groupby("l_orderkey")
+        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .filter(expr=f"sum_qty > {Q18_QTY}")
+        # hash aggregates can emit schema-less empty blocks that crash the
+        # downstream join; a small repartition normalizes them
+        .repartition(2)
+    )
+
+    ck, cname = _dim_arrays(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey", "c_name"
+    )
+    ref = ray.put((ck, cname))
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = orders.join(
+        big, "inner", num_partitions=4, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    return joined.map_batches(task_stage(_Q18Attach, ref=ref), batch_format="pyarrow")
+
+
+def sql_large_order_customers() -> str:
+    return (
+        f"SELECT c_name, o_custkey, o_orderkey,\n"
+        f"  epoch_us(o_orderdate) AS o_orderdate_us,\n"
+        f"  CAST(round(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty\n"
+        f"FROM orders JOIN customer ON o_custkey = c_custkey\n"
+        f"JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem\n"
+        f"      GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY}) big\n"
+        f"  ON o_orderkey = big.l_orderkey"
+    )
+
+
+# --- INTERSECT set-op -------------------------------------------------------
+
+INTERSECT_A = "1-URGENT"
+INTERSECT_B = "5-LOW"
+
+
+def q_customers_both_priorities(sf_dir: str):
+    """INTERSECT set-op: customers who placed at least one urgent AND one
+    low-priority order. Each side is deduplicated by a groupby-count (the
+    distinct keys shuffle is bounded by customer cardinality), then a keyed
+    inner join realizes the intersection."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def side(prio: str, key: str):
+        return (
+            orders.filter(expr=f"o_orderpriority == '{prio}'")
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name="n"))
+            .drop_columns(["n"])
+            .rename_columns({"o_custkey": key})
+            .repartition(2)
+        )
+
+    a = side(INTERSECT_A, "o_custkey")
+    b = side(INTERSECT_B, "b_custkey")
+    both = a.join(
+        b, "inner", num_partitions=4, on=("o_custkey",), right_on=("b_custkey",)
+    )
+    return both.select_columns(["o_custkey"])
+
+
+def sql_customers_both_priorities() -> str:
+    return (
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{INTERSECT_A}'\n"
+        f"INTERSECT\n"
+        f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{INTERSECT_B}'"
+    )

@@ -1,0 +1,51 @@
+"""TPC-H-shaped relational queries (Q7/Q9/Q10/Q12/Q14/Q18 + INTERSECT) vs
+their DuckDB oracles at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from quickner_ray.pipelines import relational as rel
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+CASES = [
+    ("q_nation_trade_volume", "sql_nation_trade_volume"),
+    ("q_product_profit", "sql_product_profit"),
+    ("q_returned_items", "sql_returned_items"),
+    ("q_priority_line_counts", "sql_priority_line_counts"),
+    ("q_promo_revenue", "sql_promo_revenue"),
+    ("q_large_order_customers", "sql_large_order_customers"),
+    ("q_customers_both_priorities", "sql_customers_both_priorities"),
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qfn,sfn", CASES, ids=[c[0] for c in CASES])
+def test_relational_matches_oracle(sf_dir, qfn, sfn):
+    out = getattr(rel, qfn)(sf_dir)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out)
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ora = con.sql(getattr(rel, sfn)()).df()
+    assert len(got) == len(ora), (qfn, len(got), len(ora))
+    pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_returned_items_ordering(sf_dir):
+    got = rel.q_returned_items(sf_dir).to_pandas()
+    assert len(got) <= rel.Q10_K
+    assert (got.revenue_e4.diff().dropna() <= 0).all()
