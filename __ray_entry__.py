@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,
         "doc_chunks": q.q_doc_chunks,
         "vocab_df": q.q_vocab_df,
+        "heavy_hitters": q.q_heavy_hitters,
         "redact_pii": q.q_redact_pii,
         "doc_keywords": q.q_doc_keywords,
         "packed_sequences": q.q_packed_sequences,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.stages.sketch import (
         sql_cms_registers as _sql_cms,
+        sql_heavy_hitters as _sql_hh,
         sql_hll_registers as _sql_hll,
     )
     from quickner_ray.stages.text_analysis import (
@@ -332,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_sample": _sql_mix_sample(),
         "hll_user_registers": _sql_hll("user_id", "events"),
         "cms_token_registers": _sql_cms(),
+        "heavy_hitters": _sql_hh(),
         "normalized_text": _sql_norm(),
         "event_value_global_quantiles": _sql_gq(),
         "customer_order_counts": _sql_cust_orders(),

@@ -985,6 +985,15 @@ def q_vocab_df(sf_dir: str):
     return vocab_df(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy-hitter tokens (freq > n/(k+1)) via a two-pass
+    Misra-Gries sweep — candidate combiner bounded at k rows/batch, exact
+    recount of the broadcast candidate set; the vocab never shuffles."""
+    from ..stages.sketch import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_redact_pii(sf_dir: str):
     """PII scrubbing: emails/phones/long digit runs -> typed placeholders."""
     from ..stages.text_analysis import redact_pii

@@ -211,3 +211,168 @@ def sql_cms_registers(table: str = "documents") -> str:
         f"  CAST(sum(c) AS BIGINT) AS register\n"
         f"FROM hb GROUP BY sketch_row, bucket"
     )
+
+
+# -- Misra-Gries heavy hitters (exact two-pass) -------------------------------
+
+MG_K = 50
+
+
+def _mg_partial(batch: pa.Table, text_col: str, k: int = MG_K) -> pa.Table:
+    """Batch -> Misra-Gries summary (token, weight), at most MG_K rows.
+
+    Exact per-batch token counts (dictionary-encode + bincount) are turned
+    into an MG summary by subtracting the (K+1)-th largest count: at most K
+    tokens keep a positive weight, and the per-batch undercount of any token
+    is <= n_batch/(K+1).  Summed across batches (one tiny groupby), every
+    token with global frequency > n/(K+1) keeps a positive merged weight
+    (Agarwal et al. 2012, mergeable summaries) — the candidate sweep that
+    replaces a full-vocab shuffle with a <= K-rows-per-batch combiner.
+    """
+    import pyarrow.compute as pc
+
+    from .text_analysis import WORD_CLASS_SPLIT_RE
+
+    empty = pa.table(
+        {
+            "token": pa.array([], type=pa.string()),
+            "weight": pa.array([], type=pa.int64()),
+        }
+    )
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if len(texts) == 0:
+        return empty
+    toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    if len(flat):
+        flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+    if not len(flat):
+        return empty
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    tf = np.bincount(codes, minlength=len(enc.dictionary))
+    if len(tf) > k:
+        thresh = np.partition(tf, -(k + 1))[-(k + 1)]
+    else:
+        thresh = 0
+    keep = np.nonzero(tf > thresh)[0]
+    return pa.table(
+        {
+            "token": enc.dictionary.take(pa.array(keep)),
+            "weight": pa.array(tf[keep] - thresh, type=pa.int64()),
+        }
+    )
+
+
+def _mg_verify_partial(batch: pa.Table, text_col: str, cand_ref) -> pa.Table:
+    """Exact recount pass: per-batch counts of CANDIDATE tokens only, plus
+    one ('', n_batch_tokens) row carrying the total-token partial (tokens
+    are non-empty by construction, so '' cannot collide)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .text_analysis import WORD_CLASS_SPLIT_RE
+
+    cand = ray.get(cand_ref) if not isinstance(cand_ref, pa.Array) else cand_ref
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    out_tok: list = []
+    out_n: list = []
+    total = 0
+    if len(texts):
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        if len(flat):
+            flat = flat.filter(pc.greater(pc.binary_length(flat), 0))
+        total = len(flat)
+        if total:
+            hits = flat.filter(pc.is_in(flat, value_set=cand))
+            if len(hits):
+                enc = pc.dictionary_encode(hits)
+                codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                counts = np.bincount(codes, minlength=len(enc.dictionary))
+                out_tok = enc.dictionary.to_pylist()
+                out_n = counts.tolist()
+    return pa.table(
+        {
+            "token": pa.array(out_tok + [""], type=pa.string()),
+            "n_occurrences": pa.array(out_n + [total], type=pa.int64()),
+        }
+    )
+
+
+def heavy_hitter_tokens(ds, text_col: str = "text", k: int = MG_K):
+    """Exact heavy hitters: all tokens with frequency > n_tokens/(k+1).
+
+    Pass 1 (MG candidate sweep): <= k (token, weight) rows per batch ->
+    groupby-sum -> bounded candidate table collected driver-side and
+    broadcast (same size-gate rationale as rare_word_stats' top-K vocab:
+    the candidate set is O(k * stragglers), never vocab-sized).
+    Pass 2 (exact verify): per-batch counts of candidates + total-token
+    partials -> groupby-sum -> filter count*(k+1) > n.  Both shuffles are
+    combiner-bounded; the full vocabulary never moves.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    mg = (
+        ds.map_batches(
+            lambda b: _mg_partial(b, text_col, k), batch_format="pyarrow"
+        )
+        .groupby("token")
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    blocks = [
+        t
+        for t in (ray.get(r) for r in mg.to_arrow_refs())
+        if t.num_rows and "token" in t.column_names
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "token": pa.array([], type=pa.string()),
+                "n_occurrences": pa.array([], type=pa.int64()),
+            }
+        )
+    cand = pa.concat_tables(blocks).column("token").combine_chunks()
+    cand_ref = ray.put(cand)
+
+    exact = (
+        ds.map_batches(
+            lambda b: _mg_verify_partial(b, text_col, cand_ref),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
+    )
+    tab = [
+        t
+        for t in (ray.get(r) for r in exact.to_arrow_refs())
+        if t.num_rows and "token" in t.column_names
+    ]
+    merged = pa.concat_tables(tab).combine_chunks()
+    tok = merged.column("token")
+    n = merged.column("n_occurrences")
+    import pyarrow.compute as pc
+
+    total = pc.sum(n.filter(pc.equal(tok, ""))).as_py() or 0
+    keep = pc.and_(
+        pc.not_equal(tok, ""),
+        pc.greater(pc.multiply(n, pa.scalar(k + 1, type=pa.int64())), total),
+    )
+    return merged.filter(keep)
+
+
+def sql_heavy_hitters(table: str = "documents", k: int = MG_K) -> str:
+    """Exact oracle: tokens with count*(k+1) > total token count."""
+    return (
+        f"WITH toks AS (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '[a-z0-9]+')) AS tok FROM {table}),\n"
+        f"tc AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),\n"
+        f"tot AS (SELECT count(*) AS n FROM toks)\n"
+        f"SELECT tok AS token, CAST(c AS BIGINT) AS n_occurrences\n"
+        f"FROM tc, tot WHERE c * ({k} + 1) > n"
+    )

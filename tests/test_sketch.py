@@ -92,3 +92,59 @@ class TestCMS:
 
         regs = self._sketch(["aa bb cc"] * 3)
         assert cms_estimate(regs, "zzznotpresent") <= 3
+
+
+class TestMisraGries:
+    def test_partial_summary_invariants(self):
+        import re
+
+        from quickner_ray.stages.sketch import _mg_partial
+
+        texts = ["hot " * 40 + f"cold{i} warm warm" for i in range(30)]
+        k = 5
+        batch = pa.table({"text": pa.array(texts)})
+        out = _mg_partial(batch, "text", k)
+        true = {}
+        for t in texts:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                true[w] = true.get(w, 0) + 1
+        n = sum(true.values())
+        assert out.num_rows <= k
+        weights = dict(
+            zip(out.column("token").to_pylist(), out.column("weight").to_pylist())
+        )
+        for tok, w in weights.items():
+            assert 0 < w <= true[tok]
+            # undercount bound: true - weight <= n/(k+1)
+            assert true[tok] - w <= n / (k + 1)
+        # every token over the guarantee threshold must appear
+        for tok, c in true.items():
+            if c * (k + 1) > n:
+                assert tok in weights, tok
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_heavy_hitters_exact_vs_brute(self):
+        import re
+
+        from quickner_ray.stages.sketch import MG_K, heavy_hitter_tokens
+
+        import pyarrow.parquet as pq
+
+        tab = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        true = {}
+        for t in tab.column("text").to_pylist():
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                true[w] = true.get(w, 0) + 1
+        n = sum(true.values())
+        expect = {
+            w: c for w, c in true.items() if c * (MG_K + 1) > n
+        }
+        ds = rd.from_arrow(tab).repartition(4)
+        got = heavy_hitter_tokens(ds)
+        got_d = dict(
+            zip(got.column("token").to_pylist(),
+                got.column("n_occurrences").to_pylist())
+        )
+        assert got_d == expect
