@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
+        "event_value_quantiles_cont": q.q_event_value_quantiles_cont,
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),
+        "event_value_quantiles_cont": ev.sql_grouped_quantiles_cont(),
         "repetition_stats": _sql_rep(),
         "top_bigrams": _sql_bigrams(k=20),
         "top_orders_per_priority": _sql_topk_orders(),

@@ -1072,6 +1072,16 @@ def q_event_value_quantiles(sf_dir: str):
     )
 
 
+def q_event_value_quantiles_cont(sf_dir: str):
+    """Per-event-type INTERPOLATED quantiles (percentile_cont semantics,
+    bit-exact replica of DuckDB's lerp — see grouped_quantiles_cont)."""
+    from ..stages.events import grouped_quantiles_cont
+
+    return grouped_quantiles_cont(
+        _events(sf_dir, columns=["event_type", "value"]), "event_type", "value"
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
     from ..stages.text_analysis import LangIdStage

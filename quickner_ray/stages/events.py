@@ -777,6 +777,65 @@ def sql_grouped_quantiles(
         for q in qs
     ]
     return "\nUNION ALL\n".join(parts)
+def grouped_quantiles_cont(
+    ds, key_col: str, value_col: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)
+):
+    """Exact INTERPOLATED quantiles per group (percentile_cont semantics).
+
+    DuckDB 1.0's continuous interpolator is ``lo*(1-frac) + hi*frac`` with
+    ``frac = RN - floor(RN)``, ``RN = q*(n-1)`` — reproduced here operation
+    for operation in float64, so the oracle hash-matches bit-exactly.
+    Caveat pinned by tests: DuckDB parses the quantile LITERAL as DECIMAL
+    (int/10^scale evaluated in double), so only literals whose decimal
+    parse equals the Python float are used (0.25/0.5/0.75/0.9 qualify);
+    an arbitrary 17-digit q would diverge by an ulp in frac."""
+    import numpy as np
+    import pyarrow as pa
+
+    qs = tuple(float(q) for q in qs)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        col = group.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = np.sort(col.to_numpy(zero_copy_only=False))
+        n = len(v)
+        out = []
+        for q in qs:
+            rn = q * (n - 1)
+            frn = int(np.floor(rn))
+            crn = int(np.ceil(rn))
+            if crn == frn:
+                out.append(v[frn])
+            else:
+                frac = rn - frn
+                out.append(v[frn] * (1.0 - frac) + v[crn] * frac)
+        key = group.column(key_col)
+        return pa.Table.from_pydict(
+            {
+                key_col: key.take(pa.array([0] * len(qs))),
+                "q": pa.array(qs, type=pa.float64()),
+                "qvalue": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def sql_grouped_quantiles_cont(
+    key_col: str = "event_type",
+    value_col: str = "value",
+    qs: tuple = (0.25, 0.5, 0.75, 0.9),
+    table: str = "events",
+) -> str:
+    parts = [
+        f"SELECT {key_col}, {q} AS q, quantile_cont({value_col}, {q}) AS qvalue\n"
+        f"FROM {table} GROUP BY {key_col}"
+        for q in qs
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def sql_resample_user_windows(
     window_us: int = US_PER_HOUR, table: str = "events"
 ) -> str:

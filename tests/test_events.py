@@ -201,6 +201,46 @@ class TestGroupedQuantiles:
         pd.testing.assert_frame_equal(got, ora[got.columns], check_dtype=False)
 
 
+class TestGroupedQuantilesCont:
+    def test_lerp_bit_exact_across_sizes(self, ray_session):
+        """percentile_cont interpolation (lo*(1-frac)+hi*frac, frac from
+        q*(n-1)) pinned BIT-exact vs DuckDB for every group size 1..40 on
+        random doubles — the value comparison is == on float64, no
+        tolerance."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import (
+            grouped_quantiles_cont,
+            sql_grouped_quantiles_cont,
+        )
+
+        rng = np.random.RandomState(7)
+        keys, vals = [], []
+        for size in range(1, 41):
+            keys += [f"g{size}"] * size
+            vals += (rng.randn(size) * 1000).tolist()
+        tbl = pa.table({"event_type": keys, "value": vals})
+        got = (
+            grouped_quantiles_cont(rd.from_arrow(tbl), "event_type", "value")
+            .to_pandas()
+            .sort_values(["event_type", "q"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql("SET threads=2")
+        con.register("events", tbl)
+        ora = (
+            con.sql(sql_grouped_quantiles_cont())
+            .df()
+            .sort_values(["event_type", "q"])
+            .reset_index(drop=True)
+        )
+        assert got["qvalue"].tolist() == ora["qvalue"].tolist()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestEventGaps:
     def test_lag_matches_pandas(self):
