@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_postings": q.q_entity_postings,
         "entity_cooccurrence": q.q_entity_cooccurrence,
         "entity_pagerank": q.q_entity_pagerank,
+        "entity_jaccard": q.q_entity_jaccard,
         "entity_triangles": q.q_entity_triangles,
         "relation_candidates": q.q_relation_candidates,
         "entity_pmi": q.q_entity_pmi,
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_kcore,
         sql_entity_pmi,
         sql_mention_contexts,
+        sql_neighborhood_jaccard,
         sql_relation_candidates,
         sql_entity_link,
         sql_label_mention_counts,
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
+        "entity_jaccard": sql_neighborhood_jaccard(DEFAULT_GAZETTEER),
         "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
         "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
         "entity_pmi": sql_entity_pmi(DEFAULT_GAZETTEER),

@@ -399,3 +399,35 @@ def sql_entity_postings(
         f"  CAST(count(*) AS BIGINT) AS n_postings\n"
         f"FROM acc GROUP BY pname"
     )
+
+
+def sql_neighborhood_jaccard(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    nb_cap: int = 256,
+    min_common: int = 2,
+) -> str:
+    """Oracle for ``q_entity_jaccard``: exact-rational neighborhood Jaccard
+    over the co-occurrence graph — both-direction adjacency, per-apex
+    neighbor list capped at the ``nb_cap`` lowest ids (QUALIFY mirrors the
+    numpy sort-and-slice), wedge self-join = common-neighbor counts,
+    capped degrees close the union term.  AS MATERIALIZED throughout:
+    DuckDB 1.0 inlines CTEs, and adj/nb are referenced 2-3 times."""
+    inner = sql_entity_cooccurrence(entities, table, cap=cap)
+    return (
+        f"WITH edges AS MATERIALIZED ({inner}),\n"
+        f"adj AS MATERIALIZED (SELECT entity_a AS a, entity_b AS b FROM edges\n"
+        f"  UNION ALL SELECT entity_b, entity_a FROM edges),\n"
+        f"nb AS MATERIALIZED (SELECT a, b FROM adj QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY a ORDER BY b) <= {nb_cap}),\n"
+        f"deg AS MATERIALIZED (SELECT a, count(*) AS d FROM nb GROUP BY a),\n"
+        f"wed AS (SELECT n1.b AS x, n2.b AS y FROM nb n1 JOIN nb n2\n"
+        f"  ON n1.a = n2.a AND n1.b < n2.b),\n"
+        f"inter AS (SELECT x, y, count(*) AS c FROM wed GROUP BY x, y)\n"
+        f"SELECT x AS entity_a, y AS entity_b, CAST(c AS BIGINT) AS n_common,\n"
+        f"  CAST(dx.d + dy.d - c AS BIGINT) AS n_union\n"
+        f"FROM inter JOIN deg dx ON inter.x = dx.a JOIN deg dy ON inter.y = dy.a\n"
+        f"WHERE c >= {min_common}"
+    )

@@ -1869,6 +1869,23 @@ def q_entity_cooccurrence(sf_dir: str):
     return cooccurrence_pairs(mentions_dataset(sf_dir))
 
 
+def q_entity_jaccard(sf_dir: str):
+    """Link prediction over the KG: exact-rational neighborhood Jaccard
+    (common / union neighbor counts as integers) for entity pairs sharing
+    >= 2 co-occurrence neighbors."""
+    import pyarrow as pa
+
+    from ..stages.graph_cc import cooccurrence_pairs, neighborhood_jaccard
+
+    edges = cooccurrence_pairs(mentions_dataset(sf_dir))
+    return neighborhood_jaccard(
+        edges,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+
+
 def q_entity_pagerank(sf_dir: str):
     """KG graph analytics: integer fixed-point PageRank over the entity
     co-occurrence graph (damping 0.85, 3 power iterations, scores in

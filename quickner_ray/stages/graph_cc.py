@@ -914,3 +914,114 @@ def kcore(
     # output = final within-core degree table over the surviving set
     # (nodes with zero alive-alive edges drop out, mirroring the oracle)
     return _project_t(degrees(alive), {"node": "src", "core_deg": "deg"}, ntypes)
+
+
+def neighborhood_jaccard(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    nb_cap: int = WEDGE_CAP,
+    min_common: int = 2,
+):
+    """Link prediction by neighborhood overlap: for node pairs sharing >=
+    ``min_common`` neighbors in the undirected graph, the exact-rational
+    Jaccard of their (capped) neighbor sets as integer numerator /
+    denominator — Dataset(entity_a, entity_b, n_common, n_union) with
+    ``jaccard = n_common / n_union`` (no float emitted, so the oracle
+    hash-matches).
+
+    Shape: wedge enumeration at every apex over the BOTH-direction
+    adjacency (one groupby on the node key; per-apex out-neighbors capped
+    at the ``nb_cap`` lowest ids — quadratic hub guard, mirrored in the
+    SQL oracle's QUALIFY) -> ONE pair-count groupby = common-neighbor
+    counts.  Capped degrees are a node-bounded table (the entity universe
+    is gazetteer-bounded) collected once and broadcast into the final
+    vectorized attach; for open-vocabulary graphs swap the attach for two
+    hash joins on the pair endpoints.
+    """
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    nt = node_type if node_type is not None else pa.int64()
+    types = {"a": nt, "b": nt, "x": nt, "y": nt}
+    e = _project_t(edges, {"src": src_col, "dst": dst_col}, types).materialize()
+    adj = _project_t(e, {"a": "src", "b": "dst"}, types).union(
+        _project_t(e, {"a": "dst", "b": "src"}, types)
+    )
+
+    def nb_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table({"x": pa.array([], type=nt), "y": pa.array([], type=nt)})
+        if g.num_rows < 2:
+            return empty
+        nb = np.sort(np.asarray(g.column("b").to_pylist()))[:nb_cap]
+        iu, ju = np.triu_indices(len(nb), 1)
+        return pa.table(
+            {"x": pa.array(nb[iu]).cast(nt), "y": pa.array(nb[ju]).cast(nt)}
+        )
+
+    inter = (
+        adj.groupby("a")
+        .map_groups(nb_pairs, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="n_common"))
+    )
+
+    # capped degree per node: min(true neighbor count, nb_cap) — bounded by
+    # the node universe, collected once and broadcast
+    degs = adj.groupby("a").aggregate(Count(alias_name="d"))
+    blocks = [
+        t
+        for t in (ray.get(r) for r in degs.to_arrow_refs())
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not blocks:
+        return pa.table(
+            {
+                "entity_a": pa.array([], type=nt),
+                "entity_b": pa.array([], type=nt),
+                "n_common": pa.array([], type=pa.int64()),
+                "n_union": pa.array([], type=pa.int64()),
+            }
+        )
+    dtab = pa.concat_tables(blocks).combine_chunks()
+    dkeys = dtab.column("a").combine_chunks()
+    import pyarrow.compute as pc
+
+    dvals = pc.min_element_wise(
+        dtab.column("d").combine_chunks(), pa.scalar(nb_cap, type=pa.int64())
+    )
+    ref = ray.put((dkeys, dvals))
+
+    class AttachDeg:
+        def __init__(self, ref):
+            self.dkeys, self.dvals = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep = pc.greater_equal(
+                b.column("n_common").combine_chunks(),
+                pa.scalar(min_common, type=pa.int64()),
+            )
+            b = b.filter(keep)
+            dx = self.dvals.take(
+                pc.index_in(b.column("x").combine_chunks(), value_set=self.dkeys)
+            )
+            dy = self.dvals.take(
+                pc.index_in(b.column("y").combine_chunks(), value_set=self.dkeys)
+            )
+            c = b.column("n_common").combine_chunks()
+            union = pc.subtract(pc.add(dx, dy), c)
+            return pa.table(
+                {
+                    "entity_a": b.column("x"),
+                    "entity_b": b.column("y"),
+                    "n_common": c,
+                    "n_union": union.cast(pa.int64()),
+                }
+            )
+
+    from .taskstate import task_stage
+
+    return inter.map_batches(task_stage(AttachDeg, ref=ref), batch_format="pyarrow")

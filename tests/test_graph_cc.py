@@ -355,3 +355,61 @@ class TestKCore:
         edges = [("aa", "bb"), ("bb", "cc"), ("aa", "cc"), ("cc", "dd")]
         got = self._run(edges, 2, dcap, node_type=pa.string())
         assert got == _ref_kcore(edges, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestNeighborhoodJaccard:
+    def _run(self, edges, nodes=None, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.graph_cc import neighborhood_jaccard
+
+        tbl = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], type=pa.int64()),
+                "dst": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        out = neighborhood_jaccard(rd.from_arrow(tbl), **kw)
+        got = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+        return {
+            (r.entity_a, r.entity_b): (r.n_common, r.n_union)
+            for r in got.itertuples()
+        }
+
+    def test_matches_brute_force(self):
+        import itertools
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        nodes = list(range(12))
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.choice(nodes, 2, replace=False)) for _ in range(40)
+                )
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            inter = len(adj[x] & adj[y])
+            if inter >= 2:
+                expect[(x, y)] = (inter, len(adj[x] | adj[y]))
+        got = self._run(edges, min_common=2)
+        assert got == expect
+
+    def test_nb_cap_limits_neighbors(self):
+        # star: hub 0 with neighbors 1..6; with nb_cap=3 only {1,2,3}
+        # pair through the hub, and capped degree of 0 is 3
+        edges = [(0, i) for i in range(1, 7)]
+        got = self._run(edges, min_common=1, nb_cap=3)
+        # leaf pairs share exactly the hub; leaves have degree 1 each
+        assert got[(1, 2)] == (1, 1)
+        assert (1, 4) not in got
