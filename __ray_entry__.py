@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
         "event_value_quantiles_cont": q.q_event_value_quantiles_cont,
+        "event_value_mad": q.q_event_value_mad,
+        "nation_status_grid": _rel("q_nation_status_grid"),
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
@@ -332,6 +334,8 @@ def oracle_sql() -> dict[str, str]:
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),
         "event_value_quantiles_cont": ev.sql_grouped_quantiles_cont(),
+        "event_value_mad": ev.sql_grouped_mad(),
+        "nation_status_grid": rel.sql_nation_status_grid(),
         "repetition_stats": _sql_rep(),
         "top_bigrams": _sql_bigrams(k=20),
         "top_orders_per_priority": _sql_topk_orders(),

@@ -1082,6 +1082,16 @@ def q_event_value_quantiles_cont(sf_dir: str):
     )
 
 
+def q_event_value_mad(sf_dir: str):
+    """Per-event-type median + median absolute deviation (robust outlier
+    scale), bit-exact vs DuckDB median/mad."""
+    from ..stages.events import grouped_mad
+
+    return grouped_mad(
+        _events(sf_dir, columns=["event_type", "value"]), "event_type", "value"
+    )
+
+
 def q_lang_id(sf_dir: str):
     """Stopword-heuristic language ID (actor-pool stage, oracle-checked)."""
     from ..stages.text_analysis import LangIdStage

@@ -638,3 +638,103 @@ def sql_customers_both_priorities() -> str:
         f"INTERSECT\n"
         f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{INTERSECT_B}'"
     )
+
+
+# --- CROSS JOIN grid with zero-fill ----------------------------------------
+
+
+def q_nation_status_grid(sf_dir: str):
+    """Dense reporting grid: order counts per (nation, order status) with
+    zero-filled missing combinations — the CROSS JOIN + LEFT JOIN +
+    COALESCE(0) shape.  The counts aggregate is the only shuffle; the grid
+    itself is dimension-bounded (|nation| x |status|), so densification
+    happens driver-side on the tiny aggregate output."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    nk, nn = _dim_arrays(
+        os.path.join(sf_dir, "nation.parquet"), "n_nationkey", "n_name"
+    )
+    ck, cn = _dim_arrays(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey", "c_nationkey"
+    )
+    ref = ray.put((ck, cn, nk, nn))
+
+    class AttachNation:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.ck, self.cn, self.nk, self.nn = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            c_nat = self.cn.take(
+                pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
+            )
+            name = self.nn.take(pc.index_in(c_nat, value_set=self.nk))
+            return pa.Table.from_pydict(
+                {"n_name": name, "o_orderstatus": b.column("o_orderstatus")}
+            )
+
+    from ..stages.taskstate import task_stage
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).map_batches(task_stage(AttachNation, ref=ref), batch_format="pyarrow")
+    counts = orders.groupby(["n_name", "o_orderstatus"]).aggregate(
+        Count(alias_name="n_orders")
+    )
+    blocks = [
+        t
+        for t in (ray.get(r) for r in counts.to_arrow_refs())
+        if t.num_rows and "n_name" in t.column_names
+    ]
+    got = (
+        pa.concat_tables(blocks).combine_chunks()
+        if blocks
+        else pa.table(
+            {
+                "n_name": pa.array([], type=pa.string()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "n_orders": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+    statuses = sorted(set(got.column("o_orderstatus").to_pylist()))
+    seen = {
+        (a, s): c
+        for a, s, c in zip(
+            got.column("n_name").to_pylist(),
+            got.column("o_orderstatus").to_pylist(),
+            got.column("n_orders").to_pylist(),
+        )
+    }
+    names = nn.to_pylist()
+    out_n, out_s, out_c = [], [], []
+    for name in names:
+        for s in statuses:
+            out_n.append(name)
+            out_s.append(s)
+            out_c.append(seen.get((name, s), 0))
+    return pa.table(
+        {
+            "n_name": pa.array(out_n, type=pa.string()),
+            "o_orderstatus": pa.array(out_s, type=pa.string()),
+            "n_orders": pa.array(out_c, type=pa.int64()),
+        }
+    )
+
+
+def sql_nation_status_grid() -> str:
+    return (
+        "SELECT n.n_name, s.o_orderstatus,\n"
+        "  CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders\n"
+        "FROM nation n\n"
+        "CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s\n"
+        "LEFT JOIN (SELECT n_name AS nn, o_orderstatus AS st, count(*) AS n\n"
+        "    FROM orders JOIN customer ON o_custkey = c_custkey\n"
+        "    JOIN nation ON c_nationkey = n_nationkey\n"
+        "    GROUP BY nn, st) c\n"
+        "  ON n.n_name = c.nn AND s.o_orderstatus = c.st"
+    )

@@ -822,6 +822,52 @@ def grouped_quantiles_cont(
     return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def grouped_mad(ds, key_col: str, value_col: str):
+    """Median absolute deviation per group — robust dispersion for outlier
+    gating.  Both medians use the percentile_cont lerp replica (see
+    grouped_quantiles_cont), and DuckDB's ``mad(x)`` is exactly
+    ``median(abs(x - median(x)))``, so the float64 output compares == with
+    the oracle (pinned by tests across group sizes)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _median(v: "np.ndarray") -> float:
+        n = len(v)
+        rn = 0.5 * (n - 1)
+        frn = int(np.floor(rn))
+        crn = int(np.ceil(rn))
+        if crn == frn:
+            return float(v[frn])
+        frac = rn - frn
+        return float(v[frn] * (1.0 - frac) + v[crn] * frac)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        col = group.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = np.sort(col.to_numpy(zero_copy_only=False))
+        med = _median(v)
+        mad = _median(np.sort(np.abs(v - med)))
+        return pa.Table.from_pydict(
+            {
+                key_col: group.column(key_col).take(pa.array([0])),
+                "med": pa.array([med], type=pa.float64()),
+                "mad_value": pa.array([mad], type=pa.float64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def sql_grouped_mad(
+    key_col: str = "event_type", value_col: str = "value", table: str = "events"
+) -> str:
+    return (
+        f"SELECT {key_col}, median({value_col}) AS med,"
+        f" mad({value_col}) AS mad_value FROM {table} GROUP BY {key_col}"
+    )
+
+
 def sql_grouped_quantiles_cont(
     key_col: str = "event_type",
     value_col: str = "value",

@@ -241,6 +241,40 @@ class TestGroupedQuantilesCont:
         assert got["qvalue"].tolist() == ora["qvalue"].tolist()
 
 
+class TestGroupedMad:
+    def test_bit_exact_across_sizes(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import grouped_mad, sql_grouped_mad
+
+        rng = np.random.RandomState(5)
+        keys, vals = [], []
+        for size in range(1, 31):
+            keys += [f"g{size}"] * size
+            vals += (rng.randn(size) * 500).tolist()
+        tbl = pa.table({"event_type": keys, "value": vals})
+        got = (
+            grouped_mad(rd.from_arrow(tbl), "event_type", "value")
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql("SET threads=2")
+        con.register("events", tbl)
+        ora = (
+            con.sql(sql_grouped_mad())
+            .df()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        assert got["med"].tolist() == ora["med"].tolist()
+        assert got["mad_value"].tolist() == ora["mad_value"].tolist()
+
+
 @pytest.mark.usefixtures("ray_session")
 class TestEventGaps:
     def test_lag_matches_pandas(self):
