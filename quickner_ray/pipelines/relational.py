@@ -517,6 +517,7 @@ def sql_promo_revenue() -> str:
 # --- Q18: large-volume orders (grouped HAVING semi-join) -------------------
 
 Q18_QTY = 300
+Q18_BROADCAST_CAP = 500_000  # rows; above this the keyset joins by hash
 
 
 class _Q18Attach:
@@ -555,13 +556,21 @@ def q_large_order_customers(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    def qty_partial(b: pa.Table) -> pa.Table:
+        # per-batch combiner: lineitem is orderkey-contiguous on disk, so
+        # this collapses ~4 rows/order to ~1 before the global shuffle
+        return b.group_by("l_orderkey").aggregate([("l_quantity", "sum")]).rename_columns(
+            ["l_orderkey", "sum_qty"]
+        )
+
     big = (
         rd.read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
             columns=["l_orderkey", "l_quantity"],
         )
-        .groupby("l_orderkey")
-        .aggregate(Sum("l_quantity", alias_name="sum_qty"))
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey", num_partitions=8)
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"))
         .filter(expr=f"sum_qty > {Q18_QTY}")
         # hash aggregates can emit schema-less empty blocks that crash the
         # downstream join; a small repartition normalizes them
@@ -577,9 +586,53 @@ def q_large_order_customers(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
     )
-    joined = orders.join(
-        big, "inner", num_partitions=4, on=("o_orderkey",), right_on=("l_orderkey",)
-    )
+
+    # size gate (same idiom as stages/antijoin): the >300-qty keyset is a
+    # tiny fraction of orders — broadcast the (orderkey -> sum_qty) map and
+    # skip the join shuffle entirely; fall back to the hash join when the
+    # keyset outgrows the broadcast cap
+    big = big.materialize()
+    if big.count() <= Q18_BROADCAST_CAP:
+        blocks = [
+            t
+            for t in (ray.get(r) for r in big.to_arrow_refs())
+            if t.num_rows and "l_orderkey" in t.column_names
+        ]
+        bt = (
+            pa.concat_tables(blocks).combine_chunks()
+            if blocks
+            else pa.table(
+                {
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "sum_qty": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+        qref = ray.put(
+            (bt.column("l_orderkey").combine_chunks(), bt.column("sum_qty").combine_chunks())
+        )
+
+        class SemiAttach:
+            def __init__(self, qref):
+                import ray as _ray
+
+                self.bk, self.bq = _ray.get(qref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                idx = pc.index_in(
+                    b.column("o_orderkey").combine_chunks(), value_set=self.bk
+                )
+                keep = pc.is_valid(idx)
+                b = b.filter(keep)
+                return b.append_column("sum_qty", self.bq.take(idx.filter(keep)))
+
+        joined = orders.map_batches(
+            task_stage(SemiAttach, qref=qref), batch_format="pyarrow"
+        )
+    else:
+        joined = orders.join(
+            big, "inner", num_partitions=4, on=("o_orderkey",), right_on=("l_orderkey",)
+        )
     return joined.map_batches(task_stage(_Q18Attach, ref=ref), batch_format="pyarrow")
 
 
@@ -737,4 +790,183 @@ def sql_nation_status_grid() -> str:
         "    JOIN nation ON c_nationkey = n_nationkey\n"
         "    GROUP BY nn, st) c\n"
         "  ON n.n_name = c.nn AND s.o_orderstatus = c.st"
+    )
+
+
+# --- Q15: top supplier(s) by quarter revenue (argmax with ties) ------------
+
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+class _Q15Partial:
+    def __init__(self, lo: int, hi: int):
+        self.lo, self.hi = lo, hi
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        b = _ts_range_filter(b, "l_shipdate", self.lo, self.hi)
+        return pa.Table.from_pydict(
+            {"l_suppkey": b.column("l_suppkey"), "revenue_e4": _revenue_e4(b)}
+        )
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-shaped argmax-with-ties: the supplier(s) whose quarter
+    revenue equals the maximum over all suppliers — the correlated-scalar-
+    subquery (WHERE x = (SELECT max ...)) shape. One scan + one supplier-
+    bounded groupby; the max is a scalar aggregate over that tiny table,
+    broadcast into a vectorized equality filter; names attach from the
+    supplier dim."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    lo, hi = _us(Q15_FROM), _us(Q15_TO)
+    rev = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(task_stage(_Q15Partial, lo=lo, hi=hi), batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Sum("revenue_e4", alias_name="total_revenue_e4"))
+        .materialize()
+    )
+    best = rev.aggregate(Max("total_revenue_e4", alias_name="m"))["m"]
+
+    sk, sname = _dim_arrays(
+        os.path.join(sf_dir, "supplier.parquet"), "s_suppkey", "s_name"
+    )
+    ref = ray.put((sk, sname))
+
+    class Finish:
+        def __init__(self, ref, best: int):
+            import ray as _ray
+
+            self.sk, self.sname = _ray.get(ref)
+            self.best = best
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            keep = pc.equal(
+                b.column("total_revenue_e4").combine_chunks(),
+                pa.scalar(self.best, type=pa.int64()),
+            )
+            b = b.filter(keep)
+            name = self.sname.take(
+                pc.index_in(b.column("l_suppkey").combine_chunks(), value_set=self.sk)
+            )
+            return pa.Table.from_pydict(
+                {
+                    "s_suppkey": b.column("l_suppkey"),
+                    "s_name": name,
+                    "total_revenue_e4": b.column("total_revenue_e4"),
+                }
+            )
+
+    return rev.map_batches(
+        task_stage(Finish, ref=ref, best=int(best)), batch_format="pyarrow"
+    )
+
+
+def sql_top_supplier_revenue() -> str:
+    return (
+        f"WITH rev AS MATERIALIZED (SELECT l_suppkey,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS total_revenue_e4\n"
+        f"  FROM lineitem\n"
+        f"  WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'\n"
+        f"    AND l_shipdate < TIMESTAMP '{Q15_TO}'\n"
+        f"  GROUP BY l_suppkey)\n"
+        f"SELECT s_suppkey, s_name, total_revenue_e4\n"
+        f"FROM supplier JOIN rev ON s_suppkey = l_suppkey\n"
+        f"WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM rev)"
+    )
+
+
+# --- Q11 shape: value-share HAVING against a global scalar -----------------
+
+Q11_MULT_NUM = 3  # keep parts with revenue > 1.5x the mean part revenue
+Q11_MULT_DEN = 2
+
+
+def _q11_partial(b: pa.Table) -> pa.Table:
+    return pa.Table.from_pydict(
+        {"l_partkey": b.column("l_partkey"), "revenue_e4": _revenue_e4(b)}
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H-Q11-shaped value-share filter: parts whose total revenue
+    exceeds 1.5x the mean part revenue — the HAVING-against-a-global-scalar
+    shape. One scan + one partkey groupby; the global total and group count
+    are scalar aggregates over the grouped table, broadcast into an exact
+    integer cross-multiplied filter (rev * n_parts * 2 > total * 3 — no
+    division, no floats; int64 headroom to ~10^18 e4-units)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    rev = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_q11_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue_e4", alias_name="part_revenue_e4"))
+        .materialize()
+    )
+    tot = rev.aggregate(
+        Sum("part_revenue_e4", alias_name="t"), Count(alias_name="n")
+    )
+    total, n_parts = int(tot["t"]), int(tot["n"])
+
+    pk, pname = _dim_arrays(
+        os.path.join(sf_dir, "part.parquet"), "p_partkey", "p_name"
+    )
+    ref = ray.put((pk, pname))
+
+    class Finish:
+        def __init__(self, ref, total: int, n_parts: int):
+            import ray as _ray
+
+            self.pk, self.pname = _ray.get(ref)
+            self.cut = total * Q11_MULT_NUM
+            self.mult = n_parts * Q11_MULT_DEN
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            lhs = pc.multiply(
+                b.column("part_revenue_e4").combine_chunks(),
+                pa.scalar(self.mult, type=pa.int64()),
+            )
+            b = b.filter(pc.greater(lhs, pa.scalar(self.cut, type=pa.int64())))
+            name = self.pname.take(
+                pc.index_in(b.column("l_partkey").combine_chunks(), value_set=self.pk)
+            )
+            return pa.Table.from_pydict(
+                {
+                    "p_partkey": b.column("l_partkey"),
+                    "p_name": name,
+                    "part_revenue_e4": b.column("part_revenue_e4"),
+                }
+            )
+
+    return rev.map_batches(
+        task_stage(Finish, ref=ref, total=total, n_parts=n_parts),
+        batch_format="pyarrow",
+    )
+
+
+def sql_important_parts() -> str:
+    return (
+        f"WITH rev AS MATERIALIZED (SELECT l_partkey,\n"
+        f"  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)\n"
+        f"      * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)\n"
+        f"    AS part_revenue_e4\n"
+        f"  FROM lineitem GROUP BY l_partkey)\n"
+        f"SELECT p_partkey, p_name, part_revenue_e4\n"
+        f"FROM part JOIN rev ON p_partkey = l_partkey\n"
+        f"WHERE part_revenue_e4 * (SELECT count(*) FROM rev) * {Q11_MULT_DEN}\n"
+        f"  > (SELECT sum(part_revenue_e4) FROM rev) * {Q11_MULT_NUM}"
     )
