@@ -740,7 +740,8 @@ def grouped_quantiles(ds, key_col: str, value_col: str, qs: tuple = (0.5, 0.9, 0
     element-for-element in tests, so the oracle hash-matches (no
     interpolation arithmetic to drift). Per-group sort bounds memory by the
     hottest group (the sessionization assumption); at extreme group sizes
-    swap in a mergeable sketch (t-digest) and drop the oracle to rows-only."""
+    swap in ``grouped_quantile_sketch`` below (mergeable k-point summaries,
+    guaranteed 1/k rank error, error-bound-tested rather than oracled)."""
     import numpy as np
     import pyarrow as pa
 
@@ -894,3 +895,114 @@ def sql_resample_user_windows(
         f"  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events\n"
         f"FROM g LEFT JOIN c ON c.user_id = g.user_id AND c.w = g.w"
     )
+
+
+# -- mergeable grouped-quantile sketch (the hot-group scale path) -------------
+
+QSKETCH_K = 256
+
+
+def _qsketch_partial(batch, key_col: str, value_col: str, k: int):
+    """Per-batch, per-group K-point weighted summary: the group's values are
+    approximated by K order statistics, point i covering an integer share
+    of the group's ranks (shares sum exactly to n).  Rank error introduced
+    per batch-group is <= n_bg / k, so the summed error over any group is
+    <= n_group / k — a guaranteed eps = 1/k rank error, independent of how
+    Ray batched the rows.  At most k rows per (batch, group) leave the
+    batch: the combiner that lets a single hot group's quantiles be
+    computed without ever sorting the full group on one node."""
+    import numpy as np
+    import pyarrow as pa
+
+    empty = pa.table(
+        {
+            key_col: pa.array([], type=batch.schema.field(key_col).type),
+            "point": pa.array([], type=pa.float64()),
+            "w": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
+    import pyarrow.compute as pc
+
+    keys = batch.column(key_col)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    enc = pc.dictionary_encode(keys)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+    # one lexsort groups AND sorts values within each group
+    order = np.lexsort((vals, codes))
+    codes, vals = codes[order], vals[order]
+    bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+    key_idx, pts_out, w_out = [], [], []
+    for s, t in zip(bounds[:-1], bounds[1:]):
+        v = vals[s:t]
+        n = t - s
+        kk = min(k, n)
+        # integer weight shares: w_i = ceil(n*(i+1)/kk) - ceil(n*i/kk)
+        cuts = np.ceil(n * np.arange(kk + 1) / kk).astype(np.int64)
+        w_out.append(np.diff(cuts))
+        # point i = the LAST value of its rank share (quantile_disc-style
+        # upper representative, keeps max exact)
+        pts_out.append(v[cuts[1:] - 1])
+        key_idx.append(np.full(kk, codes[s], dtype=np.int64))
+    return pa.table(
+        {
+            key_col: enc.dictionary.take(
+                pa.array(np.concatenate(key_idx))
+            ).cast(batch.schema.field(key_col).type),
+            "point": pa.array(np.concatenate(pts_out), type=pa.float64()),
+            "w": pa.array(np.concatenate(w_out), type=pa.int64()),
+        }
+    )
+
+
+def grouped_quantile_sketch(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple = (0.5, 0.9, 0.99),
+    k: int = QSKETCH_K,
+):
+    """Approximate grouped quantiles with a GUARANTEED rank-error bound:
+    |true_rank(answer) - q*n| <= n/k + 1, whatever the batch layout.
+
+    The scale path promised by ``grouped_quantiles``: that operator sorts
+    each whole group inside one ``map_groups`` task (exact, oracle-able,
+    but bounded by the hottest group); this one ships at most k weighted
+    points per (batch, group) — the merge input for a group is
+    k * n_batches rows, NOT n_group — and answers from the weighted
+    cumulative ranks.  Use when a group can exceed one worker's heap;
+    the result is deterministic for a fixed batch layout but only
+    eps-exact across layouts, so it has error-bound tests, not a value
+    oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    qs = tuple(float(q) for q in qs)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        pts = group.column("point").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        order = np.argsort(pts, kind="stable")
+        pts, w = pts[order], w[order]
+        cw = np.cumsum(w)
+        n = cw[-1]
+        out = []
+        for q in qs:
+            target = max(int(np.ceil(q * n)), 1)
+            out.append(pts[np.searchsorted(cw, target)])
+        return pa.Table.from_pydict(
+            {
+                key_col: group.column(key_col).take(pa.array([0] * len(qs))),
+                "q": pa.array(qs, type=pa.float64()),
+                "qvalue": pa.array(out, type=pa.float64()),
+            }
+        )
+
+    partial = ds.map_batches(
+        lambda b: _qsketch_partial(b, key_col, value_col, k),
+        batch_format="pyarrow",
+    )
+    return partial.groupby(key_col).map_groups(per_group, batch_format="pyarrow")

@@ -563,3 +563,67 @@ def test_active_users_daily_and_weekly():
     # dedup within window: user 1 active on 2 days of window -5..1? start -5
     # covers days -5..1 -> users 1,2 once each
     assert wau[-5] == 2
+
+
+class TestGroupedQuantileSketch:
+    def _rank_err(self, data, key, q, est):
+        import numpy as np
+
+        v = np.sort(data[key])
+        n = len(v)
+        # rank interval occupied by est in sorted order
+        lo = np.searchsorted(v, est, "left")
+        hi = np.searchsorted(v, est, "right")
+        target = max(int(np.ceil(q * n)), 1)
+        if lo + 1 <= target <= hi:
+            return 0
+        return min(abs(target - (lo + 1)), abs(target - hi))
+
+    def test_error_bound_across_layouts(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import grouped_quantile_sketch
+
+        rng = np.random.RandomState(13)
+        keys = np.repeat([f"g{i}" for i in range(3)], 4000)
+        vals = np.concatenate(
+            [rng.randn(4000) * 10, rng.exponential(5, 4000), rng.rand(4000)]
+        )
+        tbl = pa.table({"event_type": keys, "value": vals})
+        data = {
+            f"g{i}": vals[i * 4000 : (i + 1) * 4000] for i in range(3)
+        }
+        k = 64
+        for parts in (1, 4, 13):
+            got = (
+                grouped_quantile_sketch(
+                    rd.from_arrow(tbl).repartition(parts),
+                    "event_type",
+                    "value",
+                    qs=(0.1, 0.5, 0.9, 0.99),
+                    k=k,
+                )
+                .to_pandas()
+            )
+            assert len(got) == 12
+            for r in got.itertuples():
+                err = self._rank_err(data, r.event_type, r.q, r.qvalue)
+                # bound: n/k per level of summarization + slack 1
+                assert err <= 4000 / k + 1, (parts, r, err)
+
+    def test_exact_when_group_fits(self, ray_session):
+        # n <= k and one batch: the sketch IS quantile_disc
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import grouped_quantile_sketch
+
+        v = np.arange(100, dtype=float)
+        tbl = pa.table({"event_type": ["g"] * 100, "value": v})
+        got = grouped_quantile_sketch(
+            rd.from_arrow(tbl), "event_type", "value", qs=(0.5, 0.9), k=256
+        ).to_pandas()
+        assert got.sort_values("q")["qvalue"].tolist() == [49.0, 89.0]
