@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": q.q_event_value_quantiles,
         "event_value_quantiles_cont": q.q_event_value_quantiles_cont,
         "event_value_mad": q.q_event_value_mad,
+        "latest_order": q.q_latest_order,
         "nation_status_grid": _rel("q_nation_status_grid"),
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
@@ -339,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles": ev.sql_grouped_quantiles(),
         "event_value_quantiles_cont": ev.sql_grouped_quantiles_cont(),
         "event_value_mad": ev.sql_grouped_mad(),
+        "latest_order": q.sql_latest_order(),
         "nation_status_grid": rel.sql_nation_status_grid(),
         "repetition_stats": _sql_rep(),
         "top_bigrams": _sql_bigrams(k=20),

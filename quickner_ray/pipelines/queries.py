@@ -1082,6 +1082,45 @@ def q_event_value_quantiles_cont(sf_dir: str):
     )
 
 
+def q_latest_order(sf_dir: str):
+    """FIRST_VALUE / QUALIFY row_number()=1 shape: each customer's most
+    recent order (date desc, orderkey desc tiebreak) — grouped top-1 via
+    the per-batch argmax combiner (shuffle bounded by keys x batches)."""
+    import ray.data as rd
+
+    from ..stages.topk import grouped_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def pre(b: pa.Table) -> pa.Table:
+        us = b.column("o_orderdate").combine_chunks().cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "o_orderkey": b.column("o_orderkey"),
+                "latest_us": us,
+                "latest_priority": b.column("o_orderpriority"),
+            }
+        )
+
+    ds = ds.map_batches(pre, batch_format="pyarrow")
+    return grouped_topk(
+        ds, "o_custkey", ["latest_us", "o_orderkey"], 1, descending=[True, True]
+    )
+
+
+def sql_latest_order() -> str:
+    return (
+        "SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS latest_us,\n"
+        "  o_orderpriority AS latest_priority\n"
+        "FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey\n"
+        "  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1"
+    )
+
+
 def q_event_value_mad(sf_dir: str):
     """Per-event-type median + median absolute deviation (robust outlier
     scale), bit-exact vs DuckDB median/mad."""
