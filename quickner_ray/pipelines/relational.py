@@ -1,9 +1,11 @@
 """TPC-H-shaped relational operators beyond the Q1/Q3/Q5 family already in
 ``pipelines.queries``: nation-pair trade volume (Q7), product profit by
-nation/year (Q9), returned-item customer report (Q10), priority line counts
-with conditional aggregation (Q12 shape), promo revenue share (Q14), the
-grouped-HAVING semi-join for large-volume orders (Q18), and an INTERSECT
-set-op. Matching DuckDB oracle SQL lives next to each query.
+nation/year (Q9), returned-item customer report (Q10), value-share HAVING
+(Q11 shape), priority line counts with conditional aggregation (Q12
+shape), promo revenue share (Q14), argmax-with-ties (Q15 shape), the
+grouped-HAVING semi-join for large-volume orders (Q18), an INTERSECT
+set-op, and a CROSS JOIN zero-filled grid. Matching DuckDB oracle SQL
+lives next to each query.
 
 Join-plan conventions (the 10^12-row shapes, same as queries.py):
 - the ONLY all-to-all exchanges are fact ⋈ fact joins on the orderkey;
@@ -486,13 +488,15 @@ def q_promo_revenue(sf_dir: str):
         Sum("promo_revenue_e4", alias_name="promo_revenue_e4"),
         Sum("total_revenue_e4", alias_name="total_revenue_e4"),
     )
+    # Sum over an empty (out-of-window) dataset returns None; the oracle's
+    # coalesce emits 0 — mirror it
     return pa.Table.from_pydict(
         {
             "promo_revenue_e4": pa.array(
-                [int(agg["promo_revenue_e4"])], type=pa.int64()
+                [int(agg["promo_revenue_e4"] or 0)], type=pa.int64()
             ),
             "total_revenue_e4": pa.array(
-                [int(agg["total_revenue_e4"])], type=pa.int64()
+                [int(agg["total_revenue_e4"] or 0)], type=pa.int64()
             ),
         }
     )
@@ -593,20 +597,17 @@ def q_large_order_customers(sf_dir: str):
     # keyset outgrows the broadcast cap
     big = big.materialize()
     if big.count() <= Q18_BROADCAST_CAP:
-        blocks = [
-            t
-            for t in (ray.get(r) for r in big.to_arrow_refs())
-            if t.num_rows and "l_orderkey" in t.column_names
-        ]
-        bt = (
-            pa.concat_tables(blocks).combine_chunks()
-            if blocks
-            else pa.table(
+        from ..stages.collect import collect_blocks
+
+        bt = collect_blocks(
+            big,
+            "l_orderkey",
+            pa.table(
                 {
                     "l_orderkey": pa.array([], type=pa.int64()),
                     "sum_qty": pa.array([], type=pa.float64()),
                 }
-            )
+            ),
         )
         qref = ray.put(
             (bt.column("l_orderkey").combine_chunks(), bt.column("sum_qty").combine_chunks())
@@ -729,8 +730,6 @@ def q_nation_status_grid(sf_dir: str):
                 {"n_name": name, "o_orderstatus": b.column("o_orderstatus")}
             )
 
-    from ..stages.taskstate import task_stage
-
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_custkey", "o_orderstatus"],
@@ -738,21 +737,18 @@ def q_nation_status_grid(sf_dir: str):
     counts = orders.groupby(["n_name", "o_orderstatus"]).aggregate(
         Count(alias_name="n_orders")
     )
-    blocks = [
-        t
-        for t in (ray.get(r) for r in counts.to_arrow_refs())
-        if t.num_rows and "n_name" in t.column_names
-    ]
-    got = (
-        pa.concat_tables(blocks).combine_chunks()
-        if blocks
-        else pa.table(
+    from ..stages.collect import collect_blocks
+
+    got = collect_blocks(
+        counts,
+        "n_name",
+        pa.table(
             {
                 "n_name": pa.array([], type=pa.string()),
                 "o_orderstatus": pa.array([], type=pa.string()),
                 "n_orders": pa.array([], type=pa.int64()),
             }
-        )
+        ),
     )
     statuses = sorted(set(got.column("o_orderstatus").to_pylist()))
     seen = {
@@ -833,6 +829,14 @@ def q_top_supplier_revenue(sf_dir: str):
         .materialize()
     )
     best = rev.aggregate(Max("total_revenue_e4", alias_name="m"))["m"]
+    if best is None:  # no lineitem in the window: no supplier qualifies
+        return pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_name": pa.array([], type=pa.string()),
+                "total_revenue_e4": pa.array([], type=pa.int64()),
+            }
+        )
 
     sk, sname = _dim_arrays(
         os.path.join(sf_dir, "supplier.parquet"), "s_suppkey", "s_name"
@@ -920,7 +924,16 @@ def q_important_parts(sf_dir: str):
     tot = rev.aggregate(
         Sum("part_revenue_e4", alias_name="t"), Count(alias_name="n")
     )
-    total, n_parts = int(tot["t"]), int(tot["n"])
+    n_parts = int(tot["n"] or 0)
+    if n_parts == 0:  # empty lineitem: no part clears any share threshold
+        return pa.table(
+            {
+                "p_partkey": pa.array([], type=pa.int64()),
+                "p_name": pa.array([], type=pa.string()),
+                "part_revenue_e4": pa.array([], type=pa.int64()),
+            }
+        )
+    total = int(tot["t"])
 
     pk, pname = _dim_arrays(
         os.path.join(sf_dir, "part.parquet"), "p_partkey", "p_name"

@@ -946,7 +946,7 @@ def neighborhood_jaccard(
     from ray.data.aggregate import Count
 
     nt = node_type if node_type is not None else pa.int64()
-    types = {"a": nt, "b": nt, "x": nt, "y": nt}
+    types = {"src": nt, "dst": nt, "a": nt, "b": nt, "x": nt, "y": nt}
     e = _project_t(edges, {"src": src_col, "dst": dst_col}, types).materialize()
     adj = _project_t(e, {"a": "src", "b": "dst"}, types).union(
         _project_t(e, {"a": "dst", "b": "src"}, types)
@@ -971,13 +971,15 @@ def neighborhood_jaccard(
 
     # capped degree per node: min(true neighbor count, nb_cap) — bounded by
     # the node universe, collected once and broadcast
+    from .collect import collect_blocks
+
     degs = adj.groupby("a").aggregate(Count(alias_name="d"))
-    blocks = [
-        t
-        for t in (ray.get(r) for r in degs.to_arrow_refs())
-        if t.num_rows and "a" in t.column_names
-    ]
-    if not blocks:
+    dtab = collect_blocks(
+        degs,
+        "a",
+        pa.table({"a": pa.array([], type=nt), "d": pa.array([], type=pa.int64())}),
+    )
+    if dtab.num_rows == 0:
         return pa.table(
             {
                 "entity_a": pa.array([], type=nt),
@@ -986,7 +988,6 @@ def neighborhood_jaccard(
                 "n_union": pa.array([], type=pa.int64()),
             }
         )
-    dtab = pa.concat_tables(blocks).combine_chunks()
     dkeys = dtab.column("a").combine_chunks()
     import pyarrow.compute as pc
 

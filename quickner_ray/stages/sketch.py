@@ -325,19 +325,27 @@ def heavy_hitter_tokens(ds, text_col: str = "text", k: int = MG_K):
         .groupby("token")
         .aggregate(Sum("weight", alias_name="weight"))
     )
-    blocks = [
-        t
-        for t in (ray.get(r) for r in mg.to_arrow_refs())
-        if t.num_rows and "token" in t.column_names
-    ]
-    if not blocks:
-        return pa.table(
+    from .collect import collect_blocks
+
+    empty_out = pa.table(
+        {
+            "token": pa.array([], type=pa.string()),
+            "n_occurrences": pa.array([], type=pa.int64()),
+        }
+    )
+    mg_tab = collect_blocks(
+        mg,
+        "token",
+        pa.table(
             {
                 "token": pa.array([], type=pa.string()),
-                "n_occurrences": pa.array([], type=pa.int64()),
+                "weight": pa.array([], type=pa.int64()),
             }
-        )
-    cand = pa.concat_tables(blocks).column("token").combine_chunks()
+        ),
+    )
+    if mg_tab.num_rows == 0:
+        return empty_out
+    cand = mg_tab.column("token").combine_chunks()
     cand_ref = ray.put(cand)
 
     exact = (
@@ -348,12 +356,7 @@ def heavy_hitter_tokens(ds, text_col: str = "text", k: int = MG_K):
         .groupby("token")
         .aggregate(Sum("n_occurrences", alias_name="n_occurrences"))
     )
-    tab = [
-        t
-        for t in (ray.get(r) for r in exact.to_arrow_refs())
-        if t.num_rows and "token" in t.column_names
-    ]
-    merged = pa.concat_tables(tab).combine_chunks()
+    merged = collect_blocks(exact, "token", empty_out)
     tok = merged.column("token")
     n = merged.column("n_occurrences")
     import pyarrow.compute as pc

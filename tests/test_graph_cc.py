@@ -372,7 +372,7 @@ class TestNeighborhoodJaccard:
             }
         )
         out = neighborhood_jaccard(rd.from_arrow(tbl), **kw)
-        got = out.to_pandas() if hasattr(out, "to_pandas") else out.to_pandas()
+        got = out.to_pandas()
         return {
             (r.entity_a, r.entity_b): (r.n_common, r.n_union)
             for r in got.itertuples()

@@ -1,5 +1,6 @@
-"""TPC-H-shaped relational queries (Q7/Q9/Q10/Q12/Q14/Q18 + INTERSECT) vs
-their DuckDB oracles at sf0.001."""
+"""TPC-H-shaped relational queries (Q7/Q9/Q10/Q11/Q12/Q14/Q15/Q18,
+INTERSECT, CROSS JOIN grid) plus latest_order vs their DuckDB oracles at
+sf0.001."""
 
 from __future__ import annotations
 
@@ -19,6 +20,9 @@ CASES = [
     ("q_promo_revenue", "sql_promo_revenue"),
     ("q_large_order_customers", "sql_large_order_customers"),
     ("q_customers_both_priorities", "sql_customers_both_priorities"),
+    ("q_top_supplier_revenue", "sql_top_supplier_revenue"),
+    ("q_important_parts", "sql_important_parts"),
+    ("q_nation_status_grid", "sql_nation_status_grid"),
 ]
 
 
@@ -41,6 +45,19 @@ def test_relational_matches_oracle(sf_dir, qfn, sfn):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     ora = con.sql(getattr(rel, sfn)()).df()
     assert len(got) == len(ora), (qfn, len(got), len(ora))
+    pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_latest_order_matches_oracle(sf_dir):
+    from quickner_ray.pipelines.queries import q_latest_order, sql_latest_order
+
+    got = q_latest_order(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    ora = con.sql(sql_latest_order()).df()
+    assert len(got) == len(ora)
     pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
 
 
