@@ -258,3 +258,76 @@ class TestWindowKernelProperties:
         )
         assert got.sentence.tolist() == ora.sentence.tolist()
         assert got.sent_chars.tolist() == ora.sent_chars.tolist()
+
+
+class TestMisraGriesProperties:
+    @settings(max_examples=120, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab1 xyz", max_size=40), min_size=0, max_size=12
+        ),
+        st.integers(min_value=1, max_value=8),
+    )
+    def test_mg_partial_guarantee(self, docs, k):
+        """For any batch and capacity: <=k rows out, weights never exceed
+        true counts, undercount <= n/(k+1), and every token over the
+        n/(k+1) threshold is present."""
+        import re
+
+        import pyarrow as pa
+
+        from quickner_ray.stages.sketch import _mg_partial
+
+        batch = pa.table({"text": pa.array(docs, type=pa.string())})
+        out = _mg_partial(batch, "text", k)
+        true: dict = {}
+        for t in docs:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                true[w] = true.get(w, 0) + 1
+        n = sum(true.values())
+        assert out.num_rows <= k
+        weights = dict(
+            zip(out.column("token").to_pylist(), out.column("weight").to_pylist())
+        )
+        for tok, w in weights.items():
+            assert 0 < w <= true[tok]
+            assert true[tok] - w <= n / (k + 1)
+        for tok, c in true.items():
+            if c * (k + 1) > n:
+                assert tok in weights
+
+
+class TestQuantileSketchProperties:
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+            min_size=1,
+            max_size=200,
+        ),
+        st.integers(min_value=2, max_value=16),
+    )
+    def test_partial_weights_and_points(self, vals, k):
+        """Weights sum exactly to n, every point is a real group value, and
+        the i-th point's rank share covers ceil(n*i/k)..ceil(n*(i+1)/k)."""
+        import numpy as np
+        import pyarrow as pa
+
+        from quickner_ray.stages.events import _qsketch_partial
+
+        batch = pa.table(
+            {"g": pa.array(["x"] * len(vals)), "v": pa.array(vals, type=pa.float64())}
+        )
+        out = _qsketch_partial(batch, "g", "v", k)
+        n = len(vals)
+        kk = min(k, n)
+        assert out.num_rows == kk
+        w = out.column("w").to_pylist()
+        assert sum(w) == n and all(x >= 1 for x in w)
+        pts = out.column("point").to_pylist()
+        sv = np.sort(np.asarray(vals))
+        cuts = np.ceil(n * np.arange(kk + 1) / kk).astype(int)
+        for i, p in enumerate(pts):
+            assert p == sv[cuts[i + 1] - 1]
