@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "packed_sequences": q.q_packed_sequences,
         "media_features": q.q_media_features,
         "audio_features": q.q_audio_features,
+        "audio_segments": q.q_audio_segments,
         "frame_sample": q.q_frame_sample,
         "corpus_prep": _corpus_prep,
         "corpus_prep_full": q.q_corpus_prep_full,
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         # packing is order-dependent; invariants pinned in tests)
         "media_features": mm.sql_image_features(),
         "audio_features": mm.sql_audio_features(),
+        "audio_segments": mm.sql_audio_segments(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),
         "minhash_lsh_pairs": da.sql_lsh_dup_pairs(threshold=0.5),

@@ -1169,6 +1169,19 @@ def q_audio_features(sf_dir: str):
     return ds.select_columns(["media_id", "duration_ms", "peak_amp", "sum_amp"])
 
 
+def q_audio_segments(sf_dir: str):
+    """VAD-style loud-segment detection: per audio payload, loud sample
+    count, contiguous-segment count, and longest run."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_segments
+
+    ds = rd.read_parquet(_media_path(sf_dir))
+    ds = ds.filter(expr="media_type == 'audio'")
+    ds = audio_segments(ds, batch_size=256)
+    return ds.select_columns(["media_id", "n_loud", "n_segments", "longest_run"])
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing: deterministic synthetic image payloads (binary
     column derived from documents) -> actor-pool decode -> feature columns.

@@ -285,3 +285,85 @@ def sql_frame_sample(step: int = 5, table: str = "documents") -> str:
         f"SELECT doc_id AS media_id, CAST(unnest(range(0, 10 + doc_id % 50, {step})) AS BIGINT)"
         f" AS frame_idx FROM {table}"
     )
+
+
+LOUD_THRESHOLD = 96  # |sample| >= threshold counts as loud
+
+
+class AudioSegmentStage:
+    """VAD-style loud-segment detection over decoded QAUD samples:
+    (n_loud, n_segments, longest_run) per media — the shape of silence
+    stripping / speech segmentation in an audio-training pipeline. Fully
+    vectorized per payload (boolean diff for run starts, boundary diff for
+    run lengths); a real codec slots into the same decode guard as
+    AudioFeatureStage."""
+
+    def __init__(self, threshold: int = LOUD_THRESHOLD):
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload")
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        n_loud, n_seg, longest = [], [], []
+        for b in payloads.to_pylist():
+            if b[:4] != QAUD_MAGIC:
+                raise NotImplementedError(
+                    "real audio codecs are not available in this environment; "
+                    "only the QAUD synthetic format is supported"
+                )
+            _rate, n = struct.unpack("<II", b[4:12])
+            s = np.frombuffer(b[12:], dtype="<i2").astype(np.int64)
+            loud = np.abs(s) >= self.threshold
+            n_loud.append(int(loud.sum()))
+            edges = np.diff(np.r_[0, loud.astype(np.int8), 0])
+            starts = np.flatnonzero(edges == 1)
+            ends = np.flatnonzero(edges == -1)
+            n_seg.append(len(starts))
+            longest.append(int((ends - starts).max()) if len(starts) else 0)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("n_loud", pa.array(n_loud, type=pa.int64()))
+        out = out.append_column("n_segments", pa.array(n_seg, type=pa.int64()))
+        return out.append_column("longest_run", pa.array(longest, type=pa.int64()))
+
+
+def audio_segments(ds, *, threshold: int = LOUD_THRESHOLD, batch_size: int = 256):
+    from .taskstate import task_stage
+
+    return ds.map_batches(
+        task_stage(AudioSegmentStage, threshold=threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def sql_audio_segments(
+    table: str = "documents", threshold: int = LOUD_THRESHOLD
+) -> str:
+    """Oracle: the closed-form QAUD samples unnested per doc, loudness runs
+    via a lag window + running segment ids."""
+    return (
+        f"WITH s AS (SELECT doc_id, i,\n"
+        f"    (i * 7 + doc_id * 31) % 256 - 128 AS v\n"
+        f"  FROM (SELECT doc_id, unnest(range(0, 800 + doc_id % 160)) AS i\n"
+        f"        FROM {table})),\n"
+        f"l AS (SELECT doc_id, i,\n"
+        f"    CASE WHEN abs(v) >= {threshold} THEN 1 ELSE 0 END AS loud FROM s),\n"
+        f"r AS (SELECT doc_id, i, loud,\n"
+        f"    CASE WHEN loud = 1 AND coalesce(lag(loud) OVER\n"
+        f"      (PARTITION BY doc_id ORDER BY i), 0) = 0 THEN 1 ELSE 0 END\n"
+        f"      AS seg_start FROM l),\n"
+        f"seg AS (SELECT doc_id, i, loud,\n"
+        f"    sum(seg_start) OVER (PARTITION BY doc_id ORDER BY i) AS seg_id\n"
+        f"  FROM r),\n"
+        f"runs AS (SELECT doc_id, seg_id, count(*) AS run_len FROM seg\n"
+        f"  WHERE loud = 1 GROUP BY doc_id, seg_id)\n"
+        f"SELECT d.doc_id AS media_id,\n"
+        f"  CAST(coalesce(t.n_loud, 0) AS BIGINT) AS n_loud,\n"
+        f"  CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,\n"
+        f"  CAST(coalesce(t.longest_run, 0) AS BIGINT) AS longest_run\n"
+        f"FROM {table} d LEFT JOIN (\n"
+        f"  SELECT doc_id, sum(run_len) AS n_loud, count(*) AS n_segments,\n"
+        f"    max(run_len) AS longest_run FROM runs GROUP BY doc_id) t\n"
+        f"  ON d.doc_id = t.doc_id"
+    )

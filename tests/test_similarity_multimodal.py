@@ -138,3 +138,35 @@ class TestMultimodal:
         out = mm.ResizePlanStage(max_side=32)(batch)
         assert out.column("out_width").to_pylist() == [32, 8]
         assert out.column("out_height").to_pylist() == [8, 32]
+
+
+class TestAudioSegments:
+    def _run(self, samples, threshold=96):
+        import struct
+
+        import numpy as np
+        import pyarrow as pa
+
+        from quickner_ray.stages.multimodal import QAUD_MAGIC, AudioSegmentStage
+
+        s = np.asarray(samples, dtype="<i2")
+        payload = QAUD_MAGIC + struct.pack("<II", 8000, len(s)) + s.tobytes()
+        batch = pa.table(
+            {"media_id": pa.array([1], type=pa.int64()), "payload": pa.array([payload], type=pa.binary())}
+        )
+        out = AudioSegmentStage(threshold=threshold)(batch)
+        r = out.to_pylist()[0]
+        return r["n_loud"], r["n_segments"], r["longest_run"]
+
+    def test_runs(self):
+        # quiet, loud x2, quiet, loud x3 -> 2 segments, longest 3
+        assert self._run([0, 100, -120, 5, 97, 98, 99]) == (5, 2, 3)
+
+    def test_all_quiet(self):
+        assert self._run([0, 1, -5]) == (0, 0, 0)
+
+    def test_all_loud(self):
+        assert self._run([127, -128, 100]) == (3, 1, 3)
+
+    def test_empty(self):
+        assert self._run([]) == (0, 0, 0)
