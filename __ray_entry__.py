@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_ntile": q.q_customer_ntile,
         "regression_stats": q.q_regression_stats,
         "bpe_merges": q.q_bpe_merges,
+        "bpe_encoded_counts": q.q_bpe_encoded_counts,
         "dup_shingle_stats": q.q_dup_shingle_stats,
         "customer_cumulative_spend": q.q_customer_cumulative_spend,
         "local_supplier_revenue": q.q_local_supplier_revenue,

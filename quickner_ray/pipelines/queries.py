@@ -1657,6 +1657,16 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_bpe_encoded_counts(sf_dir: str):
+    """Train-then-apply BPE: learn the merge table (one vocab pass), then
+    tokenize every document with it — per-doc BPE token counts (rows-only:
+    iterative merges have no SQL form; exactness pinned by a whole-text
+    reference test, layout-invariance by a repartition test)."""
+    from ..stages.bpe import bpe_encode
+
+    return bpe_encode(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_regression_stats(sf_dir: str):
     """Sufficient statistics for covariance / OLS slope per group, kept as
     EXACT integers (cents-scaled) so the cross-engine hash can't drift:

@@ -101,3 +101,112 @@ def bpe_train(
         }
     )
     return rd.from_arrow(tbl)
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one word with a trained merge table, applying merges in RANK
+    order with left-to-right replacement — the exact procedure
+    ``learn_merges`` used on its vocabulary, so training corpus words
+    round-trip to their trained segmentations."""
+    syms = list(word)
+    for left, right in merges:
+        i = 0
+        while i < len(syms) - 1:
+            if syms[i] == left and syms[i + 1] == right:
+                syms[i : i + 2] = [left + right]
+            else:
+                i += 1
+    return syms
+
+
+class BpeEncodeStage:
+    """Tokenize-the-corpus stage: per doc, the BPE token count under a
+    broadcast merge table. The merge loop runs once per DISTINCT word per
+    batch (vocab-bounded, not token-stream-bounded — the same cost argument
+    as the minhash shingler); per-doc totals are one bincount over parent
+    indices. Rows-only in the driver gate (iterative merges are outside
+    SQL); exactness is pinned by a pure-Python whole-text reference test."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        merges = merges_ref
+        if isinstance(merges, ray.ObjectRef):
+            merges = ray.get(merges)
+        self.merges = [(l, r) for l, r, *_ in merges]
+        self.cache: dict[str, int] = {}
+
+    def _word_len(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = self.cache[w] = len(apply_merges(w, self.merges))
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from .text_analysis import WORD_CLASS_SPLIT_RE
+
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch.column("doc_id")
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=batch.schema.field("doc_id").type),
+                    "n_bpe_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        toks = pc.split_pattern_regex(pc.utf8_lower(texts), WORD_CLASS_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        if len(flat):
+            nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(
+                zero_copy_only=False
+            )
+            flat = flat.filter(pa.array(nonempty))
+            parents = parents[nonempty]
+        counts = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(flat):
+            enc = pc.dictionary_encode(flat)
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            per_word = np.fromiter(
+                (self._word_len(w) for w in enc.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(enc.dictionary),
+            )
+            np.add.at(counts, parents, per_word[codes])
+        return pa.table(
+            {"doc_id": ids, "n_bpe_tokens": pa.array(counts, type=pa.int64())}
+        )
+
+
+def bpe_encode(
+    ds,
+    *,
+    n_merges: int = DEFAULT_MERGES,
+    min_count: int = DEFAULT_MIN_COUNT,
+    text_col: str = "text",
+):
+    """Corpus -> Dataset(doc_id, n_bpe_tokens): train the merge table (one
+    vocab pass), broadcast it, and tokenize every document with it — the
+    train-then-apply pair every LLM data pipeline runs before packing."""
+    import ray
+
+    from .taskstate import task_stage
+    from .text_analysis import collect_vocab
+
+    tbl = collect_vocab(ds, text_col)
+    wc = [
+        (w, c)
+        for w, c in zip(tbl.column("word").to_pylist(), tbl.column("tf").to_pylist())
+        if c >= min_count
+    ]
+    wc.sort()
+    merges = learn_merges(wc, n_merges)
+    ref = ray.put(merges)
+    return ds.map_batches(
+        task_stage(BpeEncodeStage, merges_ref=ref), batch_format="pyarrow"
+    )

@@ -47,3 +47,60 @@ def test_bpe_train_deterministic_across_layouts():
     # vs ('t','h') in 'the' x4 -> at wins with 7
     assert a.iloc[0][["left", "right"]].tolist() == ["a", "t"]
     assert a.iloc[0]["pair_count"] == 7
+
+
+class TestBpeEncode:
+    def test_apply_merges_roundtrip(self):
+        from quickner_ray.stages.bpe import apply_merges, learn_merges
+
+        wc = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = [(l, r) for l, r, _ in learn_merges(wc, 10)]
+        # training words segment consistently with the trainer's own loop
+        assert "".join(apply_merges("lowest", merges)) == "lowest"
+        for w, _ in wc:
+            segs = apply_merges(w, merges)
+            assert "".join(segs) == w
+            assert all(s for s in segs)
+
+    def test_counts_match_reference_and_layouts(self, ray_session):
+        import re
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quickner_ray.stages.bpe import (
+            DEFAULT_MERGES,
+            apply_merges,
+            bpe_encode,
+            learn_merges,
+        )
+
+        tab = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        # reference: train on exact word counts, encode every word per doc
+        wc_map: dict = {}
+        docs = list(
+            zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist())
+        )
+        for _, t in docs:
+            for w in re.findall(r"[a-z0-9]+", t.lower()):
+                wc_map[w] = wc_map.get(w, 0) + 1
+        merges = [
+            (l, r) for l, r, _ in learn_merges(sorted(wc_map.items()), DEFAULT_MERGES)
+        ]
+        expect = {
+            d: sum(
+                len(apply_merges(w, merges))
+                for w in re.findall(r"[a-z0-9]+", t.lower())
+            )
+            for d, t in docs
+        }
+        for parts in (2, 7):
+            got = (
+                bpe_encode(rd.from_arrow(tab).repartition(parts))
+                .to_pandas()
+                .set_index("doc_id")["n_bpe_tokens"]
+                .to_dict()
+            )
+            assert got == expect
