@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles_cont": q.q_event_value_quantiles_cont,
         "event_value_mad": q.q_event_value_mad,
         "latest_order": q.q_latest_order,
+        "supplier_balance_outliers": q.q_supplier_balance_outliers,
         "nation_status_grid": _rel("q_nation_status_grid"),
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_quantiles_cont": ev.sql_grouped_quantiles_cont(),
         "event_value_mad": ev.sql_grouped_mad(),
         "latest_order": q.sql_latest_order(),
+        "supplier_balance_outliers": q.sql_supplier_balance_outliers(),
         "nation_status_grid": rel.sql_nation_status_grid(),
         "repetition_stats": _sql_rep(),
         "top_bigrams": _sql_bigrams(k=20),

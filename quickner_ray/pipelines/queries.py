@@ -1082,6 +1082,74 @@ def q_event_value_quantiles_cont(sf_dir: str):
     )
 
 
+def q_supplier_balance_outliers(sf_dir: str):
+    """Robust outlier gating (data-cleaning composition): suppliers whose
+    account balance sits more than 3 MADs from their nation's median.
+    One groupby(nation).map_groups computes median, MAD and the filter in
+    a single pass — no join back. The predicate runs on raw float64 with
+    the same bit-exact median/mad as event_value_mad, so the oracle's
+    filter set is identical."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+
+    def _median(v):
+        n = len(v)
+        rn = 0.5 * (n - 1)
+        frn = int(np.floor(rn))
+        crn = int(np.ceil(rn))
+        if crn == frn:
+            return float(v[frn])
+        frac = rn - frn
+        return float(v[frn] * (1.0 - frac) + v[crn] * frac)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        bal = g.column("s_acctbal").to_numpy(zero_copy_only=False)
+        med = _median(np.sort(bal))
+        mad = _median(np.sort(np.abs(bal - med)))
+        keep = np.abs(bal - med) > 3.0 * mad
+        cents = np.round(bal[keep] * 100.0).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "s_suppkey": g.column("s_suppkey").filter(pa.array(keep)),
+                "s_nationkey": g.column("s_nationkey").filter(pa.array(keep)),
+                "bal_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    out = ds.groupby("s_nationkey").map_groups(per_group, batch_format="pyarrow")
+    # the outlier set is supplier-dim-bounded; collect through the shared
+    # guard so an all-empty result keeps its schema (map_groups can emit
+    # schema-less empty blocks)
+    from ..stages.collect import collect_blocks
+
+    return collect_blocks(
+        out,
+        "s_suppkey",
+        pa.table(
+            {
+                "s_suppkey": pa.array([], type=pa.int64()),
+                "s_nationkey": pa.array([], type=pa.int32()),
+                "bal_cents": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+
+
+def sql_supplier_balance_outliers() -> str:
+    return (
+        "SELECT s_suppkey, s_nationkey,\n"
+        "  CAST(round(s_acctbal*100) AS BIGINT) AS bal_cents\n"
+        "FROM supplier JOIN (SELECT s_nationkey AS nk, median(s_acctbal) AS med,\n"
+        "    mad(s_acctbal) AS m FROM supplier GROUP BY nk) stats\n"
+        "  ON s_nationkey = nk\n"
+        "WHERE abs(s_acctbal - med) > 3.0 * m"
+    )
+
+
 def q_latest_order(sf_dir: str):
     """FIRST_VALUE / QUALIFY row_number()=1 shape: each customer's most
     recent order (date desc, orderkey desc tiebreak) — grouped top-1 via
