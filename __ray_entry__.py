@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _rel("q_promo_revenue"),
         "large_order_customers": _rel("q_large_order_customers"),
         "customers_both_priorities": _rel("q_customers_both_priorities"),
+        "party_nation_union": _rel("q_party_nation_union"),
         "top_supplier_revenue": _rel("q_top_supplier_revenue"),
         "important_parts": _rel("q_important_parts"),
         "quality_scores": q.q_quality_scores,
@@ -326,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_revenue": rel.sql_promo_revenue(),
         "large_order_customers": rel.sql_large_order_customers(),
         "customers_both_priorities": rel.sql_customers_both_priorities(),
+        "party_nation_union": rel.sql_party_nation_union(),
         "top_supplier_revenue": rel.sql_top_supplier_revenue(),
         "important_parts": rel.sql_important_parts(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),

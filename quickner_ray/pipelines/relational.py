@@ -686,6 +686,41 @@ def q_customers_both_priorities(sf_dir: str):
     return both.select_columns(["o_custkey"])
 
 
+def q_party_nation_union(sf_dir: str):
+    """Set-op UNION (distinct): every nation key that has a customer OR a
+    supplier — completes the set-op family (EXCEPT, INTERSECT, UNION).
+    Dataset.union concatenates; distinctness is one bounded groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": b.column("c_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_nationkey"]
+    ).map_batches(
+        lambda b: pa.table({"nationkey": b.column("s_nationkey").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return (
+        cust.union(supp)
+        .groupby("nationkey")
+        .aggregate(Count(alias_name="n"))
+        .drop_columns(["n"])
+    )
+
+
+def sql_party_nation_union() -> str:
+    return (
+        "SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer\n"
+        "UNION\n"
+        "SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier"
+    )
+
+
 def sql_customers_both_priorities() -> str:
     return (
         f"SELECT o_custkey FROM orders WHERE o_orderpriority = '{INTERSECT_A}'\n"
