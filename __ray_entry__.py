@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers": _rel("q_large_order_customers"),
         "customers_both_priorities": _rel("q_customers_both_priorities"),
         "party_nation_union": _rel("q_party_nation_union"),
+        "orders_above_customer_avg": _rel("q_orders_above_customer_avg"),
+        "nation_revenue_share": _rel("q_nation_revenue_share"),
         "top_supplier_revenue": _rel("q_top_supplier_revenue"),
         "important_parts": _rel("q_important_parts"),
         "quality_scores": q.q_quality_scores,
@@ -328,6 +330,8 @@ def oracle_sql() -> dict[str, str]:
         "large_order_customers": rel.sql_large_order_customers(),
         "customers_both_priorities": rel.sql_customers_both_priorities(),
         "party_nation_union": rel.sql_party_nation_union(),
+        "orders_above_customer_avg": rel.sql_orders_above_customer_avg(),
+        "nation_revenue_share": rel.sql_nation_revenue_share(),
         "top_supplier_revenue": rel.sql_top_supplier_revenue(),
         "important_parts": rel.sql_important_parts(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),

@@ -1018,3 +1018,170 @@ def sql_important_parts() -> str:
         f"WHERE part_revenue_e4 * (SELECT count(*) FROM rev) * {Q11_MULT_DEN}\n"
         f"  > (SELECT sum(part_revenue_e4) FROM rev) * {Q11_MULT_NUM}"
     )
+
+
+# --- correlated row-vs-group-aggregate comparison --------------------------
+
+
+def q_orders_above_customer_avg(sf_dir: str):
+    """Correlated-subquery shape: orders whose price exceeds their own
+    customer's average order value. The per-customer (sum, count) aggregate
+    is customer-bounded; it broadcasts into a vectorized integer
+    cross-multiplied filter (cents * n > sum_cents — exact, no division).
+    At open-vocabulary key scale the broadcast swaps for a key-partitioned
+    join, same as the Q5 customer-side note."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def cents_pre(b: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "cents": cents,
+            }
+        )
+
+    orders = orders.map_batches(cents_pre, batch_format="pyarrow").materialize()
+    stats = orders.groupby("o_custkey").aggregate(
+        Sum("cents", alias_name="sum_cents"), Count(alias_name="n_orders")
+    )
+    from ..stages.collect import collect_blocks
+
+    st = collect_blocks(
+        stats,
+        "o_custkey",
+        pa.table(
+            {
+                "o_custkey": pa.array([], type=pa.int64()),
+                "sum_cents": pa.array([], type=pa.int64()),
+                "n_orders": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    ref = ray.put(
+        (
+            st.column("o_custkey").combine_chunks(),
+            st.column("sum_cents").combine_chunks(),
+            st.column("n_orders").combine_chunks(),
+        )
+    )
+
+    class AboveAvg:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.keys, self.sums, self.counts = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            idx = pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.keys)
+            lhs = pc.multiply(b.column("cents").combine_chunks(), self.counts.take(idx))
+            keep = pc.greater(lhs, self.sums.take(idx))
+            b = b.filter(keep)
+            return pa.Table.from_pydict(
+                {
+                    "o_orderkey": b.column("o_orderkey"),
+                    "o_custkey": b.column("o_custkey"),
+                    "cents": b.column("cents"),
+                }
+            )
+
+    return orders.map_batches(task_stage(AboveAvg, ref=ref), batch_format="pyarrow")
+
+
+def sql_orders_above_customer_avg() -> str:
+    return (
+        "SELECT o_orderkey, o_custkey,\n"
+        "  CAST(round(o_totalprice*100) AS BIGINT) AS cents\n"
+        "FROM orders JOIN (SELECT o_custkey AS ck,\n"
+        "    sum(CAST(round(o_totalprice*100) AS BIGINT)) AS s,\n"
+        "    count(*) AS n FROM orders GROUP BY ck) st\n"
+        "  ON o_custkey = ck\n"
+        "WHERE CAST(round(o_totalprice*100) AS BIGINT) * n > s"
+    )
+
+
+# --- ratio-to-report (global window aggregate) -----------------------------
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Ratio-to-report shape (sum() OVER () window): each nation's order
+    revenue next to the global total, both as exact integers — the share is
+    revenue_e4 / total_e4 without any float division. The grouped
+    aggregate is nation-bounded; the grand total is a scalar aggregate
+    attached as a constant column."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.collect import collect_blocks
+
+    nk, nn = _dim_arrays(
+        os.path.join(sf_dir, "nation.parquet"), "n_nationkey", "n_name"
+    )
+    ck, cn = _dim_arrays(
+        os.path.join(sf_dir, "customer.parquet"), "c_custkey", "c_nationkey"
+    )
+    import ray
+
+    ref = ray.put((ck, cn, nk, nn))
+
+    class Attach:
+        def __init__(self, ref):
+            import ray as _ray
+
+            self.ck, self.cn, self.nk, self.nn = _ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nat = self.cn.take(
+                pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
+            )
+            name = self.nn.take(pc.index_in(nat, value_set=self.nk))
+            cents = pc.round(
+                pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))
+            ).cast(pa.int64())
+            return pa.Table.from_pydict({"n_name": name, "cents": cents})
+
+    orders = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        )
+        .map_batches(task_stage(Attach, ref=ref), batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    tab = collect_blocks(
+        orders,
+        "n_name",
+        pa.table(
+            {
+                "n_name": pa.array([], type=pa.string()),
+                "revenue_cents": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    total = sum(tab.column("revenue_cents").to_pylist())
+    return tab.append_column(
+        "total_cents", pa.array([total] * tab.num_rows, type=pa.int64())
+    )
+
+
+def sql_nation_revenue_share() -> str:
+    return (
+        "SELECT n_name, revenue_cents,\n"
+        "  CAST(sum(revenue_cents) OVER () AS BIGINT) AS total_cents\n"
+        "FROM (SELECT n_name,\n"
+        "    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)\n"
+        "      AS revenue_cents\n"
+        "  FROM orders JOIN customer ON o_custkey = c_custkey\n"
+        "  JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name)"
+    )

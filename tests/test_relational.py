@@ -23,6 +23,9 @@ CASES = [
     ("q_top_supplier_revenue", "sql_top_supplier_revenue"),
     ("q_important_parts", "sql_important_parts"),
     ("q_nation_status_grid", "sql_nation_status_grid"),
+    ("q_party_nation_union", "sql_party_nation_union"),
+    ("q_orders_above_customer_avg", "sql_orders_above_customer_avg"),
+    ("q_nation_revenue_share", "sql_nation_revenue_share"),
 ]
 
 
