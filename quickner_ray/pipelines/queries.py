@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..kernel.rounding import round_away
+
 from ..kernel.automaton import Gazetteer
 from ..kernel.filters import Filters
 from ..stages.canonicalize import add_triple_columns, canonical_entities, explode_mentions, label_counts
@@ -297,7 +299,7 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
         mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(-1, dim)
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ qvec) / (norms * qnorm)
-        cos = np.round(cos, 6)
+        cos = round_away(cos, 6)
         n_local = min(k, len(cos))
         top = np.argpartition(-cos, n_local - 1)[:n_local] if len(cos) > n_local else np.arange(len(cos))
         return pa.Table.from_pydict(

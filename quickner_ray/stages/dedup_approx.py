@@ -32,6 +32,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..kernel.rounding import round_away
+
 WORD_RE = re.compile(r"[a-z0-9]+")
 WORD_RE_SQL = "[a-z0-9]+"  # RE2 class, identical semantics in DuckDB
 WORD_SPLIT_RE_SQL = "[^a-z0-9]+"  # complement class (split form of WORD_RE)
@@ -245,7 +247,7 @@ def _bucket_pairs(group: pa.Table) -> pa.Table:
             i, j = order[ii], order[jj]
             out_a.append(docs[i])
             out_b.append(docs[j])
-            out_j.append(round(jaccard(shingles[i], shingles[j]), 6))
+            out_j.append(round_away(jaccard(shingles[i], shingles[j]), 6))
     return pa.Table.from_pydict(
         {
             "doc_a": pa.array(out_a, type=pa.int64()),
@@ -387,7 +389,7 @@ class EmbeddingPairScorer:
             {
                 "vec_a": pa.array(qids[ai]),
                 "vec_b": pa.array(self.all_ids[bi]),
-                "cos_sim": pa.array(np.round(flat[top], 6)),
+                "cos_sim": pa.array(round_away(flat[top], 6)),
             }
         )
 

@@ -29,6 +29,8 @@ import re
 
 import pyarrow as pa
 
+from ..kernel.rounding import round_away
+
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
 AliasTable = dict[str, list[tuple[str, str, float]]]  # surface -> [(eid, label, prior)]
@@ -145,7 +147,7 @@ class EntityLinker:
             )
             best = ranked[0]
             eids.append(best[1])
-            scores.append(round(best[0], 6))
+            scores.append(round_away(best[0], 6))
             ncands.append(len(cands))
         out = batch.append_column("linked_entity_id", pa.array(eids, type=pa.string()))
         out = out.append_column("link_score", pa.array(scores, type=pa.float64()))

@@ -24,6 +24,8 @@ import os
 import numpy as np
 import pyarrow as pa
 
+from ..kernel.rounding import round_away
+
 
 def _mat_from_list_col(col, dim: int | None = None) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
@@ -160,7 +162,7 @@ def query_ivf_index(
             mat = _mat_from_list_col(batch.column("embedding"), len(self.q))
             norms = np.linalg.norm(mat, axis=1)
             cos = (mat @ self.q) / np.where(norms == 0, 1.0, norms)
-            cos = np.round(cos, 6)
+            cos = round_away(cos, 6)
             n_local = min(k, len(cos))
             top = (
                 np.argpartition(-cos, n_local - 1)[:n_local]

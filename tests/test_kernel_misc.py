@@ -155,3 +155,33 @@ class TestNaiveFindIndex:
     def test_one_match_per_entity(self):
         spans = naive_find_index("go go go", [("go", "PL")])
         assert spans == [(0, 2, "PL")]
+
+
+class TestRoundAway:
+    def test_matches_duckdb_on_dyadics(self):
+        """round_away == DuckDB ROUND bit-for-bit, including the dyadic
+        midpoints where Python's banker's rounding diverges."""
+        import duckdb
+        import numpy as np
+
+        from quickner_ray.kernel.rounding import round_away
+
+        con = duckdb.connect()
+        vals = [0.5078125, -0.5078125, 65 / 128, 3 / 4096, -7 / 8192,
+                0.1234565, 1.0000005, 0.0, -0.25]
+        rng = np.random.RandomState(4)
+        vals += list(rng.uniform(-2, 2, 500))
+        for v in vals:
+            got = con.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0]
+            assert round_away(v, 6) == got, v
+        # the divergence this kernel exists for:
+        assert round(0.5078125, 6) == 0.507812      # banker's
+        assert round_away(0.5078125, 6) == 0.507813  # DuckDB
+
+    def test_vectorized(self):
+        import numpy as np
+
+        from quickner_ray.kernel.rounding import round_away
+
+        out = round_away(np.array([0.5078125, -0.5078125, 1.25]), 6)
+        assert out.tolist() == [0.507813, -0.507813, 1.25]
