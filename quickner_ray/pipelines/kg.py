@@ -109,8 +109,7 @@ class KGPipelineConfig:
                 h.update(str(ver).encode())
             code = getattr(stage, "__code__", None)
             if code is not None:
-                h.update(code.co_code)
-                h.update(repr(code.co_consts).encode())
+                _hash_code(h, code)
             h.update(b"\x1e")
         if self.filters is not None:
             h.update(repr(self.filters).encode())
@@ -121,6 +120,21 @@ class KGPipelineConfig:
             h.update(b"\x1e")
         h.update(str(gazetteer.case_sensitive).encode())
         return h.hexdigest()
+
+
+def _hash_code(h, code) -> None:
+    """Process-stable hash of a code object: bytecode + names + RECURSIVE
+    nested code objects. ``repr(co_consts)`` is NOT stable — a nested
+    lambda/def const reprs as ``<code object ... at 0x7f...>`` whose
+    address changes every process, which would silently invalidate resume
+    on each run (the exact failure the bytecode hashing exists to avoid)."""
+    h.update(code.co_code)
+    h.update(repr((code.co_names, code.co_varnames)).encode())
+    for const in code.co_consts:
+        if hasattr(const, "co_code"):
+            _hash_code(h, const)
+        else:
+            h.update(repr(const).encode())
 
 
 def _prep_dataset(ds, cfg: KGPipelineConfig):

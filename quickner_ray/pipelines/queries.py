@@ -1093,25 +1093,17 @@ def q_supplier_balance_outliers(sf_dir: str):
     filter set is identical."""
     import ray.data as rd
 
+    from ..stages.events import lerp_median
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey", "s_acctbal"],
     )
 
-    def _median(v):
-        n = len(v)
-        rn = 0.5 * (n - 1)
-        frn = int(np.floor(rn))
-        crn = int(np.ceil(rn))
-        if crn == frn:
-            return float(v[frn])
-        frac = rn - frn
-        return float(v[frn] * (1.0 - frac) + v[crn] * frac)
-
     def per_group(g: pa.Table) -> pa.Table:
         bal = g.column("s_acctbal").to_numpy(zero_copy_only=False)
-        med = _median(np.sort(bal))
-        mad = _median(np.sort(np.abs(bal - med)))
+        med = lerp_median(np.sort(bal))
+        mad = lerp_median(np.sort(np.abs(bal - med)))
         keep = np.abs(bal - med) > 3.0 * mad
         cents = np.round(bal[keep] * 100.0).astype(np.int64)
         return pa.Table.from_pydict(
@@ -1213,16 +1205,28 @@ def q_lang_id(sf_dir: str):
 
 
 def _media_path(sf_dir: str) -> str:
-    """Synth media parquet cache (v2: adds QAUD audio rows)."""
+    """Synth media parquet cache, keyed on the SOURCE's identity: the cache
+    name embeds a fingerprint of documents.parquet's path + size + mtime,
+    so regenerated testdata (or two corpora sharing a basename) can never
+    serve stale media rows while the SQL oracle recomputes from the new
+    table. (The old basename-only key needed a manual "-v2" bump once —
+    exactly this staleness.)"""
+    import hashlib
+
     from ..stages.multimodal import synth_media_for_documents
 
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:v2".encode()
+    ).hexdigest()[:12]
     media_path = os.path.join(
         "/tmp/quickner_media",
-        os.path.basename(os.path.normpath(sf_dir)) + "-v2.parquet",
+        f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}.parquet",
     )
     if not os.path.exists(media_path):
         os.makedirs(os.path.dirname(media_path), exist_ok=True)
-        synth_media_for_documents(os.path.join(sf_dir, "documents.parquet"), media_path)
+        synth_media_for_documents(src, media_path)
     return media_path
 
 

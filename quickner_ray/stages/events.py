@@ -823,6 +823,24 @@ def grouped_quantiles_cont(
     return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def lerp_median(v) -> float:
+    """Median of a SORTED float64 array with DuckDB's percentile_cont lerp
+    (``lo*(1-frac) + hi*frac``, frac from ``0.5*(n-1)``) — bit-exact vs
+    ``median(x)``. THE single definition; grouped_mad and the outlier gate
+    in pipelines.queries both use it so the cross-engine semantics live in
+    one place."""
+    import numpy as np
+
+    n = len(v)
+    rn = 0.5 * (n - 1)
+    frn = int(np.floor(rn))
+    crn = int(np.ceil(rn))
+    if crn == frn:
+        return float(v[frn])
+    frac = rn - frn
+    return float(v[frn] * (1.0 - frac) + v[crn] * frac)
+
+
 def grouped_mad(ds, key_col: str, value_col: str):
     """Median absolute deviation per group — robust dispersion for outlier
     gating.  Both medians use the percentile_cont lerp replica (see
@@ -832,23 +850,13 @@ def grouped_mad(ds, key_col: str, value_col: str):
     import numpy as np
     import pyarrow as pa
 
-    def _median(v: "np.ndarray") -> float:
-        n = len(v)
-        rn = 0.5 * (n - 1)
-        frn = int(np.floor(rn))
-        crn = int(np.ceil(rn))
-        if crn == frn:
-            return float(v[frn])
-        frac = rn - frn
-        return float(v[frn] * (1.0 - frac) + v[crn] * frac)
-
     def per_group(group: pa.Table) -> pa.Table:
         col = group.column(value_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         v = np.sort(col.to_numpy(zero_copy_only=False))
-        med = _median(v)
-        mad = _median(np.sort(np.abs(v - med)))
+        med = lerp_median(v)
+        mad = lerp_median(np.sort(np.abs(v - med)))
         return pa.Table.from_pydict(
             {
                 key_col: group.column(key_col).take(pa.array([0])),

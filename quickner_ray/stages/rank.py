@@ -127,11 +127,30 @@ def exact_quantiles(
                 }
             )
 
-        rows = ds.map_batches(tag, batch_format="pyarrow").take_all()
-        out: dict[int, list[float]] = {i: [] for i in range(len(intervals))}
+        # collect DISTINCT (iv, v) counts, not raw rows: a sliver holding a
+        # hot value with millions of duplicates comes back as one row per
+        # distinct value, so the driver cost is bounded by the sliver's
+        # distinct-value count, never its row count
+        from ray.data.aggregate import Count
+
+        rows = (
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby(["iv", "v"])
+            .aggregate(Count(alias_name="n"))
+            .take_all()
+        )
+        acc: dict[int, list[tuple[float, int]]] = {
+            i: [] for i in range(len(intervals))
+        }
         for r in rows:
-            out[r["iv"]].append(r["v"])
-        return {i: np.sort(np.array(vs)) for i, vs in out.items()}
+            acc[r["iv"]].append((r["v"], r["n"]))
+        out: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for i, pairs in acc.items():
+            pairs.sort()
+            vals = np.array([p[0] for p in pairs], dtype=np.float64)
+            cum = np.cumsum(np.array([p[1] for p in pairs], dtype=np.int64))
+            out[i] = (vals, cum)
+        return out
 
     # rank -> value; resolve iteratively, grouping targets by interval.
     # Each level: one histogram pass per unresolved interval, then ONE
@@ -144,7 +163,13 @@ def exact_quantiles(
         next_work = []
         to_collect: list[tuple[float, float, int, dict[float, int]]] = []
         for lo, hi, offset, tgts in work:
-            if lo == hi or depth > max_depth:
+            if lo == hi:
+                # degenerate interval: every remaining row in it carries
+                # the same value — the answer IS that value, no collect
+                for q in tgts:
+                    out[q] = lo
+                continue
+            if depth > max_depth:
                 to_collect.append((lo, hi, offset, tgts))
                 continue
             edges, counts = hist_pass(lo, hi)
@@ -168,8 +193,12 @@ def exact_quantiles(
         if to_collect:
             slivers = collect_slivers([(c[0], c[1]) for c in to_collect])
             for i, (_lo, _hi, boff, sub) in enumerate(to_collect):
+                vals, cum = slivers[i]
                 for q, k in sub.items():
-                    out[q] = float(slivers[i][k - boff])
+                    # 0-based index t within the sorted sliver lives at the
+                    # first distinct value whose cumulative count exceeds t
+                    t = k - boff
+                    out[q] = float(vals[np.searchsorted(cum, t, side="right")])
         work = next_work
     return sorted(out.items())
 

@@ -390,15 +390,11 @@ def doc_keywords(ds, *, k: int = 3, text_col: str = "text"):
 
     from .topk import _head_mask
 
-    df_tab = vocab_df(ds, text_col).select_columns(["word", "df"]).to_arrow_refs()
-    # empty output blocks carry an empty schema — drop them before concat
-    blocks = [t for t in (ray.get(r) for r in df_tab) if t.num_rows]
-    if blocks:
-        df_tbl = pa.concat_tables(blocks).combine_chunks()
-    else:
-        df_tbl = pa.table(
-            {"word": pa.array([], type=pa.string()), "df": pa.array([], type=pa.int64())}
-        )
+    # collect once through the shared guard, then SORT BY WORD driver-side:
+    # the broadcast vocab being sorted makes a word's index its global rank,
+    # so per_doc needs no per-batch re-sort (same pre-sort-the-broadcast
+    # move as fuzzy.py's variant table)
+    df_tbl = collect_vocab(ds, text_col, columns=("word", "df")).sort_by("word")
     ref = ray.put(df_tbl)
 
     def per_doc(batch: pa.Table) -> pa.Table:
@@ -436,12 +432,9 @@ def doc_keywords(ds, *, k: int = 3, text_col: str = "text"):
         u_word = uniq % n_vocab
         score = tf.astype(np.float64) / df_np[u_word]
         word_vals = words_arr.take(pa.array(u_word))
-        # top-k per doc: rank by score desc, tie word asc — word order via
-        # its global sorted rank (index_in against the sorted vocab)
-        sorted_vocab = pc.array_sort_indices(words_arr)
-        word_rank = np.empty(n_vocab, dtype=np.int64)
-        word_rank[sorted_vocab.to_numpy(zero_copy_only=False)] = np.arange(n_vocab)
-        order = np.lexsort((word_rank[u_word], -score, u_doc))
+        # top-k per doc: rank by score desc, tie word asc — the broadcast
+        # vocab is pre-sorted, so a word's code IS its global rank
+        order = np.lexsort((u_word, -score, u_doc))
         mask = _head_mask(u_doc, order, k)
         sel = np.flatnonzero(mask)
         doc_col = batch.column("doc_id")

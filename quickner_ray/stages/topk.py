@@ -42,6 +42,20 @@ def grouped_topk(ds, key_col: str, rank_cols: list[str], k: int, *, descending=F
         [descending] + [False] * (len(rank_cols) - 1)
     )
 
+    def _desc_key(v: np.ndarray, col_name: str) -> np.ndarray:
+        # order-reversing transform: ~v for ints (never overflows — unlike
+        # -v, which wraps uint64 and maps 0 to itself, mis-ranking the
+        # minimum as the descending top); -v for floats (-0.0 == 0.0, so
+        # ordering is unaffected). Strings have no cheap reversal.
+        if v.dtype.kind in "iu":
+            return ~v
+        if v.dtype.kind == "f":
+            return -v
+        raise TypeError(
+            f"grouped_topk: descending rank on non-numeric column "
+            f"{col_name!r} (dtype {v.dtype}) is not supported"
+        )
+
     def partial(b: pa.Table) -> pa.Table:
         keys = b.column(key_col)
         if isinstance(keys, pa.ChunkedArray):
@@ -53,7 +67,7 @@ def grouped_topk(ds, key_col: str, rank_cols: list[str], k: int, *, descending=F
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             v = col.to_numpy(zero_copy_only=False)
-            cols.append(-v if d else v)
+            cols.append(_desc_key(v, c) if d else v)
         order = np.lexsort(tuple(reversed(cols)) + (codes,))
         return b.filter(pa.array(_head_mask(codes, order, k)))
 

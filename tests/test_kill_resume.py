@@ -119,3 +119,42 @@ def test_sigkill_then_resume(tmp_path):
     a, b = _triples(out), _triples(clean_out)
     assert a.equals(b)
     assert len(a) > 0
+
+
+class TestFingerprintStability:
+    def _fp(self, prog: str) -> str:
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip()
+
+    def test_nested_lambda_stage_stable_across_processes(self):
+        """A stage containing a nested lambda must fingerprint identically
+        in fresh processes — repr(co_consts) embedded code-object memory
+        addresses and silently invalidated every resume."""
+        prog = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from quickner_ray.pipelines.kg import KGPipelineConfig\n"
+            "from quickner_ray.kernel.automaton import Gazetteer\n"
+            "stage = lambda ds: ds.map_batches(lambda b: b, batch_format='pyarrow')\n"
+            "cfg = KGPipelineConfig(extra_stages=(('s', stage),))\n"
+            "print(cfg.fingerprint(Gazetteer([('a', 'X')])))\n"
+        )
+        assert self._fp(prog) == self._fp(prog)
+
+    def test_edited_nested_lambda_invalidates(self):
+        base = (
+            "import sys; sys.path.insert(0, '/root/repo')\n"
+            "from quickner_ray.pipelines.kg import KGPipelineConfig\n"
+            "from quickner_ray.kernel.automaton import Gazetteer\n"
+            "stage = lambda ds: ds.map_batches(lambda b: {body}, batch_format='pyarrow')\n"
+            "cfg = KGPipelineConfig(extra_stages=(('s', stage),))\n"
+            "print(cfg.fingerprint(Gazetteer([('a', 'X')])))\n"
+        )
+        assert self._fp(base.format(body="b")) != self._fp(
+            base.format(body="b.slice(0)")
+        )

@@ -218,3 +218,44 @@ class TestGlobalRowNumber:
         assert list(got) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
         # n < tiles: one row per bucket, sizes 1,1,1 then empty tail
         assert list(ntile_from_rn(np.arange(1, 4), 3, 4)) == [1, 2, 3]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestQuantilesDuplicateHeavy:
+    def test_constant_column(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.rank import exact_quantiles
+
+        tbl = pa.table({"v": pa.array(np.full(5000, 7.5))})
+        got = exact_quantiles(
+            rd.from_arrow(tbl).repartition(4), "v", qs=(0.1, 0.5, 0.99)
+        )
+        assert [v for _, v in got] == [7.5, 7.5, 7.5]
+
+    def test_hot_value_exceeds_collect_cap(self):
+        # one value with more duplicates than max_collect: the distinct-
+        # count collect keeps the driver bounded and the answer exact
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.rank import exact_quantiles
+
+        rng = np.random.RandomState(9)
+        v = np.concatenate([np.full(20000, 5.0), rng.uniform(0, 10, 2000)])
+        tbl = pa.table({"v": pa.array(v)})
+        got = dict(
+            exact_quantiles(
+                rd.from_arrow(tbl).repartition(4),
+                "v",
+                qs=(0.25, 0.5, 0.9),
+                max_collect=1000,
+            )
+        )
+        sv = np.sort(v)
+        n = len(v)
+        for q, val in got.items():
+            assert val == sv[max(int(np.ceil(q * n)) - 1, 0)], q

@@ -76,3 +76,22 @@ def test_stratified_sample_deterministic(ray_session):
     b = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     assert a[["lang", "doc_id"]].equals(b[["lang", "doc_id"]])
     assert (a.groupby("lang").size() == 4).all()
+
+
+def test_grouped_topk_descending_uint64_zero(ray_session):
+    """~v (not -v) for unsigned descending: 0 is the minimum and must rank
+    LAST, not first (uint64 negation wraps and left 0 at the top)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from quickner_ray.stages.topk import grouped_topk
+
+    tbl = pa.table(
+        {
+            "g": pa.array(["a"] * 3),
+            "h": pa.array(np.array([0, 5, 10], dtype=np.uint64)),
+        }
+    )
+    got = grouped_topk(rd.from_arrow(tbl), "g", ["h"], 2, descending=True).to_pandas()
+    assert sorted(got["h"].tolist()) == [5, 10]
