@@ -88,6 +88,17 @@ def mentions_dataset(sf_dir: str, *, keep_text: bool = False):
     )
 
 
+def _explode_ann(ann, *, keep_text: bool = False):
+    """Annotated-docs Dataset -> mentions Dataset. For SPLIT-SAFE consumers
+    only (global groupbys, per-mention maps); doc-local per-batch kernels
+    must instead fuse the explode via annotated=True so Ray's dynamic block
+    splitting cannot separate a document's mentions."""
+    return ann.map_batches(
+        lambda b: explode_mentions(b, subj_col="doc_id", keep_text=keep_text),
+        batch_format="pyarrow",
+    )
+
+
 # ---- oracle-checked queries -------------------------------------------------
 
 def q_doc_dedup(sf_dir: str):
@@ -2012,7 +2023,7 @@ def q_entity_cooccurrence(sf_dir: str):
     shuffles."""
     from ..stages.graph_cc import cooccurrence_pairs
 
-    return cooccurrence_pairs(mentions_dataset(sf_dir))
+    return cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
 
 
 def q_entity_jaccard(sf_dir: str):
@@ -2023,7 +2034,7 @@ def q_entity_jaccard(sf_dir: str):
 
     from ..stages.graph_cc import cooccurrence_pairs, neighborhood_jaccard
 
-    edges = cooccurrence_pairs(mentions_dataset(sf_dir))
+    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
     return neighborhood_jaccard(
         edges,
         src_col="entity_a",
@@ -2046,9 +2057,9 @@ def q_entity_pagerank(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, pagerank
 
-    m = mentions_dataset(sf_dir).materialize()
-    edges = cooccurrence_pairs(m)
-    nodes = canonical_entities(m)
+    ann = annotated_documents(sf_dir).materialize()
+    edges = cooccurrence_pairs(ann, annotated=True)
+    nodes = canonical_entities(_explode_ann(ann))
     pr = pagerank(
         edges,
         nodes=nodes,
@@ -2070,7 +2081,7 @@ def q_relation_candidates(sf_dir: str):
     Zero shuffles — pair generation is batch-local by doc contiguity."""
     from ..stages.relations import relation_candidates
 
-    return relation_candidates(mentions_dataset(sf_dir))
+    return relation_candidates(annotated_documents(sf_dir), annotated=True)
 
 
 def q_entity_pmi(sf_dir: str):
@@ -2088,9 +2099,9 @@ def q_entity_pmi(sf_dir: str):
 
     from ..stages.graph_cc import cooccurrence_pairs, entity_doc_freq
 
-    m = mentions_dataset(sf_dir).materialize()
-    pairs = cooccurrence_pairs(m)
-    df_rows = entity_doc_freq(m).take_all()  # gazetteer-bounded
+    ann = annotated_documents(sf_dir).materialize()
+    pairs = cooccurrence_pairs(ann, annotated=True)
+    df_rows = entity_doc_freq(ann, annotated=True).take_all()  # gazetteer-bounded
     n_total = _docs(sf_dir, columns=["doc_id"]).count()
     eids = pa.array([r["eid"] for r in df_rows], type=pa.string())
     dfs = pa.array([r["df"] for r in df_rows], type=pa.int64())
@@ -2488,7 +2499,7 @@ def q_entity_kcore(sf_dir: str):
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, kcore
 
     out = kcore(
-        cooccurrence_pairs(mentions_dataset(sf_dir)),
+        cooccurrence_pairs(annotated_documents(sf_dir), annotated=True),
         k=2,
         src_col="entity_a",
         dst_col="entity_b",
@@ -2561,10 +2572,10 @@ def q_entity_triangles(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, triangle_counts
 
-    m = mentions_dataset(sf_dir).materialize()
+    ann = annotated_documents(sf_dir).materialize()
     out = triangle_counts(
-        cooccurrence_pairs(m),
-        nodes=canonical_entities(m),
+        cooccurrence_pairs(ann, annotated=True),
+        nodes=canonical_entities(_explode_ann(ann)),
         src_col="entity_a",
         dst_col="entity_b",
         node_col="entity_id",
@@ -2891,14 +2902,14 @@ def q_graph_degree(sf_dir: str):
     """Graph adjacency stats from the materialized triples: per (subj, pred)
     the distinct-object degree and total mention count.
 
-    ZERO shuffles: subj IS the doc id and a document's triples are
-    contiguous within one batch by construction (explode/detect are
-    per-batch over whole documents — the same locality invariant
-    ``cooccurrence_pairs`` relies on), so every (subj, pred) group is
-    batch-local and the whole aggregate is a vectorized per-batch pass.
-    Were the key NOT aligned with the batch layout, this would need the
-    groupby(s,p,o) -> groupby(s,p) partial-aggregate chain instead."""
-    t = q_triples(sf_dir).select_columns(["subj", "pred", "obj"])
+    ZERO shuffles: subj IS the doc id, and explode -> triples -> degree run
+    FUSED in one batch fn over annotated documents (one row per doc), so a
+    document's triples are whole by construction — Ray's dynamic block
+    splitting between doc rows cannot separate them (the same fusion
+    guarantee as ``cooccurrence_pairs(annotated=True)``). Were the key NOT
+    aligned with the doc layout, this would need the groupby(s,p,o) ->
+    groupby(s,p) partial-aggregate chain instead."""
+    ann = annotated_documents(sf_dir)
 
     def degree(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -2933,4 +2944,9 @@ def q_graph_degree(sf_dir: str):
         out = out.append_column("n_objects", pa.array(n_objects, type=pa.int64()))
         return out.append_column("n_mentions", pa.array(n_mentions, type=pa.int64()))
 
-    return t.map_batches(degree, batch_format="pyarrow")
+    def fused(b: pa.Table) -> pa.Table:
+        m = explode_mentions(b, subj_col="doc_id")
+        t = add_triple_columns(m, subj_col="doc_id")
+        return degree(t.select(["subj", "pred", "obj"]))
+
+    return ann.map_batches(fused, batch_format="pyarrow")

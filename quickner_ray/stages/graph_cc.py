@@ -133,21 +133,44 @@ def _cooc_batch(
     )
 
 
-def cooccurrence_pairs(mentions, *, cap: int = MAX_ENT_PER_DOC, doc_col: str = "doc_id"):
-    """KG edge construction: entity co-occurrence graph from the mention
-    stream.  Dataset(doc_id, surface_norm, label, ...) ->
-    Dataset(entity_a, entity_b, n_docs) — one edge per entity pair
-    co-mentioned in a document, weighted by the number of such documents.
+def cooccurrence_pairs(
+    mentions,
+    *,
+    cap: int = MAX_ENT_PER_DOC,
+    doc_col: str = "doc_id",
+    annotated: bool = False,
+):
+    """KG edge construction: entity co-occurrence graph.
+    Dataset -> Dataset(entity_a, entity_b, n_docs) — one edge per entity
+    pair co-mentioned in a document, weighted by document count.
 
     Shape: per-batch partial counts (zero-shuffle pair generation, see
     ``_cooc_batch``) then ONE groupby-sum on the pair key.
+
+    Doc locality: ``_cooc_batch`` needs a document's mentions whole inside
+    one batch.  Pass ``annotated=True`` with the ANNOTATED-documents
+    dataset (one row per doc) — the explode then runs FUSED in the same
+    batch fn, so the invariant holds by construction even when Ray's
+    dynamic block splitting would have split a large exploded block
+    mid-document.  The raw-mentions form remains for callers that own the
+    layout (e.g. a freshly exploded in-memory batch in tests).
     """
     from ray.data.aggregate import Sum
 
-    partial = mentions.map_batches(
-        lambda b: _cooc_batch(b, cap=cap, doc_col=doc_col),
-        batch_format="pyarrow",
-    )
+    if annotated:
+        from .canonicalize import explode_mentions
+
+        def gen(b: pa.Table) -> pa.Table:
+            return _cooc_batch(
+                explode_mentions(b, subj_col=doc_col), cap=cap, doc_col=doc_col
+            )
+
+    else:
+
+        def gen(b: pa.Table) -> pa.Table:
+            return _cooc_batch(b, cap=cap, doc_col=doc_col)
+
+    partial = mentions.map_batches(gen, batch_format="pyarrow")
     return partial.groupby(["entity_a", "entity_b"]).aggregate(
         Sum("n", alias_name="n_docs")
     )
@@ -757,14 +780,25 @@ def _df_batch(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     )
 
 
-def entity_doc_freq(mentions, *, doc_col: str = "doc_id"):
+def entity_doc_freq(mentions, *, doc_col: str = "doc_id", annotated: bool = False):
     """Mention Dataset -> Dataset(eid, df): distinct-document frequency per
-    entity.  Batch-local distinct then ONE groupby-sum on the eid key."""
+    entity.  Batch-local distinct then ONE groupby-sum on the eid key.
+    ``annotated=True`` fuses the mention explode into the batch fn (same
+    doc-locality guarantee as ``cooccurrence_pairs``)."""
     from ray.data.aggregate import Sum
 
-    partial = mentions.map_batches(
-        lambda b: _df_batch(b, doc_col), batch_format="pyarrow"
-    )
+    if annotated:
+        from .canonicalize import explode_mentions
+
+        def gen(b: pa.Table) -> pa.Table:
+            return _df_batch(explode_mentions(b, subj_col=doc_col), doc_col)
+
+    else:
+
+        def gen(b: pa.Table) -> pa.Table:
+            return _df_batch(b, doc_col)
+
+    partial = mentions.map_batches(gen, batch_format="pyarrow")
     return partial.groupby("eid").aggregate(Sum("pdf", alias_name="df"))
 
 

@@ -105,9 +105,27 @@ def _rel_batch(
     )
 
 
-def relation_candidates(mentions, *, window: int = REL_WINDOW, cap: int = MENTION_CAP):
+def relation_candidates(
+    mentions,
+    *,
+    window: int = REL_WINDOW,
+    cap: int = MENTION_CAP,
+    annotated: bool = False,
+):
     """Mention Dataset -> Dataset(doc_id, subj, obj, gap) of
-    proximity-windowed directed candidate pairs (module docstring)."""
+    proximity-windowed directed candidate pairs (module docstring).
+    ``annotated=True`` fuses the mention explode into the batch fn so a
+    document's mentions are whole by construction (doc locality survives
+    Ray's dynamic block splitting)."""
+    if annotated:
+        from .canonicalize import explode_mentions
+
+        return mentions.map_batches(
+            lambda b: _rel_batch(
+                explode_mentions(b, subj_col="doc_id"), window=window, cap=cap
+            ),
+            batch_format="pyarrow",
+        )
     return mentions.map_batches(
         lambda b: _rel_batch(b, window=window, cap=cap), batch_format="pyarrow"
     )

@@ -413,3 +413,45 @@ class TestNeighborhoodJaccard:
         # leaf pairs share exactly the hub; leaves have degree 1 each
         assert got[(1, 2)] == (1, 1)
         assert (1, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAnnotatedFusion:
+    """The annotated=True fused explode must produce identical results to
+    the raw-mentions path (which is only safe when the caller owns the
+    block layout)."""
+
+    def test_cooccurrence_parity(self):
+        from quickner_ray.pipelines.queries import (
+            _explode_ann,
+            annotated_documents,
+        )
+        from quickner_ray.stages.graph_cc import cooccurrence_pairs
+
+        ann = annotated_documents("/root/testdata/sf0.001").materialize()
+        fused = {
+            (r["entity_a"], r["entity_b"]): r["n_docs"]
+            for r in cooccurrence_pairs(ann, annotated=True).take_all()
+        }
+        raw = {
+            (r["entity_a"], r["entity_b"]): r["n_docs"]
+            for r in cooccurrence_pairs(_explode_ann(ann)).take_all()
+        }
+        assert fused == raw and fused
+
+    def test_relation_candidates_parity(self):
+        from quickner_ray.pipelines.queries import (
+            _explode_ann,
+            annotated_documents,
+        )
+        from quickner_ray.stages.relations import relation_candidates
+
+        ann = annotated_documents("/root/testdata/sf0.001").materialize()
+        key = lambda r: (r["doc_id"], r["subj"], r["obj"], r["gap"])
+        fused = sorted(
+            key(r) for r in relation_candidates(ann, annotated=True).take_all()
+        )
+        raw = sorted(
+            key(r) for r in relation_candidates(_explode_ann(ann)).take_all()
+        )
+        assert fused == raw and fused
