@@ -56,6 +56,18 @@ def _dim_arrays(path: str, key: str, *cols: str):
     return tuple(t.column(c).combine_chunks() for c in (key, *cols))
 
 
+def _lookup(keys, vals, query):
+    """Broadcast dim lookup: ``vals[index_in(query, keys)]``.
+
+    Null policy: a key absent from the dim yields NULL — callers that use
+    the attach as a filter must keep ``pc.is_valid`` explicitly (Q7's
+    nation restriction does); plain attaches rely on FK integrity and let
+    a null surface loudly rather than dropping rows silently."""
+    if isinstance(query, pa.ChunkedArray):
+        query = query.combine_chunks()
+    return vals.take(pc.index_in(query, value_set=keys))
+
+
 def _ts_range_filter(b: pa.Table, col: str, lo: int, hi: int) -> pa.Table:
     us = b.column(col).combine_chunks().cast(pa.int64())
     keep = pc.and_(
@@ -84,9 +96,7 @@ class _Q7LiPre:
 
     def __call__(self, b: pa.Table) -> pa.Table:
         b = _ts_range_filter(b, "l_shipdate", self.lo, self.hi)
-        s_nat = self.sn.take(
-            pc.index_in(b.column("l_suppkey").combine_chunks(), value_set=self.sk)
-        )
+        s_nat = _lookup(self.sk, self.sn, b.column("l_suppkey"))
         idx = pc.index_in(s_nat, value_set=self.nat_keys)
         keep = pc.is_valid(idx)
         b = b.filter(keep)
@@ -109,9 +119,7 @@ class _Q7OrdPre:
         _sk, _sn, self.ck, self.cn, self.nat_keys, self.nat_names = ray.get(ref)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        c_nat = self.cn.take(
-            pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
-        )
+        c_nat = _lookup(self.ck, self.cn, b.column("o_custkey"))
         idx = pc.index_in(c_nat, value_set=self.nat_keys)
         keep = pc.is_valid(idx)
         return pa.Table.from_pydict(
@@ -214,10 +222,8 @@ class _Q9Profit:
             b.column("l_partkey").combine_chunks(), value_set=self.red_keys
         )
         b = b.filter(keep)
-        s_nat = self.sn.take(
-            pc.index_in(b.column("l_suppkey").combine_chunks(), value_set=self.sk)
-        )
-        name = self.nn.take(pc.index_in(s_nat, value_set=self.nk))
+        s_nat = _lookup(self.sk, self.sn, b.column("l_suppkey"))
+        name = _lookup(self.nk, self.nn, s_nat)
         return pa.Table.from_pydict(
             {
                 "n_name": name,
@@ -531,9 +537,7 @@ class _Q18Attach:
         self.ck, self.cname = ray.get(ref)
 
     def __call__(self, b: pa.Table) -> pa.Table:
-        name = self.cname.take(
-            pc.index_in(b.column("o_custkey").combine_chunks(), value_set=self.ck)
-        )
+        name = _lookup(self.ck, self.cname, b.column("o_custkey"))
         return pa.Table.from_pydict(
             {
                 "c_name": name,
