@@ -187,17 +187,52 @@ class Gazetteer:
         duplicates removed — Document::annotate ordering (document.rs:83-96)."""
         return self.annotate_batch([text])[0]
 
-    def annotate_batch_arrays(self, texts: list[str]):
-        """Accepted matches as numpy arrays ``(doc_idx, start, end, pid)``
-        in reference order — ZERO per-mention Python on the vector fast
-        path (ASCII batch + token-shaped gazetteer); falls back to the
-        regex path (converted to arrays) otherwise."""
+    def _scan_arrays_mixed(self, texts: list[str]):
+        """Vector-path scan of a mixed ASCII/non-ASCII batch: the narrow
+        (uint8) kernel for the ASCII docs, the wide (UTF-32) kernel for the
+        rest, results merged back into global doc order. Returns None when
+        a text cannot be UTF-32-encoded (lone surrogates — caller falls
+        back to the per-doc path). Caller guarantees token_spec is set."""
         import numpy as np
 
         from .vectorscan import scan_batch_arrays
 
-        if self.token_spec is not None and all(t.isascii() for t in texts):
+        amask = [t.isascii() for t in texts]
+        if all(amask):
             return scan_batch_arrays(self, texts)
+        a_ids = np.flatnonzero(amask)
+        w_ids = np.flatnonzero(~np.asarray(amask, dtype=bool))
+        try:
+            dw, sw, ew, pw = scan_batch_arrays(
+                self, [texts[i] for i in w_ids], wide=True
+            )
+        except UnicodeEncodeError:
+            return None
+        if len(a_ids):
+            da, sa, ea, pa = scan_batch_arrays(self, [texts[i] for i in a_ids])
+        else:
+            da = sa = ea = pa = np.empty(0, np.int64)
+        doc_idx = np.concatenate([a_ids[da], w_ids[dw]])
+        s = np.concatenate([sa, sw])
+        e = np.concatenate([ea, ew])
+        p = np.concatenate([pa, pw])
+        # each half is already in reference order within its own docs and
+        # doc sets are disjoint, so a stable sort on doc alone merges
+        order = np.argsort(doc_idx, kind="stable")
+        return doc_idx[order], s[order], e[order], p[order]
+
+    def annotate_batch_arrays(self, texts: list[str]):
+        """Accepted matches as numpy arrays ``(doc_idx, start, end, pid)``
+        in reference order — ZERO per-mention Python on the vector fast
+        path (token-shaped gazetteer; non-ASCII docs take the UTF-32 wide
+        kernel); falls back to the regex path (converted to arrays)
+        otherwise."""
+        import numpy as np
+
+        if self.token_spec is not None:
+            arrs = self._scan_arrays_mixed(texts)
+            if arrs is not None:
+                return arrs
         spans = self._annotate_batch_impl(texts, with_pid=True)
         counts = [len(d) for d in spans]
         total = sum(counts)
@@ -241,26 +276,21 @@ class Gazetteer:
         if not self.names or n == 0:
             return results
         if self.token_spec is not None:
-            # vector path for the ASCII docs; per-doc regex fallback for the
-            # (typically rare) non-ASCII rest — mixed batches stay fast
-            from .vectorscan import scan_batch_arrays
-
-            ascii_mask = [t.isascii() for t in texts]
-            ascii_ids = [i for i, a in enumerate(ascii_mask) if a]
-            if ascii_ids:
-                sub = [texts[i] for i in ascii_ids]
-                doc_idx, starts, ends, pids = scan_batch_arrays(self, sub)
+            # vector path throughout: narrow kernel for ASCII docs, wide
+            # (UTF-32) kernel for the rest; per-doc regex only for
+            # un-encodable texts (lone surrogates)
+            arrs = self._scan_arrays_mixed(texts)
+            if arrs is not None:
+                doc_idx, starts, ends, pids = arrs
                 labels = self.labels
                 for di, s, e, pid in zip(
                     doc_idx.tolist(), starts.tolist(), ends.tolist(), pids.tolist()
                 ):
-                    results[ascii_ids[di]].append(
+                    results[di].append(
                         (s, e, pid) if with_pid else (s, e, labels[pid])
                     )
-            for i, a in enumerate(ascii_mask):
-                if not a:
-                    results[i] = self._annotate_single(texts[i], with_pid)
-            return results
+                return results
+            return [self._annotate_single(t, with_pid) for t in texts]
         if not self.sep_safe:
             return [self._annotate_single(t, with_pid) for t in texts]
         mega = "\n".join(texts)

@@ -25,6 +25,27 @@ is always rejected by the rules (next char is alphanumeric, and rule 4
 cannot fire mid-word), so word-exact candidates are sufficient. Property
 tests pin equivalence against both the regex path and the brute-force
 oracle.
+
+WIDE (non-ASCII text) variant: ``wide=True`` runs the identical scan over
+UTF-32 codepoints (``np.frombuffer(text.encode('utf-32-le'), uint32)`` —
+array index == char index), with codepoint LUTs for the boundary classes
+(Rust ``char::is_whitespace`` is bounded at U+3000; ``is_ascii_punctuation``
+at '~', so a 0x3002-entry LUT is exact) and word keys masked to 8-bit
+first/last codepoints (collisions resolved by the existing exact verify).
+4 bytes/char of bandwidth instead of 1, paid only for the non-ASCII docs
+of a batch.
+
+NON-ASCII NAMES are vectorized too, reproducing the reference's
+byte-vs-char quirks per pattern (boundary.py): ``target_len`` is the
+name's BYTE length, so for a non-ASCII name the rule-5/6 ``after``
+position ``start + target_len`` lies BEYOND the span end and the
+reference can accept spans that end MID-WORD ('東京' inside '東京irn ').
+The scan therefore uses word-PREFIX candidates for the last token of
+non-ASCII patterns (``_prefix_candidates``), evaluates ``after`` via a
+per-candidate gather at ``start + byte_lens[pid]``, and rule 4 compares
+``start + byte_lens[pid]`` against the doc's UTF-8 byte length. For
+all-ASCII gazetteers (``all_ascii``) this collapses back to
+``after == nxt`` and ``end == doc_len`` with zero extra work.
 """
 
 from __future__ import annotations
@@ -46,16 +67,41 @@ _SENT = ord("N")  # out-of-range placeholder (fails both predicates)
 _DOT = ord(".")
 _BOUNDARY_CHARS = frozenset(c for c in (RUST_WHITESPACE | ASCII_PUNCT) if ord(c) < 128)
 
+# codepoint LUTs for the wide (UTF-32) path. Rust char::is_whitespace's
+# highest member is U+3000 IDEOGRAPHIC SPACE (chars.py pins the set), so
+# every codepoint above _LUT_LIMIT maps to the extra all-False entry.
+_LUT_LIMIT = 0x3001
+LUT32_WS = np.zeros(_LUT_LIMIT + 1, dtype=bool)
+for _c in RUST_WHITESPACE:
+    LUT32_WS[ord(_c)] = True
+LUT32_PU = np.zeros(_LUT_LIMIT + 1, dtype=bool)
+for _c in ASCII_PUNCT:
+    LUT32_PU[ord(_c)] = True
+LUT32_BOUND = LUT32_WS | LUT32_PU
+
+
+def _lut32(lut: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """LUT lookup over uint32 codepoints. ``take(mode='clip')`` maps every
+    codepoint above the limit onto the all-False sentinel entry with no
+    temporary array."""
+    return lut.take(codes, mode="clip")
+
+
+_BOUNDARY_ANY = RUST_WHITESPACE | ASCII_PUNCT
+
 
 def is_token_name(name: str) -> bool:
     """True if ``name`` is a single-space-joined sequence of non-empty
-    tokens containing no boundary-class chars (the vectorizable shape)."""
-    if not name or not name.isascii():
+    tokens containing no boundary-class chars (the vectorizable shape).
+    Non-ASCII tokens are vectorizable too: the scan compares codepoints,
+    and the byte-vs-char rule quirks are handled per pattern via
+    ``byte_lens`` (see ``scan_batch_arrays``)."""
+    if not name:
         return False
     toks = name.split(" ")
     if any(t == "" for t in toks):
         return False
-    return not any(ch in _BOUNDARY_CHARS for t in toks for ch in t)
+    return not any(ch in _BOUNDARY_ANY for t in toks for ch in t)
 
 
 def compile_token_patterns(names: list[str]) -> dict | None:
@@ -67,26 +113,49 @@ def compile_token_patterns(names: list[str]) -> dict | None:
     token is absent from the batch (the overwhelming majority for a 10^5-name
     gazetteer) cost nothing.
     """
-    by_first: dict[str, list[tuple[tuple[str, ...], int]]] = {}
+    by_first: dict[str, list[tuple[tuple[str, ...], int, bool]]] = {}
+    prefix_singles: list[tuple[str, int]] = []
     for pid, name in enumerate(names):
         if not is_token_name(name):
             return None
         toks = tuple(name.split(" "))
-        by_first.setdefault(toks[0], []).append((toks, pid))
+        # non-ASCII name => target_len (BYTE length) > char length, so the
+        # reference's rule-5/6 ``after`` position lies BEYOND the span end
+        # and a span may be accepted mid-word (e.g. '東京' inside '東京irn '
+        # when the char 4 past the start is a space). The last token then
+        # needs PREFIX matching, not word equality; single-token such
+        # patterns bypass the word-equality key probe entirely.
+        pref = not name.isascii()
+        if pref and len(toks) == 1:
+            prefix_singles.append((toks[0], pid))
+        else:
+            by_first.setdefault(toks[0], []).append((toks, pid, pref))
     key_to_toks: dict[int, list[str]] = {}
     for tok in by_first:
-        key_to_toks.setdefault(_token_key(tok.encode("ascii")), []).append(tok)
+        key_to_toks.setdefault(_token_key(tok), []).append(tok)
     first_keys = np.array(sorted(key_to_toks), dtype=np.int64)
     key_groups = [key_to_toks[int(k)] for k in first_keys]
-    return {"by_first": by_first, "first_keys": first_keys, "key_groups": key_groups}
+    all_ascii = all(n.isascii() for n in names)
+    byte_lens = np.fromiter(
+        (len(n.encode("utf-8")) for n in names), dtype=np.int64, count=len(names)
+    )
+    return {
+        "by_first": by_first,
+        "first_keys": first_keys,
+        "key_groups": key_groups,
+        "prefix_singles": prefix_singles,
+        "all_ascii": all_ascii,
+        "byte_lens": byte_lens,
+    }
 
 
-def _word_segments(data: np.ndarray):
-    """Word [start, end) byte offsets over the mega buffer."""
+def _word_segments(data: np.ndarray, wide: bool = False):
+    """Word [start, end) offsets over the mega buffer (bytes when narrow,
+    chars when wide)."""
     if len(data) == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    bnd = LUT_BOUND[data]
+    bnd = _lut32(LUT32_BOUND, data) if wide else LUT_BOUND[data]
     nonb = ~bnd
     prev_bnd = np.empty_like(bnd)
     prev_bnd[0] = True
@@ -100,39 +169,54 @@ def _word_segments(data: np.ndarray):
 
 
 def _word_keys(data: np.ndarray, w_start: np.ndarray, w_end: np.ndarray) -> np.ndarray:
-    """Packed per-word key (len, first byte, last byte, byte-sum) — a cheap
-    vectorized word signature. Collisions are resolved by exact byte
-    verification at CANDIDATE positions only (match-count work)."""
-    # int32 cumsum: max total 127 * len(data) stays < 2^31 for < 16M bytes;
-    # larger buffers fall back to int64
-    dt = np.int32 if len(data) < 16_000_000 else np.int64
-    cs = np.zeros(len(data) + 1, dtype=dt)
-    np.cumsum(data, out=cs[1:])
-    wsum = (cs[w_end] - cs[w_start]).astype(np.int64)
+    """Packed per-word key (len, first unit, last unit, unit-sum) — a cheap
+    vectorized word signature. Collisions are resolved by exact
+    verification at CANDIDATE positions only (match-count work). On the
+    wide path the first/last codepoints are masked to 8 bits so ASCII
+    token keys (``_token_key``) stay comparable; a masked collision with a
+    non-ASCII word is caught by the exact verify."""
+    # uint32 cumsum with wraparound: the key keeps only sum mod 2^24, and
+    # 2^24 | 2^32, so (sum mod 2^32) & 0xFFFFFF == sum & 0xFFFFFF — exact
+    # for any buffer size, half the memory of an int64 cumsum. Cast BEFORE
+    # the cumsum: mismatched out= dtypes force numpy's slow buffered path.
+    cs = np.zeros(len(data) + 1, dtype=np.uint32)
+    np.cumsum(data.astype(np.uint32, copy=False), out=cs[1:])
+    wsum = ((cs[w_end] - cs[w_start]) & np.uint32(0xFFFFFF)).astype(np.int64)
     wlen = w_end - w_start
-    first = data[w_start].astype(np.int64)
-    last = data[w_end - 1].astype(np.int64)
-    return (wlen << 40) | (first << 32) | (last << 24) | (wsum & 0xFFFFFF)
+    first = data[w_start].astype(np.int64) & 0xFF
+    last = data[w_end - 1].astype(np.int64) & 0xFF
+    return (wlen << 40) | (first << 32) | (last << 24) | wsum
 
 
-def _token_key(tok: bytes) -> int:
+def _token_key(tok: str) -> int:
+    """Codepoint token key, format-compatible with ``_word_keys``: the len
+    field is the token's CHAR length, first/last codepoints masked to 8
+    bits, codepoint-sum masked to 24. For ASCII tokens this equals the
+    byte-based key of narrow-path words; a masked collision is always
+    resolved by the exact codepoint verify at candidates."""
+    cps = [ord(c) for c in tok]
     return (
-        (len(tok) << 40)
-        | (tok[0] << 32)
-        | (tok[-1] << 24)
-        | (sum(tok) & 0xFFFFFF)
+        (len(cps) << 40)
+        | ((cps[0] & 0xFF) << 32)
+        | ((cps[-1] & 0xFF) << 24)
+        | (sum(cps) & 0xFFFFFF)
     )
+
+
+def _tok_arr(tok: str) -> np.ndarray:
+    return np.fromiter((ord(c) for c in tok), dtype=np.uint32, count=len(tok))
 
 
 def _token_candidates(
     data: np.ndarray,
     w_start: np.ndarray,
     word_keys: np.ndarray,
-    tok: bytes,
+    tok: str,
     cache: dict,
 ) -> np.ndarray:
     """Sorted word indices whose word == tok exactly (key filter + exact
-    byte verify at candidates)."""
+    codepoint verify at candidates). Key length-field match guarantees the
+    gather stays inside the word, so no out-of-bounds reads."""
     got = cache.get(tok)
     if got is not None:
         return got
@@ -140,27 +224,53 @@ def _token_candidates(
     if len(cand):
         L = len(tok)
         mat = data[w_start[cand][:, None] + np.arange(L, dtype=np.int64)[None, :]]
-        tok_arr = np.frombuffer(tok, dtype=np.uint8)
-        cand = cand[(mat == tok_arr[None, :]).all(axis=1)]
+        cand = cand[(mat == _tok_arr(tok)[None, :]).all(axis=1)]
     cache[tok] = cand
     return cand
 
 
-def scan_batch_arrays(gaz, texts: list[str]):
-    """Vector-path scan of (already case-normalized, ASCII) texts.
+def _prefix_candidates(
+    data: np.ndarray,
+    w_start: np.ndarray,
+    w_end: np.ndarray,
+    tok: str,
+    cache: dict,
+) -> np.ndarray:
+    """Sorted word indices whose word STARTS WITH ``tok`` (length >= tok).
+    Needed for the last token of non-ASCII patterns, whose spans may end
+    mid-word (rule-5/6 ``after`` quirk). First-codepoint prefilter keeps
+    the exact verify to a small candidate set."""
+    key = ("pref", tok)
+    got = cache.get(key)
+    if got is not None:
+        return got
+    L = len(tok)
+    ta = _tok_arr(tok)
+    sel = np.flatnonzero((w_end - w_start >= L) & (data[w_start] == ta[0]))
+    if len(sel) and L > 1:
+        mat = data[w_start[sel][:, None] + np.arange(L, dtype=np.int64)[None, :]]
+        sel = sel[(mat == ta[None, :]).all(axis=1)]
+    cache[key] = sel
+    return sel
+
+
+def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
+    """Vector-path scan of (already case-normalized) texts.
 
     Returns accepted matches as numpy arrays ``(doc_idx, start, end, pid)``
     sorted by (doc, start, end, label-rank) with exact duplicates removed —
-    the reference's output ordering. Caller guarantees: all texts ASCII,
-    ``gaz.token_spec`` is not None.
-    """
-    import pyarrow.compute as pc
-
+    the reference's output ordering. Caller guarantees:
+    ``gaz.token_spec`` is not None, and all texts ASCII when ``wide`` is
+    False. ``wide=True`` runs the same scan over UTF-32 codepoints for
+    non-ASCII docs (see module docstring)."""
     n_docs = len(texts)
     if n_docs == 0:
         return (np.empty(0, np.int64),) * 4
     mega = "\n".join(texts)
-    data = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
+    if wide:
+        data = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+    else:
+        data = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
     n = len(data)
     doc_starts = np.zeros(n_docs + 1, dtype=np.int64)
     acc = 0
@@ -168,9 +278,18 @@ def scan_batch_arrays(gaz, texts: list[str]):
         doc_starts[i] = acc
         acc += len(t) + 1
     doc_starts[n_docs] = acc
-    doc_lens = np.diff(doc_starts) - 1  # byte length of each doc
+    doc_lens = np.diff(doc_starts) - 1  # char length of each doc
+    if wide:
+        # rule 4 compares against the doc's UTF-8 BYTE length
+        from .chars import byte_len
 
-    w_start, w_end = _word_segments(data)
+        doc_blens = np.fromiter(
+            (byte_len(t) for t in texts), dtype=np.int64, count=n_docs
+        )
+    else:
+        doc_blens = doc_lens  # ASCII: byte length == char length
+
+    w_start, w_end = _word_segments(data, wide)
     n_words = len(w_start)
 
     cand_s: list[np.ndarray] = []
@@ -179,11 +298,11 @@ def scan_batch_arrays(gaz, texts: list[str]):
 
     if n_words:
         word_keys = _word_keys(data, w_start, w_end)
-        tok_cache: dict[bytes, np.ndarray] = {}
-        member_cache: dict[bytes, np.ndarray] = {}
+        tok_cache: dict[str, np.ndarray] = {}
+        member_cache: dict[str, np.ndarray] = {}
         spec = gaz.token_spec
         by_first = spec["by_first"]
-        data_pad = np.append(data, np.uint8(32))
+        data_pad = np.append(data, data.dtype.type(32))
         # ONE searchsorted probe finds every word that key-matches any first
         # token; pattern count doesn't multiply the scan cost
         fk = spec["first_keys"]
@@ -199,31 +318,38 @@ def scan_batch_arrays(gaz, texts: list[str]):
         for gidx, g in enumerate(group_ids):
             members_g = wi[group_bounds[gidx] : group_bounds[gidx + 1]]
             for first_tok in spec["key_groups"][int(g)]:
-                tokb = first_tok.encode("ascii")
-                L = len(tokb)
+                L = len(first_tok)
                 mat = data[
                     w_start[members_g][:, None] + np.arange(L, dtype=np.int64)[None, :]
                 ]
-                tok_arr = np.frombuffer(tokb, dtype=np.uint8)
-                base = members_g[(mat == tok_arr[None, :]).all(axis=1)]
+                base = members_g[(mat == _tok_arr(first_tok)[None, :]).all(axis=1)]
                 base = np.sort(base)
-                tok_cache[tokb] = base
+                tok_cache[first_tok] = base
                 if not len(base):
                     continue
-                for toks, pid in by_first[first_tok]:
+                for toks, pid, pref in by_first[first_tok]:
                     ok = base
                     for j in range(1, len(toks)):
                         ok = ok[ok + j < n_words]  # the j-th next word must exist
                         if not len(ok):
                             break
-                        tb = toks[j].encode("ascii")
-                        member = member_cache.get(tb)
+                        tb = toks[j]
+                        # non-ASCII patterns: the LAST token only needs to
+                        # be a word prefix (span may end mid-word)
+                        want_pref = pref and j == len(toks) - 1
+                        mkey = ("prefm", tb) if want_pref else tb
+                        member = member_cache.get(mkey)
                         if member is None:
                             member = np.zeros(n_words, dtype=bool)
-                            member[
-                                _token_candidates(data, w_start, word_keys, tb, tok_cache)
-                            ] = True
-                            member_cache[tb] = member
+                            idxs = (
+                                _prefix_candidates(data, w_start, w_end, tb, tok_cache)
+                                if want_pref
+                                else _token_candidates(
+                                    data, w_start, word_keys, tb, tok_cache
+                                )
+                            )
+                            member[idxs] = True
+                            member_cache[mkey] = member
                         nxt_i = ok + j
                         prev_end = w_end[nxt_i - 1]
                         # next word matches the token, separated by EXACTLY
@@ -237,16 +363,26 @@ def scan_batch_arrays(gaz, texts: list[str]):
                     if not len(ok):
                         continue
                     s = w_start[ok]
-                    e = w_end[ok + len(toks) - 1]
+                    # span end = last token start + its char length (equals
+                    # w_end for exact-word matches; shorter for prefix ones)
+                    e = w_start[ok + len(toks) - 1] + len(toks[-1])
                     cand_s.append(s)
                     cand_e.append(e)
                     cand_p.append(np.full(len(s), pid, dtype=np.int64))
+        for tok, pid in spec["prefix_singles"]:
+            sel = _prefix_candidates(data, w_start, w_end, tok, tok_cache)
+            if not len(sel):
+                continue
+            s = w_start[sel]
+            cand_s.append(s)
+            cand_e.append(s + len(tok))
+            cand_p.append(np.full(len(s), pid, dtype=np.int64))
 
     # rule-4 end-aligned candidates (byte-probe per doc, ~shapes x docs)
     ea_s, ea_e, ea_p = [], [], []
     for di, t in enumerate(texts):
         base = doc_starts[di]
-        for cand in gaz._end_aligned(t, len(t), doc_lens[di]):
+        for cand in gaz._end_aligned(t, len(t), doc_blens[di]):
             s, e, pid = cand
             ea_s.append(base + s)
             ea_e.append(base + e)
@@ -269,21 +405,46 @@ def scan_batch_arrays(gaz, texts: list[str]):
     _, keep = np.unique(key, return_index=True)
     S, E, P = S[keep], E[keep], P[keep]
 
-    # boundary rules 1-6, vectorized (ASCII: after == next char position)
+    # boundary rules 1-6, vectorized. Names on this path are ASCII tokens,
+    # so the reference's ``after`` position (start + name BYTE length,
+    # boundary.py) is char position ``end`` — ``after == nxt`` — and the
+    # only byte-vs-char rule left is rule 4's comparison against the doc's
+    # BYTE length (== char length when the doc is ASCII).
     doc_idx = np.searchsorted(doc_starts, S, side="right") - 1
     s_rel = S - doc_starts[doc_idx]
     e_rel = E - doc_starts[doc_idx]
     dlen = doc_lens[doc_idx]
-    data_pad = np.append(data, np.uint8(_SENT))
-    prev = np.where(s_rel > 0, data_pad[np.maximum(S - 1, 0)], np.uint8(_SENT))
-    nxt = np.where(e_rel < dlen, data_pad[np.minimum(E, n)], np.uint8(_SENT))
-    wsp, pup = LUT_WS[prev], LUT_PU[prev]
-    wsn, pun = LUT_WS[nxt], LUT_PU[nxt]
+    sent = data.dtype.type(_SENT)
+    data_pad = np.append(data, sent)
+    prev = np.where(s_rel > 0, data_pad[np.maximum(S - 1, 0)], sent)
+    nxt = np.where(e_rel < dlen, data_pad[np.minimum(E, n)], sent)
+    if wide:
+        wsp, pup = _lut32(LUT32_WS, prev), _lut32(LUT32_PU, prev)
+        wsn, pun = _lut32(LUT32_WS, nxt), _lut32(LUT32_PU, nxt)
+    else:
+        wsp, pup = LUT_WS[prev], LUT_PU[prev]
+        wsn, pun = LUT_WS[nxt], LUT_PU[nxt]
     at0 = s_rel == 0
     r123 = (at0 | wsp | pup) & (wsn | pun)  # rules 1-3 (prev at s==0 fails LUTs)
-    r4 = e_rel == dlen
-    r5 = (pup | wsp) & wsn
-    r6 = (pup | wsp) & pun & (nxt != _DOT) & (~at0) & (prev != _DOT)
+    if gaz.token_spec["all_ascii"]:
+        # name byte length == span char length: after == nxt, and rule 4's
+        # start + target_len reduces to end
+        r4 = e_rel == doc_blens[doc_idx]
+        wsa, pua, after = wsn, pun, nxt
+    else:
+        # the reference's byte-vs-char quirk per pattern: target_len is the
+        # name's BYTE length used as a char offset (boundary.py)
+        tl_rel = s_rel + gaz.token_spec["byte_lens"][P]
+        r4 = tl_rel == doc_blens[doc_idx]
+        after = np.where(
+            tl_rel < dlen, data_pad[np.minimum(doc_starts[doc_idx] + tl_rel, n)], sent
+        )
+        if wide:
+            wsa, pua = _lut32(LUT32_WS, after), _lut32(LUT32_PU, after)
+        else:
+            wsa, pua = LUT_WS[after], LUT_PU[after]
+    r5 = (pup | wsp) & wsa
+    r6 = (pup | wsp) & pua & (after != _DOT) & (~at0) & (prev != _DOT)
     accept = r123 | r4 | r5 | r6
     # rule 1 requires s==0 AND boundary-next; at0 with alnum next must not
     # slip through r123 — it cannot: (wsn|pun) is False there.

@@ -122,12 +122,64 @@ class TestVectorPathEquivalence:
         got = list(zip(doc_idx.tolist(), s.tolist(), e.tolist(), p.tolist()))
         assert got == flat
 
-    def test_non_ascii_batch_falls_back(self):
+    def test_non_ascii_batch_uses_wide_kernel(self):
         gv = Gazetteer(self.TOKEN_GAZ)
         texts = ["table scan café", "merge"]
         assert gv.annotate_batch(texts) == [
             gv.annotate_oracle(t) for t in texts
         ]
+
+    # alphabet mixes multi-byte chars (2-, 3-byte UTF-8), non-ASCII
+    # whitespace that IS boundary class (U+00A0, U+3000), and the token
+    # chars — exercises the UTF-32 wide kernel incl. rule 4's byte-length
+    # comparison on non-ASCII docs
+    WIDE_ALPHABET = "table scan merg-ekey, f.astéthe汉 　\n"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=WIDE_ALPHABET, max_size=120))
+    def test_wide_equals_regex_and_oracle(self, t):
+        gv = Gazetteer(self.TOKEN_GAZ)
+        gr = Gazetteer(self.TOKEN_GAZ)
+        gr.token_spec = None  # force regex path
+        assert gv.annotate_batch([t]) == gr.annotate_batch([t])
+        assert gv.annotate(t) == gv.annotate_oracle(t)
+
+    # non-ASCII NAMES: byte_len(name) > char len, so rule-5/6's ``after``
+    # sits past the span end and spans may be accepted mid-word ('東京'
+    # inside '東京irn ') — the prefix-candidate path must reproduce this
+    UNI_GAZ = [
+        ("café", "X"),
+        ("東京", "LOC"),
+        ("münchen straße", "LOC"),
+        ("café bar", "Y"),
+        ("東京 tower", "Y"),
+        ("scan", "OP"),
+    ]
+    UNI_ALPHABET = "café東京münchen straße bar tower scan x.,-é 　\n"
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=UNI_ALPHABET, max_size=100))
+    def test_unicode_names_vector_equals_regex_and_oracle(self, t):
+        gv = Gazetteer(self.UNI_GAZ)
+        assert gv.token_spec is not None and not gv.token_spec["all_ascii"]
+        gr = Gazetteer(self.UNI_GAZ)
+        gr.token_spec = None
+        assert gv.annotate_batch([t]) == gr.annotate_batch([t])
+        assert gv.annotate(t) == gv.annotate_oracle(t)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.text(alphabet=WIDE_ALPHABET, max_size=60), max_size=6))
+    def test_wide_mixed_batch_arrays_match_lists(self, batch):
+        """Mixed ASCII/non-ASCII batches: the narrow+wide merged array path
+        equals the per-doc list path in reference order."""
+        gv = Gazetteer(self.TOKEN_GAZ)
+        doc_idx, s, e, p = gv.annotate_batch_arrays(batch)
+        spans = gv.annotate_batch_pids(batch)
+        flat = [(di, *sp) for di, doc in enumerate(spans) for sp in doc]
+        got = list(zip(doc_idx.tolist(), s.tolist(), e.tolist(), p.tolist()))
+        assert got == flat
+        for t, doc in zip(batch, gv.annotate_batch(batch)):
+            assert doc == gv.annotate_oracle(t)
 
     def test_non_token_gazetteer_uses_regex(self):
         g = Gazetteer([("a.b", "X"), ("scan", "OP")])
