@@ -6,7 +6,9 @@ Two paths:
   broadcast query matrix — ``pipelines/queries.q_similarity_topk``.
 - **IVF** (scale path, approximate): a deterministic k-means coarse
   quantizer (seeded, fixed iterations — identical across runs/nodes) is
-  trained on a driver-side sample; every vector is assigned to its nearest
+  trained on a driver-side sample, or on the FULL corpus via streaming
+  partial-sum passes (``train_centroids_distributed``, the >10^8-vector
+  path); every vector is assigned to its nearest
   centroid in a broadcast ``map_batches`` stage; the index materializes as
   Parquet partitioned BY CLUSTER so a query reads only ``nprobe``
   partitions (partition pruning at the read — the 100TB win: a query
@@ -66,6 +68,76 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / np.where(norms == 0, 1.0, norms)
 
 
+def train_centroids_distributed(
+    ds,
+    n_clusters: int,
+    *,
+    iters: int = 10,
+    sample_size: int = 4096,
+    seed: int = 42,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means over the FULL dataset — the >10^8-vector path
+    where a head sample no longer represents the distribution.
+
+    Same geometry as ``train_centroids`` (cosine on unit vectors, empty
+    clusters keep their centroid) but each Lloyd iteration is one
+    streaming ``map_batches`` pass emitting at most ``n_clusters`` partial
+    rows per batch (cluster, count, vector sum) — the driver only reduces
+    a (blocks x k) x d table regardless of corpus size (kmeans.py
+    pattern). Init matches the driver-side trainer: seeded choice from the
+    head ``sample_size`` vectors, so at small scale both trainers start
+    identically. Deterministic at any parallelism (argmax ties -> lowest
+    cluster; partials are summed into a dense (k, d) accumulator)."""
+    import ray
+
+    head = ds.limit(sample_size).take_all()
+    mat0 = _unit(
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in head])
+    )
+    rng = np.random.default_rng(seed)
+    n = mat0.shape[0]
+    n_clusters = min(n_clusters, n)
+    cent = mat0[np.sort(rng.choice(n, size=n_clusters, replace=False))].copy()
+    dim = cent.shape[1]
+    k = n_clusters
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial_sums(batch: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            mat = _unit(_mat_from_list_col(batch.column(emb_col), dim))
+            assign = (mat @ c.T).argmax(axis=1)
+            used = np.unique(assign)
+            counts = np.bincount(assign, minlength=k)[used]
+            sums = np.zeros((len(used), dim), dtype=np.float64)
+            for i, cl in enumerate(used):
+                sums[i] = mat[assign == cl].sum(axis=0)
+            return pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(used.astype(np.int64)),
+                    "n": pa.array(counts.astype(np.int64)),
+                    "vec_sum": pa.array(list(sums)),
+                }
+            )
+
+        rows = ds.map_batches(partial_sums, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, dim), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            cl = r["cluster"]
+            counts[cl] += r["n"]
+            sums[cl] += np.asarray(r["vec_sum"], dtype=np.float64)
+        cent = cent.copy()
+        for c in range(k):
+            if counts[c]:
+                norm = np.linalg.norm(sums[c])
+                if norm > 0:
+                    cent[c] = sums[c] / norm
+    return cent
+
+
 class ClusterAssigner:
     """Broadcast-centroid ``map_batches`` stage: adds ``cluster_id``."""
 
@@ -90,28 +162,38 @@ def build_ivf_index(
     sample_size: int = 4096,
     seed: int = 42,
     id_col: str = "vec_id",
+    train_on: str = "sample",
 ) -> np.ndarray:
     """Build a cluster-partitioned Parquet index. Returns the centroids.
 
-    Centroids train on a head sample (driver-side, bounded memory);
-    assignment is a streaming broadcast map; the write partitions by
-    ``cluster_id`` so queries prune at the read.
-    """
+    ``train_on="sample"``: centroids train on a head sample (driver-side,
+    bounded memory — fine while the head represents the distribution).
+    ``train_on="full"``: distributed spherical k-means over every vector
+    via streaming partial-sum passes (``train_centroids_distributed``) —
+    the >10^8-vector path. Assignment is a streaming broadcast map either
+    way; the write partitions by ``cluster_id`` so queries prune at the
+    read."""
     import pyarrow.parquet as pq
     import ray
     import ray.data as rd
 
-    head = pq.ParquetFile(emb_path)
-    sample_batches = []
-    got = 0
-    for rb in head.iter_batches(batch_size=1024, columns=["embedding"]):
-        sample_batches.append(rb)
-        got += rb.num_rows
-        if got >= sample_size:
-            break
-    sample = pa.Table.from_batches(sample_batches)
-    mat = _unit(_mat_from_list_col(sample.column("embedding")))
-    cent = train_centroids(mat[:sample_size], n_clusters, seed=seed)
+    if train_on == "full":
+        full = rd.read_parquet(emb_path, columns=["embedding"])
+        cent = train_centroids_distributed(
+            full, n_clusters, sample_size=sample_size, seed=seed
+        )
+    else:
+        head = pq.ParquetFile(emb_path)
+        sample_batches = []
+        got = 0
+        for rb in head.iter_batches(batch_size=1024, columns=["embedding"]):
+            sample_batches.append(rb)
+            got += rb.num_rows
+            if got >= sample_size:
+                break
+        sample = pa.Table.from_batches(sample_batches)
+        mat = _unit(_mat_from_list_col(sample.column("embedding")))
+        cent = train_centroids(mat[:sample_size], n_clusters, seed=seed)
 
     cent_ref = ray.put(cent)
     ds = rd.read_parquet(emb_path, columns=[id_col, "embedding"])

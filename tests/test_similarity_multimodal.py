@@ -69,6 +69,31 @@ class TestIVF:
             # top-1 is the query vector itself
             assert got.iloc[0]["vec_id"] == qid
 
+    def test_distributed_trainer_recall_and_determinism(self, ray_session, tmp_path):
+        """train_on='full' (streaming partial-sum spherical k-means) builds
+        an index with the same recall bar as the sample trainer, and its
+        centroids are identical across block layouts (parallelism)."""
+        import ray.data as rd
+
+        emb = str(tmp_path / "emb.parquet")
+        mat = _write_embeddings(emb)
+        index_dir = str(tmp_path / "ivf_full")
+        sim.build_ivf_index(emb, index_dir, n_clusters=8, train_on="full")
+        unit = sim._unit(mat.astype(np.float64))
+        for qid in (0, 7, 42):
+            q = mat[qid].astype(np.float64)
+            got = sim.query_ivf_index(index_dir, q, k=10, nprobe=4).to_pandas()
+            cos = unit @ (q / np.linalg.norm(q))
+            exact = set(np.argsort(-cos)[:10])
+            assert len(exact & set(got["vec_id"])) / 10 >= 0.9, qid
+            assert got.iloc[0]["vec_id"] == qid
+        # parallelism-invariance: 1 block vs many blocks, same centroids
+        ds1 = rd.read_parquet(emb, columns=["embedding"]).repartition(1)
+        ds8 = rd.read_parquet(emb, columns=["embedding"]).repartition(8)
+        c1 = sim.train_centroids_distributed(ds1, 8, iters=3)
+        c8 = sim.train_centroids_distributed(ds8, 8, iters=3)
+        assert np.allclose(c1, c8)
+
     def test_query_reads_only_probed_partitions(self, ray_session, tmp_path):
         emb = str(tmp_path / "emb.parquet")
         _write_embeddings(emb)
