@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_global_quantiles": q.q_event_value_global_quantiles,
         "customer_order_counts": q.q_customer_order_counts,
         "repetition_stats": q.q_repetition_stats,
+        "line_dedup_docs": q.q_line_dedup_docs,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
         "stratified_sample": q.q_stratified_sample,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages.text_analysis import (
         sql_doc_keywords as _sql_keywords,
         sql_redact_pii as _sql_redact,
+        sql_line_dedup as _sql_linededup,
         sql_repetition_stats as _sql_rep,
         sql_top_bigrams as _sql_bigrams,
         sql_vocab_df as _sql_vocab,
@@ -353,6 +355,10 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_outliers": q.sql_supplier_balance_outliers(),
         "nation_status_grid": rel.sql_nation_status_grid(),
         "repetition_stats": _sql_rep(),
+        "line_dedup_docs": _sql_linededup(
+            "(SELECT doc_id, replace(text, ' the ', chr(10)) AS text"
+            " FROM documents)"
+        ),
         "top_bigrams": _sql_bigrams(k=20),
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),

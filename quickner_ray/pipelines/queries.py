@@ -1076,6 +1076,29 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """Corpus-level duplicate-line removal (CCNet prep step). The synthetic
+    docs are single-line, so lines are derived deterministically by
+    splitting at the literal token ' the ' (same derivation in the SQL
+    oracle) — near-duplicate docs share long word runs, so real cross-doc
+    duplicate lines exist and are dropped. Two combiner-bounded shuffles:
+    groupby(line) keeper-min, groupby(doc_id) reassembly."""
+    import pyarrow.compute as pc
+
+    from ..stages.text_analysis import line_dedup
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def to_lines(b):
+        return b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring(b.column("text"), " the ", "\n"),
+        )
+
+    return line_dedup(ds.map_batches(to_lines, batch_format="pyarrow"))
+
+
 def q_event_value_quantiles(sf_dir: str):
     """Per-event-type exact discrete quantiles of the value column."""
     from ..stages.events import grouped_quantiles

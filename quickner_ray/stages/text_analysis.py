@@ -227,7 +227,7 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    lines = pc.split_pattern(texts, "\n")
+    lines = pc.split_pattern(texts, sep)
     flat = pc.list_flatten(lines)
     parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
     n_rows = len(texts)
@@ -280,6 +280,153 @@ def sql_normalized_text(table: str = "documents") -> str:
         "  CAST(length(trim(regexp_replace(lower(text),"
         " '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g'), ' ')) AS BIGINT) AS n_chars_norm\n"
         f"FROM {table}"
+    )
+
+
+# -- corpus-level line dedup (CCNet-style) -----------------------------------
+
+_LINE_BLANK_CHARS = " \t\r"
+_LINE_NO_PAD = 12  # zero-padded line_no width inside the packed order key
+
+
+def explode_lines(
+    batch: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> pa.Table:
+    """(doc_id, line_no, line, blank, packed) — one newline split per
+    batch, parent indices for doc attribution, all Arrow kernels.
+    ``packed`` = ``doc_id || '\\x00' || zero-padded line_no`` orders
+    lexicographically exactly like the tuple (doc_id, line_no) (the NUL
+    separator sorts below every other byte), so a plain ``Min`` aggregate
+    picks the corpus-first occurrence of each line."""
+    ids = batch.column(id_col)
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines = pc.split_pattern(texts, sep)
+    flat = pc.list_flatten(lines)
+    parents = pc.list_parent_indices(lines)
+    pnp = parents.to_numpy(zero_copy_only=False)
+    # line_no = position within the doc: global index minus the doc's offset
+    if len(pnp):
+        starts = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.add.at(starts, pnp + 1, 1)
+        starts = np.cumsum(starts)
+        line_no = np.arange(len(pnp), dtype=np.int64) - starts[pnp]
+    else:
+        line_no = np.empty(0, dtype=np.int64)
+    doc_ids = ids.take(parents) if len(pnp) else pa.array([], type=ids.type)
+    blank = pc.equal(pc.utf8_trim(flat, _LINE_BLANK_CHARS), "")
+    no_str = pc.utf8_lpad(
+        pc.cast(pa.array(line_no, type=pa.int64()), pa.string()), _LINE_NO_PAD, "0"
+    )
+    # integer ids are zero-padded so the packed key's lexicographic order
+    # equals numeric order (matches the SQL oracle's ORDER BY doc_id);
+    # non-negative ids assumed (documented). String ids compare as-is.
+    id_str = pc.cast(doc_ids, pa.string())
+    if pa.types.is_integer(ids.type):
+        id_str = pc.utf8_lpad(id_str, 20, "0")
+    packed = pc.binary_join_element_wise(id_str, no_str, "\x00")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": doc_ids,
+            "line_no": pa.array(line_no, type=pa.int64()),
+            "line": flat,
+            "blank": blank,
+            "packed": packed,
+        }
+    )
+
+
+def _partial_line_min(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: at most ONE row per distinct line per batch
+    (min packed key) — bounds the line-key shuffle for hot boilerplate
+    lines the same way the canonicalization combiner bounds surfaces."""
+    return (
+        batch.select(["line", "packed"])
+        .group_by("line")
+        .aggregate([("packed", "min")])
+        .rename_columns(["line", "packed"])
+    )
+
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"):
+    """Corpus-level duplicate-line removal (the CCNet prep step): every
+    non-blank line keeps only its FIRST occurrence corpus-wide (order =
+    (doc_id, line_no)); blank lines always survive; docs are reassembled
+    from surviving lines. Output: (doc_id, text_dedup, n_kept); a doc
+    whose every line was dropped disappears.
+
+    Shuffle shape (2 exchanges, both combiner-bounded):
+    explode -> [per-batch min combiner] -> groupby(line).min(packed)
+    -> union blank lines -> groupby(doc_id) reassemble.
+    """
+    from ray.data.aggregate import Min
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    lines = ds.map_batches(
+        lambda b: explode_lines(b, id_col, text_col, sep), batch_format="pyarrow"
+    )
+    nonblank = lines.filter(expr="blank == False").map_batches(
+        _partial_line_min, batch_format="pyarrow"
+    )
+    keepers = nonblank.groupby("line").aggregate(Min("packed", alias_name="packed"))
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch.column("packed"), "\x00", max_splits=1)
+        flat = pc.list_flatten(parts)
+        doc = flat.take(pa.array(range(0, len(flat), 2), type=pa.int64()))
+        no = flat.take(pa.array(range(1, len(flat), 2), type=pa.int64()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(doc, id_type),
+                "line_no": pc.cast(no, pa.int64()),
+                "line": batch.column("line"),
+            }
+        )
+
+    kept = keepers.map_batches(unpack, batch_format="pyarrow")
+    blanks = lines.filter(expr="blank == True").select_columns(
+        ["doc_id", "line_no", "line"]
+    )
+    surviving = kept.union(blanks)
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("line_no", "ascending")])
+        g = group.take(order)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": [g.column("doc_id")[0].as_py()],
+                "text_dedup": [sep.join(g.column("line").to_pylist())],
+                "n_kept": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    return surviving.groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
+
+
+def sql_line_dedup(table: str = "documents", sep: str = "\n") -> str:
+    sep_sql = "'" + sep.replace("'", "''") + "'" if sep != "\n" else "chr(10)"
+    return (
+        "WITH lines AS (\n"
+        "  SELECT doc_id,\n"
+        "         CAST(unnest(generate_series(1, len(l))) - 1 AS BIGINT) AS line_no,\n"
+        "         unnest(l) AS line\n"
+        f"  FROM (SELECT doc_id, string_split(text, {sep_sql}) AS l FROM {table})\n"
+        "), keep AS (\n"
+        "  SELECT doc_id, line_no, line FROM (\n"
+        "    SELECT doc_id, line_no, line,\n"
+        "      row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,\n"
+        "      trim(line, ' ' || chr(9) || chr(13)) = '' AS blank\n"
+        "    FROM lines)\n"
+        "  WHERE blank OR rn = 1\n"
+        ")\n"
+        "SELECT doc_id,\n"
+        f"       string_agg(line, {sep_sql} ORDER BY line_no) AS text_dedup,\n"
+        "       CAST(count(*) AS BIGINT) AS n_kept\n"
+        "FROM keep GROUP BY doc_id"
     )
 
 

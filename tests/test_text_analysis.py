@@ -77,3 +77,67 @@ def test_normalized_text_matches_duckdb():
     con.register("documents", batch)
     ora = {r[0]: (r[1], r[2]) for r in con.sql(sql_normalized_text()).fetchall()}
     assert [ora[i] for i in range(4)] == got
+
+
+class TestLineDedup:
+    """Corpus-level line dedup (CCNet-style): first occurrence wins, blank
+    lines always survive, docs reassemble in line order, a doc whose every
+    line is dropped disappears."""
+
+    DOCS = {
+        # doc 2 repeats doc 10's boilerplate line; doc 10 is corpus-first
+        # by numeric id order... no — 2 < 10 numerically, so doc 2 wins.
+        2: "alpha beta\nshared boilerplate line\n\ngamma",
+        10: "shared boilerplate line\ndelta",
+        7: "shared boilerplate line",  # every line dropped -> doc vanishes
+        3: "   \nalpha beta\nunique tail",  # ws-only line kept; dup of doc2 line0? no: 'alpha beta' first seen in doc 2
+    }
+
+    def _run(self, ids, ray_session):
+        import ray.data as rd
+
+        from quickner_ray.stages.text_analysis import line_dedup, sql_line_dedup
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64() if isinstance(ids[0], int) else pa.string()),
+                "text": [self.DOCS[k] for k in sorted(self.DOCS)],
+            }
+        )
+        ds = rd.from_arrow(tab)
+        got = (
+            line_dedup(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", tab)
+        ora = (
+            con.sql(sql_line_dedup())
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return got, ora
+
+    def test_int_ids_match_duckdb(self, ray_session):
+        ids = sorted(self.DOCS)  # [2, 3, 7, 10]
+        got, ora = self._run(ids, ray_session)
+        assert got["doc_id"].tolist() == ora["doc_id"].tolist()
+        assert got["text_dedup"].tolist() == ora["text_dedup"].tolist()
+        assert got["n_kept"].tolist() == ora["n_kept"].tolist()
+        # doc 7's only line is a duplicate -> doc disappears
+        assert 7 not in set(got["doc_id"])
+        # doc 2 (numerically first) keeps the boilerplate line
+        assert "shared boilerplate line" in got.set_index("doc_id").loc[2, "text_dedup"]
+        assert "shared boilerplate line" not in got.set_index("doc_id").loc[10, "text_dedup"]
+        # blank / ws-only lines always survive
+        assert "   \n" in got.set_index("doc_id").loc[3, "text_dedup"]
+
+    def test_string_ids_match_duckdb(self, ray_session):
+        # string ids order LEXICOGRAPHICALLY ('10' < '2') in both engines
+        ids = [str(k) for k in sorted(self.DOCS)]
+        got, ora = self._run(ids, ray_session)
+        assert got["text_dedup"].tolist() == ora["text_dedup"].tolist()
+        assert "shared boilerplate line" in got.set_index("doc_id").loc["10", "text_dedup"]
