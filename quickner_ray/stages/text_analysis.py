@@ -227,7 +227,7 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col)
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    lines = pc.split_pattern(texts, sep)
+    lines = pc.split_pattern(texts, "\n")
     flat = pc.list_flatten(lines)
     parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
     n_rows = len(texts)
