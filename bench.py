@@ -67,13 +67,20 @@ def _shm_usable(need_bytes: int) -> bool:
         return False
 
 
-def _pages_dir(sf_dir: str, repeat: int, multiplier: int, root: str = BENCH_ROOT) -> str:
+def _pages_dir(
+    sf_dir: str, repeat: int, multiplier: int, root: str = BENCH_ROOT, charset: str = "ascii"
+) -> str:
     label = str(_sf_label(sf_dir)).replace("/", "_")
-    return f"{root}/pages-{label}-x{repeat}-m{multiplier}"
+    tag = "" if charset == "ascii" else f"-{charset}"
+    return f"{root}/pages-{label}-x{repeat}-m{multiplier}{tag}"
 
 
 def build_pages(
-    sf_dir: str, repeat: int, multiplier: int = 1, root: str = BENCH_ROOT
+    sf_dir: str,
+    repeat: int,
+    multiplier: int = 1,
+    root: str = BENCH_ROOT,
+    charset: str = "ascii",
 ) -> tuple[str, int]:
     """Materialize the synthetic pages corpus once (reused across runs —
     deterministic, pure function of documents.parquet)."""
@@ -81,8 +88,8 @@ def build_pages(
 
     from quickner_ray.sources.pages import write_synth_pages
 
-    out = _pages_dir(sf_dir, repeat, multiplier, root)
-    disk_copy = _pages_dir(sf_dir, repeat, multiplier, BENCH_ROOT)
+    out = _pages_dir(sf_dir, repeat, multiplier, root, charset)
+    disk_copy = _pages_dir(sf_dir, repeat, multiplier, BENCH_ROOT, charset)
     if root != BENCH_ROOT and not os.path.exists(os.path.join(out, "_DONE")):
         if os.path.exists(os.path.join(disk_copy, "_DONE")):
             shutil.rmtree(out, ignore_errors=True)
@@ -95,6 +102,7 @@ def build_pages(
             os.path.join(sf_dir, "documents.parquet"),
             repeat=repeat,
             text_multiplier=multiplier,
+            charset=charset,
         )
         with open(done, "w") as f:
             f.write("ok")
@@ -116,6 +124,7 @@ def run_headline(
     reps: int = 1,
     scalable_storage: bool = False,
     engine: str = "auto",
+    charset: str = "ascii",
 ) -> dict:
     """One timed end-to-end KG run (fresh output dir). Ray must be up.
     Corpus build time is excluded (amortized, deterministic input); with
@@ -133,7 +142,7 @@ def run_headline(
         need = repeat * multiplier * 500_000
         if _shm_usable(need):
             root = SHM_ROOT
-    pages, n_docs = build_pages(sf_dir, repeat, multiplier, root)
+    pages, n_docs = build_pages(sf_dir, repeat, multiplier, root, charset)
     out = os.path.join(root, "out")
     shutil.rmtree(out, ignore_errors=True)
     if num_cpus is None:
@@ -280,9 +289,57 @@ def bench_scaling(sf_dir: str, lo: int, hi: int, engine: str = "auto") -> dict:
     }
 
 
+def bench_multilingual(sf_dir: str, num_cpus: int) -> dict:
+    """ASCII vs 50%-non-ASCII corpus at CC density, same job, same session:
+    evidences the UTF-32 wide kernel's throughput next to the narrow path
+    (pages.py charset="multilingual"). Moderate corpus (repeat=96) — this
+    is a kernel comparison, not the CPU-scaling criterion."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        out = {}
+        # interleave A,M,A,M: on this host the FIRST full-size job after
+        # session start pays first-touch page-fault warmup regardless of
+        # charset, so each charset is measured in both positions and the
+        # best rep wins (order-bias-free)
+        for i, charset in enumerate(("ascii", "multilingual") * 2):
+            head = run_headline(
+                sf_dir,
+                repeat=96,
+                multiplier=SCALING_MULTIPLIER,
+                num_cpus=num_cpus,
+                big_gazetteer=True,
+                warmup=(i == 0),
+                reps=2,
+                charset=charset,
+            )
+            if charset not in out or head["docs_per_sec"] > out[charset]["docs_per_sec"]:
+                out[charset] = head
+    finally:
+        ray.shutdown()
+    return {
+        "metric": "kg_multilingual_throughput",
+        "unit": "docs_per_sec",
+        "sf": _sf_label(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": out["ascii"]["n_docs"],
+        "ascii_docs_per_sec": round(out["ascii"]["docs_per_sec"], 1),
+        "multilingual_docs_per_sec": round(out["multilingual"]["docs_per_sec"], 1),
+        "ratio": round(
+            out["multilingual"]["docs_per_sec"] / out["ascii"]["docs_per_sec"], 3
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--multilingual",
+        action="store_true",
+        help="ASCII vs 50%%-non-ASCII corpus throughput (wide-kernel evidence)",
+    )
     ap.add_argument("--worker", action="store_true", help="headline-only run (used by --scaling)")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument("--lo", type=int, default=8)
@@ -298,6 +355,9 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    if args.multilingual:
+        print(json.dumps(bench_multilingual(sf_dir, num_cpus)))
+        return
     if args.scaling:
         out = bench_scaling(sf_dir, args.lo, args.hi, engine=args.engine)
     else:

@@ -71,6 +71,7 @@ def write_synth_pages(
     repeat: int = 1,
     row_group_size: int = 4096,
     text_multiplier: int = 1,
+    charset: str = "ascii",
 ) -> list[str]:
     """Materialize a synthetic pages dataset from a documents table.
 
@@ -82,7 +83,11 @@ def write_synth_pages(
     source docs average ~300 chars; real extracted pages are KBs) with
     MANGLED copies ('x'-prefixed words) so the page is m-times longer but
     mention density per doc stays realistic — plain tiling would multiply
-    gazetteer hits m-fold, which no real page does. Returns the list of
+    gazetteer hits m-fold, which no real page does.
+    ``charset="multilingual"`` prefixes the filler of every ODD doc with
+    non-ASCII letters instead (ü/é/汉/я round-robin), making 50% of pages
+    non-ASCII — a deterministic mixed-language corpus that exercises the
+    UTF-32 wide matching kernel at realistic density. Returns the list of
     file paths.
     """
     import os
@@ -93,12 +98,17 @@ def write_synth_pages(
     src = pq.read_table(source_documents_parquet, columns=["text", "lang"])
     texts = src["text"].to_pylist()
     if text_multiplier > 1:
+        uni = "üé汉я"
 
-        def _pad(t: str) -> str:
-            filler = " ".join("x" + w for w in t.split())
+        def _pad(t: str, i: int) -> str:
+            if charset == "multilingual" and i % 2 == 1:
+                words = t.split()
+                filler = " ".join(uni[j % 4] + w for j, w in enumerate(words))
+            else:
+                filler = " ".join("x" + w for w in t.split())
             return " ".join([t] + [filler] * (text_multiplier - 1))
 
-        texts = [_pad(t) for t in texts]
+        texts = [_pad(t, i) for i, t in enumerate(texts)]
     langs = src["lang"].to_pylist()
     n = len(texts)
     paths = []
