@@ -162,6 +162,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue_share": _rel("q_nation_revenue_share"),
         "top_supplier_revenue": _rel("q_top_supplier_revenue"),
         "important_parts": _rel("q_important_parts"),
+        "order_priority_check": _rel2("q_order_priority_check"),
+        "forecast_revenue": _rel2("q_forecast_revenue"),
+        "market_share": _rel2("q_market_share"),
+        "customer_distribution": _rel2("q_customer_distribution"),
+        "disjunctive_revenue": _rel2("q_disjunctive_revenue"),
+        "waiting_suppliers": _rel2("q_waiting_suppliers"),
+        "idle_customers": _rel2("q_idle_customers"),
         "quality_scores": q.q_quality_scores,
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_dim_stats": q.q_embedding_dim_stats,
@@ -202,6 +209,15 @@ def _rel(fn_name: str) -> Callable[[str], Any]:
     return call
 
 
+def _rel2(fn_name: str) -> Callable[[str], Any]:
+    def call(sf_dir: str):
+        from quickner_ray.pipelines import relational2
+
+        return getattr(relational2, fn_name)(sf_dir)
+
+    return call
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Tables are
     pre-registered views over the same parquet files. Rows-only queries
@@ -232,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from quickner_ray.pipelines import queries as q
     from quickner_ray.pipelines import relational as rel
+    from quickner_ray.pipelines import relational2 as rel2
     from quickner_ray.pipelines.queries import (
         sql_big_spenders as _sql_big_spenders,
         sql_doc_length_deciles as _sql_deciles,
@@ -335,6 +352,13 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": rel.sql_orders_above_customer_avg(),
         "nation_revenue_share": rel.sql_nation_revenue_share(),
         "top_supplier_revenue": rel.sql_top_supplier_revenue(),
+        "order_priority_check": rel2.sql_order_priority_check(),
+        "forecast_revenue": rel2.sql_forecast_revenue(),
+        "market_share": rel2.sql_market_share(),
+        "customer_distribution": rel2.sql_customer_distribution(),
+        "disjunctive_revenue": rel2.sql_disjunctive_revenue(),
+        "waiting_suppliers": rel2.sql_waiting_suppliers(),
+        "idle_customers": rel2.sql_idle_customers(),
         "important_parts": rel.sql_important_parts(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),

@@ -69,3 +69,31 @@ def test_returned_items_ordering(sf_dir):
     got = rel.q_returned_items(sf_dir).to_pandas()
     assert len(got) <= rel.Q10_K
     assert (got.revenue_e4.diff().dropna() <= 0).all()
+
+
+from quickner_ray.pipelines import relational2 as rel2
+
+CASES2 = [
+    ("q_order_priority_check", "sql_order_priority_check"),
+    ("q_forecast_revenue", "sql_forecast_revenue"),
+    ("q_market_share", "sql_market_share"),
+    ("q_customer_distribution", "sql_customer_distribution"),
+    ("q_disjunctive_revenue", "sql_disjunctive_revenue"),
+    ("q_waiting_suppliers", "sql_waiting_suppliers"),
+    ("q_idle_customers", "sql_idle_customers"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qfn,sfn", CASES2, ids=[c[0] for c in CASES2])
+def test_relational2_matches_oracle(sf_dir, qfn, sfn):
+    """Q4/Q6/Q8/Q13/Q19/Q21/Q22 shapes (relational2.py) vs DuckDB."""
+    out = getattr(rel2, qfn)(sf_dir)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out)
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ora = con.sql(getattr(rel2, sfn)()).df()
+    assert len(got) == len(ora), (qfn, len(got), len(ora))
+    pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
