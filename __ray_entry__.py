@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_name_matches": q.q_fuzzy_name_matches,
         "url_filtered_docs": q.q_url_filtered_docs,
         "train_val_split": q.q_train_val_split,
+        "epoch_shuffle": q.q_epoch_shuffle,
         "events_above_p99": q.q_events_above_p99,
         "orders_monthly_growth": q.q_orders_monthly_growth,
         "order_status_cube": q.q_order_status_cube,
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
         "train_val_split": q.sql_train_val_split(),
+        "epoch_shuffle": q.sql_epoch_shuffle(),
         "events_above_p99": q.sql_events_above_p99(),
         "orders_monthly_growth": q.sql_orders_monthly_growth(),
         "order_status_cube": q.sql_order_status_cube(),

@@ -471,6 +471,46 @@ def sql_orders_monthly_growth() -> str:
 
 
 VAL_PCT = 10
+EPOCH_SEED = 7
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic global training-order shuffle: every doc gets a
+    seeded md5 shuffle key and an exact 1-based epoch position via the
+    range-partitioned sort + zipWithIndex ordinals (rank.global_row_number)
+    — the same order on every run/cluster size, resumable mid-epoch by
+    filtering epoch_pos > checkpoint. Changing EPOCH_SEED reshuffles.
+    md5 per row on the doc_id-only projection (same documented cost as
+    train_val_split)."""
+    import hashlib
+
+    from ..stages.rank import global_row_number
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().cast(pa.string())
+        ks = [
+            hashlib.md5(f"{EPOCH_SEED}:{v}".encode()).hexdigest()
+            for v in ids.to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"doc_id": b.column("doc_id"), "k": pa.array(ks, type=pa.string())}
+        )
+
+    ds = ds.map_batches(key, batch_format="pyarrow")
+    out = global_row_number(ds, ["k"], out_col="epoch_pos")
+    return out.select_columns(["doc_id", "epoch_pos"])
+
+
+def sql_epoch_shuffle() -> str:
+    return (
+        f"SELECT doc_id, CAST(row_number() OVER (\n"
+        f"  ORDER BY md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR))\n"
+        f") AS BIGINT) AS epoch_pos FROM documents"
+    )
+
+
 N_FOLDS = 5
 
 
