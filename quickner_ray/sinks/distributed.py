@@ -149,3 +149,86 @@ def compact_parquet(
     ds.repartition(n_out).write_parquet(out_dir)
     files_out = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
     return {"rows": total, "files_in": len(files), "files_out": len(files_out)}
+
+
+# --- N-Triples graph export ---------------------------------------------------
+
+_NT_BASE = "urn:quickner"
+
+
+def _nt_escape(col: pa.Array) -> pa.Array:
+    """N-Triples 1.1 literal escaping, vectorized: backslash first, then
+    quote, newline, carriage return, tab (UTF-8 passes through — the 1.1
+    grammar is UTF-8, no \\u escaping required)."""
+    import pyarrow.compute as pc
+
+    out = pc.replace_substring(col, "\\", "\\\\")
+    out = pc.replace_substring(out, '"', '\\"')
+    out = pc.replace_substring(out, "\n", "\\n")
+    out = pc.replace_substring(out, "\r", "\\r")
+    return pc.replace_substring(out, "\t", "\\t")
+
+
+def _nt_iri_seg(col: pa.Array) -> pa.Array:
+    """Percent-encode IRI-unsafe chars in a urn segment. Vectorized for the
+    common all-safe case (one regex mask); odd values fall back to
+    ``urllib.parse.quote`` via dictionary values (distinct-bounded)."""
+    import pyarrow.compute as pc
+
+    col = pc.cast(col, pa.string())
+    safe = pc.match_substring_regex(col, r"^[A-Za-z0-9._~:-]*$")
+    if pc.all(safe).as_py():
+        return col
+    from urllib.parse import quote
+
+    enc = pc.dictionary_encode(col)
+    quoted = pa.array(
+        [quote(v, safe="._~:-") for v in enc.dictionary.to_pylist()],
+        type=pa.string(),
+    )
+    return quoted.take(enc.indices)
+
+
+def write_ntriples_dataset(
+    triples_ds,
+    out_dir: str,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+):
+    """KG triples Dataset -> directory of W3C N-Triples 1.1 parts:
+    ``<urn:quickner:doc:SUBJ> <urn:quickner:pred:PRED> "OBJ" .`` one line
+    per triple, UTF-8, literal objects escaped per the grammar. Line
+    assembly is pure Arrow kernels (escape chains + one element-wise
+    join); parts use the same content-derived idempotent naming as the
+    annotation sinks (a retried block overwrites its own part). Returns
+    the manifest Dataset (path, rows) — consume it to execute the write."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_MANIFEST
+        subj = _nt_iri_seg(b.column(subj_col).combine_chunks())
+        pred = _nt_iri_seg(b.column(pred_col).combine_chunks())
+        obj = _nt_escape(pc.cast(b.column(obj_col).combine_chunks(), pa.string()))
+        n = b.num_rows
+        lt = pa.array([f"<{_NT_BASE}:doc:"] * n, type=pa.string())
+        mid = pa.array([f"> <{_NT_BASE}:pred:"] * n, type=pa.string())
+        oq = pa.array(['> "'] * n, type=pa.string())
+        end = pa.array(['" .'] * n, type=pa.string())
+        lines = pc.binary_join_element_wise(lt, subj, mid, pred, oq, obj, end, "")
+        payload = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+        key = hashlib.md5(
+            f"{subj[0]}|{pred[0]}|{obj[0]}|{subj[-1]}|{n}".encode()
+        ).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{key}.nt")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table({"path": [path], "rows": pa.array([n], type=pa.int64())})
+
+    return triples_ds.map_batches(dump, batch_format="pyarrow")

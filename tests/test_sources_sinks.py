@@ -335,3 +335,62 @@ def test_compact_parquet(tmp_path):
         pq.read_table(str(out)).column("k").to_pylist()
     )
     assert got == sorted(rows)
+
+
+class TestNTriplesSink:
+    def test_bytes_escaping_and_idempotency(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        import pyarrow as pa
+
+        from quickner_ray.sinks.distributed import write_ntriples_dataset
+
+        tab = pa.table(
+            {
+                "subj": ["d1", "d2", "d 3"],
+                "pred": ["ORG", "mentions", "PL"],
+                "obj": ['plain', 'q"uote\\back\nnl\tté', '汉字'],
+            }
+        )
+        out = str(tmp_path / "nt")
+        ds = rd.from_arrow(tab).repartition(1)
+        manifest = write_ntriples_dataset(ds, out).take_all()
+        assert sum(m["rows"] for m in manifest) == 3
+        [path] = [m["path"] for m in manifest]
+        data = open(path, "rb").read().decode("utf-8")
+        lines = data.splitlines()
+        assert lines[0] == '<urn:quickner:doc:d1> <urn:quickner:pred:ORG> "plain" .'
+        # escaping: \ -> \\, " -> \", newline -> \n, tab -> \t; UTF-8 raw
+        assert (
+            lines[1]
+            == '<urn:quickner:doc:d2> <urn:quickner:pred:mentions> '
+            '"q\\"uote\\\\back\\nnl\\tté" .'
+        )
+        # IRI-unsafe subject percent-encoded
+        assert lines[2].startswith('<urn:quickner:doc:d%203> ')
+        assert '"汉字" .' in lines[2]
+        assert data.endswith("\n")
+        # idempotency: rerun writes the same part path, no duplicates
+        manifest2 = write_ntriples_dataset(rd.from_arrow(tab).repartition(1), out).take_all()
+        assert [m["path"] for m in manifest2] == [path]
+        import os as _os
+
+        assert len([f for f in _os.listdir(out) if f.endswith(".nt")]) == 1
+
+    def test_kg_triples_export(self, ray_session, tmp_path, sf_dir):
+        """The flagship triples stream exports to N-Triples end-to-end."""
+        from quickner_ray.pipelines.queries import q_triples
+        from quickner_ray.sinks.distributed import write_ntriples_dataset
+
+        tri = q_triples(sf_dir)
+        out = str(tmp_path / "kg_nt")
+        manifest = write_ntriples_dataset(tri, out).take_all()
+        total = sum(m["rows"] for m in manifest)
+        assert total == tri.count()
+        # every line parses as <iri> <iri> "literal" .
+        import re
+
+        pat = re.compile(r'^<[^ >]+> <[^ >]+> ".*" \.$')
+        for m in manifest[:2]:
+            for ln in open(m["path"], encoding="utf-8").read().splitlines()[:50]:
+                assert pat.match(ln), ln
