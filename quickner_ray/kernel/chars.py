@@ -46,7 +46,14 @@ def char_at(text: str, i: int, n_char: int) -> str:
 
 
 def byte_len(text: str) -> int:
-    """Rust ``str::len`` (UTF-8 byte length)."""
+    """Rust ``str::len`` (UTF-8 byte length). Lone surrogates cannot occur
+    in Rust strings (or Arrow strings), so their byte length is our
+    extension: surrogatepass (3 bytes each) keeps the per-doc matcher
+    total instead of raising — the regex fallback path then handles any
+    Python str."""
     if text.isascii():
         return len(text)
-    return len(text.encode("utf-8"))
+    try:
+        return len(text.encode("utf-8"))
+    except UnicodeEncodeError:
+        return len(text.encode("utf-8", "surrogatepass"))

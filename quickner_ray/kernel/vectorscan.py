@@ -139,11 +139,21 @@ def compile_token_patterns(names: list[str]) -> dict | None:
     byte_lens = np.fromiter(
         (len(n.encode("utf-8")) for n in names), dtype=np.int64, count=len(names)
     )
+    # prefix singles grouped by FIRST CODEPOINT: the scan sorts the batch's
+    # word-start codepoints once, then each group is a searchsorted range —
+    # pattern count does not multiply the scan cost (mirrors first_keys for
+    # the word-equality patterns; a 50k-name CJK gazetteer must not pay
+    # 50k x n_words per batch)
+    pg_map: dict[int, list[tuple[str, int]]] = {}
+    for tok, pid in prefix_singles:
+        pg_map.setdefault(ord(tok[0]), []).append((tok, pid))
+    pg_cps = np.array(sorted(pg_map), dtype=np.int64)
     return {
         "by_first": by_first,
         "first_keys": first_keys,
         "key_groups": key_groups,
-        "prefix_singles": prefix_singles,
+        "prefix_cps": pg_cps,
+        "prefix_groups": [pg_map[int(c)] for c in pg_cps],
         "all_ascii": all_ascii,
         "byte_lens": byte_lens,
     }
@@ -369,14 +379,32 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
                     cand_s.append(s)
                     cand_e.append(e)
                     cand_p.append(np.full(len(s), pid, dtype=np.int64))
-        for tok, pid in spec["prefix_singles"]:
-            sel = _prefix_candidates(data, w_start, w_end, tok, tok_cache)
-            if not len(sel):
-                continue
-            s = w_start[sel]
-            cand_s.append(s)
-            cand_e.append(s + len(tok))
-            cand_p.append(np.full(len(s), pid, dtype=np.int64))
+        pg_cps = spec["prefix_cps"]
+        if len(pg_cps):
+            w_first = data[w_start].astype(np.int64)
+            order_w = np.argsort(w_first, kind="stable")
+            wf_sorted = w_first[order_w]
+            w_len = w_end - w_start
+            for cp, group in zip(pg_cps.tolist(), spec["prefix_groups"]):
+                lo = np.searchsorted(wf_sorted, cp)
+                hi = np.searchsorted(wf_sorted, cp, side="right")
+                if lo == hi:
+                    continue
+                cand0 = order_w[lo:hi]
+                for tok, pid in group:
+                    L = len(tok)
+                    sel = cand0[w_len[cand0] >= L]
+                    if len(sel) and L > 1:
+                        mat = data[
+                            w_start[sel][:, None] + np.arange(L, dtype=np.int64)[None, :]
+                        ]
+                        sel = sel[(mat == _tok_arr(tok)[None, :]).all(axis=1)]
+                    if not len(sel):
+                        continue
+                    st = w_start[sel]
+                    cand_s.append(st)
+                    cand_e.append(st + L)
+                    cand_p.append(np.full(len(st), pid, dtype=np.int64))
 
     # rule-4 end-aligned candidates (byte-probe per doc, ~shapes x docs)
     ea_s, ea_e, ea_p = [], [], []

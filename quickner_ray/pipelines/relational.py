@@ -27,11 +27,25 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..stages.taskstate import task_stage
+
+
+def _cents_away(col) -> pa.Array:
+    """``CAST(round(x*100) AS BIGINT)`` with DuckDB ROUND semantics (half
+    AWAY from zero — kernel/rounding.round_away), not pc.round's
+    half-to-even: identical on the cent grid, but exact for any input
+    decimals (e.g. 0.125 * 100 = 12.5 -> 13, where pc.round gives 12)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from ..kernel.rounding import round_away
+
+    x = col.to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.array(round_away(x * 100.0, 0).astype(np.int64), type=pa.int64())
 
 
 def _us(date: str) -> int:
@@ -40,13 +54,10 @@ def _us(date: str) -> int:
 
 
 def _revenue_e4(b: pa.Table) -> pa.ChunkedArray:
-    """Exact integer revenue: round(price*100) * (100 - round(disc*100))."""
-    cents = pc.round(pc.multiply(b.column("l_extendedprice"), pa.scalar(100.0))).cast(
-        pa.int64()
-    )
-    disc = pc.round(pc.multiply(b.column("l_discount"), pa.scalar(100.0))).cast(
-        pa.int64()
-    )
+    """Exact integer revenue: round(price*100) * (100 - round(disc*100)),
+    DuckDB ROUND (half away from zero) on both factors."""
+    cents = _cents_away(b.column("l_extendedprice"))
+    disc = _cents_away(b.column("l_discount"))
     return pc.multiply(cents, pc.subtract(pa.scalar(100, type=pa.int64()), disc))
 
 

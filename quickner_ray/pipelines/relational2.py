@@ -30,11 +30,19 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..stages.taskstate import task_stage
-from .relational import _dim_arrays, _lookup, _revenue_e4, _ts_range_filter, _us
+from .relational import (
+    _cents_away,
+    _dim_arrays,
+    _lookup,
+    _revenue_e4,
+    _ts_range_filter,
+    _us,
+)
 
 
-def _cents(col) -> pa.ChunkedArray:
-    return pc.round(pc.multiply(col, pa.scalar(100.0))).cast(pa.int64())
+def _cents(col) -> pa.Array:
+    """DuckDB-ROUND-exact cents (half away from zero; see relational._cents_away)."""
+    return _cents_away(col)
 
 
 # --- Q4: order priority checking --------------------------------------------

@@ -221,9 +221,10 @@ def write_ntriples_dataset(
         end = pa.array(['" .'] * n, type=pa.string())
         lines = pc.binary_join_element_wise(lt, subj, mid, pred, oq, obj, end, "")
         payload = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
-        key = hashlib.md5(
-            f"{subj[0]}|{pred[0]}|{obj[0]}|{subj[-1]}|{n}".encode()
-        ).hexdigest()[:16]
+        # name = hash of the PART BYTES: idempotent (same block -> same
+        # path) and collision-free across blocks (first/last-row keys are
+        # not unique on Zipf-repetitive triple streams)
+        key = hashlib.md5(payload).hexdigest()[:16]
         path = os.path.join(out_dir, f"part-{key}.nt")
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:

@@ -78,9 +78,9 @@ def kmeans_fit(
             assign = _assign(mat, c)
             used = np.unique(assign)
             counts = np.bincount(assign, minlength=k)[used]
-            sums = np.zeros((len(used), dim), dtype=np.float64)
-            for i, cl in enumerate(used):
-                sums[i] = mat[assign == cl].sum(axis=0)
+            dense = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(dense, assign, mat)  # one scatter-add, O(rows)
+            sums = dense[used]
             return pa.Table.from_pydict(
                 {
                     "cluster": pa.array(used.astype(np.int64)),

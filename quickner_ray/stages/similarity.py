@@ -87,8 +87,12 @@ def train_centroids_distributed(
     a (blocks x k) x d table regardless of corpus size (kmeans.py
     pattern). Init matches the driver-side trainer: seeded choice from the
     head ``sample_size`` vectors, so at small scale both trainers start
-    identically. Deterministic at any parallelism (argmax ties -> lowest
-    cluster; partials are summed into a dense (k, d) accumulator)."""
+    identically. Deterministic for a fixed block layout (argmax ties ->
+    lowest cluster; partials reduced in block order); across different
+    parallelism the float partial-sum grouping can differ by ulps, so
+    centroids are parallelism-invariant to np.allclose (pinned by test),
+    not bit-identical — fine for a coarse quantizer whose recall bar is
+    what's contractual."""
     import ray
 
     head = ds.limit(sample_size).take_all()
@@ -111,9 +115,9 @@ def train_centroids_distributed(
             assign = (mat @ c.T).argmax(axis=1)
             used = np.unique(assign)
             counts = np.bincount(assign, minlength=k)[used]
-            sums = np.zeros((len(used), dim), dtype=np.float64)
-            for i, cl in enumerate(used):
-                sums[i] = mat[assign == cl].sum(axis=0)
+            dense = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(dense, assign, mat)  # one scatter-add, O(rows)
+            sums = dense[used]
             return pa.Table.from_pydict(
                 {
                     "cluster": pa.array(used.astype(np.int64)),

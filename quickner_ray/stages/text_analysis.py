@@ -341,14 +341,34 @@ def explode_lines(
 
 
 def _partial_line_min(batch: pa.Table) -> pa.Table:
-    """Per-batch combiner: at most ONE row per distinct line per batch
-    (min packed key) — bounds the line-key shuffle for hot boilerplate
-    lines the same way the canonicalization combiner bounds surfaces."""
+    """Per-batch combiner: at most ONE row per distinct dedup key per
+    batch (min packed key) — bounds the line-key shuffle for hot
+    boilerplate lines the same way the canonicalization combiner bounds
+    surfaces. The dedup key unifies both classes in ONE stream (a lazy
+    Dataset cannot be forked without re-running its whole lineage):
+    non-blank lines group corpus-wide on ``"L\\x00" + line``; blank lines
+    get the unique-per-occurrence key ``"B\\x00" + packed`` so each
+    survives the Min as its own singleton group."""
+    key = pc.binary_join_element_wise(
+        pc.if_else(batch.column("blank").combine_chunks(), "B", "L"),
+        pc.if_else(
+            batch.column("blank").combine_chunks(),
+            batch.column("packed").combine_chunks(),
+            batch.column("line").combine_chunks(),
+        ),
+        "\x00",
+    )
+    t = pa.Table.from_pydict(
+        {
+            "key": key,
+            "packed": batch.column("packed"),
+            "line": batch.column("line"),
+        }
+    )
     return (
-        batch.select(["line", "packed"])
-        .group_by("line")
-        .aggregate([("packed", "min")])
-        .rename_columns(["line", "packed"])
+        t.group_by("key")
+        .aggregate([("packed", "min"), ("line", "min")])
+        .rename_columns(["key", "packed", "line"])
     )
 
 
@@ -359,20 +379,22 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text", sep: str = "\
     from surviving lines. Output: (doc_id, text_dedup, n_kept); a doc
     whose every line was dropped disappears.
 
-    Shuffle shape (2 exchanges, both combiner-bounded):
-    explode -> [per-batch min combiner] -> groupby(line).min(packed)
-    -> union blank lines -> groupby(doc_id) reassemble.
-    """
+    SINGLE source scan (2 exchanges, both combiner-bounded): explode ->
+    [per-batch min combiner over the unified dedup key] ->
+    groupby(key).min(packed, line) -> groupby(doc_id) reassemble. Blank
+    lines ride the same shuffle under unique-per-occurrence keys instead
+    of a second scan of the input; ``Min(line)`` is exact because the
+    line is constant within a non-blank group and blank groups are
+    singletons."""
     from ray.data.aggregate import Min
 
     id_type = ds.schema().base_schema.field(id_col).type
     lines = ds.map_batches(
         lambda b: explode_lines(b, id_col, text_col, sep), batch_format="pyarrow"
+    ).map_batches(_partial_line_min, batch_format="pyarrow")
+    keepers = lines.groupby("key").aggregate(
+        Min("packed", alias_name="packed"), Min("line", alias_name="line")
     )
-    nonblank = lines.filter(expr="blank == False").map_batches(
-        _partial_line_min, batch_format="pyarrow"
-    )
-    keepers = nonblank.groupby("line").aggregate(Min("packed", alias_name="packed"))
 
     def unpack(batch: pa.Table) -> pa.Table:
         parts = pc.split_pattern(batch.column("packed"), "\x00", max_splits=1)
@@ -387,11 +409,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text", sep: str = "\
             }
         )
 
-    kept = keepers.map_batches(unpack, batch_format="pyarrow")
-    blanks = lines.filter(expr="blank == True").select_columns(
-        ["doc_id", "line_no", "line"]
-    )
-    surviving = kept.union(blanks)
+    surviving = keepers.map_batches(unpack, batch_format="pyarrow")
 
     def reassemble(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[("line_no", "ascending")])
