@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_global_quantiles": q.q_event_value_global_quantiles,
         "customer_order_counts": q.q_customer_order_counts,
         "repetition_stats": q.q_repetition_stats,
+        "compression_ratio": q.q_compression_ratio,
         "line_dedup_docs": q.q_line_dedup_docs,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,

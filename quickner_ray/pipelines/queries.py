@@ -1105,6 +1105,15 @@ def q_top_bigrams(sf_dir: str, k: int = 20):
     return top_bigrams(_docs(sf_dir, columns=["text"]), k=k)
 
 
+def q_compression_ratio(sf_dir: str):
+    """Deflate-ratio quality signal per doc (rows-only: no SQL compress)."""
+    from ..stages.text_analysis import add_compression_ratio
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_compression_ratio, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_bytes", "n_deflate", "compression_ratio"])
+
+
 def q_repetition_stats(sf_dir: str):
     """Duplicate-line repetition signal (quality filter input)."""
     from ..stages.text_analysis import add_repetition_stats

@@ -218,6 +218,31 @@ def sql_top_bigrams(k: int = 20, table: str = "documents") -> str:
 # -- repetition stats (Gopher/RefinedWeb-style duplicate-line signal) --------
 
 
+def add_compression_ratio(batch: pa.Table, text_col: str = "text", level: int = 6) -> pa.Table:
+    """Compression-ratio quality signal (the Gopher/RefinedWeb-style
+    filter): ``deflate_len / utf8_len`` per doc. Repetitive boilerplate
+    and template spam compress far below prose (~0.3 vs ~0.6+); near-zero
+    ratios are a strong junk signal. zlib is deterministic for a fixed
+    (level, library) pair and runs at C speed per doc — the per-row call
+    is the codec itself, not Python bookkeeping. No SQL form (DuckDB has
+    no compress()) -> rows-only; invariants pinned in tests."""
+    import zlib
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_raw = np.empty(len(texts), dtype=np.int64)
+    n_comp = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.to_pylist()):
+        raw = t.encode("utf-8")
+        n_raw[i] = len(raw)
+        n_comp[i] = len(zlib.compress(raw, level))
+    ratio = n_comp / np.maximum(n_raw, 1)
+    out = batch.append_column("n_bytes", pa.array(n_raw))
+    out = out.append_column("n_deflate", pa.array(n_comp))
+    return out.append_column("compression_ratio", pa.array(ratio, type=pa.float64()))
+
+
 def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-doc line counts and duplicate-line fraction: repetitive pages
     (boilerplate, listings, spam) show high ``dup_line_frac``. Vectorized:

@@ -141,3 +141,29 @@ class TestLineDedup:
         got, ora = self._run(ids, ray_session)
         assert got["text_dedup"].tolist() == ora["text_dedup"].tolist()
         assert "shared boilerplate line" in got.set_index("doc_id").loc["10", "text_dedup"]
+
+
+def test_compression_ratio_signal():
+    """Repetitive text compresses far below high-entropy text; ratio is
+    deterministic and n_deflate consistent with a direct zlib call."""
+    import zlib
+
+    import pyarrow as pa
+
+    from quickner_ray.stages.text_analysis import add_compression_ratio
+
+    rep = "the same line again and again. " * 50
+    import random
+
+    rng = random.Random(0)
+    rand = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz 0123456789") for _ in range(1500))
+    batch = pa.table({"doc_id": [1, 2, 3], "text": [rep, rand, ""]})
+    out = add_compression_ratio(batch)
+    r = dict(zip(out.column("doc_id").to_pylist(), out.column("compression_ratio").to_pylist()))
+    assert r[1] < 0.15 < 0.5 < r[2]
+    nd = dict(zip(out.column("doc_id").to_pylist(), out.column("n_deflate").to_pylist()))
+    assert nd[2] == len(zlib.compress(rand.encode(), 6))
+    # empty doc: guarded division
+    assert out.column("n_bytes").to_pylist()[2] == 0
+    out2 = add_compression_ratio(batch)
+    assert out.column("compression_ratio").to_pylist() == out2.column("compression_ratio").to_pylist()
