@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": q.q_repetition_stats,
         "compression_ratio": q.q_compression_ratio,
         "line_dedup_docs": q.q_line_dedup_docs,
+        "exact_substring_dedup": q.q_exact_substring_dedup,
         "top_bigrams": q.q_top_bigrams,
         "top_orders_per_priority": q.q_top_orders_per_priority,
         "stratified_sample": q.q_stratified_sample,
@@ -276,6 +277,9 @@ def oracle_sql() -> dict[str, str]:
         sql_top_bigrams as _sql_bigrams,
         sql_vocab_df as _sql_vocab,
     )
+    from quickner_ray.stages.dedup_substr import (
+        sql_exact_substring_dedup as _sql_substr,
+    )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
     from quickner_ray.pipelines.prep import sql_corpus_prep_full as _sql_prep_full
@@ -381,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "supplier_balance_outliers": q.sql_supplier_balance_outliers(),
         "nation_status_grid": rel.sql_nation_status_grid(),
         "repetition_stats": _sql_rep(),
+        "exact_substring_dedup": _sql_substr(),
         "line_dedup_docs": _sql_linededup(
             "(SELECT doc_id, replace(text, ' the ', chr(10)) AS text"
             " FROM documents)"

@@ -1125,6 +1125,15 @@ def q_repetition_stats(sf_dir: str):
     )
 
 
+def q_exact_substring_dedup(sf_dir: str):
+    """ExactSubstr dedup: remove every 8-word span occurring more than
+    once corpus-wide (stages/dedup_substr.py; shingle-count combiner,
+    semi-join mark, anti-join removal, per-doc reassembly)."""
+    from ..stages.dedup_substr import exact_substring_dedup
+
+    return exact_substring_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_line_dedup_docs(sf_dir: str):
     """Corpus-level duplicate-line removal (CCNet prep step). The synthetic
     docs are single-line, so lines are derived deterministically by

@@ -309,3 +309,57 @@ def test_dup_shingle_stats_matches_oracle():
     assert got.loc[3, "dup_frac"] == 1.0 and got.loc[4, "dup_frac"] == 1.0
     assert got.loc[2, "n_dup"] == 0
     assert 0 < got.loc[0, "dup_frac"] < 1
+
+
+class TestExactSubstringDedup:
+    """ExactSubstr (Lee et al.): every duplicated K-word span is removed
+    from ALL its occurrences; short docs untouched; fully-duplicated docs
+    vanish."""
+
+    def test_crafted_cases_match_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.dedup_substr import (
+            exact_substring_dedup,
+            sql_exact_substring_dedup,
+        )
+
+        span = "a b c d"  # K=3: spans 'a b c' and 'b c d' duplicated
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "text": [
+                    f"x {span} y",          # shares the span with doc 2
+                    f"p q {span}",          # second occurrence
+                    "short doc",            # < K words: no shingles, kept
+                    f"{span}",              # the whole doc IS the span -> vanishes
+                    f"self {span} mid {span} end",  # within-doc repeat also counts
+                ],
+            }
+        )
+        got = (
+            exact_substring_dedup(rd.from_arrow(docs), k=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        ora = (
+            con.sql(sql_exact_substring_dedup(k=3))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == ora["doc_id"].tolist()
+        assert got["text_clean"].tolist() == ora["text_clean"].tolist()
+        assert got["n_kept"].tolist() == ora["n_kept"].tolist()
+        by = got.set_index("doc_id")
+        assert by.loc[1, "text_clean"] == "x y"
+        assert by.loc[2, "text_clean"] == "p q"
+        assert by.loc[3, "text_clean"] == "short doc"
+        assert 4 not in by.index  # fully-duplicated doc vanished
+        # doc 5: both span copies removed, connectors kept
+        assert by.loc[5, "text_clean"] == "self mid end"
