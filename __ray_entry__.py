@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_offsets": q.q_pattern_offsets,
         "simhash": q.q_simhash,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
+        "hyperplane_buckets": q.q_hyperplane_buckets,
+        "embedding_lsh_pairs": q.q_embedding_lsh_pairs,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
@@ -433,6 +435,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_sizes": da.sql_dup_cluster_sizes(threshold=0.5),
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
+        "hyperplane_buckets": da.sql_hyperplane_buckets(),
+        "embedding_lsh_pairs": da.sql_embedding_lsh_pairs(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

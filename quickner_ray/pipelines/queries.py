@@ -720,6 +720,36 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+def q_hyperplane_buckets(sf_dir: str):
+    """Random-hyperplane LSH bucket signature per embedding (the shuffle
+    key for embedding near-dup at scale; bit-exact sign test vs the SQL
+    oracle's literal-coefficient dot chains)."""
+    import ray.data as rd
+
+    from ..stages.dedup_approx import add_hyperplane_bucket
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return ds.map_batches(add_hyperplane_bucket, batch_format="pyarrow")
+
+
+def q_embedding_lsh_pairs(sf_dir: str):
+    """Embedding near-dup candidate pairs: one shuffle on the hyperplane
+    bucket key, exact cosine within buckets only — the 10^9-vector scale
+    path (vs the brute-force all-pairs oracle)."""
+    import ray.data as rd
+
+    from ..stages.dedup_approx import embedding_lsh_pairs
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return embedding_lsh_pairs(ds)
+
+
 # value bands for the broadcast range join (lo, hi, name); the last band's
 # hi is an open-ended sentinel
 EVENT_VALUE_BANDS: list[tuple[float, float, str]] = [

@@ -741,3 +741,141 @@ def sql_dup_shingle_stats(table: str = "documents") -> str:
         f"FROM hsh h JOIN df d ON d.h64 = h.h64\n"
         f"GROUP BY h.doc_id"
     )
+
+
+# --- random-hyperplane (SimHash-for-embeddings) LSH buckets -------------------
+
+HP_PLANES = 16
+HP_DIM = 64
+HP_SEED = 2024
+
+
+def hyperplanes(n_planes: int = HP_PLANES, dim: int = HP_DIM, seed: int = HP_SEED) -> np.ndarray:
+    """Deterministic random hyperplanes (seeded standard normals). Shared
+    verbatim by the SQL-oracle generator, so both engines use the exact
+    same float64 coefficients (repr round-trips bit-exactly)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def add_hyperplane_bucket(batch: pa.Table, planes: np.ndarray | None = None) -> pa.Table:
+    """Random-hyperplane LSH bucket per embedding: bit p = (e . r_p) > 0,
+    bucket = sum bit_p * 2^p. Cosine-similar vectors collide with high
+    probability — the bucket key is the shuffle key for embedding
+    near-dup at 10^9+ vectors (within-bucket pairwise only, the same
+    shape as the MinHash LSH path; brute-force top-k stays the oracle at
+    small scale).
+
+    Dot products accumulate IN DIMENSION ORDER (acc += e_i * c_i for
+    i = 0..d-1): IEEE addition is order-sensitive, and the generated SQL
+    oracle is a left-associated ``+`` chain with the identical order, so
+    the sign test matches bit-for-bit."""
+    from .similarity import _mat_from_list_col
+
+    if planes is None:
+        planes = hyperplanes()
+    n_planes, dim = planes.shape
+    mat = _mat_from_list_col(batch.column("embedding"), dim)
+    acc = np.zeros((len(mat), n_planes), dtype=np.float64)
+    for i in range(dim):
+        acc += mat[:, i : i + 1] * planes[:, i][None, :]
+    bits = acc > 0.0
+    bucket = (bits << np.arange(n_planes, dtype=np.int64)[None, :]).sum(
+        axis=1, dtype=np.int64
+    )
+    return pa.Table.from_pydict(
+        {
+            "vec_id": batch.column("vec_id"),
+            "bucket": pa.array(bucket, type=pa.int64()),
+        }
+    )
+
+
+def sql_hyperplane_buckets(table: str = "embeddings", n_planes: int = HP_PLANES) -> str:
+    """Generated oracle: one left-associated product chain per plane with
+    the literal (repr round-trip) coefficients of ``hyperplanes()``."""
+    planes = hyperplanes(n_planes)
+    terms = []
+    for p in range(planes.shape[0]):
+        chain = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({planes[p, i]!r})"
+            for i in range(planes.shape[1])
+        )
+        terms.append(f"(CASE WHEN {chain} > 0 THEN {1 << p} ELSE 0 END)")
+    expr = "\n    + ".join(terms)
+    return f"SELECT vec_id, CAST({expr} AS BIGINT) AS bucket FROM {table}"
+
+
+def embedding_lsh_pairs(
+    ds,
+    *,
+    n_planes: int = 8,
+    threshold: float = 0.2,
+    max_bucket: int = MAX_BUCKET,
+):
+    """Embedding near-dup candidate pairs via random-hyperplane LSH: ONE
+    shuffle on the bucket key, exact cosine only within each bucket.
+
+    Dataset(vec_id, embedding) -> Dataset(vec_a, vec_b, cos_sim >= threshold),
+    vec_a < vec_b. This is the 10^9-vector scale path for embedding near-dup
+    (the brute-force all-pairs ``embedding_topk_pairs`` stays the exactness
+    oracle at small scale): bucket occupancy ~ N / 2^n_planes, so n_planes
+    grows with the corpus and within-bucket work stays bounded. ``max_bucket``
+    caps quadratic blowup on pathological buckets (the ``max_bucket`` lowest
+    vec_ids are kept); the SQL oracle mirrors the cap exactly via QUALIFY.
+    """
+    planes = hyperplanes(n_planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        out = add_hyperplane_bucket(batch, planes)
+        return out.append_column("embedding", batch.column("embedding"))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy()
+        order = np.argsort(ids, kind="stable")[:max_bucket]
+        from .similarity import _mat_from_list_col
+
+        mat = _mat_from_list_col(group.column("embedding"))[order]
+        ids = ids[order]
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / norms[:, None]
+        gram = round_away(unit @ unit.T, 6)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = gram[ii, jj] >= threshold
+        return pa.Table.from_pydict(
+            {
+                "vec_a": pa.array(ids[ii[keep]], type=pa.int64()),
+                "vec_b": pa.array(ids[jj[keep]], type=pa.int64()),
+                "cos_sim": pa.array(gram[ii, jj][keep], type=pa.float64()),
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+    return bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+
+def sql_embedding_lsh_pairs(
+    n_planes: int = 8,
+    threshold: float = 0.2,
+    max_bucket: int = MAX_BUCKET,
+    table: str = "embeddings",
+) -> str:
+    """Exact oracle for ``embedding_lsh_pairs``: same literal hyperplane
+    coefficients, same bucket cap (QUALIFY row_number <= max_bucket on
+    vec_id order), DOUBLE[] cosine rounded to 6 (absorbs summation-order
+    ulps, like the ``similarity_topk`` oracle)."""
+    return (
+        f"WITH bk AS ({sql_hyperplane_buckets(table, n_planes)}),\n"
+        f"capped AS (SELECT vec_id, bucket FROM bk QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {max_bucket})\n"
+        f"SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,\n"
+        f"  ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
+        f"        CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim\n"
+        f"FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id\n"
+        f"JOIN {table} ea ON ea.vec_id = a.vec_id\n"
+        f"JOIN {table} eb ON eb.vec_id = b.vec_id\n"
+        f"WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
+        f"      CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}"
+    )

@@ -217,6 +217,78 @@ class TestLSHPipeline:
         assert out.iloc[0]["cos_sim"] > 0.99
         assert (out["cos_sim"].values[:-1] >= out["cos_sim"].values[1:]).all()
 
+    def test_hyperplane_buckets_match_oracle(self, ray_session, tmp_path):
+        """Sign-test bit exactness: the numpy dimension-ordered accumulation
+        must agree with DuckDB's left-associated literal-coefficient chain
+        for every vector (the whole point of the generated oracle)."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        mat = rng.normal(size=(80, 64)).astype(np.float32)
+        tab = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(80), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pq.write_table(tab, path)
+        got = (
+            rd.read_parquet(path)
+            .map_batches(da.add_hyperplane_bucket, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        want = con.sql(
+            da.sql_hyperplane_buckets() + " ORDER BY vec_id"
+        ).df()
+        assert got["bucket"].tolist() == want["bucket"].tolist()
+
+    def test_embedding_lsh_pairs_planted_dup(self, ray_session, tmp_path):
+        """A planted near-duplicate collides in its hyperplane bucket and
+        survives the cosine threshold; output matches the SQL oracle."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        mat = rng.normal(size=(60, 64))
+        mat[41] = mat[7] + rng.normal(scale=0.01, size=64)  # planted near-dup
+        tab = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(range(60), type=pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "embeddings.parquet")
+        pq.write_table(tab, path)
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        got = (
+            da.embedding_lsh_pairs(ds, n_planes=8, threshold=0.2)
+            .to_pandas()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        assert ((got["vec_a"] == 7) & (got["vec_b"] == 41)).any()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{path}'")
+        want = (
+            con.sql(da.sql_embedding_lsh_pairs(n_planes=8, threshold=0.2))
+            .df()
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+        assert got["vec_a"].tolist() == want["vec_a"].tolist()
+        assert got["vec_b"].tolist() == want["vec_b"].tolist()
+        assert np.allclose(got["cos_sim"], want["cos_sim"], atol=1e-9)
+
 
 @pytest.mark.usefixtures("ray_session")
 class TestContamination:
