@@ -720,6 +720,33 @@ def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     return embedding_topk_pairs(os.path.join(sf_dir, "embeddings.parquet"), k=k)
 
 
+def q_lm_bigram_scores(sf_dir: str):
+    """CCNet-style LM quality scoring, integer-exact: even-doc_id docs
+    train an exact bigram count table, odd-doc_id docs are scored against
+    it via a hash-partitioned bigram-key shuffle join (the LM table of a
+    web corpus is itself fact-sized — never broadcast)."""
+    import pyarrow.compute as pc
+
+    from ..stages.lm import lm_bigram_scores
+
+    def _half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            mask = pc.equal(pc.bit_wise_and(ids, 1), parity)
+            return b.filter(mask)
+
+        return f
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    train = docs.map_batches(_half(0), batch_format="pyarrow")
+    score = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _half(1), batch_format="pyarrow"
+    )
+    return lm_bigram_scores(train, score)
+
+
 def q_hyperplane_buckets(sf_dir: str):
     """Random-hyperplane LSH bucket signature per embedding (the shuffle
     key for embedding near-dup at scale; bit-exact sign test vs the SQL
