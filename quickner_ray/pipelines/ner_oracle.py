@@ -431,3 +431,46 @@ def sql_neighborhood_jaccard(
         f"FROM inter JOIN deg dx ON inter.x = dx.a JOIN deg dy ON inter.y = dy.a\n"
         f"WHERE c >= {min_common}"
     )
+
+
+def sql_entity_bfs(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    k: int = 4,
+    cap: int = 64,
+) -> str:
+    """Oracle for ``q_entity_bfs``: (entity_id, dist) — minimum hop
+    distance (<= ``k``) over the co-occurrence graph from the single
+    globally-smallest node, as ``k`` unrolled frontier-expansion rounds
+    (semi-naive evaluation: each round joins the previous frontier to the
+    adjacency and NOT-EXISTS-drops visited nodes — exactly the Ray side's
+    semi-join + anti-join round in stages/graph_cc.bfs_distances)."""
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"v0 AS MATERIALIZED (SELECT min(s) AS node, 0 AS dist FROM und\n"
+        f"  WHERE s IS NOT NULL)"
+    )
+    # MATERIALIZED per round: each v{i} is referenced twice (frontier join
+    # + NOT EXISTS visited check) — inlining would re-evaluate the chain
+    # exponentially (same reasoning as sql_entity_kcore)
+    for i in range(1, k + 1):
+        sql += (
+            f",\nn{i} AS (SELECT DISTINCT u.d AS node FROM und u\n"
+            f"  JOIN v{i - 1} p ON p.node = u.s AND p.dist = {i - 1}),\n"
+            f"v{i} AS MATERIALIZED (SELECT node, dist FROM v{i - 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT f.node, {i} AS dist FROM n{i} f\n"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} w WHERE w.node = f.node))"
+        )
+    sql += (
+        f"\nSELECT node AS entity_id, CAST(dist AS BIGINT) AS dist FROM v{k}"
+    )
+    return sql

@@ -2181,6 +2181,31 @@ def q_entity_jaccard(sf_dir: str):
     )
 
 
+def q_entity_bfs(sf_dir: str, k: int = 4):
+    """KG reachability: minimum hop distance (<= k) from the globally
+    smallest entity over the co-occurrence graph — k rounds of frontier
+    expansion (semi-join to adjacency + anti-join against visited), the
+    semi-naive iterative-join form of BFS. Only the (node, dist) visited
+    set and the (node,) frontier materialize per round."""
+    from ..stages.graph_cc import bfs_distances, cooccurrence_pairs
+
+    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    bf = bfs_distances(
+        edges,
+        k=k,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+    from ..stages.graph_cc import _project_t
+
+    return _project_t(
+        bf,
+        {"entity_id": "node", "dist": "dist"},
+        {"entity_id": pa.string()},
+    )
+
+
 def q_entity_pagerank(sf_dir: str):
     """KG graph analytics: integer fixed-point PageRank over the entity
     co-occurrence graph (damping 0.85, 3 power iterations, scores in

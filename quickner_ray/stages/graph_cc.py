@@ -1060,3 +1060,152 @@ def neighborhood_jaccard(
     from .taskstate import task_stage
 
     return inter.map_batches(task_stage(AttachDeg, ref=ref), batch_format="pyarrow")
+
+
+def _broadcast_bfs(und_rows, seeds, k: int):
+    """Small-graph BFS driver-side: numpy frontier sweeps over code arrays;
+    returns materialized (node, dist) rows for nodes within ``k`` hops."""
+    import numpy as np
+
+    if not und_rows:
+        return [{"node": s, "dist": 0} for s in sorted(set(seeds))]
+    s = np.asarray([r["src"] for r in und_rows])
+    d = np.asarray([r["dst"] for r in und_rows])
+    vocab, codes = np.unique(np.concatenate([s, d]), return_inverse=True)
+    sc, dc = codes[: len(s)], codes[len(s) :]
+    n = len(vocab)
+    dist = np.full(n, -1, dtype=np.int64)
+    # seeds outside the edge universe are emitted at dist 0 but expand no
+    # edges (they have none)
+    seed_arr = np.asarray(sorted(set(seeds)))
+    pos = np.searchsorted(vocab, seed_arr)
+    in_graph = (pos < n) & (vocab[np.minimum(pos, n - 1)] == seed_arr)
+    frontier = np.unique(pos[in_graph])
+    dist[frontier] = 0
+    for lvl in range(1, k + 1):
+        if not len(frontier):
+            break
+        hit = np.isin(sc, frontier)
+        nxt = np.unique(dc[hit])
+        nxt = nxt[dist[nxt] < 0]
+        if not len(nxt):
+            break
+        dist[nxt] = lvl
+        frontier = nxt
+    out = [
+        {"node": vocab[i].item() if hasattr(vocab[i], "item") else vocab[i],
+         "dist": int(dist[i])}
+        for i in np.flatnonzero(dist >= 0)
+    ]
+    missing = set(seeds) - {r["node"] for r in out}
+    out.extend({"node": m, "dist": 0} for m in sorted(missing))
+    return out
+
+
+def bfs_distances(
+    edges,
+    *,
+    k: int = 4,
+    seeds=None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """k-hop BFS over an undirected simple graph: Dataset(node, dist) with
+    the minimum hop distance (<= ``k``) from a seed set.
+
+    ``seeds``: a Dataset with a ``node`` column, or None -> the single
+    globally smallest src node of the symmetrized edge list (deterministic,
+    SQL-expressible seed for the oracle).
+
+    Distributed round (the frontier never leaves the cluster): one
+    hash-partitioned semi-join restricts edges to frontier sources, a
+    groupby-distinct projects candidate neighbors, one anti-join drops
+    already-visited nodes; only the (node, dist) visited set and the
+    (node,) frontier materialize per round — both bounded by the reachable
+    set, never the edge list. Size-gated driver path as in ``pagerank`` /
+    ``kcore`` (DRIVER_CAP edges).
+
+    BFS frontier expansion is the standard iterative-join formulation of
+    reachability (semi-naive Datalog evaluation); the SQL oracle unrolls
+    the SAME k rounds so both engines agree at any k, converged or not.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from .antijoin import anti_join
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    if seeds is None:
+        m = und.aggregate(Min("src"))
+        seed_vals = [m["min(src)"]] if m and m.get("min(src)") is not None else []
+        seeds_ds = rd.from_arrow(pa.table({"node": pa.array(seed_vals, type=nt)}))
+    else:
+        seeds_ds = _project_t(seeds, {"node": "node"}, ntypes)
+
+    if und.count() <= 2 * cap:
+        seed_vals = [r["node"] for r in seeds_ds.take_all()]
+        rows = _broadcast_bfs(und.take_all(), seed_vals, k)
+        if not rows:
+            return rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], type=nt),
+                     "dist": pa.array([], type=pa.int64())}
+                )
+            )
+        return rd.from_items(rows)
+
+    def with_dist(ds, lvl: int):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {"node": pa.array([], type=nt),
+                     "dist": pa.array([], type=pa.int64())}
+                )
+            return pa.table(
+                {"node": b.column("node"),
+                 "dist": pa.array([lvl] * b.num_rows, type=pa.int64())}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    frontier = seeds_ds.repartition(num_partitions).materialize()
+    visited = with_dist(frontier, 0).repartition(num_partitions).materialize()
+    for lvl in range(1, k + 1):
+        hits = und.join(
+            frontier,
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+        cand = _project_t(hits, {"node": "dst"}, ntypes).groupby("node").aggregate(
+            Count(alias_name="_c")
+        )
+        cand = _project_t(cand, {"node": "node"}, ntypes)
+        new = anti_join(
+            cand, "node", visited, "node", num_partitions=num_partitions
+        )
+        new = (
+            _project_t(new, {"node": "node"}, ntypes)
+            .repartition(num_partitions)
+            .materialize()
+        )
+        if new.count() == 0:
+            break
+        visited = (
+            visited.union(with_dist(new, lvl))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        frontier = new
+    return visited

@@ -455,3 +455,100 @@ class TestAnnotatedFusion:
             key(r) for r in relation_candidates(_explode_ann(ann)).take_all()
         )
         assert fused == raw and fused
+
+
+def _ref_bfs(edges: list[tuple], seeds: list, k: int) -> dict:
+    """Brute-force BFS: {node: min hop distance <= k} from the seed set."""
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for lvl in range(1, k + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = lvl
+                    nxt.add(m)
+        if not nxt:
+            break
+        frontier = nxt
+    return dist
+
+
+@pytest.mark.parametrize("dcap", [0, None], ids=["distributed", "broadcast"])
+@pytest.mark.usefixtures("ray_session")
+class TestBfsDistances:
+    @staticmethod
+    def _run(edges, k, dcap, seeds=None, **kw):
+        from quickner_ray.stages.graph_cc import bfs_distances
+
+        seeds_ds = (
+            rd.from_items([{"node": s} for s in seeds]) if seeds is not None else None
+        )
+        out = bfs_distances(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            k=k,
+            seeds=seeds_ds,
+            driver_cap=dcap,
+            **kw,
+        ).take_all()
+        got = {r["node"]: r["dist"] for r in out}
+        assert len(got) == len(out), "duplicate nodes in BFS output"
+        return got
+
+    def test_path_graph_multi_round(self, dcap):
+        # path 0-1-2-3-4-5: distances from min node 0 are the indices,
+        # truncated at k
+        edges = [(i, i + 1) for i in range(5)]
+        assert self._run(edges, 3, dcap) == {0: 0, 1: 1, 2: 2, 3: 3}
+        assert self._run(edges, 10, dcap) == {i: i for i in range(6)}
+
+    def test_disconnected_component_unreached(self, dcap):
+        edges = [(0, 1), (1, 2), (10, 11)]
+        assert self._run(edges, 4, dcap) == {0: 0, 1: 1, 2: 2}
+
+    def test_explicit_seed_set(self, dcap):
+        # two seeds meet in the middle of a path
+        edges = [(i, i + 1) for i in range(6)]
+        got = self._run(edges, 6, dcap, seeds=[0, 6])
+        assert got == _ref_bfs(edges, [0, 6], 6)
+        assert got[3] == 3 and got[0] == 0 and got[6] == 0
+
+    def test_seed_outside_graph(self, dcap):
+        # a seed with no edges still appears at dist 0, expands nothing
+        edges = [(0, 1)]
+        got = self._run(edges, 2, dcap, seeds=[99])
+        assert got == {99: 0}
+
+    def test_random_matches_reference(self, dcap):
+        rng = random.Random(17)
+        n = 30
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        seed = min(m for e in edges for m in e)
+        for k in (1, 2, 4):
+            assert self._run(edges, k, dcap) == _ref_bfs(edges, [seed], k)
+
+    def test_string_nodes(self, dcap):
+        import pyarrow as pa
+
+        from quickner_ray.stages.graph_cc import bfs_distances
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        out = bfs_distances(
+            rd.from_items([{"src": a, "dst": b} for a, b in edges]),
+            k=2,
+            node_type=pa.string(),
+            driver_cap=dcap,
+        ).take_all()
+        assert {r["node"]: r["dist"] for r in out} == {"a": 0, "b": 1, "c": 2}
