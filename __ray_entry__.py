@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperplane_buckets": q.q_hyperplane_buckets,
         "embedding_lsh_pairs": q.q_embedding_lsh_pairs,
         "lm_bigram_scores": q.q_lm_bigram_scores,
+        "classifier_scores": q.q_classifier_scores,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
@@ -285,6 +286,9 @@ def oracle_sql() -> dict[str, str]:
         sql_exact_substring_dedup as _sql_substr,
     )
     from quickner_ray.stages.lm import sql_lm_bigram_scores as _sql_lm_bigram
+    from quickner_ray.stages.classifier import (
+        sql_classifier_scores as _sql_classifier,
+    )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
     from quickner_ray.pipelines.prep import sql_corpus_prep_full as _sql_prep_full
@@ -443,6 +447,7 @@ def oracle_sql() -> dict[str, str]:
         "hyperplane_buckets": da.sql_hyperplane_buckets(),
         "embedding_lsh_pairs": da.sql_embedding_lsh_pairs(),
         "lm_bigram_scores": _sql_lm_bigram(),
+        "classifier_scores": _sql_classifier(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

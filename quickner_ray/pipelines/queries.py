@@ -747,6 +747,15 @@ def q_lm_bigram_scores(sf_dir: str):
     return lm_bigram_scores(train, score)
 
 
+def q_classifier_scores(sf_dir: str):
+    """Quality-classifier inference (fastText shape): hashed bag-of-words
+    linear model scored per document — weight LUT built once per worker,
+    per-batch vectorized tokenize + take + segment-sum, zero shuffles."""
+    from ..stages.classifier import classifier_scores
+
+    return classifier_scores(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_hyperplane_buckets(sf_dir: str):
     """Random-hyperplane LSH bucket signature per embedding (the shuffle
     key for embedding near-dup at scale; bit-exact sign test vs the SQL
