@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_pairs": q.q_embedding_lsh_pairs,
         "lm_bigram_scores": q.q_lm_bigram_scores,
         "classifier_scores": q.q_classifier_scores,
+        "unicode_nfc": q.q_unicode_nfc,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
@@ -289,6 +290,9 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages.classifier import (
         sql_classifier_scores as _sql_classifier,
     )
+    from quickner_ray.stages.text_analysis import (
+        sql_nfc_normalized as _sql_nfc,
+    )
 
     from quickner_ray.pipelines.prep import sql_corpus_prep
     from quickner_ray.pipelines.prep import sql_corpus_prep_full as _sql_prep_full
@@ -448,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_pairs": da.sql_embedding_lsh_pairs(),
         "lm_bigram_scores": _sql_lm_bigram(),
         "classifier_scores": _sql_classifier(),
+        "unicode_nfc": _sql_nfc(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

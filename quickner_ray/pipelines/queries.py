@@ -747,6 +747,32 @@ def q_lm_bigram_scores(sf_dir: str):
     return lm_bigram_scores(train, score)
 
 
+def q_unicode_nfc(sf_dir: str):
+    """Unicode NFC normalization over a deterministically DECOMPOSED copy
+    of the corpus (every 'e' replaced by 'e' + U+0301) so the composition
+    pass does real work on the ASCII test corpus — char counts before and
+    after prove it. Zero shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.text_analysis import add_nfc_normalized
+
+    def decompose(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return b.set_column(
+            b.column_names.index("text"),
+            "text",
+            pc.replace_substring(t, "e", "é"),
+        )
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        decompose, batch_format="pyarrow"
+    )
+    ds = ds.map_batches(add_nfc_normalized, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "text_nfc", "n_chars_raw", "n_chars_nfc"])
+
+
 def q_classifier_scores(sf_dir: str):
     """Quality-classifier inference (fastText shape): hashed bag-of-words
     linear model scored per document — weight LUT built once per worker,

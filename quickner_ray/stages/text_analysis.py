@@ -308,6 +308,53 @@ def sql_normalized_text(table: str = "documents") -> str:
     )
 
 
+def add_nfc_normalized(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Unicode NFC normalization (multilingual / mC4-style prep: compose
+    combining sequences so equal-looking strings hash equal before dedup
+    and tokenization), matching DuckDB's ``nfc_normalize`` (UAX #15)
+    bit-for-bit.
+
+    pyarrow 16's ``utf8_normalize`` does NOT perform canonical
+    composition (verified: NFC leaves ``e`` + U+0301 decomposed), so the
+    kernel here is a vectorized ``string_is_ascii`` fast path — ASCII rows
+    are NFC by definition and pass through zero-copy — with CPython's
+    ``unicodedata.normalize`` applied only to the non-ASCII subset."""
+    import unicodedata
+
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    non_ascii = pc.invert(pc.string_is_ascii(texts))
+    if pc.any(non_ascii).as_py():
+        idx = pc.indices_nonzero(non_ascii)
+        fixed = pa.array(
+            [unicodedata.normalize("NFC", s) for s in texts.take(idx).to_pylist()],
+            type=texts.type,
+        )
+        norm = pc.replace_with_mask(texts, non_ascii, fixed)
+    else:
+        norm = texts
+    out = batch.append_column("text_nfc", norm)
+    out = out.append_column(
+        "n_chars_raw", pc.utf8_length(texts).cast(pa.int64())
+    )
+    return out.append_column("n_chars_nfc", pc.utf8_length(norm).cast(pa.int64()))
+
+
+def sql_nfc_normalized(table: str = "documents") -> str:
+    """Oracle for ``q_unicode_nfc``: the same deterministic decomposition
+    (every 'e' -> 'e' + U+0301 combining acute) re-composed by
+    ``nfc_normalize`` — counts prove real composition happened."""
+    decomp = "replace(text, 'e', 'e' || chr(769))"
+    return (
+        f"SELECT doc_id,\n"
+        f"  nfc_normalize({decomp}) AS text_nfc,\n"
+        f"  CAST(length({decomp}) AS BIGINT) AS n_chars_raw,\n"
+        f"  CAST(length(nfc_normalize({decomp})) AS BIGINT) AS n_chars_nfc\n"
+        f"FROM {table}"
+    )
+
+
 # -- corpus-level line dedup (CCNet-style) -----------------------------------
 
 _LINE_BLANK_CHARS = " \t\r"

@@ -167,3 +167,20 @@ def test_compression_ratio_signal():
     assert out.column("n_bytes").to_pylist()[2] == 0
     out2 = add_compression_ratio(batch)
     assert out.column("compression_ratio").to_pylist() == out2.column("compression_ratio").to_pylist()
+
+
+def test_nfc_normalization():
+    import pyarrow as pa
+
+    from quickner_ray.stages.text_analysis import add_nfc_normalized
+
+    dec = "cafe" + chr(769)  # e + combining acute (decomposed)
+    lig = "ﬁne"  # fi ligature: NFC leaves compatibility chars alone
+    batch = pa.table({"doc_id": ["a", "b", "c"], "text": ["plain ascii", dec, lig]})
+    out = add_nfc_normalized(batch)
+    got = out.column("text_nfc").to_pylist()
+    assert got[0] == "plain ascii"
+    assert got[1] == "café" and len(got[1]) == 4  # composed
+    assert got[2] == lig  # NFC != NFKC
+    assert out.column("n_chars_raw").to_pylist() == [11, 5, 3]
+    assert out.column("n_chars_nfc").to_pylist() == [11, 4, 3]
