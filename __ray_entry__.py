@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_bigram_scores": q.q_lm_bigram_scores,
         "classifier_scores": q.q_classifier_scores,
         "unicode_nfc": q.q_unicode_nfc,
+        "semdedup": q.q_semdedup,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,

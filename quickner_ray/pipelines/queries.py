@@ -2151,6 +2151,41 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans(ds)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
+    within-cluster cosine near-duplicates (>= tau) keeping the lowest id.
+    One shuffle (cluster-key groupby); rows-only — k-means float means
+    drift ulps across engines (brute-force equivalence pinned by tests).
+
+    The synthetic embeddings carry no natural near-dups (max off-diagonal
+    cosine ~0.51), so the query PLANTS exact duplicates of the even
+    vec_ids (id + 1,000,000): the prune provably fires — every planted
+    copy lands in its original's cluster with cosine 1.0 and keep=0."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.semdedup import semdedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        even = pc.equal(pc.bit_wise_and(ids, 1), 0)
+        dup = b.filter(even)
+        dup = dup.set_column(
+            dup.column_names.index("vec_id"),
+            "vec_id",
+            pc.add(dup.column("vec_id"), 1_000_000),
+        )
+        return pa.concat_tables([b, dup])
+
+    return semdedup(ds.map_batches(plant, batch_format="pyarrow"))
+
+
 def q_rare_word_stats(sf_dir: str):
     """Gopher-style rare-word fraction vs the corpus top-K vocabulary."""
     from ..stages.text_analysis import rare_word_stats
