@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_scores": q.q_classifier_scores,
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
+        "host_quality": q.q_host_quality,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
@@ -133,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boundary-rule NER family (oracled via pipelines/ner_oracle.py):
         "label_mention_counts": q.q_label_mention_counts,
         "canonical_entities": q.q_canonical_entities,
+        "canonical_entities_incremental": q.q_canonical_entities_incremental,
         "triples": q.q_triples,
         "graph_degree": q.q_graph_degree,
         "entity_postings": q.q_entity_postings,
@@ -339,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
             + ") GROUP BY subj, pred"
         ),
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
+        "canonical_entities_incremental": sql_canonical_entities(DEFAULT_GAZETTEER),
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
@@ -454,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_bigram_scores": _sql_lm_bigram(),
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
+        "host_quality": q.sql_host_quality(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

@@ -2151,6 +2151,90 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans(ds)
 
 
+def q_host_quality(sf_dir: str, min_tokens: int = 30):
+    """RefinedWeb-style domain-level curation: per-HOST document counts
+    and good-document counts (token count >= min_tokens), with the keep
+    decision 2*n_good >= n_docs as an integer cross-multiply (no IEEE
+    division to drift). Hosts derive deterministically from (doc_id,
+    source) as in url_filtered_docs. One bounded shuffle: the per-batch
+    combiner emits at most one row per distinct host (32 here; at web
+    scale host cardinality ~10^7 — still tiny vs the corpus)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.text_analysis import TOKEN_RE
+
+    def partial(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").combine_chunks().cast(pa.string())
+        n = pc.binary_length(did).cast(pa.int64())
+        bucket = pc.bit_wise_and(
+            pc.add(
+                pc.multiply(n, pa.scalar(7, type=pa.int64())),
+                pc.utf8_length(b.column("source").combine_chunks()).cast(
+                    pa.int64()
+                ),
+            ),
+            pa.scalar(31, type=pa.int64()),
+        )
+        host = pc.binary_join_element_wise(
+            pa.array(["host"] * len(b), type=pa.string()),
+            pc.cast(bucket, pa.string()),
+            pa.array([".example.com"] * len(b), type=pa.string()),
+            "",
+        )
+        good = pc.cast(
+            pc.greater_equal(
+                pc.count_substring_regex(b.column("text"), TOKEN_RE).cast(
+                    pa.int64()
+                ),
+                pa.scalar(min_tokens, type=pa.int64()),
+            ),
+            pa.int64(),
+        )
+        t = pa.table({"host": host, "good": good})
+        out = t.group_by(["host"]).aggregate([("good", "sum"), ("good", "count")])
+        return out.rename_columns(["host", "p_good", "p_docs"])
+
+    stats = (
+        _docs(sf_dir, columns=["doc_id", "source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("p_docs", alias_name="n_docs"), Sum("p_good", alias_name="n_good")
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.cast(
+            pc.greater_equal(
+                pc.multiply(b.column("n_good"), pa.scalar(2, type=pa.int64())),
+                b.column("n_docs"),
+            ),
+            pa.int64(),
+        )
+        return b.append_column("keep", keep)
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_host_quality(min_tokens: int = 30) -> str:
+    from ..stages.text_analysis import TOKEN_RE
+
+    return (
+        f"WITH t AS (\n"
+        f"  SELECT 'host' || CAST(\n"
+        f"      (length(CAST(doc_id AS VARCHAR)) * 7 + length(source)) % 32\n"
+        f"      AS VARCHAR) || '.example.com' AS host,\n"
+        f"    CASE WHEN length(regexp_extract_all(text, '{TOKEN_RE}'))\n"
+        f"      >= {min_tokens} THEN 1 ELSE 0 END AS good\n"
+        f"  FROM documents)\n"
+        f"SELECT host, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        f"  CAST(sum(good) AS BIGINT) AS n_good,\n"
+        f"  CAST(2 * sum(good) >= count(*) AS BIGINT) AS keep\n"
+        f"FROM t GROUP BY host"
+    )
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
     within-cluster cosine near-duplicates (>= tau) keeping the lowest id.
@@ -2215,6 +2299,46 @@ def q_label_mention_counts(sf_dir: str):
 
 def q_canonical_entities(sf_dir: str):
     return canonical_entities(mentions_dataset(sf_dir))
+
+
+def q_canonical_entities_incremental(sf_dir: str):
+    """Incremental KG maintenance with exact batch parity: the canonical
+    entity table of the existing store (even doc_ids, persisted to parquet
+    — the checkpointed state a long-running crawl accumulates) is MERGED
+    with the delta crawl's table (odd doc_ids) by one groupby-sum on the
+    canonical key. Counts are associative, so the merge must equal the
+    full batch recompute — the oracle IS sql_canonical_entities over the
+    whole corpus, making "incremental == from-scratch" an externally
+    verified invariant, not a claim."""
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import canonical_entities
+
+    def _half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return f
+
+    base = canonical_entities(
+        mentions_dataset(sf_dir).map_batches(_half(0), batch_format="pyarrow")
+    )
+    store = tempfile.mkdtemp(prefix="qr_inc_store_")
+    base.write_parquet(store)
+    delta = canonical_entities(
+        mentions_dataset(sf_dir).map_batches(_half(1), batch_format="pyarrow")
+    )
+    merged = rd.read_parquet(store).union(delta)
+    return merged.groupby(["entity_id", "surface_norm", "label"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
+    )
 
 
 def q_triples(sf_dir: str):

@@ -193,3 +193,37 @@ def test_entity_aliases_collapse():
     )
     got = {(r["alias_key"], r["label"]): (r["n_surfaces"], r["n_mentions"]) for r in out}
     assert got == {("us", "GPE"): (3, 10), ("us", "ORG"): (1, 1)}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_canonical_merge_equals_batch():
+    """Delta merge (even-store + odd-delta) must equal the batch recompute."""
+    from quickner_ray.pipelines.queries import (
+        q_canonical_entities,
+        q_canonical_entities_incremental,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r["entity_id"], r["surface_norm"], r["label"]): r["n_mentions"]
+        for r in q_canonical_entities(sf).take_all()
+    }
+    inc = {
+        (r["entity_id"], r["surface_norm"], r["label"]): r["n_mentions"]
+        for r in q_canonical_entities_incremental(sf).take_all()
+    }
+    assert inc == batch and len(batch) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_quality_keep_rule():
+    """keep == (2 * n_good >= n_docs) on every emitted host row."""
+    from quickner_ray.pipelines.queries import q_host_quality
+
+    rows = q_host_quality("/root/testdata/sf0.001").take_all()
+    assert rows
+    n_total = sum(r["n_docs"] for r in rows)
+    assert n_total == 500  # every document lands in exactly one host
+    for r in rows:
+        assert r["keep"] == int(2 * r["n_good"] >= r["n_docs"])
+        assert 0 <= r["n_good"] <= r["n_docs"]
