@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
         "host_quality": q.q_host_quality,
+        "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
         "events_sliding_window": q.q_events_sliding_window,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         sql_exact_substring_dedup as _sql_substr,
     )
     from quickner_ray.stages.lm import sql_lm_bigram_scores as _sql_lm_bigram
+    from quickner_ray.stages.dsir import sql_dsir_stats as _sql_dsir
     from quickner_ray.stages.classifier import (
         sql_classifier_scores as _sql_classifier,
     )
@@ -458,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
+        "dsir_stats": _sql_dsir(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"

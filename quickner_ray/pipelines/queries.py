@@ -782,6 +782,33 @@ def q_classifier_scores(sf_dir: str):
     return classifier_scores(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_dsir_stats(sf_dir: str):
+    """DSIR importance sufficient statistics: even docs are the TARGET
+    corpus, odd docs the RAW corpus; each raw doc gets exact integer
+    (n_grams, t_hits, r_hits) over hashed-bigram buckets. Both models are
+    hashing-trick-BOUNDED (D=8192 ints) so they broadcast — the opposite
+    shape from lm_bigram_scores' corpus-sized LM shuffle join."""
+    import pyarrow.compute as pc
+
+    from ..stages.dsir import dsir_stats
+
+    def _half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return f
+
+    def half(parity: int):
+        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            _half(parity), batch_format="pyarrow"
+        )
+
+    return dsir_stats(half(0), half(1), half(1))
+
+
 def q_hyperplane_buckets(sf_dir: str):
     """Random-hyperplane LSH bucket signature per embedding (the shuffle
     key for embedding near-dup at scale; bit-exact sign test vs the SQL

@@ -127,3 +127,64 @@ class TestPipeline:
         assert got[sorted(got.columns)].values.tolist() == (
             want[sorted(want.columns)].values.tolist()
         )
+
+
+def _ref_dsir(target_texts, raw_texts, score_rows, d):
+    """Brute-force DSIR sufficient statistics."""
+    import re
+
+    from quickner_ray.stages.dedup_approx import h64
+
+    def bigrams(t):
+        ws = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+
+    def counts(texts):
+        c = {}
+        for t in texts:
+            for g in bigrams(t):
+                b = h64(g) % d
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    tc, rc = counts(target_texts), counts(raw_texts)
+    out = {}
+    for doc_id, t in score_rows:
+        bs = [h64(g) % d for g in bigrams(t)]
+        out[doc_id] = (
+            len(bs),
+            sum(tc.get(b, 0) for b in bs),
+            sum(rc.get(b, 0) for b in bs),
+        )
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dsir_stats_matches_brute_force():
+    import ray.data as rd
+
+    from quickner_ray.stages.dsir import dsir_stats
+
+    target = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick start guide to data pipelines",
+        "",
+    ]
+    raw = [
+        "the quick brown cat sleeps",
+        "completely novel phrasing here",
+        "x",
+    ]
+    t_ds = rd.from_items(
+        [{"doc_id": i * 2, "text": t} for i, t in enumerate(target)]
+    )
+    r_rows = [(i * 2 + 1, t) for i, t in enumerate(raw)]
+    r_ds = rd.from_items([{"doc_id": i, "text": t} for i, t in r_rows])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["t_hits"], r["r_hits"])
+        for r in dsir_stats(t_ds, r_ds, r_ds, d=64).take_all()
+    }
+    assert got == _ref_dsir(target, raw, r_rows, 64)
+    # "the quick" appears twice in target: the raw doc containing it must
+    # score t_hits >= 2
+    assert got[1][1] >= 2
