@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_aliases": q.q_entity_aliases,
         "entity_kcore": q.q_entity_kcore,
         "entity_bfs": q.q_entity_bfs,
+        "kg_negative_samples": q.q_kg_negative_samples,
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_triangles,
         sql_entity_aliases,
         sql_entity_bfs,
+        sql_kg_negative_samples,
         sql_entity_kcore,
         sql_entity_pmi,
         sql_mention_contexts,
@@ -354,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_aliases": sql_entity_aliases(DEFAULT_GAZETTEER),
         "entity_kcore": sql_entity_kcore(DEFAULT_GAZETTEER),
         "entity_bfs": sql_entity_bfs(DEFAULT_GAZETTEER),
+        "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),
         "running_extrema": ev.sql_running_extrema(),

@@ -474,3 +474,28 @@ def sql_entity_bfs(
         f"\nSELECT node AS entity_id, CAST(dist AS BIGINT) AS dist FROM v{k}"
     )
     return sql
+
+
+def sql_kg_negative_samples(
+    entities: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Oracle for ``q_kg_negative_samples``: (subj, pred, obj, neg_obj) —
+    one row per accepted mention; neg_obj is the deterministic hash-pick
+    from the OCCURRING entity universe (sorted, 0-indexed), bumped one
+    slot when the pick equals the true obj (stages/relations.py
+    kg_negative_samples)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"el AS (SELECT eid, row_number() OVER (ORDER BY eid) - 1 AS i\n"
+        f"  FROM (SELECT DISTINCT eid FROM acc)),\n"
+        f"nn AS (SELECT count(*) AS n FROM el),\n"
+        f"pick AS (SELECT CAST(doc_id AS VARCHAR) AS subj, plabel AS pred,\n"
+        f"  eid AS obj,\n"
+        f"  CAST(md5_number_upper(CAST(doc_id AS VARCHAR) || '|' || plabel\n"
+        f"    || '|' || eid) % nn.n AS BIGINT) AS i0,\n"
+        f"  nn.n AS n FROM acc, nn)\n"
+        f"SELECT p.subj, p.pred, p.obj,\n"
+        f"  CASE WHEN e0.eid <> p.obj THEN e0.eid ELSE e1.eid END AS neg_obj\n"
+        f"FROM pick p JOIN el e0 ON e0.i = p.i0\n"
+        f"  JOIN el e1 ON e1.i = (p.i0 + 1) % p.n"
+    )

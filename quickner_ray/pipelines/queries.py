@@ -2375,6 +2375,24 @@ def q_triples(sf_dir: str):
     )
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """KG-embedding training negatives: every accepted triple paired with
+    a deterministic hash-drawn corrupted object from the occurring entity
+    universe (gazetteer-bounded -> one tiny collect + broadcast); the
+    corruption pass itself is zero-shuffle."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.relations import kg_negative_samples
+
+    ents = [
+        r["entity_id"]
+        for r in canonical_entities(mentions_dataset(sf_dir)).take_all()
+    ]
+    triples = mentions_dataset(sf_dir).map_batches(
+        lambda b: add_triple_columns(b, subj_col="doc_id"), batch_format="pyarrow"
+    )
+    return kg_negative_samples(triples, ents)
+
+
 def q_entity_cooccurrence(sf_dir: str):
     """KG co-occurrence edges: entity pairs co-mentioned in a document,
     weighted by document count. Pair generation is per-batch (documents

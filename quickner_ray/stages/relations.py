@@ -183,3 +183,62 @@ def mention_contexts(mentions, *, window: int = CTX_WINDOW):
     return mentions.map_batches(
         lambda b: _ctx_batch(b, window=window), batch_format="pyarrow"
     )
+
+
+def kg_negative_samples(triples_ds, entity_ids, *, sep: str = "|"):
+    """TransE-style corrupted negatives for KG-embedding training: each
+    (subj, pred, obj) triple gets a deterministic ``neg_obj`` drawn from
+    the entity universe by hash — ``entities[md5(subj|pred|obj) % n]``,
+    bumped one slot when the draw collides with the true ``obj`` so the
+    negative is always a corruption. Deterministic (resumable / re-runnable
+    with identical output, unlike RNG sampling) and uniform across the
+    universe because md5 is.
+
+    ``entity_ids``: the OCCURRING entity universe — gazetteer-bounded, so
+    it broadcasts (``ray.put`` once, fetched once per worker); the scoring
+    pass itself is zero-shuffle. md5 runs once per DISTINCT triple key via
+    np.unique (surface repetition makes triples Zipf-repetitive)."""
+    import numpy as np
+    import ray
+
+    ents = np.asarray(sorted(str(e) for e in entity_ids))
+    if len(ents) < 2:
+        raise ValueError("negative sampling needs >= 2 entities")
+    ref = ray.put(ents)
+
+    from .dedup_approx import h64
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        e = ray.get(ref)
+        n = len(e)
+        cols = [batch.column(c) for c in ("subj", "pred", "obj")]
+        cols = [
+            (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c).cast(
+                pa.string()
+            )
+            for c in cols
+        ]
+        key = pc.binary_join_element_wise(*cols, sep).to_numpy(
+            zero_copy_only=False
+        )
+        if len(key):
+            uniq, inv = np.unique(key, return_inverse=True)
+            idx = np.fromiter(
+                (h64(k) % n for k in uniq), dtype=np.int64, count=len(uniq)
+            )[inv]
+            obj = cols[2].to_numpy(zero_copy_only=False)
+            c0 = e[idx]
+            c1 = e[(idx + 1) % n]
+            neg = np.where(c0 != obj, c0, c1)
+        else:
+            neg = np.array([], dtype=object)
+        return pa.table(
+            {
+                "subj": cols[0],
+                "pred": cols[1],
+                "obj": cols[2],
+                "neg_obj": pa.array(neg, type=pa.string()),
+            }
+        )
+
+    return triples_ds.map_batches(corrupt, batch_format="pyarrow")

@@ -227,3 +227,26 @@ def test_host_quality_keep_rule():
     for r in rows:
         assert r["keep"] == int(2 * r["n_good"] >= r["n_docs"])
         assert 0 <= r["n_good"] <= r["n_docs"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kg_negative_samples_properties():
+    import ray.data as rd
+
+    from quickner_ray.stages.relations import kg_negative_samples
+
+    ents = [f"e{i:02d}" for i in range(10)]
+    triples = [
+        {"subj": f"d{i}", "pred": "P", "obj": ents[i % 10]} for i in range(200)
+    ]
+    out1 = kg_negative_samples(rd.from_items(triples), ents).take_all()
+    out2 = kg_negative_samples(
+        rd.from_items(triples, override_num_blocks=8), ents
+    ).take_all()
+    key = lambda r: (r["subj"], r["pred"], r["obj"], r["neg_obj"])  # noqa: E731
+    assert sorted(map(key, out1)) == sorted(map(key, out2))  # deterministic
+    for r in out1:
+        assert r["neg_obj"] != r["obj"]  # always a true corruption
+        assert r["neg_obj"] in ents
+    # hash draw spreads over the universe, not a constant
+    assert len({r["neg_obj"] for r in out1}) > 3
