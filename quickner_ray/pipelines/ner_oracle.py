@@ -499,3 +499,19 @@ def sql_kg_negative_samples(
         f"FROM pick p JOIN el e0 ON e0.i = p.i0\n"
         f"  JOIN el e1 ON e1.i = (p.i0 + 1) % p.n"
     )
+
+
+def sql_entity_salience(
+    entities: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Oracle for ``q_entity_salience``: per (doc, entity) the mention
+    count, first-mention char offset and document char length."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT a.doc_id, a.eid AS entity_id, a.plabel AS label,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_mentions,\n"
+        f"  CAST(min(a.start) AS BIGINT) AS first_start,\n"
+        f"  CAST(min(lt.n) AS BIGINT) AS n_chars\n"
+        f"FROM acc a JOIN lt ON a.doc_id = lt.doc_id\n"
+        f"GROUP BY a.doc_id, a.eid, a.plabel"
+    )

@@ -2393,6 +2393,78 @@ def q_kg_negative_samples(sf_dir: str):
     return kg_negative_samples(triples, ents)
 
 
+def _dict_utf8_length(col) -> "pa.Array":
+    """Char length of a (possibly dictionary-encoded) string column —
+    computed once per dictionary VALUE, then fanned out by take (doc_text
+    is dictionary-encoded per mention to avoid copies)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_dictionary(col.type):
+        lens = pc.utf8_length(col.dictionary).cast(pa.int64())
+        return lens.take(col.indices)
+    return pc.utf8_length(col).cast(pa.int64())
+
+
+def q_entity_salience(sf_dir: str):
+    """Entity salience features per (document, entity): mention count,
+    first-mention offset, and document length — the integer sufficient
+    statistics for salience ranking (earlier + more frequent = more
+    salient; Dunietz & Gillick-style features). The fused doc-local
+    explode keeps every (doc, entity) group complete inside one batch, so
+    the per-batch groupby IS the final answer: zero shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.canonicalize import entity_id, explode_mentions
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "entity_id": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "n_mentions": pa.array([], type=pa.int64()),
+                "first_start": pa.array([], type=pa.int64()),
+                "n_chars": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, keep_text=True)
+        if m.num_rows == 0:
+            return empty
+        sn = m.column("surface_norm")
+        lb = m.column("label")
+        key = pc.binary_join_element_wise(
+            sn.cast(pa.large_string()),
+            lb.cast(pa.large_string()),
+            pa.scalar("\x00", type=pa.large_string()),
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        enc = pc.dictionary_encode(key)
+        vocab = [entity_id(*k.rsplit("\x00", 1)) for k in enc.dictionary.to_pylist()]
+        eids = pa.array(vocab, type=pa.string()).take(enc.indices)
+        t = pa.table(
+            {
+                "doc_id": m.column("doc_id"),
+                "entity_id": eids,
+                "label": lb,
+                "start": m.column("start").cast(pa.int64()),
+                "nc": _dict_utf8_length(m.column("doc_text")),
+            }
+        )
+        g = t.group_by(["doc_id", "entity_id", "label"]).aggregate(
+            [([], "count_all"), ("start", "min"), ("nc", "min")]
+        )
+        return g.rename_columns(
+            ["doc_id", "entity_id", "label", "n_mentions", "first_start", "n_chars"]
+        )
+
+    return annotated_documents(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+
+
 def q_entity_cooccurrence(sf_dir: str):
     """KG co-occurrence edges: entity pairs co-mentioned in a document,
     weighted by document count. Pair generation is per-batch (documents
