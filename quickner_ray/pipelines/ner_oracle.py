@@ -515,3 +515,30 @@ def sql_entity_salience(
         f"FROM acc a JOIN lt ON a.doc_id = lt.doc_id\n"
         f"GROUP BY a.doc_id, a.eid, a.plabel"
     )
+
+
+def sql_kg_prep_canonical(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    min_len: int = 100,
+    max_len: int = 300,
+) -> str:
+    """Oracle for ``q_kg_prep_canonical``: the ENTIRE curation-to-KG chain
+    composed into one statement — P1 byte-length filter, exact content
+    dedup keeping the min doc_id per distinct text, then the boundary-rule
+    match CTEs over the surviving subset and the canonical-entity
+    aggregate."""
+    return (
+        f"WITH kept AS (\n"
+        f"  SELECT doc_id, text FROM {table}\n"
+        f"  WHERE strlen(text) > 0 AND strlen(text) >= {min_len}\n"
+        f"    AND strlen(text) <= {max_len}\n"
+        f"  QUALIFY row_number() OVER (PARTITION BY md5(text)"
+        f" ORDER BY doc_id) = 1\n"
+        f"),\n"
+        f"{sql_match_ctes(entities, 'kept')}\n"
+        f"SELECT pname AS surface_norm, plabel AS label,\n"
+        f"       count(*) AS n_mentions, eid AS entity_id\n"
+        f"FROM acc GROUP BY pname, plabel, eid"
+    )

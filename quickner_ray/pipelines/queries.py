@@ -2375,6 +2375,51 @@ def q_triples(sf_dir: str):
     )
 
 
+def q_kg_prep_canonical(sf_dir: str):
+    """End-to-end corpus-to-KG prep: P1 length filter -> exact content
+    dedup (keep the min doc_id per distinct text) -> boundary-rule NER
+    over the survivors -> canonical entity table. The whole chain is
+    verified by ONE composed SQL oracle, so curation decisions provably
+    flow through to the emitted KG (mentions that lived only in dropped
+    duplicates leave the table). Shuffles: the dedup groupby (content-hash
+    key, uniform by construction) + the canonical aggregate."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..kernel.filters import Filters
+    from ..kernel.hashing import hash_texts
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.detect import detect_mentions
+    from ..stages.filter_stage import filter_texts
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    ds = filter_texts(ds, Filters(min_length=100, max_length=300))
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return b.append_column(
+            "text_hash", pa.array(hash_texts(t.to_pylist()), type=pa.string())
+        )
+
+    def keep_min(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        i = int(np.argmin(ids.to_numpy(zero_copy_only=False)))
+        return group.take(pa.array([i]))
+
+    kept = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .map_groups(keep_min, batch_format="pyarrow")
+        .drop_columns(["text_hash"])
+    )
+    ann = detect_mentions(kept, documents_gazetteer(), batch_size=2048)
+    return canonical_entities(_explode_ann(ann))
+
+
 def q_kg_negative_samples(sf_dir: str):
     """KG-embedding training negatives: every accepted triple paired with
     a deterministic hash-drawn corrupted object from the occurring entity
