@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": q.q_doc_keywords,
         "packed_sequences": q.q_packed_sequences,
         "media_features": q.q_media_features,
+        "media_embeddings": q.q_media_embeddings,
         "audio_features": q.q_audio_features,
         "audio_segments": q.q_audio_segments,
         "frame_sample": q.q_frame_sample,
@@ -438,6 +439,7 @@ def oracle_sql() -> dict[str, str]:
         # packing is order-dependent; invariants pinned in tests)
         "media_features": mm.sql_image_features(),
         "audio_features": mm.sql_audio_features(),
+        "media_embeddings": mm.sql_media_embeddings(),
         "audio_segments": mm.sql_audio_segments(),
         "frame_sample": mm.sql_frame_sample(step=5),
         "minhash_signatures": da.sql_minhash_signatures(),

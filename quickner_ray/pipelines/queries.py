@@ -1482,6 +1482,20 @@ def q_media_features(sf_dir: str):
     return ds.select_columns(["media_id", "width", "height", "channels", "n_bytes"])
 
 
+def q_media_embeddings(sf_dir: str):
+    """Embedding extraction from media payloads (CLIP-at-scale plumbing):
+    actor-pool decode + position-bucketed integer pixel pooling, exploded
+    to (media_id, dim, value) rows; zero shuffles. A learned encoder slots
+    into the same stage unchanged."""
+    import ray.data as rd
+
+    from ..stages.multimodal import embed_images
+
+    ds = rd.read_parquet(_media_path(sf_dir))
+    ds = ds.filter(expr="media_type == 'image'")
+    return embed_images(ds, batch_size=256)
+
+
 def q_frame_sample(sf_dir: str):
     """Video frame sampling plumbing (explode to one row per sampled frame)."""
     import ray.data as rd

@@ -367,3 +367,80 @@ def sql_audio_segments(
         f"    max(run_len) AS longest_run FROM runs GROUP BY doc_id) t\n"
         f"  ON d.doc_id = t.doc_id"
     )
+
+
+EMBED_DIM = 16
+
+
+class MediaEmbedStage:
+    """Embedding extraction from media payloads — the CLIP-at-scale shape:
+    an actor-pool stage that decodes each payload once and emits a
+    fixed-dim vector. Real models (CLIP/SigLIP) need torch, absent in this
+    container, so the honest stand-in embedding is a position-bucketed
+    pixel pooling: ``e[j] = sum of pixel bytes at positions i ≡ j (mod
+    d)`` — integer-exact, so the end-to-end plumbing (schema, actor
+    signature, explode layout) is oracle-checked, and a learned encoder
+    slots into ``_embed_one`` unchanged.
+
+    Output is EXPLODED to (media_id, dim, value) rows: list<float> columns
+    hash differently across engines, int64 rows do not."""
+
+    def __init__(self, d: int = EMBED_DIM):
+        self.d = d
+
+    def _embed_one(self, b: bytes) -> "np.ndarray":
+        if b[:4] == QIMG_MAGIC:
+            w, h, c = struct.unpack_from("<HHB", b, 4)
+            if len(b) != 9 + w * h * c:
+                raise ValueError("corrupt QIMG payload")
+            px = np.frombuffer(b, dtype=np.uint8, offset=9).astype(np.int64)
+            return np.bincount(
+                np.arange(len(px)) % self.d, weights=px, minlength=self.d
+            ).astype(np.int64)
+        raise NotImplementedError(
+            "real image encoders require torch/PIL (unavailable); only the "
+            "QIMG synthetic format is supported"
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        ids = batch.column("media_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        mid, dim, val = [], [], []
+        for i, b in enumerate(payloads):
+            e = self._embed_one(b)
+            mid.extend([ids[i].as_py()] * self.d)
+            dim.extend(range(self.d))
+            val.extend(int(x) for x in e)
+        return pa.table(
+            {
+                "media_id": pa.array(mid, type=pa.int64()),
+                "dim": pa.array(dim, type=pa.int64()),
+                "value": pa.array(val, type=pa.int64()),
+            }
+        )
+
+
+def embed_images(ds, *, d: int = EMBED_DIM, batch_size: int = 256, concurrency=(1, 8)):
+    """Actor-pool embedding extraction over image payloads (zero shuffle)."""
+    return ds.map_batches(
+        MediaEmbedStage,
+        fn_constructor_kwargs={"d": d},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def sql_media_embeddings(d: int = EMBED_DIM, table: str = "documents") -> str:
+    """Oracle: the pooled embedding recomputed arithmetically from the
+    closed-form QIMG pixel stream p(i) = (i*7 + doc_id) % 256."""
+    return (
+        f"WITH px AS (SELECT doc_id,\n"
+        f"  unnest(range(0, (16 + doc_id % 49) * (16 + n_chars % 33) * 3)) AS i\n"
+        f"  FROM {table})\n"
+        f"SELECT doc_id AS media_id, CAST(i % {d} AS BIGINT) AS dim,\n"
+        f"  CAST(sum((i * 7 + doc_id) % 256) AS BIGINT) AS value\n"
+        f"FROM px GROUP BY doc_id, i % {d}"
+    )

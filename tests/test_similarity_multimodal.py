@@ -195,3 +195,28 @@ class TestAudioSegments:
 
     def test_empty(self):
         assert self._run([]) == (0, 0, 0)
+
+
+def test_media_embed_stage_pooling():
+    """Pooled embedding equals the brute-force per-pixel bucket sum and the
+    stage raises honestly on non-QIMG payloads."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from quickner_ray.stages.multimodal import (
+        EMBED_DIM,
+        MediaEmbedStage,
+        synth_image_bytes,
+    )
+
+    b = synth_image_bytes(7, 123)
+    stage = MediaEmbedStage()
+    out = stage(pa.table({"media_id": [7], "payload": [b]}))
+    assert out.num_rows == EMBED_DIM
+    px = np.frombuffer(b, dtype=np.uint8, offset=9).astype(int)
+    ref = [int(px[j::EMBED_DIM].sum()) for j in range(EMBED_DIM)]
+    assert out.column("value").to_pylist() == ref
+    assert out.column("dim").to_pylist() == list(range(EMBED_DIM))
+    with _pytest.raises(NotImplementedError):
+        stage._embed_one(b"JPEG not really")
