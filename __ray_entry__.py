@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_status_cube": q.q_order_status_cube,
         "pattern_offsets": q.q_pattern_offsets,
         "simhash": q.q_simhash,
+        "simhash_dup_pairs": q.q_simhash_dup_pairs,
         "embedding_topk_pairs": q.q_embedding_topk_pairs,
         "hyperplane_buckets": q.q_hyperplane_buckets,
         "embedding_lsh_pairs": q.q_embedding_lsh_pairs,
@@ -466,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": da.sql_simhash(),
         "embedding_topk_pairs": da.sql_embedding_topk_pairs(k=20),
         "hyperplane_buckets": da.sql_hyperplane_buckets(),
+        "simhash_dup_pairs": da.sql_simhash_dup_pairs(),
         "embedding_lsh_pairs": da.sql_embedding_lsh_pairs(),
         "lm_bigram_scores": _sql_lm_bigram(),
         "classifier_scores": _sql_classifier(),

@@ -712,6 +712,15 @@ def q_simhash(sf_dir: str):
     return ds.map_batches(simhash_batch, batch_format="pyarrow")
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash hamming near-dup pairs: 16-bit band bucketing (pigeonhole-
+    complete for hamming <= 3), within-bucket pairwise popcount, capped +
+    QUALIFY-mirrored; one band-key shuffle + a tiny pair dedup groupby."""
+    from ..stages.dedup_approx import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_embedding_topk_pairs(sf_dir: str, k: int = 20):
     """Top-k most-similar embedding pairs (brute-force cosine; near-dup
     detection over the embedding column)."""

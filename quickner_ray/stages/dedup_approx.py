@@ -879,3 +879,121 @@ def sql_embedding_lsh_pairs(
         f"WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
         f"      CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}"
     )
+
+
+SIMHASH_BANDS = 4  # 16-bit bands; pigeonhole: hamming <= BANDS-1 -> >=1 band equal
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_band_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Batch -> (band_id, band_key, doc_id, simhash): the 64-bit SimHash
+    split into ``SIMHASH_BANDS`` 16-bit bands — the shuffle key for
+    hamming-distance near-dup search (two hashes with hamming <=
+    SIMHASH_MAX_HAMMING < SIMHASH_BANDS must agree on >= 1 whole band)."""
+    import numpy as np
+
+    sh = simhash_batch(batch, text_col)
+    sims = sh.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    n = len(sims)
+    if not n:
+        return pa.table(
+            {
+                "band_id": pa.array([], type=pa.int64()),
+                "band_key": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=sh.column("doc_id").type),
+                "simhash": pa.array([], type=pa.uint64()),
+            }
+        )
+    bands = np.arange(SIMHASH_BANDS, dtype=np.uint64)
+    keys = (sims[:, None] >> (bands[None, :] * np.uint64(16))) & np.uint64(0xFFFF)
+    rep = np.repeat(np.arange(n), SIMHASH_BANDS)
+    return pa.table(
+        {
+            "band_id": pa.array(np.tile(bands.astype(np.int64), n)),
+            "band_key": pa.array(keys.reshape(-1).astype(np.int64)),
+            "doc_id": sh.column("doc_id").take(pa.array(rep)),
+            "simhash": pa.array(sims[rep]),
+        }
+    )
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    import numpy as np
+
+    return np.unpackbits(x.astype(np.uint64).view(np.uint8)).reshape(
+        len(x), 8 * 8
+    ).sum(axis=1).astype(np.int64) if len(x) else np.array([], dtype=np.int64)
+
+
+def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
+    """Within one band bucket: all-pairs hamming over the MAX_BUCKET lowest
+    doc ids (quadratic guard, QUALIFY-mirrored in the SQL oracle)."""
+    import numpy as np
+
+    docs = group.column("doc_id").to_numpy(zero_copy_only=False)
+    sims = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    order = np.argsort(docs, kind="stable")[:MAX_BUCKET]
+    docs, sims = docs[order], sims[order]
+    k = len(docs)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+        }
+    )
+    if k < 2:
+        return empty
+    iu, ju = np.triu_indices(k, 1)
+    ham = _popcount64(sims[iu] ^ sims[ju])
+    return pa.table(
+        {
+            "doc_a": pa.array(docs[iu].astype(np.int64)),
+            "doc_b": pa.array(docs[ju].astype(np.int64)),
+            "hamming": pa.array(ham),
+        }
+    )
+
+
+def simhash_dup_pairs(
+    ds, *, max_hamming: int = SIMHASH_MAX_HAMMING, text_col: str = "text"
+):
+    """SimHash hamming near-dup pairs: Dataset(doc_id, text) ->
+    Dataset(doc_a, doc_b, hamming <= max_hamming), complete for
+    ``max_hamming < SIMHASH_BANDS`` by pigeonhole. One shuffle on the
+    16-bit band key; a tiny pair groupby dedups multi-band hits."""
+    from ray.data.aggregate import Min
+
+    rows = ds.map_batches(
+        lambda b: simhash_band_rows(b, text_col), batch_format="pyarrow"
+    )
+    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
+        _simhash_bucket_pairs, batch_format="pyarrow"
+    )
+    pairs = pairs.filter(expr=f"hamming <= {max_hamming}")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def sql_simhash_dup_pairs(
+    *, max_hamming: int = SIMHASH_MAX_HAMMING, table: str = "documents"
+) -> str:
+    """Oracle: same bands, same MAX_BUCKET cap (QUALIFY mirror), hamming
+    via bit_count(xor())."""
+    return (
+        f"WITH sh AS MATERIALIZED ({sql_simhash(table)}),\n"
+        f"bands AS (SELECT doc_id, simhash, j AS band_id,\n"
+        f"  CAST((simhash >> CAST(16 * j AS INTEGER)) & 65535 AS BIGINT)"
+        f" AS band_key\n"
+        f"  FROM sh CROSS JOIN (SELECT unnest(range({SIMHASH_BANDS})) AS j)),\n"
+        f"capped AS (SELECT * FROM bands QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY band_id, band_key ORDER BY doc_id)"
+        f" <= {MAX_BUCKET}),\n"
+        f"cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        f"    a.simhash AS sa, b.simhash AS sb\n"
+        f"  FROM capped a JOIN capped b ON a.band_id = b.band_id\n"
+        f"    AND a.band_key = b.band_key AND a.doc_id < b.doc_id)\n"
+        f"SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming\n"
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+    )

@@ -435,3 +435,43 @@ class TestExactSubstringDedup:
         assert 4 not in by.index  # fully-duplicated doc vanished
         # doc 5: both span copies removed, connectors kept
         assert by.loc[5, "text_clean"] == "self mid end"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dup_pairs_pigeonhole():
+    """Hamming <= 3 pairs are found (pigeonhole over 4 bands), unrelated
+    docs are not paired, and the pair list is layout-invariant."""
+    import ray.data as rd
+
+    from quickner_ray.stages.dedup_approx import (
+        hamming64,
+        simhash_batch,
+        simhash_dup_pairs,
+    )
+
+    near_a = "the quick brown fox jumps over the lazy dog " * 8
+    near_b = near_a + "extra"
+    rows = [
+        {"doc_id": 1, "text": near_a},
+        {"doc_id": 2, "text": near_b},
+        {"doc_id": 3, "text": "completely different content about databases"},
+    ]
+    sh = simhash_batch(pa.table({
+        "doc_id": [r["doc_id"] for r in rows],
+        "text": [r["text"] for r in rows],
+    }))
+    sims = sh.column("simhash").to_numpy(zero_copy_only=False)
+    import numpy as np
+
+    ham12 = int(hamming64(np.array([sims[0]]), np.array([sims[1]]))[0])
+    outs = []
+    for nblocks in (1, 3):
+        got = simhash_dup_pairs(
+            rd.from_items(rows, override_num_blocks=nblocks)
+        ).take_all()
+        outs.append(sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in got))
+    assert outs[0] == outs[1]
+    pairs = {(a, b): h for a, b, h in outs[0]}
+    if ham12 <= 3:
+        assert pairs.get((1, 2)) == ham12
+    assert not any(3 in p for p in pairs)  # unrelated doc never paired
