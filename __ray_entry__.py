@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
         "event_gaps": q.q_event_gaps,
+        "late_events": q.q_late_events,
         "running_extrema": q.q_running_extrema,
         "trailing_max": q.q_trailing_max,
         "session_funnel": q.q_session_funnel,
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
+        "late_events": q.sql_late_events(),
         "dsir_stats": _sql_dsir(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "

@@ -3397,6 +3397,70 @@ def q_first_seen_daily(sf_dir: str):
     return first_seen_daily(ds)
 
 
+def q_late_events(sf_dir: str, lateness_us: int = 600_000_000):
+    """Watermark / late-data handling (the streaming-semantics gap of a
+    batch engine, evaluated deterministically): arrival order is a seeded
+    Knuth-multiplicative scramble of event_id, the watermark is the
+    EXCLUSIVE running max of event time over earlier arrivals (distributed
+    prefix scan: per-block maxima + driver prefix + per-block cummax), and
+    an event is late when it arrives > lateness behind the watermark. The
+    first arrival (undefined watermark) is excluded, mirroring SQL NULL
+    window semantics."""
+    import pyarrow.compute as pc
+
+    from ..stages.rank import global_prefix_max
+
+    ev = _events(sf_dir, columns=["event_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id")
+        if isinstance(eid, pa.ChunkedArray):
+            eid = eid.combine_chunks()
+        ts_us = b.column("ts").cast(pa.int64())
+        ak = pc.multiply_checked(eid, pa.scalar(2654435761, type=pa.int64()))
+        ak = pc.bit_wise_and(ak, pa.scalar((1 << 32) - 1, type=pa.int64()))
+        return pa.table({"event_id": eid, "ts_us": ts_us, "ak": ak})
+
+    ds = ev.map_batches(prep, batch_format="pyarrow")
+    ds = global_prefix_max(ds, ["ak", "event_id"], "ts_us", out_col="wm")
+
+    def finish(b: pa.Table) -> pa.Table:
+        wm = b.column("wm")
+        if isinstance(wm, pa.ChunkedArray):
+            wm = wm.combine_chunks()
+        valid = pc.is_valid(wm)
+        b = b.filter(valid)
+        wm = b.column("wm")
+        late = pc.cast(
+            pc.less(
+                b.column("ts_us"),
+                pc.subtract(wm, pa.scalar(lateness_us, type=pa.int64())),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "watermark_us": wm,
+                "is_late": late,
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_late_events(lateness_us: int = 600_000_000) -> str:
+    return (
+        f"WITH a AS (SELECT event_id, epoch_us(ts) AS ts_us,\n"
+        f"  (event_id * 2654435761) % 4294967296 AS ak FROM events),\n"
+        f"w AS (SELECT event_id, ts_us, max(ts_us) OVER (ORDER BY ak, event_id\n"
+        f"  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM a)\n"
+        f"SELECT event_id, CAST(wm AS BIGINT) AS watermark_us,\n"
+        f"  CAST(ts_us < wm - {lateness_us} AS BIGINT) AS is_late\n"
+        f"FROM w WHERE wm IS NOT NULL"
+    )
+
+
 def q_event_gaps(sf_dir: str):
     """LAG window function: per-event inter-arrival gap within each user's
     event-time order (first event gap = -1)."""

@@ -319,3 +319,77 @@ def ntile_from_rn(rn: np.ndarray, total: int, tiles: int) -> np.ndarray:
     if size:
         out[~in_big] = rem + (rn[~in_big] - 1 - big) // size + 1
     return out
+
+
+def global_prefix_max(
+    ds,
+    order_keys: list[str],
+    value_col: str,
+    *,
+    out_col: str = "prefix_max",
+    descending=None,
+):
+    """Exact EXCLUSIVE running max of ``value_col`` in global ``order_keys``
+    order — ``max(v) OVER (ORDER BY keys ROWS BETWEEN UNBOUNDED PRECEDING
+    AND 1 PRECEDING)``, the watermark primitive of streaming systems (max
+    event-time seen over strictly earlier ARRIVALS).
+
+    A prefix scan looks inherently serial; distributed it is the
+    zipWithIndex shape of ``global_row_number`` with a max instead of a
+    count: range-partitioned sort, per-block maxima collected driver-side
+    (ONE int per block), exclusive prefix over those block maxima, then a
+    per-block vectorized cummax seeded with the carried-in prefix. Rows
+    with no preceding row get NULL (SQL window semantics).
+    """
+    import ray
+    import ray.data as rd
+
+    if descending is None:
+        descending = [False] * len(order_keys)
+    sorted_ds = ds.sort(order_keys, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _block_max(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        col = t.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return int(np.max(col.to_numpy(zero_copy_only=False)))
+
+    maxima = ray.get([_block_max.remote(r) for r in refs])
+    carries: list = []
+    cur = None
+    for m in maxima:
+        carries.append(cur)
+        if m is not None:
+            cur = m if cur is None else max(cur, m)
+
+    @ray.remote
+    def _with_prefix(t: pa.Table, carry) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], type=pa.int64()))
+        col = t.column(value_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        cm = np.maximum.accumulate(v)
+        out = np.empty(n, dtype=np.int64)
+        mask_valid = np.ones(n, dtype=bool)
+        if carry is None:
+            mask_valid[0] = False
+            out[0] = 0
+        else:
+            out[0] = carry
+        if n > 1:
+            out[1:] = np.maximum(out[0] if carry is not None else cm[0], cm[:-1])
+            if carry is None:
+                out[1:] = cm[:-1]
+        return t.append_column(
+            out_col, pa.array(out, type=pa.int64(), mask=~mask_valid)
+        )
+
+    out_refs = [_with_prefix.remote(r, c) for r, c in zip(refs, carries)]
+    return rd.from_arrow_refs(out_refs)

@@ -259,3 +259,30 @@ class TestQuantilesDuplicateHeavy:
         n = len(v)
         for q, val in got.items():
             assert val == sv[max(int(np.ceil(q * n)) - 1, 0)], q
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_prefix_max_cross_block_carry():
+    """Exclusive running max matches the serial reference at any block
+    layout (the carry between blocks is the hard part)."""
+    import random
+
+    import ray.data as rd
+
+    from quickner_ray.stages.rank import global_prefix_max
+
+    rng = random.Random(5)
+    rows = [
+        {"k": i, "v": rng.randrange(0, 1000)} for i in range(200)
+    ]
+    ref = {}
+    cur = None
+    for r in sorted(rows, key=lambda r: r["k"]):
+        ref[r["k"]] = cur
+        cur = r["v"] if cur is None else max(cur, r["v"])
+    for nblocks in (1, 7):
+        ds = rd.from_items(rows, override_num_blocks=nblocks)
+        out = global_prefix_max(ds, ["k"], "v", out_col="pm").take_all()
+        got = {r["k"]: r["pm"] for r in out}
+        assert got == ref
+        assert got[0] is None  # first row has no preceding max
