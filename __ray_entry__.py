@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
         "host_quality": q.q_host_quality,
+        "snapshot_diff": q.q_snapshot_diff,
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
@@ -475,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
         "late_events": q.sql_late_events(),
+        "snapshot_diff": q.sql_snapshot_diff(),
         "dsir_stats": _sql_dsir(),
         "doc_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "

@@ -2201,6 +2201,121 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans(ds)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-refresh snapshot diff: compare two corpus snapshots by content
+    hash with ONE full-outer hash join on doc_id, emitting
+    added / removed / changed / same per id — the delta a recrawl pipeline
+    feeds to incremental downstream stages. Snapshot B derives
+    deterministically from the documents table: ids ending in 7 dropped
+    (removed), even ids re-extracted with different text (changed), fresh
+    ids ending in 3 added (doc_id + 1,000,000). Both sides are hashed to
+    one md5 per doc before the join — content never shuffles."""
+    import pyarrow.compute as pc
+
+    from ..kernel.hashing import hash_texts
+
+    def hashed(b: pa.Table, mutate: bool) -> pa.Table:
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        if mutate:
+            # drop removed ids: doc_id % 10 == 7
+            mod10 = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, pa.scalar(10, type=pa.int64())),
+                                 pa.scalar(10, type=pa.int64()))
+            )
+            keep = pc.invert(pc.equal(mod10, pa.scalar(7, type=pa.int64())))
+            ids_k = ids.filter(keep)
+            t_k = t.filter(keep)
+            even = pc.equal(
+                pc.bit_wise_and(ids_k, pa.scalar(1, type=pa.int64())),
+                pa.scalar(0, type=pa.int64()),
+            )
+            t_k = pc.if_else(
+                even, pc.binary_join_element_wise(t_k, " v2", ""), t_k
+            )
+            # fresh ids: originals ending in 3 spawn doc_id + 1_000_000
+            add_mask = pc.equal(mod10, pa.scalar(3, type=pa.int64()))
+            new_ids = pc.add(
+                ids.filter(add_mask), pa.scalar(1_000_000, type=pa.int64())
+            )
+            new_txt = pc.binary_join_element_wise(
+                pa.array(["new"] * len(new_ids), type=pa.string()),
+                pc.cast(new_ids, pa.string()),
+                " ",
+            )
+            ids_k = pa.concat_arrays([ids_k, new_ids])
+            t_k = pa.concat_arrays(
+                [t_k.cast(pa.string()), new_txt.cast(pa.string())]
+            )
+            ids, t = ids_k, t_k
+        h = pa.array(hash_texts(t.to_pylist()), type=pa.string())
+        return pa.table({"doc_id": ids, "h": h})
+
+    a = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: hashed(b, False), batch_format="pyarrow"
+    ).repartition(8)
+    bsnap = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: hashed(b, True), batch_format="pyarrow"
+    ).repartition(8)
+    joined = a.join(
+        bsnap,
+        "full_outer",
+        num_partitions=8,
+        on=("doc_id",),
+        right_on=("doc_id",),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def status(b: pa.Table) -> pa.Table:
+        ha = b.column("h_a")
+        hb = b.column("h_b")
+        st = pc.if_else(
+            pc.is_null(ha),
+            pa.scalar("added", type=pa.string()),
+            pc.if_else(
+                pc.is_null(hb),
+                pa.scalar("removed", type=pa.string()),
+                pc.if_else(
+                    pc.equal(ha, hb),
+                    pa.scalar("same", type=pa.string()),
+                    pa.scalar("changed", type=pa.string()),
+                ),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").combine_chunks().cast(pa.int64()),
+                "status": st,
+            }
+        )
+
+    return joined.map_batches(status, batch_format="pyarrow")
+
+
+def sql_snapshot_diff() -> str:
+    return (
+        "WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),\n"
+        "b AS (\n"
+        "  SELECT doc_id, md5(CASE WHEN doc_id % 2 = 0 THEN text || ' v2'\n"
+        "    ELSE text END) AS h\n"
+        "  FROM documents WHERE doc_id % 10 <> 7\n"
+        "  UNION ALL\n"
+        "  SELECT doc_id + 1000000 AS doc_id,\n"
+        "    md5('new' || ' ' || CAST(doc_id + 1000000 AS VARCHAR)) AS h\n"
+        "  FROM documents WHERE doc_id % 10 = 3)\n"
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,\n"
+        "  CASE WHEN a.h IS NULL THEN 'added'\n"
+        "       WHEN b.h IS NULL THEN 'removed'\n"
+        "       WHEN a.h = b.h THEN 'same' ELSE 'changed' END AS status\n"
+        "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"
+    )
+
+
 def q_host_quality(sf_dir: str, min_tokens: int = 30):
     """RefinedWeb-style domain-level curation: per-HOST document counts
     and good-document counts (token count >= min_tokens), with the keep

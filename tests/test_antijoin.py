@@ -126,3 +126,25 @@ class TestLeftOuterCounts:
             for r in q_customer_order_counts(sf).take_all()
         }
         assert out == {1: 2, 2: 0, 3: 1, 4: 0}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snapshot_diff_statuses():
+    """Every original id classifies; planted delta shows all four states."""
+    from collections import Counter
+
+    from quickner_ray.pipelines.queries import q_snapshot_diff
+
+    rows = q_snapshot_diff("/root/testdata/sf0.001").take_all()
+    got = {r["doc_id"]: r["status"] for r in rows}
+    c = Counter(got.values())
+    assert set(c) == {"added", "removed", "changed", "same"}
+    for did, st in got.items():
+        if did >= 1_000_000:
+            assert st == "added"
+        elif did % 10 == 7:
+            assert st == "removed"
+        elif did % 2 == 0:
+            assert st == "changed"
+        else:
+            assert st == "same"
