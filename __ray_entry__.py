@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperplane_buckets": q.q_hyperplane_buckets,
         "embedding_lsh_pairs": q.q_embedding_lsh_pairs,
         "lm_bigram_scores": q.q_lm_bigram_scores,
+        "ccnet_buckets": q.q_ccnet_buckets,
         "classifier_scores": q.q_classifier_scores,
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
@@ -472,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": da.sql_simhash_dup_pairs(),
         "embedding_lsh_pairs": da.sql_embedding_lsh_pairs(),
         "lm_bigram_scores": _sql_lm_bigram(),
+        "ccnet_buckets": q.sql_ccnet_buckets(),
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),

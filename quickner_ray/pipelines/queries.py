@@ -818,6 +818,82 @@ def q_dsir_stats(sf_dir: str):
     return dsir_stats(half(0), half(1), half(1))
 
 
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split, end to end: LM-score the crawl side
+    against the reference-side bigram model (lm_bigram_scores), rank docs
+    by familiarity — the n_known/n_bigrams rate as an exact SCALED-INTEGER
+    quotient (n_known * 1e9 // n_bigrams; no IEEE division to drift) — and
+    NTILE(3) the ranking into quality terciles. Composition: one LM
+    shuffle join + one range-partitioned sort."""
+    import ray.data as rd
+
+    from ..stages.lm import lm_bigram_scores
+    from ..stages.rank import global_row_number, ntile_from_rn
+
+    def _half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return f
+
+    def half(parity: int):
+        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            _half(parity), batch_format="pyarrow"
+        )
+
+    scores = lm_bigram_scores(half(0), half(1))
+
+    def fam(b: pa.Table) -> pa.Table:
+        nb = b.column("n_bigrams")
+        if isinstance(nb, pa.ChunkedArray):
+            nb = nb.combine_chunks()
+        keep = pc.greater(nb, pa.scalar(0, type=pa.int64()))
+        b = b.filter(keep)
+        f = pc.divide(
+            pc.multiply_checked(
+                b.column("n_known").combine_chunks()
+                if isinstance(b.column("n_known"), pa.ChunkedArray)
+                else b.column("n_known"),
+                pa.scalar(1_000_000_000, type=pa.int64()),
+            ),
+            b.column("n_bigrams"),
+        )
+        return pa.table({"doc_id": b.column("doc_id"), "fam": f})
+
+    ds = scores.map_batches(fam, batch_format="pyarrow")
+    ds = global_row_number(ds, ["fam", "doc_id"], descending=[True, False])
+    total = ds.count()
+
+    def derive(b: pa.Table) -> pa.Table:
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = ntile_from_rn(rn, total, 3)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "fam": b.column("fam"),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def sql_ccnet_buckets() -> str:
+    from ..stages.lm import sql_lm_bigram_scores
+
+    return (
+        f"WITH s AS ({sql_lm_bigram_scores()}),\n"
+        f"f AS (SELECT doc_id, n_known * 1000000000 // n_bigrams AS fam\n"
+        f"  FROM s WHERE n_bigrams > 0)\n"
+        f"SELECT doc_id, CAST(fam AS BIGINT) AS fam,\n"
+        f"  CAST(ntile(3) OVER (ORDER BY fam DESC, doc_id) AS BIGINT) AS bucket\n"
+        f"FROM f"
+    )
+
+
 def q_hyperplane_buckets(sf_dir: str):
     """Random-hyperplane LSH bucket signature per embedding (the shuffle
     key for embedding near-dup at scale; bit-exact sign test vs the SQL
