@@ -383,3 +383,75 @@ class TestQuantileSketchProperties:
         cuts = np.ceil(n * np.arange(kk + 1) / kk).astype(int)
         for i, p in enumerate(pts):
             assert p == sv[cuts[i + 1] - 1]
+
+
+class TestSessionKernelProperties:
+    """Round-2 kernels: popcount, greedy cosine prune, prefix max."""
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=40))
+    def test_popcount64_matches_python(self, xs):
+        import numpy as np
+
+        from quickner_ray.stages.dedup_approx import _popcount64
+
+        arr = np.array(xs, dtype=np.uint64)
+        got = list(_popcount64(arr))
+        assert got == [bin(x).count("1") for x in xs]
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-5, max_value=5, allow_nan=False, allow_infinity=False
+                ),
+                min_size=3,
+                max_size=3,
+            ),
+            min_size=0,
+            max_size=20,
+        ),
+        st.floats(min_value=0.5, max_value=1.0),
+    )
+    def test_greedy_keep_invariants(self, vecs, tau):
+        import numpy as np
+
+        from quickner_ray.stages.semdedup import _greedy_keep
+
+        mat = np.array(vecs, dtype=np.float64).reshape(len(vecs), 3)
+        keep = _greedy_keep(mat, tau)
+        assert len(keep) == len(vecs)
+        if len(vecs):
+            assert keep[0]  # first row always kept
+        # kept set is pairwise below tau (greedy guarantee on kept rows)
+        kept_idx = [i for i in range(len(vecs)) if keep[i]]
+        unit = []
+        for i in kept_idx:
+            v = mat[i]
+            n = np.linalg.norm(v)
+            unit.append(v / n if n else v)
+        for a in range(len(unit)):
+            for b in range(a + 1, len(unit)):
+                assert float(unit[a] @ unit[b]) < tau + 1e-12
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(st.integers(min_value=-100, max_value=100), max_size=50))
+    def test_prefix_max_serial_reference(self, vals):
+        """The per-block cummax + carry logic equals the serial scan for a
+        single block (multi-block carry covered by the Ray test)."""
+        import numpy as np
+
+        ref = []
+        cur = None
+        for v in vals:
+            ref.append(cur)
+            cur = v if cur is None else max(cur, v)
+        # reproduce _with_prefix's vector math locally
+        n = len(vals)
+        if n == 0:
+            return
+        v = np.array(vals, dtype=np.int64)
+        cm = np.maximum.accumulate(v)
+        out = [None] + list(cm[:-1])
+        assert out == ref
