@@ -471,7 +471,8 @@ def sql_entity_bfs(
             f"  WHERE NOT EXISTS (SELECT 1 FROM v{i - 1} w WHERE w.node = f.node))"
         )
     sql += (
-        f"\nSELECT node AS entity_id, CAST(dist AS BIGINT) AS dist FROM v{k}"
+        f"\nSELECT node AS entity_id, CAST(dist AS BIGINT) AS dist FROM v{k}\n"
+        f"WHERE node IS NOT NULL"
     )
     return sql
 

@@ -60,6 +60,27 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def _parity_filter(parity: int):
+    """Schema-preserving doc_id-parity batch filter (even/odd split used by
+    every train-vs-score and base-vs-delta query; ``Table.filter`` keeps the
+    Arrow schema on empty batches, unlike a row-expression Dataset.filter)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+    return f
+
+
+def _docs_half(sf_dir: str, parity: int):
+    """documents(doc_id, text) restricted to one doc_id parity class."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        _parity_filter(parity), batch_format="pyarrow"
+    )
+
+
 def documents_gazetteer(case_sensitive: bool = False) -> Gazetteer:
     return Gazetteer(DEFAULT_GAZETTEER, case_sensitive=case_sensitive)
 
@@ -734,26 +755,9 @@ def q_lm_bigram_scores(sf_dir: str):
     train an exact bigram count table, odd-doc_id docs are scored against
     it via a hash-partitioned bigram-key shuffle join (the LM table of a
     web corpus is itself fact-sized — never broadcast)."""
-    import pyarrow.compute as pc
-
     from ..stages.lm import lm_bigram_scores
 
-    def _half(parity: int):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id")
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            mask = pc.equal(pc.bit_wise_and(ids, 1), parity)
-            return b.filter(mask)
-
-        return f
-
-    docs = _docs(sf_dir, columns=["doc_id", "text"])
-    train = docs.map_batches(_half(0), batch_format="pyarrow")
-    score = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        _half(1), batch_format="pyarrow"
-    )
-    return lm_bigram_scores(train, score)
+    return lm_bigram_scores(_docs_half(sf_dir, 0), _docs_half(sf_dir, 1))
 
 
 def q_unicode_nfc(sf_dir: str):
@@ -797,25 +801,11 @@ def q_dsir_stats(sf_dir: str):
     (n_grams, t_hits, r_hits) over hashed-bigram buckets. Both models are
     hashing-trick-BOUNDED (D=8192 ints) so they broadcast — the opposite
     shape from lm_bigram_scores' corpus-sized LM shuffle join."""
-    import pyarrow.compute as pc
-
     from ..stages.dsir import dsir_stats
 
-    def _half(parity: int):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id")
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
-
-        return f
-
-    def half(parity: int):
-        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-            _half(parity), batch_format="pyarrow"
-        )
-
-    return dsir_stats(half(0), half(1), half(1))
+    return dsir_stats(
+        _docs_half(sf_dir, 0), _docs_half(sf_dir, 1), _docs_half(sf_dir, 1)
+    )
 
 
 def q_ccnet_buckets(sf_dir: str):
@@ -830,21 +820,7 @@ def q_ccnet_buckets(sf_dir: str):
     from ..stages.lm import lm_bigram_scores
     from ..stages.rank import global_row_number, ntile_from_rn
 
-    def _half(parity: int):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id")
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
-
-        return f
-
-    def half(parity: int):
-        return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-            _half(parity), batch_format="pyarrow"
-        )
-
-    scores = lm_bigram_scores(half(0), half(1))
+    scores = lm_bigram_scores(_docs_half(sf_dir, 0), _docs_half(sf_dir, 1))
 
     def fam(b: pa.Table) -> pa.Table:
         nb = b.column("n_bigrams")
@@ -2553,28 +2529,22 @@ def q_canonical_entities_incremental(sf_dir: str):
     verified invariant, not a claim."""
     import tempfile
 
-    import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from ..stages.canonicalize import canonical_entities
 
-    def _half(parity: int):
-        def f(b: pa.Table) -> pa.Table:
-            ids = b.column("doc_id")
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
-
-        return f
-
     base = canonical_entities(
-        mentions_dataset(sf_dir).map_batches(_half(0), batch_format="pyarrow")
+        mentions_dataset(sf_dir).map_batches(
+            _parity_filter(0), batch_format="pyarrow"
+        )
     )
     store = tempfile.mkdtemp(prefix="qr_inc_store_")
     base.write_parquet(store)
     delta = canonical_entities(
-        mentions_dataset(sf_dir).map_batches(_half(1), batch_format="pyarrow")
+        mentions_dataset(sf_dir).map_batches(
+            _parity_filter(1), batch_format="pyarrow"
+        )
     )
     merged = rd.read_parquet(store).union(delta)
     return merged.groupby(["entity_id", "surface_norm", "label"]).aggregate(

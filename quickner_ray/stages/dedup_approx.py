@@ -838,6 +838,10 @@ def embedding_lsh_pairs(
         mat = _mat_from_list_col(group.column("embedding"))[order]
         ids = ids[order]
         norms = np.linalg.norm(mat, axis=1)
+        # Zero-norm vectors have undefined cosine: drop them before pairing
+        # (the SQL oracle mirrors this with a dot-product > 0 guard).
+        nz = norms > 0
+        mat, ids, norms = mat[nz], ids[nz], norms[nz]
         unit = mat / norms[:, None]
         gram = round_away(unit @ unit.T, 6)
         ii, jj = np.triu_indices(len(ids), k=1)
@@ -876,7 +880,11 @@ def sql_embedding_lsh_pairs(
         f"FROM capped a JOIN capped b ON a.bucket = b.bucket AND a.vec_id < b.vec_id\n"
         f"JOIN {table} ea ON ea.vec_id = a.vec_id\n"
         f"JOIN {table} eb ON eb.vec_id = b.vec_id\n"
-        f"WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
+        f"WHERE list_dot_product(CAST(ea.embedding AS DOUBLE[]),\n"
+        f"      CAST(ea.embedding AS DOUBLE[])) > 0\n"
+        f"  AND list_dot_product(CAST(eb.embedding AS DOUBLE[]),\n"
+        f"      CAST(eb.embedding AS DOUBLE[])) > 0\n"
+        f"  AND ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),\n"
         f"      CAST(eb.embedding AS DOUBLE[])), 6) >= {threshold}"
     )
 
@@ -917,14 +925,6 @@ def simhash_band_rows(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def _popcount64(x: "np.ndarray") -> "np.ndarray":
-    import numpy as np
-
-    return np.unpackbits(x.astype(np.uint64).view(np.uint8)).reshape(
-        len(x), 8 * 8
-    ).sum(axis=1).astype(np.int64) if len(x) else np.array([], dtype=np.int64)
-
-
 def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
     """Within one band bucket: all-pairs hamming over the MAX_BUCKET lowest
     doc ids (quadratic guard, QUALIFY-mirrored in the SQL oracle)."""
@@ -945,7 +945,7 @@ def _simhash_bucket_pairs(group: pa.Table) -> pa.Table:
     if k < 2:
         return empty
     iu, ju = np.triu_indices(k, 1)
-    ham = _popcount64(sims[iu] ^ sims[ju])
+    ham = hamming64(sims[iu], sims[ju]).astype(np.int64)
     return pa.table(
         {
             "doc_a": pa.array(docs[iu].astype(np.int64)),

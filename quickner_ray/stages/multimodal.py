@@ -407,17 +407,19 @@ class MediaEmbedStage:
         ids = batch.column("media_id")
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        mid, dim, val = [], [], []
-        for i, b in enumerate(payloads):
-            e = self._embed_one(b)
-            mid.extend([ids[i].as_py()] * self.d)
-            dim.extend(range(self.d))
-            val.extend(int(x) for x in e)
+        n = len(payloads)
+        # Per-payload work is only the decode; the explode layout is pure
+        # vectorized repeat/tile/concatenate.
+        embs = (
+            np.concatenate([self._embed_one(b) for b in payloads])
+            if n
+            else np.array([], dtype=np.int64)
+        )
         return pa.table(
             {
-                "media_id": pa.array(mid, type=pa.int64()),
-                "dim": pa.array(dim, type=pa.int64()),
-                "value": pa.array(val, type=pa.int64()),
+                "media_id": ids.take(pa.array(np.repeat(np.arange(n), self.d))),
+                "dim": pa.array(np.tile(np.arange(self.d, dtype=np.int64), n)),
+                "value": pa.array(embs, type=pa.int64()),
             }
         )
 

@@ -356,7 +356,9 @@ def global_prefix_max(
         col = t.column(value_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        return int(np.max(col.to_numpy(zero_copy_only=False)))
+        # numpy scalar, not int(): preserves the value dtype (float columns
+        # must not be truncated by the carry).
+        return np.max(col.to_numpy(zero_copy_only=False))
 
     maxima = ray.get([_block_max.remote(r) for r in refs])
     carries: list = []
@@ -368,27 +370,30 @@ def global_prefix_max(
 
     @ray.remote
     def _with_prefix(t: pa.Table, carry) -> pa.Table:
+        out_type = t.schema.field(value_col).type
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], type=pa.int64()))
+            return t.append_column(out_col, pa.array([], type=out_type))
         col = t.column(value_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         v = col.to_numpy(zero_copy_only=False)
         cm = np.maximum.accumulate(v)
-        out = np.empty(n, dtype=np.int64)
+        out = np.empty(n, dtype=v.dtype)
         mask_valid = np.ones(n, dtype=bool)
         if carry is None:
+            # Global first row: no preceding row -> NULL (value under the
+            # mask is arbitrary).
             mask_valid[0] = False
-            out[0] = 0
+            out[0] = v[0]
+            if n > 1:
+                out[1:] = cm[:-1]
         else:
             out[0] = carry
-        if n > 1:
-            out[1:] = np.maximum(out[0] if carry is not None else cm[0], cm[:-1])
-            if carry is None:
-                out[1:] = cm[:-1]
+            if n > 1:
+                out[1:] = np.maximum(carry, cm[:-1])
         return t.append_column(
-            out_col, pa.array(out, type=pa.int64(), mask=~mask_valid)
+            out_col, pa.array(out, type=out_type, mask=~mask_valid)
         )
 
     out_refs = [_with_prefix.remote(r, c) for r, c in zip(refs, carries)]

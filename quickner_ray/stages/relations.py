@@ -201,7 +201,7 @@ def kg_negative_samples(triples_ds, entity_ids, *, sep: str = "|"):
     import numpy as np
     import ray
 
-    ents = np.asarray(sorted(str(e) for e in entity_ids))
+    ents = np.asarray(sorted({str(e) for e in entity_ids}))
     if len(ents) < 2:
         raise ValueError("negative sampling needs >= 2 entities")
     ref = ray.put(ents)

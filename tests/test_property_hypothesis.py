@@ -390,13 +390,13 @@ class TestSessionKernelProperties:
 
     @settings(max_examples=200, deadline=None)
     @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=40))
-    def test_popcount64_matches_python(self, xs):
+    def test_hamming64_popcount_matches_python(self, xs):
         import numpy as np
 
-        from quickner_ray.stages.dedup_approx import _popcount64
+        from quickner_ray.stages.dedup_approx import hamming64
 
         arr = np.array(xs, dtype=np.uint64)
-        got = list(_popcount64(arr))
+        got = list(hamming64(arr, np.zeros_like(arr)))
         assert got == [bin(x).count("1") for x in xs]
 
     @settings(max_examples=100, deadline=None)
