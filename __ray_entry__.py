@@ -142,10 +142,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities_incremental": q.q_canonical_entities_incremental,
         "triples": q.q_triples,
         "graph_degree": q.q_graph_degree,
+        "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
         "entity_cooccurrence": q.q_entity_cooccurrence,
         "entity_pagerank": q.q_entity_pagerank,
         "entity_jaccard": q.q_entity_jaccard,
+        "entity_resource_alloc": q.q_entity_resource_alloc,
         "entity_triangles": q.q_entity_triangles,
         "relation_candidates": q.q_relation_candidates,
         "entity_pmi": q.q_entity_pmi,
@@ -325,6 +327,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_pmi,
         sql_mention_contexts,
         sql_neighborhood_jaccard,
+        sql_resource_allocation,
         sql_relation_candidates,
         sql_entity_link,
         sql_label_mention_counts,
@@ -353,12 +356,23 @@ def oracle_sql() -> dict[str, str]:
             + sql_triples(DEFAULT_GAZETTEER)
             + ") GROUP BY subj, pred"
         ),
+        "pred_cardinality": (
+            "SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,"
+            " CAST(sum(CASE WHEN n_objects > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_multi_subjects,"
+            " CAST(max(n_objects) AS BIGINT) AS max_objects,"
+            " CAST(sum(n_objects) AS BIGINT) AS n_objects FROM ("
+            "SELECT subj, pred, count(DISTINCT obj) AS n_objects FROM ("
+            + sql_triples(DEFAULT_GAZETTEER)
+            + ") GROUP BY subj, pred) GROUP BY pred"
+        ),
         "canonical_entities": sql_canonical_entities(DEFAULT_GAZETTEER),
         "canonical_entities_incremental": sql_canonical_entities(DEFAULT_GAZETTEER),
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
         "entity_jaccard": sql_neighborhood_jaccard(DEFAULT_GAZETTEER),
+        "entity_resource_alloc": sql_resource_allocation(DEFAULT_GAZETTEER),
         "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
         "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
         "entity_pmi": sql_entity_pmi(DEFAULT_GAZETTEER),

@@ -433,6 +433,39 @@ def sql_neighborhood_jaccard(
     )
 
 
+def sql_resource_allocation(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    nb_cap: int = 256,
+    min_common: int = 2,
+    scale: int = 10**9,
+) -> str:
+    """Oracle for ``q_entity_resource_alloc``: fixed-point Resource-
+    Allocation index over the co-occurrence graph.  Same capped adjacency
+    as ``sql_neighborhood_jaccard``; each wedge apex contributes
+    ``scale // capped_degree`` (DuckDB ``//`` = integer floor division,
+    matching numpy's ``//`` on positive int64), summed per pair — an
+    order-independent integer sum, so the hash compare is exact."""
+    inner = sql_entity_cooccurrence(entities, table, cap=cap)
+    return (
+        f"WITH edges AS MATERIALIZED ({inner}),\n"
+        f"adj AS MATERIALIZED (SELECT entity_a AS a, entity_b AS b FROM edges\n"
+        f"  UNION ALL SELECT entity_b, entity_a FROM edges),\n"
+        f"nb AS MATERIALIZED (SELECT a, b FROM adj QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY a ORDER BY b) <= {nb_cap}),\n"
+        f"deg AS MATERIALIZED (SELECT a, count(*) AS d FROM nb GROUP BY a),\n"
+        f"wed AS (SELECT n1.b AS x, n2.b AS y, dg.d AS d FROM nb n1\n"
+        f"  JOIN nb n2 ON n1.a = n2.a AND n1.b < n2.b\n"
+        f"  JOIN deg dg ON dg.a = n1.a)\n"
+        f"SELECT x AS entity_a, y AS entity_b,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_common,\n"
+        f"  CAST(sum({scale} // d) AS BIGINT) AS ra_score\n"
+        f"FROM wed GROUP BY x, y HAVING count(*) >= {min_common}"
+    )
+
+
 def sql_entity_bfs(
     entities: list[tuple[str, str]],
     table: str = "documents",

@@ -2721,6 +2721,24 @@ def q_entity_jaccard(sf_dir: str):
     )
 
 
+def q_entity_resource_alloc(sf_dir: str):
+    """Link prediction over the KG by the Resource-Allocation index:
+    score(x, y) = Σ_z 1/deg(z) over common co-occurrence neighbors z, in
+    1e-9 fixed point via integer floor division — bit-exact, no float
+    (stages/graph_cc.resource_allocation)."""
+    import pyarrow as pa
+
+    from ..stages.graph_cc import cooccurrence_pairs, resource_allocation
+
+    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    return resource_allocation(
+        edges,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+
+
 def q_entity_bfs(sf_dir: str, k: int = 4):
     """KG reachability: minimum hop distance (<= k) from the globally
     smallest entity over the co-occurrence graph — k rounds of frontier
@@ -3717,3 +3735,61 @@ def q_graph_degree(sf_dir: str):
         return degree(t.select(["subj", "pred", "obj"]))
 
     return ann.map_batches(fused, batch_format="pyarrow")
+
+
+def q_pred_cardinality(sf_dir: str):
+    """KG schema audit: per predicate, does it behave FUNCTIONALLY in the
+    emitted graph?  (pred, n_subjects, n_multi_subjects, max_objects,
+    n_objects) — subjects observed, subjects holding >1 distinct object
+    (each one a functional-predicate violation), and the max/total
+    distinct-object degree.  The audit drives ontology decisions at KG
+    build time (a pred with n_multi_subjects=0 can be stored as a column,
+    not an edge list).
+
+    Shape: the zero-shuffle per-(subj,pred) degree kernel
+    (``q_graph_degree``) + a per-batch partial combiner collapsing to at
+    most |label set| rows per batch, so the only all-to-all exchange is a
+    groupby over the tiny predicate key — skew-free at any corpus size."""
+    from ray.data.aggregate import Max, Sum
+
+    deg = q_graph_degree(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "pred": pa.array([], type=pa.string()),
+                    "ns": pa.array([], type=pa.int64()),
+                    "nm": pa.array([], type=pa.int64()),
+                    "mx": pa.array([], type=pa.int64()),
+                    "no": pa.array([], type=pa.int64()),
+                }
+            )
+        nobj = b.column("n_objects")
+        if isinstance(nobj, pa.ChunkedArray):
+            nobj = nobj.combine_chunks()
+        t = pa.table(
+            {
+                "pred": b.column("pred"),
+                "ns": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "nm": pc.cast(pc.greater(nobj, 1), pa.int64()),
+                "mx": nobj,
+                "no": nobj,
+            }
+        )
+        g = t.group_by("pred").aggregate(
+            [("ns", "sum"), ("nm", "sum"), ("mx", "max"), ("no", "sum")]
+        )
+        return g.rename_columns(["pred", "ns", "nm", "mx", "no"])
+
+    out = (
+        deg.map_batches(partial, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(
+            Sum("ns", alias_name="n_subjects"),
+            Sum("nm", alias_name="n_multi_subjects"),
+            Max("mx", alias_name="max_objects"),
+            Sum("no", alias_name="n_objects"),
+        )
+    )
+    return out

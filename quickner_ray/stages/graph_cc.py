@@ -1062,6 +1062,101 @@ def neighborhood_jaccard(
     return inter.map_batches(task_stage(AttachDeg, ref=ref), batch_format="pyarrow")
 
 
+RA_SCALE = 10**9  # fixed-point unit for Resource-Allocation scores
+
+
+def resource_allocation(
+    edges,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    nb_cap: int = WEDGE_CAP,
+    min_common: int = 2,
+):
+    """Resource-Allocation link prediction index (Zhou, Lü & Zhang, EPJ B
+    2009): score(x, y) = Σ over common neighbors z of 1/deg(z) — like
+    Adamic-Adar but with a 1/d kernel, which makes it EXACT in fixed
+    point: each apex contributes ``RA_SCALE // capped_deg`` (integer floor
+    division), so the score is an order-independent integer sum that
+    hash-matches the SQL oracle bit-for-bit.  Dataset(entity_a, entity_b,
+    n_common, ra_score) for pairs sharing >= ``min_common`` neighbors.
+
+    Shape: wedge enumeration at every apex over the both-direction
+    adjacency (per-apex neighbors capped at the ``nb_cap`` lowest ids —
+    quadratic hub guard, QUALIFY-mirrored in the oracle), weighting each
+    emitted pair by the apex's own term, then ONE pair-key groupby-sum.
+    Unlike ``neighborhood_jaccard`` there is no degree-attach phase: the
+    apex's contribution is computed where its adjacency already lives,
+    so the operator is two shuffles total (apex groupby + pair groupby)
+    at any graph size."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    nt = node_type if node_type is not None else pa.int64()
+    types = {"src": nt, "dst": nt, "a": nt, "b": nt, "x": nt, "y": nt}
+    e = _project_t(edges, {"src": src_col, "dst": dst_col}, types).materialize()
+    adj = _project_t(e, {"a": "src", "b": "dst"}, types).union(
+        _project_t(e, {"a": "dst", "b": "src"}, types)
+    )
+
+    def nb_pairs(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "x": pa.array([], type=nt),
+                "y": pa.array([], type=nt),
+                "w": pa.array([], type=pa.int64()),
+            }
+        )
+        if g.num_rows < 2:
+            return empty
+        nb = np.sort(np.asarray(g.column("b").to_pylist()))[:nb_cap]
+        k = len(nb)
+        iu, ju = np.triu_indices(k, 1)
+        w = np.full(len(iu), RA_SCALE // k, dtype=np.int64)
+        return pa.table(
+            {
+                "x": pa.array(nb[iu]).cast(nt),
+                "y": pa.array(nb[ju]).cast(nt),
+                "w": pa.array(w),
+            }
+        )
+
+    pairs = adj.groupby("a").map_groups(nb_pairs, batch_format="pyarrow")
+    scored = pairs.groupby(["x", "y"]).aggregate(
+        Count(alias_name="n_common"), Sum("w", alias_name="ra_score")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "entity_a": pa.array([], type=nt),
+                "entity_b": pa.array([], type=nt),
+                "n_common": pa.array([], type=pa.int64()),
+                "ra_score": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(
+            b.column("n_common").combine_chunks(),
+            pa.scalar(min_common, type=pa.int64()),
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "entity_a": b.column("x"),
+                "entity_b": b.column("y"),
+                "n_common": b.column("n_common").combine_chunks().cast(pa.int64()),
+                "ra_score": b.column("ra_score").combine_chunks().cast(pa.int64()),
+            }
+        )
+
+    return scored.map_batches(finish, batch_format="pyarrow")
+
+
 def _broadcast_bfs(und_rows, seeds, k: int):
     """Small-graph BFS driver-side: numpy frontier sweeps over code arrays;
     returns materialized (node, dist) rows for nodes within ``k`` hops."""
