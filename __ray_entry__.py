@@ -90,6 +90,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
         "host_quality": q.q_host_quality,
+        "host_boilerplate_lines": q.q_host_boilerplate_lines,
+        "host_boilerplate_docs": q.q_host_boilerplate_docs,
         "snapshot_diff": q.q_snapshot_diff,
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
@@ -491,6 +493,8 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
+        "host_boilerplate_lines": q.sql_host_boilerplate_lines(),
+        "host_boilerplate_docs": q.sql_host_boilerplate_docs(),
         "late_events": q.sql_late_events(),
         "snapshot_diff": q.sql_snapshot_diff(),
         "dsir_stats": _sql_dsir(),

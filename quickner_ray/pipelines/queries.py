@@ -2368,6 +2368,33 @@ def sql_snapshot_diff() -> str:
     )
 
 
+def _synth_host(b: pa.Table) -> pa.Array:
+    """Deterministic synthetic host per row from (doc_id, source) — the
+    same 32-bucket derivation as ``sql_host_quality``'s SQL expression
+    (host quality, boilerplate and curation queries must agree on it)."""
+    did = b.column("doc_id").combine_chunks().cast(pa.string())
+    n = pc.binary_length(did).cast(pa.int64())
+    bucket = pc.bit_wise_and(
+        pc.add(
+            pc.multiply(n, pa.scalar(7, type=pa.int64())),
+            pc.utf8_length(b.column("source").combine_chunks()).cast(pa.int64()),
+        ),
+        pa.scalar(31, type=pa.int64()),
+    )
+    return pc.binary_join_element_wise(
+        pa.array(["host"] * len(b), type=pa.string()),
+        pc.cast(bucket, pa.string()),
+        pa.array([".example.com"] * len(b), type=pa.string()),
+        "",
+    )
+
+
+_SQL_HOST_EXPR = (
+    "'host' || CAST((length(CAST(doc_id AS VARCHAR)) * 7 + length(source)) % 32"
+    " AS VARCHAR) || '.example.com'"
+)
+
+
 def q_host_quality(sf_dir: str, min_tokens: int = 30):
     """RefinedWeb-style domain-level curation: per-HOST document counts
     and good-document counts (token count >= min_tokens), with the keep
@@ -2382,23 +2409,7 @@ def q_host_quality(sf_dir: str, min_tokens: int = 30):
     from ..stages.text_analysis import TOKEN_RE
 
     def partial(b: pa.Table) -> pa.Table:
-        did = b.column("doc_id").combine_chunks().cast(pa.string())
-        n = pc.binary_length(did).cast(pa.int64())
-        bucket = pc.bit_wise_and(
-            pc.add(
-                pc.multiply(n, pa.scalar(7, type=pa.int64())),
-                pc.utf8_length(b.column("source").combine_chunks()).cast(
-                    pa.int64()
-                ),
-            ),
-            pa.scalar(31, type=pa.int64()),
-        )
-        host = pc.binary_join_element_wise(
-            pa.array(["host"] * len(b), type=pa.string()),
-            pc.cast(bucket, pa.string()),
-            pa.array([".example.com"] * len(b), type=pa.string()),
-            "",
-        )
+        host = _synth_host(b)
         good = pc.cast(
             pc.greater_equal(
                 pc.count_substring_regex(b.column("text"), TOKEN_RE).cast(
@@ -2449,6 +2460,75 @@ def sql_host_quality(min_tokens: int = 30) -> str:
         f"  CAST(sum(good) AS BIGINT) AS n_good,\n"
         f"  CAST(2 * sum(good) >= count(*) AS BIGINT) AS keep\n"
         f"FROM t GROUP BY host"
+    )
+
+
+def _host_boiler_input(sf_dir: str):
+    """(doc_id, host, text) input for the boilerplate queries: synthetic
+    host (same derivation as ``q_host_quality``) and lines derived by
+    splitting at the literal token ' the ' (the single-line synthetic
+    docs' deterministic line derivation, as in ``q_line_dedup_docs``)."""
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "host": _synth_host(b),
+                "text": pc.replace_substring(b.column("text"), " the ", "\n"),
+            }
+        )
+
+    return ds.map_batches(prep, batch_format="pyarrow")
+
+
+def q_host_boilerplate_lines(sf_dir: str, min_docs: int = 2):
+    """Per-host boilerplate (site-template) lines: non-blank lines
+    appearing in >= min_docs distinct documents of the same host."""
+    from ..stages.text_analysis import host_boilerplate_lines
+
+    return host_boilerplate_lines(_host_boiler_input(sf_dir), min_docs=min_docs)
+
+
+def q_host_boilerplate_docs(sf_dir: str, min_docs: int = 2):
+    """Documents with per-host boilerplate lines stripped (CCNet/
+    RefinedWeb site-template removal): (doc_id, text_clean, n_kept)."""
+    from ..stages.text_analysis import host_boilerplate_strip
+
+    return host_boilerplate_strip(_host_boiler_input(sf_dir), min_docs=min_docs)
+
+
+def _sql_host_boiler_ctes(min_docs: int = 2) -> str:
+    return (
+        f"WITH t AS (\n"
+        f"  SELECT doc_id, {_SQL_HOST_EXPR} AS host,\n"
+        f"    replace(text, ' the ', chr(10)) AS text FROM documents),\n"
+        f"lines AS (\n"
+        f"  SELECT doc_id, host,\n"
+        f"    CAST(unnest(generate_series(1, len(l))) - 1 AS BIGINT) AS line_no,\n"
+        f"    unnest(l) AS line\n"
+        f"  FROM (SELECT doc_id, host, string_split(text, chr(10)) AS l FROM t)),\n"
+        f"boiler AS (\n"
+        f"  SELECT host, line, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs\n"
+        f"  FROM lines WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''\n"
+        f"  GROUP BY host, line HAVING count(DISTINCT doc_id) >= {min_docs})\n"
+    )
+
+
+def sql_host_boilerplate_lines(min_docs: int = 2) -> str:
+    return _sql_host_boiler_ctes(min_docs) + "SELECT host, line, n_docs FROM boiler"
+
+
+def sql_host_boilerplate_docs(min_docs: int = 2) -> str:
+    return (
+        _sql_host_boiler_ctes(min_docs)
+        + ", kept AS (\n"
+        "  SELECT l.doc_id, l.line_no, l.line FROM lines l\n"
+        "  LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line\n"
+        "  WHERE b.line IS NULL)\n"
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean,\n"
+        "  CAST(count(*) AS BIGINT) AS n_kept\n"
+        "FROM kept GROUP BY doc_id"
     )
 
 

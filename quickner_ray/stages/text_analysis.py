@@ -520,6 +520,149 @@ def sql_line_dedup(table: str = "documents", sep: str = "\n") -> str:
     )
 
 
+# -- per-host boilerplate removal (CCNet/RefinedWeb site-template step) ------
+
+
+def _host_line_rows(
+    batch: pa.Table,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    sep: str,
+) -> pa.Table:
+    """Explode a (doc, host, text) batch to one row per line with the
+    host attached (vectorized ``index_in`` back to the parent row)."""
+    ex = explode_lines(batch, id_col, text_col, sep)
+    idx = pc.index_in(
+        ex.column("doc_id"), value_set=batch.column(id_col).combine_chunks()
+    )
+    host = batch.column(host_col).combine_chunks().take(idx)
+    return ex.append_column("host", host)
+
+
+def host_boilerplate_lines(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+):
+    """Per-HOST boilerplate line detection (the CCNet/RefinedWeb
+    site-template signal): a non-blank line that appears in >= ``min_docs``
+    DISTINCT documents of the same host is site chrome (nav bars, footers,
+    cookie banners), not content. Output: (host, line, n_docs).
+
+    Shape: explode -> per-batch combiner (a document's lines never span
+    batches, so within-batch distinct (host, line, doc) counting is an
+    exact partial) -> ONE groupby-sum on the (host, line) key. The key is
+    host-qualified, so a globally hot line ("Home") shards across hosts
+    instead of melting one reducer."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        ex = _host_line_rows(b, id_col, host_col, text_col, sep)
+        mask = pc.invert(ex.column("blank").combine_chunks())
+        t = pa.table(
+            {
+                "host": ex.column("host"),
+                "line": ex.column("line"),
+                "doc_id": ex.column("doc_id"),
+            }
+        ).filter(mask)
+        g = t.group_by(["host", "line", "doc_id"]).aggregate([])
+        p = g.group_by(["host", "line"]).aggregate([("doc_id", "count")])
+        return p.rename_columns(["host", "line", "p_docs"])
+
+    stats = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["host", "line"]
+    ).aggregate(Sum("p_docs", alias_name="n_docs"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            b.column("n_docs").combine_chunks(),
+            pa.scalar(min_docs, type=pa.int64()),
+        )
+        return b.filter(keep)
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def host_boilerplate_strip(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    host_col: str = "host",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+):
+    """Strip per-host boilerplate lines from every document: pass 1
+    computes the (host, line) boilerplate table (``host_boilerplate_lines``
+    — output is bounded by repeated-template volume, tiny vs the corpus),
+    pass 2 re-explodes and drops lines via the distributed ``anti_join``
+    on the packed ``host || NUL || line`` key (broadcast below the cap,
+    hash-partitioned shuffle + Bloom prefilter above — never a driver-side
+    set). Blank lines never enter the boilerplate table, so they survive
+    unconditionally, as in ``line_dedup``. Output: (doc_id, text_clean,
+    n_kept); a doc whose every line was boilerplate disappears."""
+    from .antijoin import anti_join
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    boiler = host_boilerplate_lines(
+        ds,
+        id_col=id_col,
+        host_col=host_col,
+        text_col=text_col,
+        sep=sep,
+        min_docs=min_docs,
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "hl_key": pc.binary_join_element_wise(
+                    b.column("host").combine_chunks(),
+                    b.column("line").combine_chunks(),
+                    "\x00",
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def keyed_lines(b: pa.Table) -> pa.Table:
+        ex = _host_line_rows(b, id_col, host_col, text_col, sep)
+        key = pc.binary_join_element_wise(
+            ex.column("host").combine_chunks(),
+            ex.column("line").combine_chunks(),
+            "\x00",
+        )
+        return pa.table(
+            {
+                "doc_id": ex.column("doc_id"),
+                "line_no": ex.column("line_no"),
+                "line": ex.column("line"),
+                "hl_key": key,
+            }
+        )
+
+    lines = ds.map_batches(keyed_lines, batch_format="pyarrow")
+    kept = anti_join(lines, "hl_key", boiler, "hl_key")
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("line_no", "ascending")])
+        g = group.take(order)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([g.column("doc_id")[0].as_py()], type=id_type),
+                "text_clean": [sep.join(g.column("line").to_pylist())],
+                "n_kept": pa.array([g.num_rows], type=pa.int64()),
+            }
+        )
+
+    return kept.groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
+
+
 # -- vocabulary statistics (df/tf with a partial combiner) -------------------
 
 WORD_CLASS_RE = "[a-z0-9]+"

@@ -416,6 +416,70 @@ class TestNeighborhoodJaccard:
 
 
 @pytest.mark.usefixtures("ray_session")
+class TestResourceAllocation:
+    def _run(self, edges, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.graph_cc import resource_allocation
+
+        tbl = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], type=pa.int64()),
+                "dst": pa.array([b for _, b in edges], type=pa.int64()),
+            }
+        )
+        out = resource_allocation(rd.from_arrow(tbl), **kw)
+        got = out.to_pandas()
+        return {
+            (r.entity_a, r.entity_b): (r.n_common, r.ra_score)
+            for r in got.itertuples()
+        }
+
+    def test_matches_brute_force(self):
+        import itertools
+        import numpy as np
+
+        from quickner_ray.stages.graph_cc import RA_SCALE
+
+        rng = np.random.RandomState(7)
+        nodes = list(range(12))
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    sorted(rng.choice(nodes, 2, replace=False)) for _ in range(40)
+                )
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        expect = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            common = adj[x] & adj[y]
+            if len(common) >= 2:
+                expect[(x, y)] = (
+                    len(common),
+                    sum(RA_SCALE // len(adj[z]) for z in common),
+                )
+        got = self._run(edges, min_common=2)
+        assert got == expect and got
+
+    def test_nb_cap_weights_by_capped_degree(self):
+        from quickner_ray.stages.graph_cc import RA_SCALE
+
+        # hub 0 with leaves 1..6; nb_cap=3 keeps {1,2,3} at the hub apex,
+        # so capped deg(0) = 3 and only those leaves pair through it
+        edges = [(0, i) for i in range(1, 7)]
+        got = self._run(edges, min_common=1, nb_cap=3)
+        assert got[(1, 2)] == (1, RA_SCALE // 3)
+        assert (1, 4) not in got
+
+
+@pytest.mark.usefixtures("ray_session")
 class TestAnnotatedFusion:
     """The annotated=True fused explode must produce identical results to
     the raw-mentions path (which is only safe when the caller owns the

@@ -143,6 +143,69 @@ class TestLineDedup:
         assert "shared boilerplate line" in got.set_index("doc_id").loc["10", "text_dedup"]
 
 
+class TestHostBoilerplate:
+    """Per-host boilerplate stripping: a line repeated across >= min_docs
+    distinct docs of the SAME host is removed from all of them; the same
+    line on another host survives; blank lines always survive."""
+
+    def _tab(self):
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+                "host": [
+                    "a.com", "a.com", "a.com", "b.com", "b.com",
+                ],
+                "text": [
+                    "Cookie banner\ncontent one",
+                    "Cookie banner\ncontent two\n\ntail",
+                    "unique page",
+                    "Cookie banner\nother site content",  # b.com: only 1 doc has it
+                    "fresh text",
+                ],
+            }
+        )
+
+    def test_lines_and_strip_match_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from quickner_ray.stages.text_analysis import (
+            host_boilerplate_lines,
+            host_boilerplate_strip,
+        )
+
+        ds = rd.from_arrow(self._tab())
+        lines = {
+            (r["host"], r["line"]): r["n_docs"]
+            for r in host_boilerplate_lines(ds).take_all()
+        }
+        # only a.com's banner crosses the 2-doc threshold
+        assert lines == {("a.com", "Cookie banner"): 2}
+
+        got = {
+            r["doc_id"]: (r["text_clean"], r["n_kept"])
+            for r in host_boilerplate_strip(rd.from_arrow(self._tab())).take_all()
+        }
+        assert got[1] == ("content one", 1)
+        assert got[2] == ("content two\n\ntail", 3)  # blank line survives
+        assert got[3] == ("unique page", 1)
+        assert got[4] == ("Cookie banner\nother site content", 2)  # other host
+        assert got[5] == ("fresh text", 1)
+
+    def test_doc_of_only_boilerplate_disappears(self, ray_session):
+        import ray.data as rd
+
+        from quickner_ray.stages.text_analysis import host_boilerplate_strip
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array([1, 2], type=pa.int64()),
+                "host": ["x", "x"],
+                "text": ["nav", "nav"],
+            }
+        )
+        assert host_boilerplate_strip(rd.from_arrow(tab)).take_all() == []
+
+
 def test_compression_ratio_signal():
     """Repetitive text compresses far below high-entropy text; ratio is
     deterministic and n_deflate consistent with a direct zlib call."""
