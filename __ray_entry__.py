@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "waiting_suppliers": _rel2("q_waiting_suppliers"),
         "idle_customers": _rel2("q_idle_customers"),
         "quality_scores": q.q_quality_scores,
+        "gopher_filter": q.q_gopher_filter,
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_dim_stats": q.q_embedding_dim_stats,
         "embedding_kmeans": q.q_embedding_kmeans,
@@ -252,6 +253,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages.text_analysis import (
         sql_bpe_token_count,
         sql_fingerprint,
+        sql_gopher_filter,
         sql_keyword_search,
         sql_lang_id,
         sql_quality_score,
@@ -342,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_full": _sql_prep_full(),
         "lang_id": sql_lang_id(),
         "quality_scores": sql_quality_score(),
+        "gopher_filter": sql_gopher_filter(),
         "rare_word_stats": sql_rare_word_stats(),
         "keyword_search": sql_keyword_search(),
         "customer_ntile": q.sql_customer_ntile(),

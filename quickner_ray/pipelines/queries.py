@@ -2590,6 +2590,19 @@ def q_quality_scores(sf_dir: str):
     ds = ds.map_batches(add_quality_score, batch_format="pyarrow")
     return ds.select_columns(["doc_id", "quality_score"])
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher/MassiveText composite quality gate: word-count bounds, mean
+    word length, symbol ratio, alpha-word fraction and stopword presence
+    combined into one all-integer keep decision (zero shuffles)."""
+    from ..stages.text_analysis import add_gopher_quality
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_gopher_quality, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_words", "n_word_chars", "n_alpha_words", "n_sym", "n_stop", "keep"]
+    )
+
+
 def q_label_mention_counts(sf_dir: str):
     return label_counts(mentions_dataset(sf_dir))
 

@@ -663,6 +663,124 @@ def host_boilerplate_strip(
     return kept.groupby("doc_id").map_groups(reassemble, batch_format="pyarrow")
 
 
+# -- Gopher-rules composite quality gate (MassiveText filtering) -------------
+
+_WS_CHAR_RE = "[ \\t\\n\\x0b\\x0c\\r]"
+_ALPHA_TOKEN_RE = (
+    "[^ \\t\\n\\x0b\\x0c\\r]*[A-Za-z][^ \\t\\n\\x0b\\x0c\\r]*"
+)
+_SYMBOL_RE = "#|\\.\\.\\."
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_quality(
+    batch: pa.Table,
+    text_col: str = "text",
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio_pct: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 1,
+) -> pa.Table:
+    """Gopher/MassiveText composite quality gate (Rae et al. 2021 §A1.1),
+    adapted to whitespace tokenization and made ALL-INTEGER so the keep
+    decision is bit-exact across engines (ratio rules are integer
+    cross-multiplies, never IEEE division):
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]:  3*n_words <= n_word_chars <= 10*n_words
+    - symbol-to-word ratio (# or ...) <= 10%:  100*n_sym <= 10*n_words
+    - >= 80% of words contain an alphabetic char: 100*n_alpha >= 80*n_words
+    - >= 2 distinct common English stopwords present
+
+    One pass of Arrow RE2 kernels per batch, zero shuffles. Output adds
+    (n_words, n_word_chars, n_alpha_words, n_sym, n_stop, keep)."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_words = pc.count_substring_regex(texts, TOKEN_RE).cast(pa.int64())
+    n_ws = pc.count_substring_regex(texts, _WS_CHAR_RE).cast(pa.int64())
+    n_word_chars = pc.subtract(pc.utf8_length(texts).cast(pa.int64()), n_ws)
+    n_alpha = pc.count_substring_regex(texts, _ALPHA_TOKEN_RE).cast(pa.int64())
+    n_sym = pc.count_substring_regex(texts, _SYMBOL_RE).cast(pa.int64())
+    n_stop = pa.array(np.zeros(len(texts), dtype=np.int64))
+    for w in GOPHER_STOPWORDS:
+        present = pc.cast(
+            pc.greater(
+                pc.count_substring_regex(texts, f"\\b{w}\\b"), 0
+            ),
+            pa.int64(),
+        )
+        n_stop = pc.add(n_stop, present)
+    c1 = pc.and_(
+        pc.greater_equal(n_words, pa.scalar(min_words, type=pa.int64())),
+        pc.less_equal(n_words, pa.scalar(max_words, type=pa.int64())),
+    )
+    c2 = pc.and_(
+        pc.less_equal(pc.multiply(n_words, pa.scalar(min_mean_word_len, type=pa.int64())), n_word_chars),
+        pc.less_equal(n_word_chars, pc.multiply(n_words, pa.scalar(max_mean_word_len, type=pa.int64()))),
+    )
+    c3 = pc.less_equal(
+        pc.multiply(n_sym, pa.scalar(100, type=pa.int64())),
+        pc.multiply(n_words, pa.scalar(max_symbol_ratio_pct, type=pa.int64())),
+    )
+    c4 = pc.greater_equal(
+        pc.multiply(n_alpha, pa.scalar(100, type=pa.int64())),
+        pc.multiply(n_words, pa.scalar(min_alpha_word_pct, type=pa.int64())),
+    )
+    c5 = pc.greater_equal(n_stop, pa.scalar(min_stopwords, type=pa.int64()))
+    keep = pc.cast(pc.and_(pc.and_(pc.and_(c1, c2), pc.and_(c3, c4)), c5), pa.int64())
+    out = batch
+    for name, col in (
+        ("n_words", n_words),
+        ("n_word_chars", n_word_chars),
+        ("n_alpha_words", n_alpha),
+        ("n_sym", n_sym),
+        ("n_stop", n_stop),
+        ("keep", keep),
+    ):
+        out = out.append_column(name, col)
+    return out
+
+
+def sql_gopher_filter(
+    table: str = "documents",
+    *,
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_ratio_pct: int = 10,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 1,
+) -> str:
+    stop_sum = " + ".join(
+        f"CASE WHEN regexp_matches(text, '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    return (
+        f"WITH t AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    CAST(length(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_words,\n"
+        f"    CAST(length(text) - length(regexp_extract_all(text, '{_WS_CHAR_RE}')) AS BIGINT) AS n_word_chars,\n"
+        f"    CAST(length(regexp_extract_all(text, '{_ALPHA_TOKEN_RE}')) AS BIGINT) AS n_alpha_words,\n"
+        f"    CAST(length(regexp_extract_all(text, '{_SYMBOL_RE}')) AS BIGINT) AS n_sym,\n"
+        f"    CAST({stop_sum} AS BIGINT) AS n_stop\n"
+        f"  FROM {table})\n"
+        f"SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_sym, n_stop,\n"
+        f"  CAST(n_words BETWEEN {min_words} AND {max_words}\n"
+        f"   AND {min_mean_word_len} * n_words <= n_word_chars\n"
+        f"   AND n_word_chars <= {max_mean_word_len} * n_words\n"
+        f"   AND 100 * n_sym <= {max_symbol_ratio_pct} * n_words\n"
+        f"   AND 100 * n_alpha_words >= {min_alpha_word_pct} * n_words\n"
+        f"   AND n_stop >= {min_stopwords} AS BIGINT) AS keep\n"
+        f"FROM t"
+    )
+
+
 # -- vocabulary statistics (df/tf with a partial combiner) -------------------
 
 WORD_CLASS_RE = "[a-z0-9]+"

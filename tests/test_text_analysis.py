@@ -143,6 +143,51 @@ class TestLineDedup:
         assert "shared boilerplate line" in got.set_index("doc_id").loc["10", "text_dedup"]
 
 
+class TestGopherFilter:
+    """Gopher composite gate: each rule trips independently; the Ray batch
+    kernel and the SQL oracle agree on every count and the keep bit."""
+
+    CASES = [
+        # (text, expect_keep, reason)
+        ("the quick brown fox jumps over a lazy dog " * 3, 1, "clean"),
+        ("word " * 5, 0, "too few words"),
+        ("the " + "supercalifragilistic " * 30, 0, "mean word len > 10"),
+        ("the " + "## ### # ".join(["word"] * 30), 0, "symbol ratio"),
+        ("the " + "12345 6789 " * 15, 0, "alpha-word fraction"),
+        ("zzz qqq xxx " * 10, 0, "no stopwords"),
+    ]
+
+    def test_rules_and_oracle_agree(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from quickner_ray.stages.text_analysis import (
+            add_gopher_quality,
+            sql_gopher_filter,
+        )
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array(range(len(self.CASES)), type=pa.int64()),
+                "text": [t for t, _, _ in self.CASES],
+            }
+        )
+        got = (
+            rd.from_arrow(tab)
+            .map_batches(add_gopher_quality, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, (_, want, reason) in enumerate(self.CASES):
+            assert got.loc[i, "keep"] == want, reason
+        con = duckdb.connect()
+        con.register("documents", tab)
+        ora = con.sql(sql_gopher_filter()).df().sort_values("doc_id").reset_index(drop=True)
+        for col in ["n_words", "n_word_chars", "n_alpha_words", "n_sym", "n_stop", "keep"]:
+            assert got[col].tolist() == ora[col].tolist(), col
+
+
 class TestHostBoilerplate:
     """Per-host boilerplate stripping: a line repeated across >= min_docs
     distinct docs of the SAME host is removed from all of them; the same
