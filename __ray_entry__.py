@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_quality": q.q_host_quality,
         "host_boilerplate_lines": q.q_host_boilerplate_lines,
         "host_boilerplate_docs": q.q_host_boilerplate_docs,
+        "web_curation": q.q_web_curation,
         "snapshot_diff": q.q_snapshot_diff,
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
@@ -498,6 +499,7 @@ def oracle_sql() -> dict[str, str]:
         "host_quality": q.sql_host_quality(),
         "host_boilerplate_lines": q.sql_host_boilerplate_lines(),
         "host_boilerplate_docs": q.sql_host_boilerplate_docs(),
+        "web_curation": q.sql_web_curation(),
         "late_events": q.sql_late_events(),
         "snapshot_diff": q.sql_snapshot_diff(),
         "dsir_stats": _sql_dsir(),

@@ -2532,6 +2532,81 @@ def sql_host_boilerplate_docs(min_docs: int = 2) -> str:
     )
 
 
+def q_web_curation(sf_dir: str, min_docs: int = 2):
+    """RefinedWeb-style curation chain composed END TO END: per-host
+    boilerplate strip -> Gopher composite quality gate on the cleaned text
+    -> exact content dedup of survivors (min doc id wins) -> whitespace
+    token count. One SQL oracle covers the whole chain, so the composition
+    (not just each stage) is value-verified.
+
+    Shuffle budget: boilerplate anti-join (bounded drop side) + doc
+    reassembly groupby + the final content-hash groupby (uniform key by
+    construction). The Gopher gate and token count ride the same batch
+    pass — zero extra exchanges."""
+    from ray.data.aggregate import Count, Min
+
+    from ..kernel.hashing import hash_texts
+    from ..stages.text_analysis import (
+        TOKEN_RE,
+        add_gopher_quality,
+        host_boilerplate_strip,
+    )
+
+    clean = host_boilerplate_strip(_host_boiler_input(sf_dir), min_docs=min_docs)
+
+    def gate_hash(b: pa.Table) -> pa.Table:
+        g = add_gopher_quality(b, text_col="text_clean")
+        g = g.filter(pc.equal(g.column("keep").combine_chunks(), 1))
+        texts = g.column("text_clean")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pa.table(
+            {
+                "text_hash": pa.array(
+                    hash_texts(texts.to_pylist()), type=pa.string()
+                ),
+                "doc_id": g.column("doc_id"),
+                "n_tokens": pc.count_substring_regex(texts, TOKEN_RE).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    h = clean.map_batches(gate_hash, batch_format="pyarrow")
+    return h.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Min("n_tokens", alias_name="n_tokens"),
+        Count(alias_name="n_dupes"),
+    )
+
+
+def sql_web_curation(min_docs: int = 2) -> str:
+    from ..stages.text_analysis import TOKEN_RE, sql_gopher_filter
+
+    gate = sql_gopher_filter(
+        table="(SELECT doc_id, text_clean AS text FROM docs2) gsrc"
+    )
+    return (
+        _sql_host_boiler_ctes(min_docs)
+        + ", kept AS (\n"
+        "  SELECT l.doc_id, l.line_no, l.line FROM lines l\n"
+        "  LEFT JOIN boiler b ON l.host = b.host AND l.line = b.line\n"
+        "  WHERE b.line IS NULL),\n"
+        "docs2 AS (\n"
+        "  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_clean\n"
+        "  FROM kept GROUP BY doc_id),\n"
+        "gate AS (" + gate + "),\n"
+        "fin AS (\n"
+        "  SELECT d.doc_id, d.text_clean,\n"
+        f"    CAST(length(regexp_extract_all(d.text_clean, '{TOKEN_RE}')) AS BIGINT)"
+        " AS n_tokens\n"
+        "  FROM docs2 d JOIN gate g ON d.doc_id = g.doc_id WHERE g.keep = 1)\n"
+        "SELECT md5(text_clean) AS text_hash, min(doc_id) AS keep_doc_id,\n"
+        "  min(n_tokens) AS n_tokens, CAST(count(*) AS BIGINT) AS n_dupes\n"
+        "FROM fin GROUP BY md5(text_clean)"
+    )
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
     within-cluster cosine near-duplicates (>= tau) keeping the lowest id.
