@@ -195,6 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "disjunctive_revenue": _rel2("q_disjunctive_revenue"),
         "waiting_suppliers": _rel2("q_waiting_suppliers"),
         "idle_customers": _rel2("q_idle_customers"),
+        "min_cost_supplier": _rel3("q_min_cost_supplier"),
+        "supplier_part_counts": _rel3("q_supplier_part_counts"),
+        "small_qty_revenue": _rel3("q_small_qty_revenue"),
+        "excess_suppliers": _rel3("q_excess_suppliers"),
         "quality_scores": q.q_quality_scores,
         "gopher_filter": q.q_gopher_filter,
         "rare_word_stats": q.q_rare_word_stats,
@@ -245,6 +249,15 @@ def _rel2(fn_name: str) -> Callable[[str], Any]:
     return call
 
 
+def _rel3(fn_name: str) -> Callable[[str], Any]:
+    def call(sf_dir: str):
+        from quickner_ray.pipelines import relational3
+
+        return getattr(relational3, fn_name)(sf_dir)
+
+    return call
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Tables are
     pre-registered views over the same parquet files. Rows-only queries
@@ -277,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.pipelines import queries as q
     from quickner_ray.pipelines import relational as rel
     from quickner_ray.pipelines import relational2 as rel2
+    from quickner_ray.pipelines import relational3 as rel3
     from quickner_ray.pipelines.queries import (
         sql_big_spenders as _sql_big_spenders,
         sql_doc_length_deciles as _sql_deciles,
@@ -420,6 +434,10 @@ def oracle_sql() -> dict[str, str]:
         "disjunctive_revenue": rel2.sql_disjunctive_revenue(),
         "waiting_suppliers": rel2.sql_waiting_suppliers(),
         "idle_customers": rel2.sql_idle_customers(),
+        "min_cost_supplier": rel3.sql_min_cost_supplier(),
+        "supplier_part_counts": rel3.sql_supplier_part_counts(),
+        "small_qty_revenue": rel3.sql_small_qty_revenue(),
+        "excess_suppliers": rel3.sql_excess_suppliers(),
         "important_parts": rel.sql_important_parts(),
         "label_mention_counts": sql_label_mention_counts(DEFAULT_GAZETTEER),
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),

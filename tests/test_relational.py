@@ -97,3 +97,40 @@ def test_relational2_matches_oracle(sf_dir, qfn, sfn):
     ora = con.sql(getattr(rel2, sfn)()).df()
     assert len(got) == len(ora), (qfn, len(got), len(ora))
     pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
+
+
+from quickner_ray.pipelines import relational3 as rel3
+
+CASES3 = [
+    ("q_min_cost_supplier", "sql_min_cost_supplier"),
+    ("q_supplier_part_counts", "sql_supplier_part_counts"),
+    ("q_small_qty_revenue", "sql_small_qty_revenue"),
+    ("q_excess_suppliers", "sql_excess_suppliers"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("qfn,sfn", CASES3, ids=[c[0] for c in CASES3])
+def test_relational3_matches_oracle(sf_dir, qfn, sfn):
+    """Q2/Q16/Q17/Q20 shapes (relational3.py) vs DuckDB — these complete
+    all 22 TPC-H query shapes."""
+    out = getattr(rel3, qfn)(sf_dir)
+    got = out.to_pandas() if hasattr(out, "to_pandas") else pd.DataFrame(out)
+    con = duckdb.connect()
+    con.sql("SET threads=2")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ora = con.sql(getattr(rel3, sfn)()).df()
+    assert len(got) == len(ora), (qfn, len(got), len(ora))
+    pd.testing.assert_frame_equal(_canon(got), _canon(ora), check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_q2_ties_kept(sf_dir):
+    """Q2 keeps EVERY supplier achieving the per-part minimum: each
+    surviving (part, supplier) row's cost equals its part's min cost."""
+    got = rel3.q_min_cost_supplier(sf_dir).to_pandas()
+    if len(got) == 0:
+        pytest.skip("no qualifying parts at this sf")
+    per_part_min = got.groupby("p_partkey").cost_c.transform("min")
+    assert (got.cost_c == per_part_min).all()
