@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_rollup": q.q_source_lang_rollup,
         "doc_length_deciles": q.q_doc_length_deciles,
         "sessionize": q.q_sessionize,
+        "event_intervals": q.q_event_intervals,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -449,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
         "source_lang_rollup": _sql_rollup(),
         "doc_length_deciles": _sql_deciles(),
         "sessionize": ev.sql_sessionize(),
+        "event_intervals": ev.sql_coalesce_intervals(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

@@ -1176,6 +1176,18 @@ def q_user_event_stats(sf_dir: str):
     return user_stats(_events(sf_dir, columns=["user_id", "event_type", "value"]))
 
 
+def q_event_intervals(sf_dir: str):
+    """Gaps-and-islands interval coalescing: value-weighted event intervals
+    merged per user into maximal validity islands (stages/events
+    .coalesce_intervals — one user_id shuffle, vectorized running-max
+    recurrence)."""
+    from ..stages.events import coalesce_intervals
+
+    return coalesce_intervals(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
 def q_top_orders_per_priority(sf_dir: str, k: int = 3):
     """Grouped top-k with a partial combiner (stages/topk.py): top-k orders
     per priority class by total price."""

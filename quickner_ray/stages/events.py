@@ -1014,3 +1014,87 @@ def grouped_quantile_sketch(
         batch_format="pyarrow",
     )
     return partial.groupby(key_col).map_groups(per_group, batch_format="pyarrow")
+
+
+# --- interval coalescing (gaps-and-islands) ----------------------------------
+
+INTERVAL_DUR_MULT = 10_000_000  # value cents -> interval microseconds
+
+
+def _coalesce_group(group: pa.Table, dur_mult: int) -> pa.Table:
+    """One user's value-weighted intervals [ts, ts + cents(value)*dur_mult)
+    -> maximal merged islands (overlapping OR touching intervals fuse; a
+    new island starts where start > running max of all previous ends —
+    the classic gaps-and-islands recurrence, vectorized).
+
+    Exact integer arithmetic throughout: epoch microseconds + half-away
+    cent rounding of value, so the island boundaries are bit-identical to
+    the SQL window form at any parallelism."""
+    from ..kernel.rounding import round_away
+
+    us, eid, order = _sorted_user_events(group)
+    val = group.column("value").to_numpy(zero_copy_only=False)
+    us, val = us[order], val[order].astype(np.float64)
+    dur = round_away(val * 100.0, 0).astype(np.int64) * dur_mult
+    end = us + dur
+    # EXCLUSIVE running max of ends: prev_max[i] = max(end[:i])
+    prev_max = np.empty(len(us), dtype=np.int64)
+    prev_max[0] = -1
+    if len(us) > 1:
+        np.maximum.accumulate(end[:-1], out=prev_max[1:])
+    new_island = us > prev_max
+    island = np.cumsum(new_island)  # 1-based island ordinal
+    starts = np.flatnonzero(new_island)
+    n_events = np.diff(np.append(starts, len(us)))
+    island_end = np.maximum.reduceat(end, starts)
+    user = group.column("user_id")[0].as_py()
+    n = len(starts)
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(n, user), type=pa.int64()),
+            "island_id": pa.array(island[starts], type=pa.int64()),
+            "start_us": pa.array(us[starts], type=pa.int64()),
+            "end_us": pa.array(island_end, type=pa.int64()),
+            "n_events": pa.array(n_events, type=pa.int64()),
+        }
+    )
+
+
+def coalesce_intervals(ds, dur_mult: int = INTERVAL_DUR_MULT):
+    """Gaps-and-islands interval coalescing: each event is an interval of
+    duration proportional to its value; overlapping/touching intervals per
+    user merge into maximal islands (temporal-KG fact-validity shape: the
+    merged validity windows of repeatedly re-observed facts). ONE shuffle
+    (user_id groupby); the running-max recurrence is vectorized numpy
+    inside each group. Hot-user bound: a user's whole event list must fit
+    one group — same contract as sessionize (module docstring)."""
+    return ds.groupby("user_id").map_groups(
+        lambda g: _coalesce_group(g, dur_mult), batch_format="pyarrow"
+    )
+
+
+def sql_coalesce_intervals(
+    dur_mult: int = INTERVAL_DUR_MULT, table: str = "events"
+) -> str:
+    return (
+        f"WITH iv AS (\n"
+        f"  SELECT user_id, event_id, epoch_us(ts) AS s,\n"
+        f"    epoch_us(ts) + CAST(round(value*100) AS BIGINT)*{dur_mult} AS e\n"
+        f"  FROM {table}),\n"
+        f"m AS (\n"
+        f"  SELECT user_id, event_id, s, e,\n"
+        f"    CASE WHEN s > COALESCE(max(e) OVER (\n"
+        f"      PARTITION BY user_id ORDER BY s, event_id\n"
+        f"      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)\n"
+        f"    THEN 1 ELSE 0 END AS new_island\n"
+        f"  FROM iv),\n"
+        f"g AS (\n"
+        f"  SELECT user_id, s, e,\n"
+        f"    sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id\n"
+        f"      ROWS UNBOUNDED PRECEDING) AS island_id\n"
+        f"  FROM m)\n"
+        f"SELECT user_id, CAST(island_id AS BIGINT) AS island_id,\n"
+        f"  min(s) AS start_us, max(e) AS end_us,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_events\n"
+        f"FROM g GROUP BY user_id, island_id"
+    )

@@ -627,3 +627,52 @@ class TestGroupedQuantileSketch:
             rd.from_arrow(tbl), "event_type", "value", qs=(0.5, 0.9), k=256
         ).to_pandas()
         assert got.sort_values("q")["qvalue"].tolist() == [49.0, 89.0]
+
+
+class TestCoalesceIntervals:
+    def test_group_kernel(self):
+        """Hand-built intervals: [0,10) [5,20) [20,30) merge (touching
+        fuses); [40,45) is its own island."""
+        from quickner_ray.stages.events import _coalesce_group
+
+        # dur = cents(value) * mult; pick mult=1 and values in cents
+        g = pa.table(
+            {
+                "user_id": pa.array([7] * 4, type=pa.int64()),
+                "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "ts": pa.array([0, 5, 20, 40], type=pa.timestamp("us")),
+                "value": pa.array([0.10, 0.15, 0.10, 0.05]),
+            }
+        )
+        out = _coalesce_group(g, dur_mult=1)
+        assert out.column("start_us").to_pylist() == [0, 40]
+        assert out.column("end_us").to_pylist() == [30, 45]
+        assert out.column("n_events").to_pylist() == [3, 1]
+        assert out.column("island_id").to_pylist() == [1, 2]
+
+    def test_matches_sql(self, ray_session, sf_dir):
+        import duckdb
+        import pandas as pd
+
+        from quickner_ray.pipelines.queries import q_event_intervals
+        from quickner_ray.stages.events import sql_coalesce_intervals
+
+        got = q_event_intervals(sf_dir).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+        ora = con.sql(sql_coalesce_intervals()).df()
+        assert len(got) == len(ora)
+        key = ["user_id", "island_id"]
+        a = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+        b = ora.sort_values(key).reset_index(drop=True)[sorted(ora.columns)]
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_islands_disjoint(self, ray_session, sf_dir):
+        """Merged islands per user must be strictly separated: next start
+        > previous end (touching would have fused)."""
+        from quickner_ray.pipelines.queries import q_event_intervals
+
+        got = q_event_intervals(sf_dir).to_pandas()
+        for _, grp in got.groupby("user_id"):
+            g = grp.sort_values("start_us")
+            assert (g.start_us.values[1:] > g.end_us.values[:-1]).all()
