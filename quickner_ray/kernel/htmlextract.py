@@ -92,3 +92,62 @@ def synth_page(text: str, seq: int = 0, title: str = "fixture") -> bytes:
         title=_html.escape(title, quote=False), seq=seq, paragraphs=paragraphs
     )
     return page.encode("utf-8")
+
+
+# --- hyperlink extraction (host link-graph stage input) -----------------------
+
+_ANCHOR_RE = re.compile(
+    r"<a\b[^>]*?\bhref\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))[^>]*>(.*?)</a\s*>",
+    re.S | re.I,
+)
+
+
+def extract_links(html_bytes: bytes) -> list[tuple[str, str]]:
+    """All ``(href, anchor_text)`` pairs from a page, in document order.
+
+    Comments and script/style/noscript/template blocks are stripped first
+    (a commented-out link is not a link); anchors keep their inner text
+    with tags removed and entities unescaped. Relative hrefs are returned
+    as-is — the link-graph stage filters/resolves. Undecodable bytes ->
+    empty list (same skip-hook as extract_text)."""
+    try:
+        doc = html_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        return []
+    doc = _COMMENT_RE.sub("", doc)
+    doc = _DROP_BLOCK_RE.sub("", doc)
+    out: list[tuple[str, str]] = []
+    for m in _ANCHOR_RE.finditer(doc):
+        href = m.group(2) or m.group(3) or m.group(4) or ""
+        inner = _TAG_RE.sub("", m.group(5))
+        out.append((_html.unescape(href), _html.unescape(inner)))
+    return out
+
+
+def synth_linked_page(
+    text: str, links: list[tuple[str, str]], seq: int = 0, title: str = "fixture"
+) -> bytes:
+    """Deterministic page with an outlink list appended inside the article:
+    ``extract_links`` recovers exactly the template nav links plus
+    ``links`` (href, anchor) in order. (``extract_text`` of a linked page
+    yields ``text`` plus the anchor texts as trailing lines — anchors are
+    in-content, as on real pages.)"""
+    paragraphs = "".join(
+        "<p>" + _html.escape(line, quote=False) + "</p>" for line in text.split("\n")
+    )
+    ul = (
+        "<ul>"
+        + "".join(
+            '<li><a href="{h}">{a}</a></li>'.format(
+                h=_html.escape(h, quote=True), a=_html.escape(a, quote=False)
+            )
+            for h, a in links
+        )
+        + "</ul>"
+    )
+    page = _PAGE_TEMPLATE.format(
+        title=_html.escape(title, quote=False),
+        seq=seq,
+        paragraphs=paragraphs + ul,
+    )
+    return page.encode("utf-8")

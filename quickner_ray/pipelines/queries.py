@@ -3973,3 +3973,103 @@ def q_pred_cardinality(sf_dir: str):
         )
     )
     return out
+
+
+# --- host link graph (web-graph extraction from raw HTML) --------------------
+
+LINKS_PER_PAGE = 3
+LINK_HOST_BUCKETS = 32
+
+
+def _linked_pages(sf_dir: str):
+    """Deterministic linked-pages dataset: each document becomes a page on
+    host ``host{doc_id % 32}.example.com`` whose HTML carries three
+    absolute outlinks to hosts ``host{(doc_id*7 + 13*j + 3) % 32}`` —
+    pure integer functions of doc_id so the SQL oracle regenerates the
+    SAME edges without parsing HTML, while the Ray path must recover them
+    from the raw bytes (kernel regex parse, entity round-trip)."""
+    from ..kernel.htmlextract import synth_linked_page
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_pylist()
+        urls, htmls = [], []
+        for d in ids:
+            sb = d % LINK_HOST_BUCKETS
+            url = f"https://host{sb}.example.com/d/{d}"
+            links = []
+            for j in range(1, LINKS_PER_PAGE + 1):
+                db = (d * 7 + 13 * j + 3) % LINK_HOST_BUCKETS
+                links.append(
+                    (f"https://host{db}.example.com/t/{d}-{j}", f"site {db}")
+                )
+            urls.append(url)
+            htmls.append(synth_linked_page(f"doc {d}", links, seq=d))
+        return pa.table(
+            {
+                "url": pa.array(urls, type=pa.string()),
+                "html": pa.array(htmls, type=pa.binary()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+
+def q_host_link_graph(sf_dir: str):
+    """Cross-host link graph parsed from raw page HTML: anchor extraction
+    (comment/script-stripped regex over bytes), absolute-link host
+    resolution, self-loop drop, then ONE host-pair groupby bounded by a
+    per-batch combiner (stages/linkgraph.py). Relative template links
+    (nav "/" "/about") must be filtered by the host rule — the oracle
+    sees only the derived absolute edges."""
+    from ..stages.linkgraph import host_link_graph
+
+    return host_link_graph(_linked_pages(sf_dir))
+
+
+def sql_host_link_graph() -> str:
+    return (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t)\n"
+        f"SELECT 'host' || CAST(sb AS VARCHAR) || '.example.com' AS src_host,\n"
+        f"       'host' || CAST(db AS VARCHAR) || '.example.com' AS dst_host,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_links\n"
+        f"FROM l WHERE sb <> db GROUP BY sb, db"
+    )
+
+
+def q_host_degrees(sf_dir: str):
+    """Per-host web-graph degrees over the parsed link graph: distinct
+    out/in neighbor counts + outgoing/incoming link volume, via a
+    tag-union of the edge list's two sides (one dimension-bounded
+    groupby)."""
+    from ..stages.linkgraph import host_degrees, host_link_graph
+
+    return host_degrees(host_link_graph(_linked_pages(sf_dir)))
+
+
+def sql_host_degrees() -> str:
+    return (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e AS (\n"
+        f"  SELECT 'host' || CAST(sb AS VARCHAR) || '.example.com' AS src_host,\n"
+        f"         'host' || CAST(db AS VARCHAR) || '.example.com' AS dst_host,\n"
+        f"         CAST(count(*) AS BIGINT) AS n_links\n"
+        f"  FROM l WHERE sb <> db GROUP BY sb, db),\n"
+        f"u AS (\n"
+        f"  SELECT src_host AS host, 1 AS out_deg, n_links AS out_links,\n"
+        f"         0 AS in_deg, 0 AS in_links FROM e\n"
+        f"  UNION ALL\n"
+        f"  SELECT dst_host AS host, 0, 0, 1, n_links FROM e)\n"
+        f"SELECT host, CAST(sum(out_deg) AS BIGINT) AS out_deg,\n"
+        f"       CAST(sum(out_links) AS BIGINT) AS out_links,\n"
+        f"       CAST(sum(in_deg) AS BIGINT) AS in_deg,\n"
+        f"       CAST(sum(in_links) AS BIGINT) AS in_links\n"
+        f"FROM u GROUP BY host"
+    )
