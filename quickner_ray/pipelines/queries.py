@@ -4073,3 +4073,89 @@ def sql_host_degrees() -> str:
         f"       CAST(sum(in_links) AS BIGINT) AS in_links\n"
         f"FROM u GROUP BY host"
     )
+
+
+def q_host_pagerank(sf_dir: str, n_iters: int = 3):
+    """Web-graph PageRank over the parsed host link graph: the HTML-derived
+    cross-host edges (q_host_link_graph) canonicalized to undirected
+    distinct pairs, then the integer fixed-point power iteration
+    (stages/graph_cc.pagerank — damping 0.85, 10^-12-unit scores,
+    bit-deterministic at any parallelism). The host graph is
+    dimension-bounded (hosts << pages), so the distinct-pair reduction
+    and per-iteration joins are tiny next to the page scan."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph_cc import _project_t, pagerank
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir))
+
+    def undirected(b: pa.Table) -> pa.Table:
+        s = b.column("src_host").combine_chunks()
+        d = b.column("dst_host").combine_chunks()
+        return pa.table(
+            {"src": pc.min_element_wise(s, d), "dst": pc.max_element_wise(s, d)}
+        )
+
+    e = (
+        edges.map_batches(undirected, batch_format="pyarrow")
+        .groupby(["src", "dst"], num_partitions=4)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    nodes = (
+        e.map_batches(
+            lambda b: pa.table({"host": b.column("src")}), batch_format="pyarrow"
+        )
+        .union(
+            e.map_batches(
+                lambda b: pa.table({"host": b.column("dst")}), batch_format="pyarrow"
+            )
+        )
+        .groupby("host", num_partitions=4)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    pr = pagerank(
+        e,
+        nodes=nodes,
+        src_col="src",
+        dst_col="dst",
+        node_col="host",
+        node_type=pa.string(),
+        n_iters=n_iters,
+    )
+    return _project_t(pr, {"host": "node", "pr_score": "pr_score"}, {"host": pa.string()})
+
+
+def sql_host_pagerank(n_iters: int = 3) -> str:
+    pr_scale = 10**12
+    base = (15 * pr_scale) // 100
+    sql = (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e0 AS (SELECT DISTINCT least(sb, db) AS sb, greatest(sb, db) AS db\n"
+        f"       FROM l WHERE sb <> db),\n"
+        f"e AS (SELECT 'host' || CAST(sb AS VARCHAR) || '.example.com' AS s0,\n"
+        f"             'host' || CAST(db AS VARCHAR) || '.example.com' AS d0\n"
+        f"      FROM e0),\n"
+        f"und AS MATERIALIZED (SELECT s0 AS s, d0 AS d FROM e\n"
+        f"  UNION ALL SELECT d0, s0 FROM e),\n"
+        f"deg AS MATERIALIZED (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),\n"
+        f"nodes AS MATERIALIZED (SELECT DISTINCT s AS node FROM und),\n"
+        f"s0 AS (SELECT node, CAST({pr_scale} AS BIGINT) AS sc FROM nodes)"
+    )
+    for i in range(n_iters):
+        sql += (
+            f",\ns{i + 1} AS (\n"
+            f"  SELECT n.node,\n"
+            f"    CAST({base} + (85 * COALESCE(x.inc, 0)) // 100 AS BIGINT) AS sc\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT u.d AS node, SUM(p.sc // g.deg) AS inc\n"
+            f"    FROM und u JOIN s{i} p ON p.node = u.s JOIN deg g ON g.node = u.s\n"
+            f"    GROUP BY u.d) x ON x.node = n.node)"
+        )
+    sql += f"\nSELECT node AS host, sc AS pr_score FROM s{n_iters}"
+    return sql

@@ -103,3 +103,16 @@ class TestHostLinkGraph:
         got = host_link_graph(ds).to_pandas()
         assert got.src_host.tolist() == ["self.example.com"]
         assert got.dst_host.tolist() == ["other.example.com"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_matches_oracle(sf_dir):
+    from quickner_ray.pipelines.queries import q_host_pagerank, sql_host_pagerank
+
+    got = q_host_pagerank(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(sql_host_pagerank()).df()
+    a = got.sort_values("host").reset_index(drop=True)[sorted(got.columns)]
+    b = ora.sort_values("host").reset_index(drop=True)[sorted(ora.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
