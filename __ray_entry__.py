@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_link_graph": q.q_host_link_graph,
         "host_degrees": q.q_host_degrees,
         "host_pagerank": q.q_host_pagerank,
+        "anchor_aliases": q.q_anchor_aliases,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -457,6 +458,7 @@ def oracle_sql() -> dict[str, str]:
         "host_link_graph": q.sql_host_link_graph(),
         "host_degrees": q.sql_host_degrees(),
         "host_pagerank": q.sql_host_pagerank(),
+        "anchor_aliases": q.sql_anchor_aliases(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

@@ -3999,9 +3999,12 @@ def _linked_pages(sf_dir: str):
             links = []
             for j in range(1, LINKS_PER_PAGE + 1):
                 db = (d * 7 + 13 * j + 3) % LINK_HOST_BUCKETS
-                links.append(
-                    (f"https://host{db}.example.com/t/{d}-{j}", f"site {db}")
+                anchor = (
+                    f"site {db}"
+                    if j == 1
+                    else (f"the {db} page" if j == 2 else f"host{db} home")
                 )
+                links.append((f"https://host{db}.example.com/t/{d}-{j}", anchor))
             urls.append(url)
             htmls.append(synth_linked_page(f"doc {d}", links, seq=d))
         return pa.table(
@@ -4159,3 +4162,30 @@ def sql_host_pagerank(n_iters: int = 3) -> str:
         )
     sql += f"\nSELECT node AS host, sc AS pr_score FROM s{n_iters}"
     return sql
+
+
+def q_anchor_aliases(sf_dir: str):
+    """Anchor-text alias mining over the parsed link graph: cross-host
+    anchors aggregated to (dst_host, anchor, n_refs) — the alias-candidate
+    table a web-scale canonicalizer feeds from (anchor text is how other
+    sites NAME the target). The Ray path must recover the anchors from
+    raw HTML (entity unescape, inner-tag strip); the oracle regenerates
+    the derived (host, anchor) pairs arithmetically."""
+    from ..stages.linkgraph import anchor_stats
+
+    return anchor_stats(_linked_pages(sf_dir))
+
+
+def sql_anchor_aliases() -> str:
+    return (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db, j\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t)\n"
+        f"SELECT 'host' || CAST(db AS VARCHAR) || '.example.com' AS dst_host,\n"
+        f"       CASE j WHEN 1 THEN 'site ' || CAST(db AS VARCHAR)\n"
+        f"              WHEN 2 THEN 'the ' || CAST(db AS VARCHAR) || ' page'\n"
+        f"              ELSE 'host' || CAST(db AS VARCHAR) || ' home' END AS anchor,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_refs\n"
+        f"FROM l WHERE sb <> db GROUP BY db, j"
+    )

@@ -129,3 +129,34 @@ def host_degrees(edge_ds):
         Sum("in_deg", alias_name="in_deg"),
         Sum("in_links", alias_name="in_links"),
     )
+
+
+def anchor_stats(ds, html_col: str = "html", url_col: str = "url"):
+    """Anchor-text mining: how the web names each host. Cross-host anchors
+    aggregate to (dst_host, anchor, n_refs) — the classic alias-candidate
+    source for entity canonicalization (anchor text is the crowd-sourced
+    surface form of the link target). Same shuffle budget as
+    host_link_graph: per-batch (dst_host, anchor) combiner, then one
+    bounded pair groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        def _flat(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        dst = _flat(_hosts(_flat(b.column("href"))))
+        src = _flat(_hosts(_flat(b.column("src_url"))))
+        keep = pc.and_(pc.invert(pc.equal(dst, "")), pc.invert(pc.equal(src, dst)))
+        t = pa.table({"dst_host": dst, "anchor": b.column("anchor")}).filter(keep)
+        return (
+            t.group_by(["dst_host", "anchor"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["dst_host", "anchor", "n_refs"])
+        )
+
+    pairs = explode_outlinks(ds, html_col=html_col, url_col=url_col).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return pairs.groupby(["dst_host", "anchor"], num_partitions=8).aggregate(
+        Sum("n_refs", alias_name="n_refs")
+    )

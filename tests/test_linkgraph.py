@@ -116,3 +116,17 @@ def test_host_pagerank_matches_oracle(sf_dir):
     a = got.sort_values("host").reset_index(drop=True)[sorted(got.columns)]
     b = ora.sort_values("host").reset_index(drop=True)[sorted(ora.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_anchor_aliases_matches_oracle(sf_dir):
+    from quickner_ray.pipelines.queries import q_anchor_aliases, sql_anchor_aliases
+
+    got = q_anchor_aliases(sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    ora = con.sql(sql_anchor_aliases()).df()
+    key = ["dst_host", "anchor"]
+    a = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+    b = ora.sort_values(key).reset_index(drop=True)[sorted(ora.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
