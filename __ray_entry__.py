@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": q.q_host_degrees,
         "host_pagerank": q.q_host_pagerank,
         "anchor_aliases": q.q_anchor_aliases,
+        "canonical_urls": q.q_canonical_urls,
+        "url_dedup": q.q_url_dedup,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -459,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "host_degrees": q.sql_host_degrees(),
         "host_pagerank": q.sql_host_pagerank(),
         "anchor_aliases": q.sql_anchor_aliases(),
+        "canonical_urls": q.sql_canonical_urls(),
+        "url_dedup": q.sql_url_dedup(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

@@ -4189,3 +4189,89 @@ def sql_anchor_aliases() -> str:
         f"       CAST(count(*) AS BIGINT) AS n_refs\n"
         f"FROM l WHERE sb <> db GROUP BY db, j"
     )
+
+
+# --- canonical-URL dedup -------------------------------------------------------
+
+
+def _messy_urls(sf_dir: str):
+    """Deterministic messy-URL fixture: docs 2k and 2k+1 get DIFFERENTLY
+    messy URLs (case noise, default port, tracking params, scrambled param
+    order, trailing slash, fragment) that canonicalize to the SAME
+    canonical URL of page k — so canonical dedup must merge exactly the
+    even/odd pairs. Pure integer functions of doc_id; the oracle derives
+    the canonical form arithmetically while the Ray path must actually
+    normalize the mess."""
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_pylist()
+        urls = []
+        for d in ids:
+            u = d // 2
+            hb = u % LINK_HOST_BUCKETS
+            if d % 2 == 0:
+                urls.append(
+                    f"http://Host{hb}.Example.com:80/p/{u}?b=2&a=1&utm_source=x#sec"
+                )
+            else:
+                urls.append(f"HTTP://host{hb}.example.COM/p/{u}/?a=1&b=2&fbclid=zzz")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization over a messy crawl-URL fixture: lowercase
+    scheme/host, default-port strip, fragment drop, tracking-param
+    removal, bytewise param sort, trailing-slash strip
+    (stages/urlfilter.canonical_url). Zero shuffles."""
+    from ..stages.urlfilter import add_canonical_url
+
+    return add_canonical_url(_messy_urls(sf_dir)).select_columns(
+        ["doc_id", "canon_url"]
+    )
+
+
+def sql_canonical_urls() -> str:
+    return (
+        f"SELECT doc_id,\n"
+        f"  'http://host' || CAST((doc_id // 2) % {LINK_HOST_BUCKETS} AS VARCHAR)\n"
+        f"  || '.example.com/p/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'\n"
+        f"  AS canon_url\n"
+        f"FROM documents"
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """Crawl dedup by canonical URL: canonicalize, then ONE groupby on the
+    canonical key keeping the lowest doc_id + the duplicate count (the
+    even/odd messy pairs must merge; the canonical key is uniform by
+    construction, no hot reducer)."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.urlfilter import add_canonical_url
+
+    ds = add_canonical_url(_messy_urls(sf_dir))
+    return ds.groupby("canon_url").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"),
+        Count(alias_name="n_dupes"),
+    )
+
+
+def sql_url_dedup() -> str:
+    return (
+        f"WITH c AS (\n"
+        f"  SELECT doc_id,\n"
+        f"    'http://host' || CAST((doc_id // 2) % {LINK_HOST_BUCKETS} AS VARCHAR)\n"
+        f"    || '.example.com/p/' || CAST(doc_id // 2 AS VARCHAR) || '?a=1&b=2'\n"
+        f"    AS canon_url\n"
+        f"  FROM documents)\n"
+        f"SELECT canon_url, min(doc_id) AS keep_doc_id,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_dupes\n"
+        f"FROM c GROUP BY canon_url"
+    )

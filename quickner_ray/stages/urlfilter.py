@@ -71,3 +71,65 @@ def filter_hosts(ds, blocked: list[str], *, url_col: str = "url", keep: bool = F
         return b.filter(hit if keep else pc.invert(hit))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# --- URL canonicalization ------------------------------------------------------
+
+_URL_SPLIT_RE = re.compile(
+    r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]+)([^?#]*)(?:\?([^#]*))?"
+)
+_TRACKING_PARAM_RE = re.compile(r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)(=|$)")
+
+
+def canonical_url(u: str) -> str:
+    """One URL -> its canonical form (crawl-dedup normalization):
+
+    - fragment dropped;
+    - scheme and host lowercased;
+    - default port stripped (``:80`` for http, ``:443`` for https);
+    - ONE trailing slash stripped from the path (so ``/p/`` == ``/p`` and
+      ``https://a.com/`` == ``https://a.com``);
+    - tracking query params removed (``utm_*``, ``gclid``, ``fbclid``,
+      ``msclkid``, ``ref``), remaining params sorted bytewise, empty query
+      dropped.
+
+    Non-URL strings (no ``scheme://``) pass through with only the fragment
+    dropped — canonicalization must be total and idempotent."""
+    u = u.split("#", 1)[0]
+    m = _URL_SPLIT_RE.match(u)
+    if m is None:
+        return u
+    scheme = m.group(1).lower()
+    netloc = m.group(2).lower()
+    path = m.group(3) or ""
+    query = m.group(4)
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    if path.endswith("/"):
+        path = path[:-1]
+    params = sorted(
+        p
+        for p in (query.split("&") if query else [])
+        if p and not _TRACKING_PARAM_RE.match(p)
+    )
+    out = f"{scheme}://{netloc}{path}"
+    return out + "?" + "&".join(params) if params else out
+
+
+def add_canonical_url(ds, url_col: str = "url", out_col: str = "canon_url"):
+    """Append the canonical form of ``url_col``. Per-batch map; the only
+    per-row Python is the query-param sort (rows without a query string
+    are the common case and stay cheap)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        urls = b.column(url_col)
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        canon = pa.array(
+            [canonical_url(u) for u in urls.to_pylist()], type=pa.string()
+        )
+        return b.append_column(out_col, canon)
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -86,3 +86,32 @@ class TestUrlFilter:
         )
         ann = annotate_dataset(rd.from_arrow(tab), documents_gazetteer(), cfg)
         assert ann.count() == 0  # all synth urls are example.org
+
+
+class TestCanonicalUrl:
+    def test_rules(self):
+        from quickner_ray.stages.urlfilter import canonical_url as c
+
+        assert c("HTTP://Host1.Example.COM:80/p/3/?b=2&a=1&utm_source=x#s") == (
+            "http://host1.example.com/p/3?a=1&b=2"
+        )
+        assert c("https://a.com:443/") == "https://a.com"
+        assert c("https://a.com:8443/x") == "https://a.com:8443/x"  # non-default kept
+        assert c("http://a.com/?utm_campaign=1&gclid=2&fbclid=3&ref=4") == (
+            "http://a.com"
+        )
+        assert c("http://a.com/x?refresh=1") == "http://a.com/x?refresh=1"  # no false prefix
+        assert c("not a url #frag") == "not a url "
+        # idempotent
+        u = c("HTTPS://B.com/a/b/?z=1&y=2#f")
+        assert c(u) == u
+
+    def test_dedup_merges_pairs(self, ray_session, sf_dir):
+        from quickner_ray.pipelines.queries import q_url_dedup
+
+        got = q_url_dedup(sf_dir).to_pandas()
+        # every canonical URL collects exactly its even/odd messy pair
+        # (one singleton when the doc count is odd)
+        assert (got.n_dupes <= 2).all()
+        assert (got.n_dupes == 2).sum() >= len(got) - 1
+        assert (got.keep_doc_id % 2 == 0).all()
