@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_bfs": q.q_entity_bfs,
         "kg_negative_samples": q.q_kg_negative_samples,
         "entity_salience": q.q_entity_salience,
+        "entity_timeline": q.q_entity_timeline,
         "kg_prep_canonical": q.q_kg_prep_canonical,
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
@@ -347,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_aliases,
         sql_entity_bfs,
         sql_entity_salience,
+        sql_entity_timeline,
         sql_kg_prep_canonical,
         sql_kg_negative_samples,
         sql_entity_kcore,
@@ -408,6 +410,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_bfs": sql_entity_bfs(DEFAULT_GAZETTEER),
         "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),
         "entity_salience": sql_entity_salience(DEFAULT_GAZETTEER),
+        "entity_timeline": sql_entity_timeline(DEFAULT_GAZETTEER),
         "kg_prep_canonical": sql_kg_prep_canonical(DEFAULT_GAZETTEER),
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),

@@ -576,3 +576,20 @@ def sql_kg_prep_canonical(
         f"       count(*) AS n_mentions, eid AS entity_id\n"
         f"FROM acc GROUP BY pname, plabel, eid"
     )
+
+
+def sql_entity_timeline(
+    entities: list[tuple[str, str]], table: str = "documents", *, n_snapshots: int = 8
+) -> str:
+    """Oracle for ``q_entity_timeline``: (surface_norm, label, first_snap,
+    last_snap, n_snaps, n_mentions, entity_id) — temporal provenance per
+    canonical entity over derived crawl snapshots ``doc_id % n_snapshots``."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT pname AS surface_norm, plabel AS label,\n"
+        f"       min(doc_id % {n_snapshots}) AS first_snap,\n"
+        f"       max(doc_id % {n_snapshots}) AS last_snap,\n"
+        f"       count(DISTINCT doc_id % {n_snapshots}) AS n_snaps,\n"
+        f"       count(*) AS n_mentions, eid AS entity_id\n"
+        f"FROM acc GROUP BY pname, plabel, eid"
+    )

@@ -2802,6 +2802,16 @@ def q_kg_negative_samples(sf_dir: str):
     return kg_negative_samples(triples, ents)
 
 
+def q_entity_timeline(sf_dir: str):
+    """Temporal-KG provenance: per canonical entity, first/last crawl
+    snapshot observed, number of distinct snapshots, and mention support
+    (stages/canonicalize.entity_timeline; snapshot = doc_id % 8, the
+    deterministic stand-in for warc_ts month buckets)."""
+    from ..stages.canonicalize import entity_timeline
+
+    return entity_timeline(annotated_documents(sf_dir))
+
+
 def _dict_utf8_length(col) -> "pa.Array":
     """Char length of a (possibly dictionary-encoded) string column —
     computed once per dictionary VALUE, then fanned out by take (doc_text

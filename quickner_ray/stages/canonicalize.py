@@ -278,3 +278,91 @@ def label_counts_from_entities(entities_ds):
     return entities_ds.groupby("label").aggregate(
         Sum("n_mentions", alias_name="n_mentions")
     )
+
+
+def entity_timeline(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
+    """Temporal-KG provenance: per canonical entity, the crawl-snapshot
+    validity interval and support — (surface_norm, label, first_snap,
+    last_snap, n_snaps, n_mentions, entity_id).
+
+    A crawl corpus arrives as periodic snapshots (monthly CC dumps); a KG
+    built from it needs to know WHEN each entity was observed (entity
+    churn, stale-fact detection, triple validity ranges). Snapshot id here
+    is the deterministic ``doc_id % n_snapshots`` bucket — the stand-in
+    for ``date_trunc('month', warc_ts)`` on a table that carries no
+    timestamp column; a real crawl passes its warc_ts bucket instead.
+
+    Shape (the 100 TB-safe one): fused doc-local explode -> per-batch
+    combiner emitting at most ONE row per (surface_norm, label, snap) per
+    batch (bounded by |gazetteer| x n_snapshots regardless of batch size)
+    -> groupby-sum on the 3-part key -> second groupby on the entity key
+    folds the per-snapshot rows into (min, max, count, sum). Both shuffles
+    move only combiner output, never mention rows.
+    """
+    import numpy as np
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "snap": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, subj_col=doc_col)
+        if m.num_rows == 0:
+            return empty
+        ids = _as_combined(m.column(doc_col)).cast(pa.int64())
+        snap = pa.array(
+            ids.to_numpy(zero_copy_only=False) % n_snapshots, type=pa.int64()
+        )
+        t = pa.table(
+            {
+                "surface_norm": m.column("surface_norm"),
+                "label": m.column("label"),
+                "snap": snap,
+            }
+        )
+        g = t.group_by(["surface_norm", "label", "snap"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["surface_norm", "label", "snap", "n"])
+
+    partials = ann.map_batches(partial, batch_format="pyarrow")
+    per_snap = partials.groupby(["surface_norm", "label", "snap"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    tl = per_snap.groupby(["surface_norm", "label"]).aggregate(
+        Min("snap", alias_name="first_snap"),
+        Max("snap", alias_name="last_snap"),
+        Count(alias_name="n_snaps"),
+        Sum("n", alias_name="n_mentions"),
+    )
+
+    def with_id(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                    "first_snap": pa.array([], type=pa.int64()),
+                    "last_snap": pa.array([], type=pa.int64()),
+                    "n_snaps": pa.array([], type=pa.int64()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                    "entity_id": pa.array([], type=pa.string()),
+                }
+            )
+        ids = [
+            entity_id(s, l)
+            for s, l in zip(
+                b.column("surface_norm").to_pylist(),
+                b.column("label").to_pylist(),
+            )
+        ]
+        return b.append_column("entity_id", pa.array(ids, type=pa.string()))
+
+    return tl.map_batches(with_id, batch_format="pyarrow")

@@ -165,3 +165,29 @@ class TestNerOracle:
         con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
         oracle = _canon(con.sql(sql_entity_link(DEFAULT_GAZETTEER)).df())
         assert ours.equals(oracle), (len(ours), len(oracle))
+
+
+class TestEntityTimeline:
+    def test_matches_duckdb(self, ray_session, docs_path):
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import sql_entity_timeline
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import entity_timeline
+        from quickner_ray.stages.detect import detect_mentions
+
+        ds = rd.read_parquet(docs_path)
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        # small batches force multi-batch partials: the combiner's
+        # per-(entity,snap) rows must merge correctly across batches
+        tl = _canon(entity_timeline(ann, n_snapshots=3).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        otl = _canon(
+            con.sql(sql_entity_timeline(DEFAULT_GAZETTEER, n_snapshots=3)).df()
+        )
+        assert tl.equals(otl), (len(tl), len(otl))
+        # interval semantics: first <= last, snapshot spread within range
+        assert (tl["first_snap"] <= tl["last_snap"]).all()
+        assert (tl["n_snaps"] <= tl["last_snap"] - tl["first_snap"] + 1).all()
+        assert (tl["n_snaps"] >= 1).all() and (tl["n_mentions"] >= tl["n_snaps"]).all()
