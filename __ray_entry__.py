@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer_list": q.q_nation_customer_list,
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
         "keyword_search": q.q_keyword_search,
+        "bm25_topk": q.q_bm25_topk,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
         # rows-only: IVF top-k is approximate by construction (recall >= 0.9
@@ -277,6 +278,9 @@ def oracle_sql() -> dict[str, str]:
         sql_fingerprint,
         sql_gopher_filter,
         sql_keyword_search,
+    )
+    from quickner_ray.stages.search import sql_bm25_topk
+    from quickner_ray.stages.text_analysis import (
         sql_lang_id,
         sql_quality_score,
         sql_rare_word_stats,
@@ -371,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": sql_gopher_filter(),
         "rare_word_stats": sql_rare_word_stats(),
         "keyword_search": sql_keyword_search(),
+        "bm25_topk": sql_bm25_topk(),
         "customer_ntile": q.sql_customer_ntile(),
         "regression_stats": q.sql_regression_stats(),
         "nation_rich_counts": q.sql_nation_rich_counts(),

@@ -2661,6 +2661,15 @@ def q_rare_word_stats(sf_dir: str):
     return rare_word_stats(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_bm25_topk(sf_dir: str):
+    """Ranked full-text retrieval: BM25 top-10 docs for the standing query
+    terms (stages/search.py — stats pass + broadcast-scalar scoring pass,
+    k-bounded local combiner, bit-exact float oracle)."""
+    from ..stages.search import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_keyword_search(sf_dir: str):
     """Boolean AND keyword search (whole-token containment, zero-shuffle)."""
     from ..stages.text_analysis import keyword_search

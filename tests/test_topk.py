@@ -95,3 +95,68 @@ def test_grouped_topk_descending_uint64_zero(ray_session):
     )
     got = grouped_topk(rd.from_arrow(tbl), "g", ["h"], 2, descending=True).to_pandas()
     assert sorted(got["h"].tolist()) == [5, 10]
+
+
+class TestBM25:
+    def _corpus(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        texts = [
+            "spark window query",                       # all three terms
+            "spark spark spark window",                 # tf saturation
+            "window",                                   # one term, short doc
+            "nothing relevant here at all " * 20,       # long doc, no terms
+            "query " * 50,                              # hot tf, long doc
+            "",                                         # empty doc
+            "spark window query",                       # exact tie with doc 0
+            "SPARK, window; query!",                    # case/punct boundaries
+        ]
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            path,
+        )
+        return path
+
+    def test_matches_duckdb_bit_exact(self, ray_session, tmp_path):
+        import duckdb
+        import ray.data as rd
+
+        from quickner_ray.stages.search import bm25_topk, sql_bm25_topk
+
+        path = self._corpus(tmp_path)
+        ds = rd.read_parquet(path)
+        ours = bm25_topk(ds, k=5).to_pandas()
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        oracle = con.sql(sql_bm25_topk(k=5)).df()
+        assert list(ours["doc_id"]) == list(oracle["doc_id"])
+        assert (ours["score"].values == oracle["score"].values).all()
+        # ties (docs 0 and 6 have identical text) break by doc_id asc
+        ids = list(ours["doc_id"])
+        if 0 in ids and 6 in ids:
+            assert ids.index(0) < ids.index(6)
+
+    def test_stats_and_ranking_semantics(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from quickner_ray.stages.search import bm25_corpus_stats, bm25_topk
+
+        path = self._corpus(tmp_path)
+        ds = rd.read_parquet(path)
+        st = bm25_corpus_stats(ds)
+        assert st["n_docs"] == 8
+        assert st["df_0"] == 4  # spark: docs 0,1,6,7
+        assert st["df_1"] == 5  # window
+        assert st["df_2"] == 4  # query
+        top = bm25_topk(ds, k=8).to_pandas()
+        # three-term docs outrank single-term and zero-term docs
+        assert top.iloc[0]["doc_id"] in (0, 6, 7)
+        scores = {int(d): s for d, s in zip(top["doc_id"], top["score"])}
+        assert scores[3] == 0.0  # no query terms
+        assert scores[0] > scores[2] > scores[3]
