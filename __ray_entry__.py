@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": q.q_kg_negative_samples,
         "entity_salience": q.q_entity_salience,
         "entity_timeline": q.q_entity_timeline,
+        "entity_random_walks": q.q_entity_random_walks,
         "kg_prep_canonical": q.q_kg_prep_canonical,
         "contamination": q.q_contamination,
         "mention_contexts": q.q_mention_contexts,
@@ -353,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_bfs,
         sql_entity_salience,
         sql_entity_timeline,
+        sql_entity_random_walks,
         sql_kg_prep_canonical,
         sql_kg_negative_samples,
         sql_entity_kcore,
@@ -416,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),
         "entity_salience": sql_entity_salience(DEFAULT_GAZETTEER),
         "entity_timeline": sql_entity_timeline(DEFAULT_GAZETTEER),
+        "entity_random_walks": sql_entity_random_walks(DEFAULT_GAZETTEER),
         "kg_prep_canonical": sql_kg_prep_canonical(DEFAULT_GAZETTEER),
         "mention_contexts": sql_mention_contexts(DEFAULT_GAZETTEER),
         "event_gaps": ev.sql_event_gaps(),

@@ -593,3 +593,42 @@ def sql_entity_timeline(
         f"       count(*) AS n_mentions, eid AS entity_id\n"
         f"FROM acc GROUP BY pname, plabel, eid"
     )
+
+
+def sql_entity_random_walks(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    walk_len: int = 4,
+) -> str:
+    """Oracle for ``q_entity_random_walks``: (start, step, node) — one
+    deterministic hash-seeded walk per canonical entity over the
+    co-occurrence graph, steps unrolled as CTEs. Transition = argmin of
+    ``md5_number_upper(cur || '|step|' || v)`` over neighbors (== the Ray
+    side's h64), ties by v; dead ends drop out of later steps."""
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"nodes AS MATERIALIZED (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"w0 AS (SELECT node AS start, node AS cur FROM nodes)"
+    )
+    for i in range(1, walk_len + 1):
+        sql += (
+            f",\nc{i} AS (SELECT s AS cur, d AS nxt FROM und QUALIFY\n"
+            f"  row_number() OVER (PARTITION BY s\n"
+            f"    ORDER BY md5_number_upper(s || '|{i}|' || d), d) = 1),\n"
+            f"w{i} AS (SELECT w.start, c.nxt AS cur\n"
+            f"        FROM w{i - 1} w JOIN c{i} c ON c.cur = w.cur)"
+        )
+    selects = "\nUNION ALL ".join(
+        f"SELECT start, CAST({i} AS BIGINT) AS step, cur AS node FROM w{i}"
+        for i in range(walk_len + 1)
+    )
+    return sql + "\n" + selects

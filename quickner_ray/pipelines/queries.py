@@ -2811,6 +2811,29 @@ def q_kg_negative_samples(sf_dir: str):
     return kg_negative_samples(triples, ents)
 
 
+def q_entity_random_walks(sf_dir: str):
+    """DeepWalk-style KG-embedding training corpus: one deterministic
+    hash-seeded random walk (4 steps) per canonical entity over the
+    co-occurrence graph (stages/graph_cc.random_walks)."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, random_walks
+
+    ann = annotated_documents(sf_dir).materialize()
+    edges = cooccurrence_pairs(ann, annotated=True)
+    nodes = _project_t(
+        canonical_entities(_explode_ann(ann)),
+        {"node": "entity_id"},
+        {"node": pa.string()},
+    )
+    return random_walks(
+        edges,
+        nodes=nodes,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+
+
 def q_entity_timeline(sf_dir: str):
     """Temporal-KG provenance: per canonical entity, first/last crawl
     snapshot observed, number of distinct snapshots, and mention support

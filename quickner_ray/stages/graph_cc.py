@@ -1304,3 +1304,172 @@ def bfs_distances(
         )
         frontier = new
     return visited
+
+
+def _broadcast_walks(und_rows, universe, walk_len: int):
+    """Small-graph walk path, driver-side: adjacency dict + per-step
+    h64-argmin choice. Returns (start, step, node) rows."""
+    from .dedup_approx import h64
+
+    adj: dict = {}
+    for r in und_rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    rows = []
+    for start in sorted(set(universe)):
+        cur = start
+        rows.append({"start": start, "step": 0, "node": cur})
+        for lvl in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            cur = min(nbrs, key=lambda v, c=cur, s=lvl: (h64(f"{c}|{s}|{v}"), v))
+            rows.append({"start": start, "step": lvl, "node": cur})
+    return rows
+
+
+def random_walks(
+    edges,
+    *,
+    nodes=None,
+    walk_len: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Deterministic hash-seeded random walks over an undirected simple
+    graph — the DeepWalk/node2vec training-corpus generator (Perozzi et
+    al., KDD'14), reproducible at any parallelism.
+
+    One walk per start node; the transition from ``cur`` at step ``s`` is
+    ``argmin over neighbors v of h64(f"{cur}|{s}|{v}")`` (ties by v) — a
+    pseudo-uniform choice that is a pure function of the graph, so re-runs
+    and the SQL oracle (md5_number_upper) agree bit-for-bit. Dead-end
+    nodes end their walk early. Output: Dataset(start, step, node) with
+    step 0..walk_len.
+
+    Distributed shape: per step, ONE hash-partitioned join restricts the
+    edge list to frontier sources, a per-batch h64 ranking feeds the
+    k-bounded grouped top-1 combiner (the per-node choice is frontier-
+    bounded, never edge-list-bounded), and one join advances the (start,
+    cur) frontier. Only the frontier and the choice table materialize per
+    step. Size-gated driver path below DRIVER_CAP edges, as in
+    ``pagerank`` / ``bfs_distances``.
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .dedup_approx import h64
+    from .topk import grouped_topk
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    if nodes is None:
+        uni = _project_t(
+            und.groupby("src").aggregate(Count(alias_name="_c")),
+            {"node": "src"},
+            ntypes,
+        )
+    else:
+        uni = _project_t(nodes, {"node": "node"}, ntypes)
+
+    empty = pa.table(
+        {
+            "start": pa.array([], type=nt),
+            "step": pa.array([], type=pa.int64()),
+            "node": pa.array([], type=nt),
+        }
+    )
+
+    if und.count() <= 2 * cap:
+        universe = [r["node"] for r in uni.take_all()]
+        rows = _broadcast_walks(und.take_all(), universe, walk_len)
+        if not rows:
+            return rd.from_arrow(empty)
+        return rd.from_items(rows)
+
+    def start_frontier(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"start": pa.array([], type=nt), "cur": pa.array([], type=nt)})
+        return pa.table({"start": b.column("node"), "cur": b.column("node")})
+
+    def with_step(fr, lvl: int):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return empty
+            return pa.table(
+                {
+                    "start": b.column("start"),
+                    "step": pa.array([lvl] * b.num_rows, type=pa.int64()),
+                    "node": b.column("cur"),
+                }
+            )
+
+        return fr.map_batches(f, batch_format="pyarrow")
+
+    frontier = (
+        uni.map_batches(start_frontier, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    out = with_step(frontier, 0)
+    for lvl in range(1, walk_len + 1):
+        curs = _project_t(
+            frontier.groupby("cur").aggregate(Count(alias_name="_c")),
+            {"node": "cur"},
+            ntypes,
+        )
+        inc = und.join(
+            curs,
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+
+        def add_h(b: pa.Table, _lvl=lvl) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "src": pa.array([], type=nt),
+                        "dst": pa.array([], type=nt),
+                        "h": pa.array([], type=pa.uint64()),
+                    }
+                )
+            s = b.column("src").to_pylist()
+            d = b.column("dst").to_pylist()
+            h = np.fromiter(
+                (h64(f"{a}|{_lvl}|{c}") for a, c in zip(s, d)),
+                dtype=np.uint64,
+                count=len(s),
+            )
+            return pa.table(
+                {"src": b.column("src"), "dst": b.column("dst"), "h": pa.array(h)}
+            )
+
+        inc_h = inc.map_batches(add_h, batch_format="pyarrow")
+        choice = _project_t(
+            grouped_topk(inc_h, "src", ["h", "dst"], 1),
+            {"cur_from": "src", "nxt": "dst"},
+            {"cur_from": nt, "nxt": nt},
+        )
+        nf = frontier.join(
+            choice,
+            "inner",
+            num_partitions=num_partitions,
+            on=("cur",),
+            right_on=("cur_from",),
+        )
+        frontier = _project_t(
+            nf, {"start": "start", "cur": "nxt"}, {"start": nt, "cur": nt}
+        ).materialize()
+        out = out.union(with_step(frontier, lvl))
+    return out

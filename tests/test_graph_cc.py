@@ -616,3 +616,54 @@ class TestBfsDistances:
             driver_cap=dcap,
         ).take_all()
         assert {r["node"]: r["dist"] for r in out} == {"a": 0, "b": 1, "c": 2}
+
+
+class TestRandomWalks:
+    """Deterministic hash-seeded walks: distributed path == driver path ==
+    brute-force reference, dead ends stop early, steps advance by h64-argmin."""
+
+    def _brute(self, edges, universe, walk_len):
+        from quickner_ray.stages.dedup_approx import h64
+
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        rows = set()
+        for start in universe:
+            cur = start
+            rows.add((start, 0, cur))
+            for lvl in range(1, walk_len + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = min(nbrs, key=lambda v, c=cur, s=lvl: (h64(f"{c}|{s}|{v}"), v))
+                rows.add((start, lvl, cur))
+        return rows
+
+    @pytest.mark.parametrize("cap", [0, 200_000], ids=["distributed", "broadcast"])
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_brute(self, cap):
+        rng = random.Random(7)
+        n = 30
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(60)})
+        edges = [(a, b) for a, b in edges if a != b]
+        edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        node_ds = rd.from_items([{"node": v} for v in range(n)])
+
+        from quickner_ray.stages.graph_cc import random_walks
+
+        out = random_walks(
+            edge_ds, nodes=node_ds, walk_len=3, driver_cap=cap
+        ).take_all()
+        got = {(r["start"], r["step"], r["node"]) for r in out}
+        assert got == self._brute(edges, range(n), 3)
+        # isolated nodes appear exactly once, at step 0
+        deg = set()
+        for a, b in edges:
+            deg.add(a)
+            deg.add(b)
+        iso = set(range(n)) - deg
+        for v in iso:
+            assert (v, 0, v) in got
+            assert not any(s == v and st > 0 for s, st, _ in got)
