@@ -632,3 +632,42 @@ def sql_entity_random_walks(
         for i in range(walk_len + 1)
     )
     return sql + "\n" + selects
+
+
+def sql_canonical_entities_delta(
+    entities: list[tuple[str, str]], table: str = "documents"
+) -> str:
+    """Oracle for ``q_canonical_entities_delta``: entity-level diff of the
+    even-doc (old) vs odd-doc (new) crawls — (surface_norm, label, n_old,
+    n_new, status, entity_id)."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT pname AS surface_norm, plabel AS label,\n"
+        f"       count(*) FILTER (doc_id % 2 = 0) AS n_old,\n"
+        f"       count(*) FILTER (doc_id % 2 = 1) AS n_new,\n"
+        f"       CASE WHEN count(*) FILTER (doc_id % 2 = 0) = 0 THEN 'added'\n"
+        f"            WHEN count(*) FILTER (doc_id % 2 = 1) = 0 THEN 'removed'\n"
+        f"            WHEN count(*) FILTER (doc_id % 2 = 0)\n"
+        f"              <> count(*) FILTER (doc_id % 2 = 1) THEN 'changed'\n"
+        f"            ELSE 'same' END AS status,\n"
+        f"       eid AS entity_id\n"
+        f"FROM acc GROUP BY pname, plabel, eid"
+    )
+
+
+def sql_entity_trend(
+    entities: list[tuple[str, str]], table: str = "documents", *, n_snapshots: int = 8
+) -> str:
+    """Oracle for ``q_entity_trend``: exact integer regression-slope
+    numerator of per-snapshot mention counts,
+    ``K * Σ(mention snap) − ΣS * count``."""
+    sum_s = n_snapshots * (n_snapshots - 1) // 2
+    return (
+        f"WITH {sql_match_ctes(entities, table)}\n"
+        f"SELECT pname AS surface_norm, plabel AS label,\n"
+        f"       count(*) AS n_mentions,\n"
+        f"       CAST({n_snapshots} * sum(doc_id % {n_snapshots})\n"
+        f"            - {sum_s} * count(*) AS BIGINT) AS slope_num,\n"
+        f"       eid AS entity_id\n"
+        f"FROM acc GROUP BY pname, plabel, eid"
+    )

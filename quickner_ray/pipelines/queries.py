@@ -2834,6 +2834,24 @@ def q_entity_random_walks(sf_dir: str):
     )
 
 
+def q_canonical_entities_delta(sf_dir: str):
+    """Incremental-KG delta feed: entity-level added/removed/changed/same
+    between the even-doc (old) and odd-doc (new) crawls, one pass
+    (stages/canonicalize.canonical_entities_delta)."""
+    from ..stages.canonicalize import canonical_entities_delta
+
+    return canonical_entities_delta(annotated_documents(sf_dir))
+
+
+def q_entity_trend(sf_dir: str):
+    """Rising/falling entities: exact integer least-squares slope numerator
+    of per-snapshot mention counts over 8 derived crawl snapshots
+    (stages/canonicalize.entity_trend)."""
+    from ..stages.canonicalize import entity_trend
+
+    return entity_trend(annotated_documents(sf_dir))
+
+
 def q_entity_timeline(sf_dir: str):
     """Temporal-KG provenance: per canonical entity, first/last crawl
     snapshot observed, number of distinct snapshots, and mention support

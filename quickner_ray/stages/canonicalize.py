@@ -366,3 +366,180 @@ def entity_timeline(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
         return b.append_column("entity_id", pa.array(ids, type=pa.string()))
 
     return tl.map_batches(with_id, batch_format="pyarrow")
+
+
+def canonical_entities_delta(ann, *, doc_col: str = "doc_id"):
+    """Incremental-KG delta feed: compare the canonical entity tables of
+    two crawls — the even-``doc_id`` corpus (old crawl) vs the odd one
+    (new crawl, the repo-wide parity convention for base-vs-delta splits)
+    — in ONE pass: (surface_norm, label, n_old, n_new, status, entity_id)
+    with status ∈ {added, removed, changed, same}.
+
+    This is the update stream an entity store consumes after each crawl
+    refresh (the KG-level counterpart of the document-level
+    ``snapshot_diff``). Shape: fused doc-local explode -> per-batch
+    combiner emitting at most one row per (entity, parity) per batch ->
+    one groupby-sum; mention rows never shuffle, and neither corpus is
+    scanned twice.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "n_old": pa.array([], type=pa.int64()),
+                "n_new": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, subj_col=doc_col)
+        if m.num_rows == 0:
+            return empty
+        ids = _as_combined(m.column(doc_col)).cast(pa.int64())
+        par = ids.to_numpy(zero_copy_only=False) % 2
+        t = pa.table(
+            {
+                "surface_norm": m.column("surface_norm"),
+                "label": m.column("label"),
+                "n_old": pa.array((par == 0).astype("int64")),
+                "n_new": pa.array((par == 1).astype("int64")),
+            }
+        )
+        g = t.group_by(["surface_norm", "label"]).aggregate(
+            [("n_old", "sum"), ("n_new", "sum")]
+        )
+        return g.rename_columns(["surface_norm", "label", "n_old", "n_new"])
+
+    partials = ann.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby(["surface_norm", "label"]).aggregate(
+        Sum("n_old", alias_name="n_old"), Sum("n_new", alias_name="n_new")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                    "n_old": pa.array([], type=pa.int64()),
+                    "n_new": pa.array([], type=pa.int64()),
+                    "status": pa.array([], type=pa.string()),
+                    "entity_id": pa.array([], type=pa.string()),
+                }
+            )
+        no = b.column("n_old").to_pylist()
+        nn = b.column("n_new").to_pylist()
+        status = [
+            "added" if a == 0 else "removed" if c == 0 else
+            "changed" if a != c else "same"
+            for a, c in zip(no, nn)
+        ]
+        eids = [
+            entity_id(s, l)
+            for s, l in zip(
+                b.column("surface_norm").to_pylist(), b.column("label").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "surface_norm": b.column("surface_norm"),
+                "label": b.column("label"),
+                "n_old": b.column("n_old"),
+                "n_new": b.column("n_new"),
+                "status": pa.array(status, type=pa.string()),
+                "entity_id": pa.array(eids, type=pa.string()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def entity_trend(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
+    """Rising/falling entity detection: exact integer least-squares slope
+    of per-snapshot mention counts over the K crawl snapshots
+    (snap = doc_id % K, zero-filled — absent snapshots contribute 0 to
+    both moments, so no densification pass is needed).
+
+    Fitting n_s = a + b*s over s = 0..K-1 gives
+    ``b = (K*Σ(s·n_s) − Σs·Σn) / (K*Σs² − (Σs)²)``; the denominator is a
+    corpus-wide constant, so the emitted ``slope_num`` (numerator, exact
+    int64) ranks entities identically. Σ(s·n_s) folds to a plain sum of
+    each mention's own snapshot id — ONE per-batch combiner row per
+    entity (count + snap sum), one groupby; no per-snap intermediate.
+
+    Output: (surface_norm, label, n_mentions, slope_num, entity_id).
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    sum_s = n_snapshots * (n_snapshots - 1) // 2
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "ssum": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, subj_col=doc_col)
+        if m.num_rows == 0:
+            return empty
+        ids = _as_combined(m.column(doc_col)).cast(pa.int64())
+        snap = ids.to_numpy(zero_copy_only=False) % n_snapshots
+        t = pa.table(
+            {
+                "surface_norm": m.column("surface_norm"),
+                "label": m.column("label"),
+                "n": pa.array(np.ones(len(snap), dtype="int64")),
+                "ssum": pa.array(snap.astype("int64")),
+            }
+        )
+        g = t.group_by(["surface_norm", "label"]).aggregate(
+            [("n", "sum"), ("ssum", "sum")]
+        )
+        return g.rename_columns(["surface_norm", "label", "n", "ssum"])
+
+    partials = ann.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby(["surface_norm", "label"]).aggregate(
+        Sum("n", alias_name="n_mentions"), Sum("ssum", alias_name="ssum")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                    "slope_num": pa.array([], type=pa.int64()),
+                    "entity_id": pa.array([], type=pa.string()),
+                }
+            )
+        n = _as_combined(b.column("n_mentions")).to_numpy(zero_copy_only=False)
+        ss = _as_combined(b.column("ssum")).to_numpy(zero_copy_only=False)
+        slope = n_snapshots * ss - sum_s * n
+        eids = [
+            entity_id(s, l)
+            for s, l in zip(
+                b.column("surface_norm").to_pylist(), b.column("label").to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "surface_norm": b.column("surface_norm"),
+                "label": b.column("label"),
+                "n_mentions": b.column("n_mentions"),
+                "slope_num": pa.array(slope.astype("int64")),
+                "entity_id": pa.array(eids, type=pa.string()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

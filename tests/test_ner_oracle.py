@@ -191,3 +191,55 @@ class TestEntityTimeline:
         assert (tl["first_snap"] <= tl["last_snap"]).all()
         assert (tl["n_snaps"] <= tl["last_snap"] - tl["first_snap"] + 1).all()
         assert (tl["n_snaps"] >= 1).all() and (tl["n_mentions"] >= tl["n_snaps"]).all()
+
+
+class TestEntityDeltaAndTrend:
+    def test_delta_matches_duckdb(self, ray_session, docs_path):
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import sql_canonical_entities_delta
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import canonical_entities_delta
+        from quickner_ray.stages.detect import detect_mentions
+
+        ds = rd.read_parquet(docs_path)
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        got = _canon(canonical_entities_delta(ann).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        want = _canon(con.sql(sql_canonical_entities_delta(DEFAULT_GAZETTEER)).df())
+        assert got.equals(want), (len(got), len(want))
+        # status partition covers all rows and matches the count columns
+        st = dict(zip(zip(got["n_old"], got["n_new"]), got["status"]))
+        for (a, b), s in st.items():
+            if a == 0:
+                assert s == "added"
+            elif b == 0:
+                assert s == "removed"
+            else:
+                assert s == ("same" if a == b else "changed")
+
+    def test_trend_matches_duckdb(self, ray_session, docs_path):
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import sql_entity_trend
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import entity_trend
+        from quickner_ray.stages.detect import detect_mentions
+
+        ds = rd.read_parquet(docs_path)
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        got = _canon(entity_trend(ann, n_snapshots=4).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{docs_path}'")
+        want = _canon(
+            con.sql(sql_entity_trend(DEFAULT_GAZETTEER, n_snapshots=4)).df()
+        )
+        assert got.equals(want), (len(got), len(want))
+        # slope sign sanity: an entity mentioned only in snapshot 0 must
+        # have negative slope; only in the last snapshot, positive
+        for _, r in got.iterrows():
+            if r["n_mentions"] > 0:
+                lo = -6 * r["n_mentions"]  # K=4: min slope = (4*0-6)*n
+                hi = 6 * r["n_mentions"]   # max = (4*3-6)*n
+                assert lo <= r["slope_num"] <= hi
