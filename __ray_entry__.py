@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "event_intervals": q.q_event_intervals,
         "host_link_graph": q.q_host_link_graph,
+        "infobox_facts": q.q_infobox_facts,
         "host_degrees": q.q_host_degrees,
         "host_pagerank": q.q_host_pagerank,
         "anchor_aliases": q.q_anchor_aliases,
@@ -475,6 +476,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ev.sql_sessionize(),
         "event_intervals": ev.sql_coalesce_intervals(),
         "host_link_graph": q.sql_host_link_graph(),
+        "infobox_facts": q.sql_infobox_facts(),
         "host_degrees": q.sql_host_degrees(),
         "host_pagerank": q.sql_host_pagerank(),
         "anchor_aliases": q.sql_anchor_aliases(),

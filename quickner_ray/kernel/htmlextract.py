@@ -151,3 +151,85 @@ def synth_linked_page(
         paragraphs=paragraphs + ul,
     )
     return page.encode("utf-8")
+
+
+# --- semi-structured infobox extraction (attribute-value fact tables) ---------
+
+_INFOBOX_RE = re.compile(
+    r"<table\b[^>]*\bclass\s*=\s*\"[^\"]*\binfobox\b[^\"]*\"[^>]*>(.*?)</table\s*>",
+    re.S | re.I,
+)
+_TR_RE = re.compile(r"<tr\b[^>]*>(.*?)</tr\s*>", re.S | re.I)
+_TH_RE = re.compile(r"<th\b[^>]*>(.*?)</th\s*>", re.S | re.I)
+_TD_RE = re.compile(r"<td\b[^>]*>(.*?)</td\s*>", re.S | re.I)
+_WS_RE = re.compile(r"\s+")
+
+
+def _cell_text(fragment: str) -> str:
+    """Cell markup -> clean text: inner tags stripped, entities unescaped,
+    whitespace collapsed (the WebTables-style cell normalization)."""
+    return _WS_RE.sub(" ", _html.unescape(_TAG_RE.sub("", fragment))).strip()
+
+
+def extract_infobox(html_bytes: bytes) -> list[tuple[str, str]]:
+    """Attribute-value pairs from a page's ``<table class="infobox">`` —
+    the semi-structured fact source of WebTables / DBpedia-style KG
+    construction (each row ``<tr><th>attr</th><td>value</td></tr>`` is a
+    (subject-page, attr, value) triple candidate).
+
+    Byte-deterministic pure function: comments and script/style blocks are
+    stripped first (a commented-out ``<td>`` must not produce a fact),
+    inner inline tags are stripped, entities unescaped, whitespace
+    collapsed. Rows missing either cell are skipped. [] on undecodable
+    bytes (P10 skip-hook) or pages without an infobox."""
+    try:
+        doc = html_bytes.decode("utf-8")
+    except UnicodeDecodeError:
+        return []
+    doc = _COMMENT_RE.sub("", doc)
+    doc = _DROP_BLOCK_RE.sub("", doc)
+    m = _INFOBOX_RE.search(doc)
+    if m is None:
+        return []
+    out = []
+    for tr in _TR_RE.finditer(m.group(1)):
+        row = tr.group(1)
+        th, td = _TH_RE.search(row), _TD_RE.search(row)
+        if th is None or td is None:
+            continue
+        attr, val = _cell_text(th.group(1)), _cell_text(td.group(1))
+        if attr:
+            out.append((attr, val))
+    return out
+
+
+def synth_infobox_page(
+    text: str, facts: list[tuple[str, str]], seq: int = 0, title: str = "fixture"
+) -> bytes:
+    """Deterministic page carrying an infobox of ``facts``:
+    ``extract_infobox`` recovers exactly ``facts`` in order. Adversarial
+    markup baked in: an HTML comment containing a decoy row, alternating
+    ``<b>`` wraps inside value cells, and entity-escaped cell text."""
+    rows = []
+    for i, (attr, val) in enumerate(facts):
+        v = _html.escape(val, quote=False)
+        if (seq + i) % 3 == 0:
+            v = "<b>" + v + "</b>"
+        rows.append(
+            "<tr><th>" + _html.escape(attr, quote=False) + "</th><td>" + v + "</td></tr>"
+        )
+    tbl = (
+        '<table class="infobox vcard">'
+        "<!-- layout hint <tr><th>bogus</th><td>decoy</td></tr> -->"
+        + "".join(rows)
+        + "</table>"
+    )
+    paragraphs = "".join(
+        "<p>" + _html.escape(line, quote=False) + "</p>" for line in text.split("\n")
+    )
+    page = _PAGE_TEMPLATE.format(
+        title=_html.escape(title, quote=False),
+        seq=seq,
+        paragraphs=tbl + paragraphs,
+    )
+    return page.encode("utf-8")

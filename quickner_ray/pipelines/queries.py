@@ -4079,6 +4079,56 @@ def _linked_pages(sf_dir: str):
     )
 
 
+INFOBOX_ATTRS = ("population", "area", "language")
+INFOBOX_MOD = 97
+
+
+def _infobox_pages(sf_dir: str):
+    """Deterministic infobox-bearing pages: doc_id -> 3 attribute-value
+    facts, values pure integer functions of doc_id (value_j =
+    'v{(doc_id*(j+2) + 5*j + 1) % 97} & co') so the SQL oracle regenerates
+    the SAME facts arithmetically while the Ray path must recover them
+    from raw bytes (comment decoys, <b>-wrapped cells, &amp; escapes)."""
+    from ..kernel.htmlextract import synth_infobox_page
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_pylist()
+        htmls = []
+        for d in ids:
+            facts = [
+                (a, f"v{(d * (j + 2) + 5 * j + 1) % INFOBOX_MOD} & co")
+                for j, a in enumerate(INFOBOX_ATTRS)
+            ]
+            htmls.append(synth_infobox_page(f"doc {d}", facts, seq=d))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "html": pa.array(htmls, type=pa.binary()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+def q_infobox_facts(sf_dir: str):
+    """Semi-structured KG fact extraction from HTML infobox tables
+    (stages/relations.infobox_facts over kernel extract_infobox)."""
+    from ..stages.relations import infobox_facts
+
+    return infobox_facts(_infobox_pages(sf_dir))
+
+
+def sql_infobox_facts() -> str:
+    attrs = ", ".join(f"'{a}'" for a in INFOBOX_ATTRS)
+    return (
+        f"SELECT doc_id,\n"
+        f"       [{attrs}][j + 1] AS attr,\n"
+        f"       'v' || CAST((doc_id * (j + 2) + 5 * j + 1) % {INFOBOX_MOD}"
+        f" AS VARCHAR) || ' & co' AS value\n"
+        f"FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t"
+    )
+
+
 def q_host_link_graph(sf_dir: str):
     """Cross-host link graph parsed from raw page HTML: anchor extraction
     (comment/script-stripped regex over bytes), absolute-link host

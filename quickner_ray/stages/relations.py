@@ -242,3 +242,52 @@ def kg_negative_samples(triples_ds, entity_ids, *, sep: str = "|"):
         )
 
     return triples_ds.map_batches(corrupt, batch_format="pyarrow")
+
+
+def infobox_facts(pages, *, id_col: str = "doc_id"):
+    """Semi-structured fact extraction: parse each page's
+    ``<table class="infobox">`` into (id, attr, value) rows — the
+    WebTables / DBpedia-infobox KG-construction step (each row is a
+    (subject-page, attribute, value) triple candidate feeding the same
+    canonicalization shuffle the text mentions use).
+
+    Stateless ``map_batches`` over (id, html) — the parse
+    (kernel/htmlextract.extract_infobox) is a compiled-regex pass per
+    page, comments/scripts stripped, cells tag-stripped + unescaped.
+    Zero shuffles; output volume = rows-per-infobox x pages."""
+    from ..kernel.htmlextract import extract_infobox
+
+    def parse(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "attr": pa.array([], type=pa.string()),
+                "value": pa.array([], type=pa.string()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        htmls = b.column("html")
+        if isinstance(htmls, pa.ChunkedArray):
+            htmls = htmls.combine_chunks()
+        out_id, out_attr, out_val = [], [], []
+        for i, page in enumerate(htmls.to_pylist()):
+            did = ids[i].as_py()
+            for attr, val in extract_infobox(page):
+                out_id.append(did)
+                out_attr.append(attr)
+                out_val.append(val)
+        if not out_id:
+            return empty
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=pa.int64()),
+                "attr": pa.array(out_attr, type=pa.string()),
+                "value": pa.array(out_val, type=pa.string()),
+            }
+        )
+
+    return pages.map_batches(parse, batch_format="pyarrow")

@@ -130,3 +130,59 @@ def test_anchor_aliases_matches_oracle(sf_dir):
     a = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
     b = ora.sort_values(key).reset_index(drop=True)[sorted(ora.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestInfoboxExtraction:
+    """Infobox fact parse: round-trip vs synth, decoy/markup hardening,
+    and the distributed stage against a brute per-page reference."""
+
+    def test_round_trip_and_hardening(self):
+        from quickner_ray.kernel.htmlextract import (
+            extract_infobox,
+            synth_infobox_page,
+        )
+
+        facts = [("population", "8,336,817"), ("area", "783.8 km2"),
+                 ("motto", "E pluribus & unum")]
+        for seq in range(5):
+            assert extract_infobox(synth_infobox_page("body", facts, seq=seq)) == facts
+        # commented-out rows and script blocks never produce facts
+        page = (
+            b'<html><body><table class="infobox">'
+            b"<!-- <tr><th>ghost</th><td>1</td></tr> -->"
+            b"<tr><th>real <b>attr</b></th><td> v&amp;1 \n two</td></tr>"
+            b"<tr><td>no th, skipped</td></tr>"
+            b"</table><script>var t='<tr><th>x</th><td>y</td></tr>'</script>"
+            b"</body></html>"
+        )
+        assert extract_infobox(page) == [("real attr", "v&1 two")]
+        assert extract_infobox(b"<html><body>plain</body></html>") == []
+        assert extract_infobox(b"\xff\xfe\x00bad") == []
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_stage_matches_reference(self, tmp_path):
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quickner_ray.kernel.htmlextract import (
+            extract_infobox,
+            synth_infobox_page,
+        )
+        from quickner_ray.stages.relations import infobox_facts
+
+        pages = []
+        want = []
+        for d in range(40):
+            facts = [(f"a{j}", f"val {d * (j + 2) % 11} & co") for j in range(d % 4)]
+            html = synth_infobox_page(f"doc {d}", facts, seq=d)
+            pages.append({"doc_id": d, "html": html})
+            for attr, val in extract_infobox(html):
+                want.append((d, attr, val))
+        ds = rd.from_items(pages)
+        got = [
+            (r["doc_id"], r["attr"], r["value"])
+            for r in infobox_facts(ds).take_all()
+        ]
+        assert sorted(got) == sorted(want)
+        # docs with 0 facts (d % 4 == 0) contribute no rows
+        assert not any(d % 4 == 0 for d, _, _ in got)
