@@ -671,3 +671,39 @@ def sql_entity_trend(
         f"       eid AS entity_id\n"
         f"FROM acc GROUP BY pname, plabel, eid"
     )
+
+
+def sql_entity_communities(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    n_rounds: int = 3,
+) -> str:
+    """Oracle for ``q_entity_communities``: synchronous label propagation
+    over the co-occurrence graph, rounds unrolled as CTEs. Vote = most
+    frequent neighbor label, ties by smallest label; voteless nodes keep
+    their previous label (COALESCE against the prior round)."""
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"nodes AS MATERIALIZED (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"l0 AS (SELECT node, node AS lab FROM nodes)"
+    )
+    for r in range(1, n_rounds + 1):
+        sql += (
+            f",\nv{r} AS (SELECT u.d AS node, p.lab, count(*) AS c\n"
+            f"  FROM und u JOIN l{r - 1} p ON p.node = u.s GROUP BY u.d, p.lab),\n"
+            f"w{r} AS (SELECT node, lab FROM v{r} QUALIFY\n"
+            f"  row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) = 1),\n"
+            f"l{r} AS (SELECT n.node, COALESCE(w.lab, p.lab) AS lab\n"
+            f"  FROM nodes n LEFT JOIN w{r} w ON w.node = n.node\n"
+            f"  JOIN l{r - 1} p ON p.node = n.node)"
+        )
+    return sql + f"\nSELECT node AS entity_id, lab AS community FROM l{n_rounds}"

@@ -2852,6 +2852,34 @@ def q_entity_trend(sf_dir: str):
     return entity_trend(annotated_documents(sf_dir))
 
 
+def q_entity_communities(sf_dir: str):
+    """Community detection over the entity co-occurrence graph:
+    deterministic synchronous label propagation, 3 rounds
+    (stages/graph_cc.label_propagation)."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, label_propagation
+
+    ann = annotated_documents(sf_dir).materialize()
+    edges = cooccurrence_pairs(ann, annotated=True)
+    nodes = _project_t(
+        canonical_entities(_explode_ann(ann)),
+        {"node": "entity_id"},
+        {"node": pa.string()},
+    )
+    lp = label_propagation(
+        edges,
+        nodes=nodes,
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        lp,
+        {"entity_id": "node", "community": "community"},
+        {"entity_id": pa.string(), "community": pa.string()},
+    )
+
+
 def q_entity_timeline(sf_dir: str):
     """Temporal-KG provenance: per canonical entity, first/last crawl
     snapshot observed, number of distinct snapshots, and mention support

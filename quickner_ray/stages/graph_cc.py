@@ -1473,3 +1473,119 @@ def random_walks(
         ).materialize()
         out = out.union(with_step(frontier, lvl))
     return out
+
+
+def _broadcast_lpa(und_rows, universe, n_rounds: int):
+    """Small-graph synchronous label propagation, driver-side."""
+    adj: dict = {}
+    for r in und_rows:
+        adj.setdefault(r["src"], []).append(r["dst"])
+    lab = {v: v for v in universe}
+    for v in adj:
+        lab.setdefault(v, v)
+    for _ in range(n_rounds):
+        new = dict(lab)
+        for v, nbrs in adj.items():
+            counts: dict = {}
+            for u in nbrs:
+                counts[lab[u]] = counts.get(lab[u], 0) + 1
+            new[v] = min(counts, key=lambda x: (-counts[x], x))
+        lab = new
+    return [{"node": v, "community": lab[v]} for v in sorted(universe)]
+
+
+def label_propagation(
+    edges,
+    *,
+    nodes=None,
+    n_rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made deterministic: every node starts labeled with itself;
+    each round it adopts the most frequent label among its neighbors,
+    ties broken by the smallest label; isolated nodes keep their own.
+    Unlike ``connected_components`` (min-label = whole component), the
+    frequency vote finds densely-knit subgroups inside a component.
+    Output: Dataset(node, community) after ``n_rounds``.
+
+    Distributed round: ONE hash-partitioned join ships labels to
+    neighbors, a (node, label)-key groupby counts votes (bounded by
+    distinct labels per neighborhood, not edges), the k-bounded grouped
+    top-1 picks the winner, and an anti-join keeps prior labels for
+    voteless nodes. Only the (node, label) frontier materializes per
+    round. Size-gated driver path below DRIVER_CAP edges, as in
+    ``pagerank`` / ``bfs_distances``; the SQL oracle unrolls the SAME
+    rounds, so both engines agree at any round count, converged or not.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .antijoin import anti_join
+    from .topk import grouped_topk
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    if nodes is None:
+        uni = _project_t(
+            und.groupby("src").aggregate(Count(alias_name="_c")),
+            {"node": "src"},
+            ntypes,
+        )
+    else:
+        uni = _project_t(nodes, {"node": "node"}, ntypes)
+
+    if und.count() <= 2 * cap:
+        universe = [r["node"] for r in uni.take_all()]
+        rows = _broadcast_lpa(und.take_all(), universe, n_rounds)
+        if not rows:
+            return rd.from_arrow(
+                pa.table(
+                    {"node": pa.array([], type=nt),
+                     "community": pa.array([], type=nt)}
+                )
+            )
+        return rd.from_items(rows)
+
+    lt = {"node": nt, "lab": nt}
+
+    def self_label(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"node": pa.array([], type=nt), "lab": pa.array([], type=nt)})
+        return pa.table({"node": b.column("node"), "lab": b.column("node")})
+
+    labels = (
+        uni.map_batches(self_label, batch_format="pyarrow")
+        .repartition(num_partitions)
+        .materialize()
+    )
+    for _ in range(n_rounds):
+        # ship labels along edges: (dst gets src's label)
+        votes = und.join(
+            labels,
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("node",),
+        )
+        votes = _project_t(votes, {"node": "dst", "lab": "lab"}, lt)
+        counted = votes.groupby(["node", "lab"]).aggregate(Count(alias_name="cnt"))
+        winner = _project_t(
+            grouped_topk(counted, "node", ["cnt", "lab"], 1, descending=[True, False]),
+            {"node": "node", "lab": "lab"},
+            lt,
+        )
+        keep = anti_join(labels, "node", winner, "node")
+        labels = winner.union(_project_t(keep, {"node": "node", "lab": "lab"}, lt))
+        labels = labels.repartition(num_partitions).materialize()
+    return _project_t(labels, {"node": "node", "community": "lab"}, {"node": nt, "community": nt})

@@ -667,3 +667,60 @@ class TestRandomWalks:
         for v in iso:
             assert (v, 0, v) in got
             assert not any(s == v and st > 0 for s, st, _ in got)
+
+
+class TestLabelPropagation:
+    """Synchronous LPA: distributed path == driver path == brute reference;
+    two cliques joined by one bridge edge resolve to two communities."""
+
+    def _brute(self, edges, universe, n_rounds):
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        lab = {v: v for v in universe}
+        for v in adj:
+            lab.setdefault(v, v)
+        for _ in range(n_rounds):
+            new = dict(lab)
+            for v, nbrs in adj.items():
+                counts: dict = {}
+                for u in nbrs:
+                    counts[lab[u]] = counts.get(lab[u], 0) + 1
+                new[v] = min(counts, key=lambda x: (-counts[x], x))
+            lab = new
+        return {v: lab[v] for v in universe}
+
+    @pytest.mark.parametrize("cap", [0, 200_000], ids=["distributed", "broadcast"])
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_brute_random(self, cap):
+        from quickner_ray.stages.graph_cc import label_propagation
+
+        rng = random.Random(11)
+        n = 24
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(50)})
+        edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        node_ds = rd.from_items([{"node": v} for v in range(n)])
+        out = label_propagation(
+            edge_ds, nodes=node_ds, n_rounds=3, driver_cap=cap
+        ).take_all()
+        got = {r["node"]: r["community"] for r in out}
+        assert got == self._brute(edges, range(n), 3)
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_two_cliques_one_bridge(self):
+        from quickner_ray.stages.graph_cc import label_propagation
+
+        k1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        k2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+        edges = k1 + k2 + [(3, 10)]
+        edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        node_ds = rd.from_items([{"node": v} for v in list(range(4)) + list(range(10, 14))])
+        out = label_propagation(edge_ds, nodes=node_ds, n_rounds=4).take_all()
+        got = {r["node"]: r["community"] for r in out}
+        # one label per clique (min-id wins inside a clique), despite the
+        # bridge — the frequency vote keeps the cliques apart where
+        # connected_components would merge them
+        assert len({got[v] for v in range(4)}) == 1
+        assert len({got[v] for v in range(10, 14)}) == 1
+        assert got[0] != got[12]
