@@ -707,3 +707,40 @@ def sql_entity_communities(
             f"  JOIN l{r - 1} p ON p.node = n.node)"
         )
     return sql + f"\nSELECT node AS entity_id, lab AS community FROM l{n_rounds}"
+
+
+def sql_entity_fastrp(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    dims: int = 4,
+) -> str:
+    """Oracle for ``q_entity_fastrp``: exact-integer FastRP moments over
+    the co-occurrence graph — h1 = A·R, h2 = A²·R with the hash-derived
+    ±1/0 projection ``(md5_number_upper(node || '|k') % 3) - 1``."""
+    h1 = ",\n       ".join(
+        f"CAST(sum(CAST(md5_number_upper(d || '|{k}') % 3 AS BIGINT) - 1)"
+        f" AS BIGINT) AS h1_{k}"
+        for k in range(dims)
+    )
+    h2 = ", ".join(
+        f"CAST(sum(r.h1_{k}) AS BIGINT) AS h2_{k}" for k in range(dims)
+    )
+    h1_sel = ", ".join(f"r.h1_{k}" for k in range(dims))
+    h2_sel = ", ".join(f"r2.h2_{k}" for k in range(dims))
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"r AS (SELECT s AS node,\n       {h1}\n     FROM und GROUP BY s),\n"
+        f"r2 AS (SELECT u.s AS node, {h2}\n"
+        f"       FROM und u JOIN r ON r.node = u.d GROUP BY u.s)\n"
+        f"SELECT r.node AS entity_id, {h1_sel}, {h2_sel}\n"
+        f"FROM r JOIN r2 ON r2.node = r.node"
+    )

@@ -2880,6 +2880,25 @@ def q_entity_communities(sf_dir: str):
     )
 
 
+def q_entity_fastrp(sf_dir: str):
+    """Exact-integer FastRP node embeddings over the entity co-occurrence
+    graph: hash-derived ±1/0 projections, 1- and 2-hop propagation
+    moments (stages/graph_cc.fastrp_embeddings)."""
+    from ..stages.graph_cc import _project_t, cooccurrence_pairs, fastrp_embeddings
+
+    ann = annotated_documents(sf_dir)
+    edges = cooccurrence_pairs(ann, annotated=True)
+    emb = fastrp_embeddings(
+        edges, src_col="entity_a", dst_col="entity_b", node_type=pa.string()
+    )
+    cols = [f"h1_{k}" for k in range(4)] + [f"h2_{k}" for k in range(4)]
+    return _project_t(
+        emb,
+        {"entity_id": "node", **{c: c for c in cols}},
+        {"entity_id": pa.string()},
+    )
+
+
 def q_entity_timeline(sf_dir: str):
     """Temporal-KG provenance: per canonical entity, first/last crawl
     snapshot observed, number of distinct snapshots, and mention support

@@ -32,6 +32,7 @@ materialized ONCE and reused every round.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _project(ds, mapping: dict[str, str]):
@@ -1589,3 +1590,137 @@ def label_propagation(
         labels = winner.union(_project_t(keep, {"node": "node", "lab": "lab"}, lt))
         labels = labels.repartition(num_partitions).materialize()
     return _project_t(labels, {"node": "node", "community": "lab"}, {"node": nt, "community": nt})
+
+
+def fastrp_embeddings(
+    edges,
+    *,
+    dims: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_type: "pa.DataType | None" = None,
+    num_partitions: int = 8,
+):
+    """FastRP-style node embeddings (Chen et al. 2019), made exact and
+    deterministic: each node's random vector is the hash-derived sparse
+    projection ``r(u)[k] = (h64(f"{u}|{k}") % 3) - 1`` (the Achlioptas
+    ±1/0 construction), and the embedding is the pair of propagation
+    moments ``h1(v) = Σ_{u∈N(v)} r(u)`` and ``h2(v) = Σ_{u∈N(v)} h1(u)``
+    (A·R and A²·R) in plain int64 — no floats, so the SQL oracle matches
+    bit-for-bit and results are identical at any parallelism.
+
+    Shape: hop 1 is a per-batch combiner over the edge list (random
+    vectors computed once per DISTINCT neighbor per batch via dictionary
+    encode, then a within-batch segment sum) + one groupby-sum; hop 2 is
+    ONE hash join shipping h1 along edges + the same combiner. Output:
+    Dataset(node, h1_0..h1_{d-1}, h2_0..h2_{d-1}), one row per node with
+    at least one edge.
+    """
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from .dedup_approx import h64
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt}
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev)
+
+    h1_cols = [f"h1_{k}" for k in range(dims)]
+    h2_cols = [f"h2_{k}" for k in range(dims)]
+
+    def _segsum(keys: pa.Array, mat: "np.ndarray", out_cols: list[str]) -> pa.Table:
+        """Within-batch combiner: sum mat rows per distinct key."""
+        enc = pc.dictionary_encode(keys)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        nk = len(enc.dictionary)
+        sums = np.zeros((nk, mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, mat)
+        cols = {"node": enc.dictionary}
+        for j, c in enumerate(out_cols):
+            cols[c] = pa.array(sums[:, j])
+        return pa.table(cols)
+
+    def _empty(cols: list[str]) -> pa.Table:
+        d = {"node": pa.array([], type=nt)}
+        for c in cols:
+            d[c] = pa.array([], type=pa.int64())
+        return pa.table(d)
+
+    def part1(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty(h1_cols)
+        s = b.column("src")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        d = b.column("dst")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        enc = pc.dictionary_encode(d)
+        vocab = enc.dictionary.to_pylist()
+        rv = np.empty((len(vocab), dims), dtype=np.int64)
+        for i, u in enumerate(vocab):
+            for k in range(dims):
+                rv[i, k] = int(h64(f"{u}|{k}") % 3) - 1
+        mat = rv[enc.indices.to_numpy(zero_copy_only=False)]
+        return _segsum(s, mat, h1_cols)
+
+    h1 = (
+        und.map_batches(part1, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(*[Sum(c, alias_name=c) for c in h1_cols])
+    )
+    # hash-aggregate outputs carry schema-less empty blocks that the join
+    # operator cannot type — repartition consolidates them away (the same
+    # remedy bfs_distances/label_propagation apply to their frontiers)
+    h1 = h1.repartition(num_partitions).materialize()
+
+    hits = und.join(
+        h1,
+        "inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("node",),
+    )
+
+    def part2(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _empty(h2_cols)
+        s = b.column("src")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        mat = np.column_stack(
+            [
+                _as_np(b.column(c))
+                for c in h1_cols
+            ]
+        ).astype(np.int64)
+        return _segsum(s, mat, h2_cols)
+
+    h2 = (
+        hits.map_batches(part2, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(*[Sum(c, alias_name=c) for c in h2_cols])
+    )
+    h2 = _project_t(
+        h2,
+        {"node2": "node", **{c: c for c in h2_cols}},
+        {"node2": nt},
+    ).repartition(num_partitions)
+
+    out = h1.join(
+        h2,
+        "inner",
+        num_partitions=num_partitions,
+        on=("node",),
+        right_on=("node2",),
+    )
+    return out.select_columns(["node", *h1_cols, *h2_cols])
+
+
+def _as_np(col):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)

@@ -724,3 +724,36 @@ class TestLabelPropagation:
         assert len({got[v] for v in range(4)}) == 1
         assert len({got[v] for v in range(10, 14)}) == 1
         assert got[0] != got[12]
+
+
+class TestFastRP:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_brute(self):
+        from quickner_ray.stages.dedup_approx import h64
+        from quickner_ray.stages.graph_cc import fastrp_embeddings
+
+        rng = random.Random(3)
+        n = 20
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2))) for _ in range(40)})
+        edge_ds = rd.from_items([{"src": a, "dst": b} for a, b in edges])
+        out = fastrp_embeddings(edge_ds).take_all()
+
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+
+        def r(u, k):
+            return int(h64(f"{u}|{k}") % 3) - 1
+
+        h1 = {v: [sum(r(u, k) for u in ns) for k in range(4)] for v, ns in adj.items()}
+        h2 = {v: [sum(h1[u][k] for u in ns) for k in range(4)] for v, ns in adj.items()}
+        got = {
+            row["node"]: (
+                [row[f"h1_{k}"] for k in range(4)],
+                [row[f"h2_{k}"] for k in range(4)],
+            )
+            for row in out
+        }
+        assert got == {v: (h1[v], h2[v]) for v in adj}
+        # structural property: twins (same neighborhood) share embeddings
