@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unicode_nfc": q.q_unicode_nfc,
         "semdedup": q.q_semdedup,
         "host_quality": q.q_host_quality,
+        "crawl_budget": q.q_crawl_budget,
         "host_boilerplate_lines": q.q_host_boilerplate_lines,
         "host_boilerplate_docs": q.q_host_boilerplate_docs,
         "web_curation": q.q_web_curation,
@@ -554,6 +555,7 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
+        "crawl_budget": q.sql_crawl_budget(),
         "host_boilerplate_lines": q.sql_host_boilerplate_lines(),
         "host_boilerplate_docs": q.sql_host_boilerplate_docs(),
         "web_curation": q.sql_web_curation(),

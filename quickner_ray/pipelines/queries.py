@@ -2457,6 +2457,87 @@ def q_host_quality(sf_dir: str, min_tokens: int = 30):
     return stats.map_batches(finish, batch_format="pyarrow")
 
 
+def q_crawl_budget(sf_dir: str, budget: int = 1000):
+    """Crawl-frontier budget allocation: split a fixed fetch budget across
+    hosts proportional to their document counts with the largest-remainder
+    (Hamilton) method — base = floor(B*n/total) per host, the leftover
+    slots going to the largest remainders (ties by host asc). Exact
+    integer arithmetic end to end; Σbudget == B by construction.
+
+    Shape: per-batch host-count combiner -> one groupby-sum on the
+    dimension-bounded host key -> the allocation itself runs inside ONE
+    single-block map (repartition(1)) because it needs the global total
+    and remainder ranking — bounded by host cardinality (32 here, ~10^7
+    at web scale: one block of per-host rows, never documents)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], type=pa.string()),
+                 "n": pa.array([], type=pa.int64())}
+            )
+        g = pa.table({"host": _synth_host(b)}).group_by(["host"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["host", "n"])
+
+    counts = (
+        _docs(sf_dir, columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def allocate(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "host": pa.array([], type=pa.string()),
+                "n_docs": pa.array([], type=pa.int64()),
+                "budget": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        n = b.column("n_docs").combine_chunks().to_numpy(zero_copy_only=False)
+        hosts = b.column("host").combine_chunks().to_numpy(zero_copy_only=False)
+        tot = int(n.sum())
+        if tot == 0:
+            return empty
+        base = (budget * n) // tot
+        rem = (budget * n) % tot
+        leftover = budget - int(base.sum())
+        order = np.lexsort((hosts, -rem))  # remainder desc, host asc
+        bonus = np.zeros(len(n), dtype=np.int64)
+        bonus[order[:leftover]] = 1
+        return pa.table(
+            {
+                "host": b.column("host"),
+                "n_docs": b.column("n_docs"),
+                "budget": pa.array(base + bonus),
+            }
+        )
+
+    return counts.repartition(1).map_batches(allocate, batch_format="pyarrow")
+
+
+def sql_crawl_budget(budget: int = 1000) -> str:
+    return (
+        f"WITH h AS (SELECT {_SQL_HOST_EXPR} AS host, count(*) AS n\n"
+        f"           FROM documents GROUP BY 1),\n"
+        f"t AS (SELECT sum(n) AS tot FROM h),\n"
+        f"a AS (SELECT host, n, ({budget} * n) // tot AS base,\n"
+        f"             ({budget} * n) % tot AS rem FROM h CROSS JOIN t),\n"
+        f"l AS (SELECT {budget} - sum(base) AS leftover FROM a),\n"
+        f"r AS (SELECT host, n, base,\n"
+        f"             row_number() OVER (ORDER BY rem DESC, host) AS rk FROM a)\n"
+        f"SELECT host, CAST(n AS BIGINT) AS n_docs,\n"
+        f"       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END\n"
+        f"            AS BIGINT) AS budget\n"
+        f"FROM r CROSS JOIN l"
+    )
+
+
 def sql_host_quality(min_tokens: int = 30) -> str:
     from ..stages.text_analysis import TOKEN_RE
 

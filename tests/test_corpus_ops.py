@@ -293,3 +293,43 @@ def test_pattern_offsets_edges(ray_session):
     # doc 0: positions 1, 16, 21, 46 (1-based)
     assert a[a.doc_id == 0].pos.tolist() == [1, 16, 21, 46]
     assert a[a.doc_id == 3].pos.tolist() == [1]
+
+
+def test_crawl_budget_hamilton_allocation(ray_session, tmp_path):
+    """Largest-remainder budget split: Σbudget == B exactly, proportional
+    base, remainder ties broken by host asc — vs the DuckDB oracle on a
+    skewed corpus (one dominant host)."""
+    import pyarrow.parquet as pq
+
+    from quickner_ray.pipelines.queries import q_crawl_budget, sql_crawl_budget
+
+    # doc_id magnitude controls len(str(doc_id)) -> host bucket; a skewed
+    # spread: 1-3 digit ids dominate two buckets, five 4-digit stragglers
+    ids = list(range(270)) + [1000 + i for i in range(5)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "source": pa.array(["web"] * len(ids)),
+            "text": pa.array(["x"] * len(ids)),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    got = (
+        q_crawl_budget(str(sf))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = con.sql(sql_crawl_budget()).df().sort_values("host").reset_index(drop=True)
+    assert got.equals(want), (got, want)
+    assert int(got["budget"].sum()) == 1000
+    # proportionality: every host within 1 slot of its exact share
+    tot = got["n_docs"].sum()
+    for _, r in got.iterrows():
+        exact = 1000 * r["n_docs"] / tot
+        assert abs(r["budget"] - exact) < 1
