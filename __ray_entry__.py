@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q.q_semdedup,
         "host_quality": q.q_host_quality,
         "crawl_budget": q.q_crawl_budget,
+        "similarity_join_exact": q.q_similarity_join_exact,
         "host_boilerplate_lines": q.q_host_boilerplate_lines,
         "host_boilerplate_docs": q.q_host_boilerplate_docs,
         "web_curation": q.q_web_curation,
@@ -556,6 +557,7 @@ def oracle_sql() -> dict[str, str]:
         "unicode_nfc": _sql_nfc(),
         "host_quality": q.sql_host_quality(),
         "crawl_budget": q.sql_crawl_budget(),
+        "similarity_join_exact": __import__("quickner_ray.stages.setjoin", fromlist=["sql_similarity_join"]).sql_similarity_join(),
         "host_boilerplate_lines": q.sql_host_boilerplate_lines(),
         "host_boilerplate_docs": q.sql_host_boilerplate_docs(),
         "web_curation": q.sql_web_curation(),

@@ -2457,6 +2457,15 @@ def q_host_quality(sf_dir: str, min_tokens: int = 30):
     return stats.map_batches(finish, batch_format="pyarrow")
 
 
+def q_similarity_join_exact(sf_dir: str):
+    """Exact set-similarity self-join (PPJoin-style prefix filtering, no
+    false negatives): all doc pairs with distinct-word Jaccard >= 3/5
+    (stages/setjoin.similarity_join)."""
+    from ..stages.setjoin import similarity_join
+
+    return similarity_join(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_crawl_budget(sf_dir: str, budget: int = 1000):
     """Crawl-frontier budget allocation: split a fixed fetch budget across
     hosts proportional to their document counts with the largest-remainder

@@ -475,3 +475,68 @@ def test_simhash_dup_pairs_pigeonhole():
     if ham12 <= 3:
         assert pairs.get((1, 2)) == ham12
     assert not any(3 in p for p in pairs)  # unrelated doc never paired
+
+
+class TestExactSimilarityJoin:
+    """PPJoin prefix filtering == brute-force all-pairs shingle Jaccard:
+    the oracle-equality test runs the full distributed pipeline; the
+    randomized test pins no-false-negative completeness at several τ."""
+
+    def _corpus(self, rng, n_docs=50):
+        vocab = [f"w{i}" for i in range(30)]
+        texts = []
+        for _ in range(n_docs):
+            words = [rng.choice(vocab) for _ in range(rng.randint(3, 20))]
+            texts.append(" ".join(words))
+        # planted: exact dup, one-word edit, halved doc, empty docs
+        texts[40] = texts[0]
+        texts[41] = texts[1] + " extra"
+        texts[42] = " ".join(texts[2].split()[: max(2, len(texts[2].split()) // 2)])
+        texts[43] = ""
+        texts[44] = ""
+        return texts
+
+    @pytest.mark.parametrize("tau", [(1, 2), (4, 5)])
+    def test_matches_brute_sql(self, ray_session, tmp_path, tau):
+        import duckdb
+        import pyarrow.parquet as pq
+        import random as _random
+
+        import ray.data as rd
+
+        from quickner_ray.stages.setjoin import similarity_join, sql_similarity_join
+
+        texts = self._corpus(_random.Random(17))
+        path = str(tmp_path / f"documents_{tau[0]}_{tau[1]}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        got = (
+            similarity_join(ds, tau=tau)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = (
+            con.sql(sql_similarity_join(tau=tau))
+            .df()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), (len(got), len(want))
+        pairs = {(a, b) for a, b in zip(got["doc_a"], got["doc_b"])}
+        assert (0, 40) in pairs  # exact dup always found
+        if tau == (1, 2):
+            assert (43, 44) in pairs  # empty docs share the {0} shingle set
+        # exact dup: intersection == union
+        row = got[(got["doc_a"] == 0) & (got["doc_b"] == 40)].iloc[0]
+        assert row["n_inter"] == row["n_union"]
