@@ -280,7 +280,9 @@ def label_counts_from_entities(entities_ds):
     )
 
 
-def entity_timeline(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
+def entity_timeline(
+    ann, *, n_snapshots: int = 8, doc_col: str = "doc_id", snap_col: str | None = None
+):
     """Temporal-KG provenance: per canonical entity, the crawl-snapshot
     validity interval and support — (surface_norm, label, first_snap,
     last_snap, n_snaps, n_mentions, entity_id).
@@ -291,6 +293,12 @@ def entity_timeline(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
     is the deterministic ``doc_id % n_snapshots`` bucket — the stand-in
     for ``date_trunc('month', warc_ts)`` on a table that carries no
     timestamp column; a real crawl passes its warc_ts bucket instead.
+
+    ``snap_col``: a precomputed integer snapshot column on the annotated
+    dataset (e.g. ``year*12 + month`` of the crawl's ``warc_ts``, the
+    north-rule pages schema) — used instead of the doc_id-derived bucket
+    when given; mentions inherit their document's snapshot via a
+    batch-local index_in (the explode is doc-local by construction).
 
     Shape (the 100 TB-safe one): fused doc-local explode -> per-batch
     combiner emitting at most ONE row per (surface_norm, label, snap) per
@@ -317,9 +325,15 @@ def entity_timeline(ann, *, n_snapshots: int = 8, doc_col: str = "doc_id"):
         if m.num_rows == 0:
             return empty
         ids = _as_combined(m.column(doc_col)).cast(pa.int64())
-        snap = pa.array(
-            ids.to_numpy(zero_copy_only=False) % n_snapshots, type=pa.int64()
-        )
+        if snap_col is None:
+            snap = pa.array(
+                ids.to_numpy(zero_copy_only=False) % n_snapshots, type=pa.int64()
+            )
+        else:
+            pos = pc.index_in(
+                _as_combined(m.column(doc_col)), _as_combined(b.column(doc_col))
+            )
+            snap = _as_combined(b.column(snap_col)).cast(pa.int64()).take(pos)
         t = pa.table(
             {
                 "surface_norm": m.column("surface_norm"),

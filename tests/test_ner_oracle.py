@@ -243,3 +243,66 @@ class TestEntityDeltaAndTrend:
                 lo = -6 * r["n_mentions"]  # K=4: min slope = (4*0-6)*n
                 hi = 6 * r["n_mentions"]   # max = (4*3-6)*n
                 assert lo <= r["slope_num"] <= hi
+
+
+class TestEntityTimelineWarcTs:
+    """The north-rule pages schema path: snapshots from REAL warc_ts month
+    buckets (snap_col) instead of the doc_id-derived stand-in."""
+
+    def test_warc_ts_month_buckets(self, ray_session, tmp_path):
+        import datetime as dt
+
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import entity_timeline
+        from quickner_ray.stages.detect import detect_mentions
+
+        texts = ["the sort ran", "a hash join", "sort and join", "sort", "no hits here"]
+        stamps = [
+            dt.datetime(2025, 1, 3),
+            dt.datetime(2025, 1, 20),
+            dt.datetime(2025, 3, 9),
+            dt.datetime(2025, 7, 1),
+            dt.datetime(2025, 2, 2),
+        ]
+        path = str(tmp_path / "pages.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(5), type=pa.int64()),
+                    "text": pa.array(texts),
+                    "warc_ts": pa.array(stamps, type=pa.timestamp("us")),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+
+        def add_snap(b):
+            import pyarrow.compute as c
+
+            ts = b.column("warc_ts")
+            snap = c.add(
+                c.multiply(c.year(ts).cast(pa.int64()), 12),
+                c.month(ts).cast(pa.int64()),
+            )
+            return b.append_column("snap", snap)
+
+        ds = ds.map_batches(add_snap, batch_format="pyarrow")
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        tl = {
+            (r["surface_norm"], r["label"]): r
+            for r in entity_timeline(ann, snap_col="snap").take_all()
+        }
+        jan, mar, jul = 2025 * 12 + 1, 2025 * 12 + 3, 2025 * 12 + 7
+        s = tl[("sort", "OPERATOR")]
+        assert (s["first_snap"], s["last_snap"], s["n_snaps"], s["n_mentions"]) == (
+            jan, jul, 3, 3,
+        )
+        j = tl[("join", "OPERATOR")]
+        assert (j["first_snap"], j["last_snap"], j["n_snaps"], j["n_mentions"]) == (
+            jan, mar, 2, 2,
+        )
+        assert ("no", "OPERATOR") not in tl
