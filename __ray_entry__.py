@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_valid": q.q_filter_valid,
         "token_counts": q.q_token_counts,
         "bpe_token_counts": q.q_bpe_token_counts,
+        "readability": q.q_readability,
         "quality_counts": q.q_quality_counts,
         "docs_by_lang": q.q_docs_by_lang,
         "source_lang_stats": q.q_source_lang_stats,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     from quickner_ray.stages import multimodal as mm
     from quickner_ray.stages.text_analysis import (
         sql_bpe_token_count,
+        sql_readability,
         sql_fingerprint,
         sql_gopher_filter,
         sql_keyword_search,
@@ -577,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
             " AS n_tokens FROM documents"
         ),
         "bpe_token_counts": sql_bpe_token_count(),
+        "readability": sql_readability(),
         "events_value_bands": _sql_bands(),
         "token_count_ranks": (
             f"SELECT doc_id, CAST(length(regexp_extract_all(text, '{token_re}')) AS BIGINT)"

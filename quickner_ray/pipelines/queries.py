@@ -156,6 +156,18 @@ def q_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"])
 
 
+def q_readability(sf_dir: str):
+    """Flesch-Kincaid readability features, exact-integer rational grade
+    (stages/text_analysis.add_readability)."""
+    from ..stages.text_analysis import add_readability
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(add_readability, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "n_words", "n_sentences", "n_syllables", "fk_num", "fk_den"]
+    )
+
+
 def q_bpe_token_counts(sf_dir: str):
     from ..stages.text_analysis import add_bpe_token_count
 

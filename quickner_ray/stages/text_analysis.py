@@ -1287,3 +1287,57 @@ def sql_keyword_search(
         for t in terms
     )
     return f"SELECT {cols} FROM {table} WHERE {conds}"
+
+
+SYLLABLE_RE = "[aeiouy]+"     # vowel-group syllable heuristic
+SENTENCE_RE = "[.!?]+"        # terminator runs
+
+
+def add_readability(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Readability features (Flesch-Kincaid grade), exact-integer: word,
+    sentence-terminator and vowel-group (syllable heuristic) counts plus
+    the FK grade as a rational — ``fk_num / fk_den`` where
+
+        fk_num = 39*W^2 + 1180*Syl*S - 1559*S*W,  fk_den = 100*S*W
+
+    (FK grade = 0.39*W/S + 11.8*Syl/W - 15.59, cross-multiplied by S*W so
+    no IEEE division exists to drift; S and W are clamped to >= 1). The
+    textstat-style reading-level gate of corpus curation stacks, fully
+    vectorized (three RE2 count kernels per batch, zero shuffles)."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    low = pc.utf8_lower(texts)
+    w = pc.count_substring_regex(low, WORD_CLASS_RE).cast(pa.int64())
+    s = pc.count_substring_regex(low, SENTENCE_RE).cast(pa.int64())
+    syl = pc.count_substring_regex(low, SYLLABLE_RE).cast(pa.int64())
+    wn = np.maximum(w.to_numpy(zero_copy_only=False), 1)
+    sn = np.maximum(s.to_numpy(zero_copy_only=False), 1)
+    syln = syl.to_numpy(zero_copy_only=False)
+    fk_num = 39 * wn * wn + 1180 * syln * sn - 1559 * sn * wn
+    fk_den = 100 * sn * wn
+    return (
+        batch.append_column("n_words", w)
+        .append_column("n_sentences", s)
+        .append_column("n_syllables", syl)
+        .append_column("fk_num", pa.array(fk_num.astype(np.int64)))
+        .append_column("fk_den", pa.array(fk_den.astype(np.int64)))
+    )
+
+
+def sql_readability(table: str = "documents") -> str:
+    return (
+        f"WITH c AS (SELECT doc_id,\n"
+        f"  length(regexp_extract_all(lower(text), '{WORD_CLASS_RE}')) AS w,\n"
+        f"  length(regexp_extract_all(lower(text), '{SENTENCE_RE.replace(chr(39), chr(39)*2)}')) AS s,\n"
+        f"  length(regexp_extract_all(lower(text), '{SYLLABLE_RE}')) AS syl\n"
+        f"  FROM {table}),\n"
+        f"g AS (SELECT doc_id, w AS n_words, s AS n_sentences, syl AS n_syllables,\n"
+        f"  GREATEST(w, 1) AS wc, GREATEST(s, 1) AS sc, syl FROM c)\n"
+        f"SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,\n"
+        f"  CAST(n_sentences AS BIGINT) AS n_sentences,\n"
+        f"  CAST(n_syllables AS BIGINT) AS n_syllables,\n"
+        f"  CAST(39 * wc * wc + 1180 * syl * sc - 1559 * sc * wc AS BIGINT) AS fk_num,\n"
+        f"  CAST(100 * sc * wc AS BIGINT) AS fk_den\n"
+        f"FROM g"
+    )

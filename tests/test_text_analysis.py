@@ -292,3 +292,42 @@ def test_nfc_normalization():
     assert got[2] == lig  # NFC != NFKC
     assert out.column("n_chars_raw").to_pylist() == [11, 5, 3]
     assert out.column("n_chars_nfc").to_pylist() == [11, 4, 3]
+
+
+def test_readability_exact_rational(ray_session):
+    """FK grade rational on crafted docs: clamps, punct runs, vowel groups,
+    and the value itself against hand computation + the SQL oracle."""
+    import duckdb
+
+    from quickner_ray.stages.text_analysis import add_readability, sql_readability
+
+    texts = [
+        "The cat sat. The dog ran!",   # 6 words, 2 sentences
+        "",                             # all-clamped
+        "why?!? y y y",                 # terminator run counts once; y = vowel
+        "a" * 50,                       # one long vowel group, no sentence
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+         "text": pa.array(texts)}
+    )
+    out = add_readability(tbl)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    assert rows[0]["n_words"] == 6 and rows[0]["n_sentences"] == 2
+    assert rows[1]["n_words"] == 0 and rows[1]["fk_den"] == 100  # clamped 1*1
+    assert rows[2]["n_sentences"] == 1  # "?!?" is one terminator run
+    assert rows[3]["n_syllables"] == 1  # one maximal vowel run
+    # hand-check doc 0: W=6 S=2 Syl = vowel groups of "the cat sat the dog ran"
+    syl = rows[0]["n_syllables"]
+    assert rows[0]["fk_num"] == 39 * 36 + 1180 * syl * 2 - 1559 * 2 * 6
+    assert rows[0]["fk_den"] == 100 * 2 * 6
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = con.sql(sql_readability()).df().sort_values("doc_id").reset_index(drop=True)
+    got = (
+        out.select(["doc_id", "n_words", "n_sentences", "n_syllables", "fk_num", "fk_den"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
