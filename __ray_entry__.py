@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "doc_dedup": q.q_doc_dedup,
+        "streaming_ingest_dedup": q.q_streaming_ingest_dedup,
         "filter_valid": q.q_filter_valid,
         "token_counts": q.q_token_counts,
         "bpe_token_counts": q.q_bpe_token_counts,
@@ -567,6 +568,10 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": q.sql_snapshot_diff(),
         "dsir_stats": _sql_dsir(),
         "doc_dedup": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
+            "count(*) AS n_dupes FROM documents GROUP BY md5(text)"
+        ),
+        "streaming_ingest_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, "
             "count(*) AS n_dupes FROM documents GROUP BY md5(text)"
         ),

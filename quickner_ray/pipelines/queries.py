@@ -141,6 +141,15 @@ def q_doc_dedup(sf_dir: str):
     )
 
 
+def q_streaming_ingest_dedup(sf_dir: str):
+    """Streaming ingest dedup: documents pushed through the sharded
+    mutable registry (stages/ingest.py — raw-actor state, min-merge
+    algebra); survivors == the batch doc_dedup groupby on any corpus."""
+    from ..stages.ingest import streaming_ingest_dedup
+
+    return streaming_ingest_dedup(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_filter_valid(sf_dir: str):
     """P1 filter (byte-length bounds) -> surviving doc ids."""
     from ..stages.filter_stage import filter_texts
