@@ -11,22 +11,35 @@ indexed — two sets with Jaccard ≥ τ must share a prefix element.
 Set elements are the repo's standard near-dup signal: distinct h64 word
 3-gram shingle hashes (the same construction MinHash signs, so this is
 the exact ground truth for the LSH pipeline). The global element order
-is the HASH VALUE itself: consistent, known to every worker for free —
-no document-frequency pass, no driver-collected vocabulary, no broadcast
-(classic df-ascending ordering prunes a bit harder but needs global df
-state; hash order is the right cost point at 100 TB).
+is ``(is_hot, hash)``: the exact top-K most frequent shingles (template
+boilerplate — the ONLY elements whose candidate buckets can go
+quadratic) sort LAST so they never enter a prefix unless a doc consists
+of nothing else, and everything else orders by hash value, known to
+every worker for free. The hot set is computed by one combiner-bounded
+count pass + a tiny global sort-limit (deterministic: ties at the K
+boundary break by (count desc, hash asc)), broadcast as one sorted
+uint64 array — bounded state, unlike a full df table. ANY consistent
+global order preserves the prefix-filter completeness theorem; hotness
+only improves pruning (classic PPJoin uses full df-ascending order,
+which needs corpus-scale rank state).
 
 Distributed shape:
-1. prefix emit — zero-shuffle per-batch pass: distinct shingles per doc
-   (``_shingle_rows``: one split + lexsort, hashes already ascending
-   within each doc), keep the first p per doc, carry the set size.
-2. candidate buckets — ONE groupby on the prefix shingle; pairs
-   (da < db) within a bucket; cross-bucket dupes folded by a pair-key
-   groupby. Bucket sizes are rare-element-bounded by construction.
-3. exact verification — candidates expanded against doc-a postings (one
-   join), matched to doc-b postings on the composite (shingle, doc) key
-   (one join), counted per pair; Jaccard tested as the exact integer
-   cross-multiply ``den*inter >= num*(na+nb-inter)``.
+1. hot pass — per-batch shingle-count combiner -> groupby-sum ->
+   top-K sort-limit -> broadcast sorted hot array.
+2. prefix emit — zero-shuffle per-batch pass: distinct shingles per doc
+   (``_shingle_rows``), per-doc lexsort by (is_hot, hash), keep the
+   first p per doc, carry the set size.
+3. bucket verify — ONE groupby on the prefix shingle. Each doc's FULL
+   sorted shingle array rides along with its prefix rows (the band_rows
+   rideshare trick, so verification needs no second corpus pass and no
+   joins); within a bucket, pairs (da < db) are pruned by the PPJoin
+   size filter (J >= tau forces den*min(na,nb) >= num*max(na,nb)) and
+   the positional filter (overlap can't exceed
+   1 + min(na-ia-1, nb-jb-1) given the bucket shingle's position in
+   each doc), then verified by exact sorted-array intersection; the
+   Jaccard test is the integer cross-multiply
+   ``den*inter >= num*(na+nb-inter)``. Cross-bucket duplicate hits fold
+   in a final (tiny: only qualifying pairs) pair-key groupby.
 
 All integers — the DuckDB oracle (brute-force all-pairs over the same
 ``hsh`` shingle CTE the MinHash oracle uses) matches bit-for-bit, and
@@ -86,6 +99,60 @@ def shingle_postings(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(gen, batch_format="pyarrow")
 
 
+def hot_shingles(
+    ds, *, k: int = 65536, hot_min: int = 4, text_col: str = "text"
+) -> "np.ndarray":
+    """Top-``k`` most frequent shingles among those with count >=
+    ``hot_min``: per-batch count combiner (one row per distinct shingle
+    per batch) -> groupby-sum -> threshold filter (shingles colder than
+    hot_min produce trivially small buckets and need not be ranked — the
+    filter keeps the global sort input tiny) -> sort by (count desc,
+    hash asc) -> limit k. Deterministic: a pure function of the corpus.
+    Returns a SORTED uint64 array for searchsorted membership tests."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"sh": pa.array([], type=pa.int64()),
+             "c": pa.array([], type=pa.int64())}
+        )
+        if b.num_rows == 0:
+            return empty
+        _, h, _ = _shingle_rows(b.column(text_col))
+        if not len(h):
+            return empty
+        vals, counts = np.unique(h, return_counts=True)
+        # int64 reinterpret: Ray's sort/shuffle machinery rejects uint64
+        # keys; two's-complement view round-trips exactly and any total
+        # order works for the deterministic K-boundary tiebreak
+        return pa.table(
+            {"sh": pa.array(vals.view(np.int64)),
+             "c": pa.array(counts.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("sh")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def thresh(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"sh": pa.array([], type=pa.int64()),
+                 "c": pa.array([], type=pa.int64())}
+            )
+        import pyarrow.compute as pc
+
+        return b.filter(pc.greater_equal(b.column("c"), hot_min))
+
+    counts = counts.map_batches(thresh, batch_format="pyarrow")
+    top = counts.sort(key=["c", "sh"], descending=[True, False]).limit(k)
+    hot = np.array([r["sh"] for r in top.take_all()], dtype=np.int64).view(np.uint64)
+    hot.sort()
+    return hot
+
+
 def similarity_join(
     ds,
     *,
@@ -93,14 +160,17 @@ def similarity_join(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 8,
+    hot_k: int = 65536,
 ):
     """Exact shingle-Jaccard self-join: Dataset(doc_a, doc_b, n_inter,
     n_union) for every pair with ``n_inter/n_union >= tau`` (doc_a <
     doc_b). ``ds`` is consumed twice (prefix pass + postings pass) — pass
     a re-readable Dataset; both read only (id, text)."""
+    import ray
     from ray.data.aggregate import Count
 
     num, den = tau
+    hot_ref = ray.put(hot_shingles(ds, k=hot_k, text_col=text_col))
 
     def prefix_rows(b: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -108,6 +178,8 @@ def similarity_join(
                 "sh": pa.array([], type=pa.uint64()),
                 "doc": pa.array([], type=pa.int64()),
                 "n": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "lst": pa.array([], type=pa.list_(pa.uint64())),
             }
         )
         if b.num_rows == 0:
@@ -116,105 +188,41 @@ def similarity_join(
         if not len(p):
             return empty
         plen = _prefix_len(sizes, num, den)
-        # hashes are ascending within each doc run: position-in-run < plen
-        first = np.r_[True, p[1:] != p[:-1]]
-        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(p)), 0))
-        within = np.arange(len(p)) - grp_start
-        keep = within < plen[p]
+        hot = ray.get(hot_ref)
+        if len(hot):
+            pos = np.searchsorted(hot, h)
+            is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == h)
+        else:
+            is_hot = np.zeros(len(h), dtype=bool)
+        # global order (is_hot, hash): re-sort each doc run so hot
+        # (bucket-quadratic) shingles fall OUT of the prefix
+        o = np.lexsort((h, is_hot.astype(np.int8), p))
+        p_o, h_o = p[o], h[o]
+        first = np.r_[True, p_o[1:] != p_o[:-1]]
+        grp_start = np.maximum.accumulate(np.where(first, np.arange(len(p_o)), 0))
+        within = np.arange(len(p_o)) - grp_start
+        keep = within < plen[p_o]
+        rows_k = p_o[keep]
+        # rideshare: each prefix row carries its doc's FULL hash-sorted
+        # shingle array (one ListArray gather, no per-doc Python)
+        offsets = np.zeros(len(sizes) + 1, dtype=np.int32)
+        np.cumsum(sizes, out=offsets[1:])
+        full = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(h, type=pa.uint64())
+        )
         return pa.table(
             {
-                "sh": pa.array(h[keep], type=pa.uint64()),
-                "doc": pa.array(idv[p[keep]], type=pa.int64()),
-                "n": pa.array(sizes[p[keep]]),
+                "sh": pa.array(h_o[keep], type=pa.uint64()),
+                "doc": pa.array(idv[rows_k], type=pa.int64()),
+                "n": pa.array(sizes[rows_k]),
+                "pos": pa.array(within[keep].astype(np.int64)),
+                "lst": full.take(pa.array(rows_k)),
             }
         )
 
     prefixes = ds.map_batches(prefix_rows, batch_format="pyarrow")
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "da": pa.array([], type=pa.int64()),
-                "db": pa.array([], type=pa.int64()),
-                "na": pa.array([], type=pa.int64()),
-                "nb": pa.array([], type=pa.int64()),
-            }
-        )
-        if g.num_rows < 2:
-            return empty
-        docs = g.column("doc").combine_chunks().to_numpy(zero_copy_only=False)
-        ns = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
-        o = np.argsort(docs, kind="stable")
-        docs, ns = docs[o], ns[o]
-        ii, jj = np.triu_indices(len(docs), k=1)
-        return pa.table(
-            {
-                "da": pa.array(docs[ii], type=pa.int64()),
-                "db": pa.array(docs[jj], type=pa.int64()),
-                "na": pa.array(ns[ii], type=pa.int64()),
-                "nb": pa.array(ns[jj], type=pa.int64()),
-            }
-        )
-
-    cands = prefixes.groupby("sh").map_groups(bucket_pairs, batch_format="pyarrow")
-    cands = cands.groupby(["da", "db", "na", "nb"]).aggregate(Count(alias_name="_c"))
-
-    def norm_cand(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {c: pa.array([], type=pa.int64()) for c in ("da", "db", "na", "nb")}
-            )
-        return pa.table({c: b.column(c) for c in ("da", "db", "na", "nb")})
-
-    cands = cands.map_batches(norm_cand, batch_format="pyarrow").repartition(
-        num_partitions
-    )
-
-    post = shingle_postings(ds, text_col=text_col, id_col=id_col).repartition(
-        num_partitions
-    )
-    expanded = cands.join(
-        post, "inner", num_partitions=num_partitions, on=("da",), right_on=("doc",)
-    )
-
-    def norm_exp(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "da": pa.array([], type=pa.int64()),
-                    "db": pa.array([], type=pa.int64()),
-                    "na": pa.array([], type=pa.int64()),
-                    "nb": pa.array([], type=pa.int64()),
-                    "sh": pa.array([], type=pa.uint64()),
-                }
-            )
-        return pa.table({c: b.column(c) for c in ("da", "db", "na", "nb", "sh")})
-
-    expanded = expanded.map_batches(norm_exp, batch_format="pyarrow")
-
-    def norm_post_b(b: pa.Table) -> pa.Table:
-        if b.num_rows == 0:
-            return pa.table(
-                {
-                    "sh2": pa.array([], type=pa.uint64()),
-                    "doc2": pa.array([], type=pa.int64()),
-                }
-            )
-        return pa.table({"sh2": b.column("sh"), "doc2": b.column("doc")})
-
-    post_b = post.map_batches(norm_post_b, batch_format="pyarrow")
-    matched = expanded.join(
-        post_b,
-        "inner",
-        num_partitions=num_partitions,
-        on=("sh", "db"),
-        right_on=("sh2", "doc2"),
-    )
-    inter = matched.groupby(["da", "db", "na", "nb"]).aggregate(
-        Count(alias_name="n_inter")
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
+    def bucket_verify(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "doc_a": pa.array([], type=pa.int64()),
@@ -223,26 +231,73 @@ def similarity_join(
                 "n_union": pa.array([], type=pa.int64()),
             }
         )
-        if b.num_rows == 0:
+        if g.num_rows < 2:
             return empty
-        na = b.column("na").combine_chunks().to_numpy(zero_copy_only=False)
-        nb = b.column("nb").combine_chunks().to_numpy(zero_copy_only=False)
-        it = b.column("n_inter").combine_chunks().to_numpy(zero_copy_only=False)
-        uni = na + nb - it
-        keep = den * it >= num * uni
-        if not keep.any():
+        docs = g.column("doc").combine_chunks().to_numpy(zero_copy_only=False)
+        ns = g.column("n").combine_chunks().to_numpy(zero_copy_only=False)
+        poss = g.column("pos").combine_chunks().to_numpy(zero_copy_only=False)
+        lst = g.column("lst")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        o = np.argsort(docs, kind="stable")
+        docs, ns, poss = docs[o], ns[o], poss[o]
+        vals = lst.values.to_numpy(zero_copy_only=False)
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        ii, jj = np.triu_indices(len(docs), k=1)
+        na, nb = ns[ii], ns[jj]
+        # size filter (exact): den*min >= num*max
+        ok = den * np.minimum(na, nb) >= num * np.maximum(na, nb)
+        # positional filter (exact): required overlap o_req =
+        # ceil(num*(na+nb)/(num+den)); achievable <= 1 + min(rest_a, rest_b)
+        o_req = (num * (na + nb) + (num + den) - 1) // (num + den)
+        bound = 1 + np.minimum(na - poss[ii] - 1, nb - poss[jj] - 1)
+        ok &= bound >= o_req
+        out_a, out_b, out_i, out_u = [], [], [], []
+        oi = o  # original row index per sorted position
+        for a_s, b_s in zip(ii[ok], jj[ok]):
+            ra, rb = oi[a_s], oi[b_s]
+            sa = vals[offs[ra] : offs[ra + 1]]
+            sb = vals[offs[rb] : offs[rb + 1]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            uni = len(sa) + len(sb) - inter
+            if den * inter >= num * uni:
+                out_a.append(int(docs[a_s]))
+                out_b.append(int(docs[b_s]))
+                out_i.append(inter)
+                out_u.append(uni)
+        if not out_a:
             return empty
-        t = pa.table(
+        return pa.table(
             {
-                "doc_a": b.column("da"),
-                "doc_b": b.column("db"),
-                "n_inter": b.column("n_inter"),
-                "n_union": pa.array(uni.astype(np.int64)),
+                "doc_a": pa.array(out_a, type=pa.int64()),
+                "doc_b": pa.array(out_b, type=pa.int64()),
+                "n_inter": pa.array(out_i, type=pa.int64()),
+                "n_union": pa.array(out_u, type=pa.int64()),
             }
         )
-        return t.filter(pa.array(keep))
 
-    return inter.map_batches(finish, batch_format="pyarrow")
+    hits = prefixes.groupby("sh").map_groups(bucket_verify, batch_format="pyarrow")
+    # a qualifying pair can be found via several shared prefix shingles —
+    # fold duplicates (tiny: only pairs that already passed tau)
+    deduped = hits.groupby(["doc_a", "doc_b", "n_inter", "n_union"]).aggregate(
+        Count(alias_name="_c")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], type=pa.int64()),
+                    "doc_b": pa.array([], type=pa.int64()),
+                    "n_inter": pa.array([], type=pa.int64()),
+                    "n_union": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {c: b.column(c) for c in ("doc_a", "doc_b", "n_inter", "n_union")}
+        )
+
+    return deduped.map_batches(finish, batch_format="pyarrow")
 
 
 def sql_similarity_join(tau: tuple[int, int] = TAU, table: str = "documents") -> str:

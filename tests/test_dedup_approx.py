@@ -540,3 +540,43 @@ class TestExactSimilarityJoin:
         # exact dup: intersection == union
         row = got[(got["doc_a"] == 0) & (got["doc_b"] == 40)].iloc[0]
         assert row["n_inter"] == row["n_union"]
+
+    def test_hot_reorder_preserves_exactness(self, ray_session, tmp_path):
+        """With a tiny hot set the order is genuinely mixed (hot last):
+        results must STILL equal the brute join — completeness holds for
+        any consistent global order."""
+        import duckdb
+        import pyarrow.parquet as pq
+        import random as _random
+
+        import ray.data as rd
+
+        from quickner_ray.stages.setjoin import similarity_join, sql_similarity_join
+
+        texts = self._corpus(_random.Random(23))
+        path = str(tmp_path / "documents_hot.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        got = (
+            similarity_join(ds, hot_k=5)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = (
+            con.sql(sql_similarity_join())
+            .df()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        assert got.equals(want), (len(got), len(want))
