@@ -2998,7 +2998,7 @@ def q_entity_fastrp(sf_dir: str):
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, fastrp_embeddings
 
     ann = annotated_documents(sf_dir)
-    edges = cooccurrence_pairs(ann, annotated=True)
+    edges = cooccurrence_pairs(ann, annotated=True)  # materialized inside fastrp
     emb = fastrp_embeddings(
         edges, src_col="entity_a", dst_col="entity_b", node_type=pa.string()
     )

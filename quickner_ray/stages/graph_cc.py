@@ -1626,7 +1626,9 @@ def fastrp_embeddings(
 
     fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
     rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
-    und = fwd.union(rev)
+    # two consumers (hop-1 combiner + hop-2 join): materialize ONCE or the
+    # whole upstream (detection + co-occurrence) re-executes per consumer
+    und = fwd.union(rev).materialize()
 
     h1_cols = [f"h1_{k}" for k in range(dims)]
     h2_cols = [f"h2_{k}" for k in range(dims)]
@@ -1674,7 +1676,8 @@ def fastrp_embeddings(
     )
     # hash-aggregate outputs carry schema-less empty blocks that the join
     # operator cannot type — repartition consolidates them away (the same
-    # remedy bfs_distances/label_propagation apply to their frontiers)
+    # remedy bfs_distances/label_propagation apply to their frontiers);
+    # materialized because h1 feeds both the hop-2 join and the output join
     h1 = h1.repartition(num_partitions).materialize()
 
     hits = und.join(
