@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": q.q_kg_negative_samples,
         "entity_salience": q.q_entity_salience,
         "entity_timeline": q.q_entity_timeline,
+        "entity_context_features": q.q_entity_context_features,
         "entity_fastrp": q.q_entity_fastrp,
         "entity_communities": q.q_entity_communities,
         "canonical_entities_delta": q.q_canonical_entities_delta,
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_bfs,
         sql_entity_salience,
         sql_entity_timeline,
+        sql_entity_context_features,
         sql_entity_fastrp,
         sql_entity_communities,
         sql_canonical_entities_delta,
@@ -432,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),
         "entity_salience": sql_entity_salience(DEFAULT_GAZETTEER),
         "entity_timeline": sql_entity_timeline(DEFAULT_GAZETTEER),
+        "entity_context_features": sql_entity_context_features(DEFAULT_GAZETTEER),
         "entity_fastrp": sql_entity_fastrp(DEFAULT_GAZETTEER),
         "entity_communities": sql_entity_communities(DEFAULT_GAZETTEER),
         "canonical_entities_delta": sql_canonical_entities_delta(DEFAULT_GAZETTEER),

@@ -744,3 +744,33 @@ def sql_entity_fastrp(
         f"SELECT r.node AS entity_id, {h1_sel}, {h2_sel}\n"
         f"FROM r JOIN r2 ON r2.node = r.node"
     )
+
+
+def sql_entity_context_features(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    window: int = 20,
+    dims: int = 16,
+) -> str:
+    """Oracle for ``q_entity_context_features``: hashed bag-of-context-words
+    per canonical entity — KWIC window tokens bucketed by
+    ``md5_number_upper(token) % dims`` (== the Ray side's h64)."""
+    fcols = ",\n       ".join(
+        f"count(*) FILTER (CAST(md5_number_upper(w) % {dims} AS BIGINT) = {k})"
+        f" AS f{k}"
+        for k in range(dims)
+    )
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"ctx AS (SELECT a.pname, a.plabel, a.eid,\n"
+        f"  substr(lt.t, greatest(a.start - {window}, 0) + 1,\n"
+        f"    least(a.\"end\" + {window}, lt.n) - greatest(a.start - {window}, 0))"
+        f" AS context\n"
+        f"  FROM acc a JOIN lt USING (doc_id)),\n"
+        f"tok AS (SELECT pname, plabel, eid,\n"
+        f"  unnest(regexp_extract_all(context, '[a-z0-9]+')) AS w FROM ctx)\n"
+        f"SELECT pname AS surface_norm, plabel AS label,\n       {fcols},\n"
+        f"       eid AS entity_id\n"
+        f"FROM tok GROUP BY pname, plabel, eid"
+    )

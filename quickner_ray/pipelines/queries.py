@@ -3010,6 +3010,15 @@ def q_entity_fastrp(sf_dir: str):
     )
 
 
+def q_entity_context_features(sf_dir: str):
+    """Distributional entity features: hashed bag-of-context-words per
+    canonical entity over KWIC windows
+    (stages/relations.entity_context_features)."""
+    from ..stages.relations import entity_context_features
+
+    return entity_context_features(annotated_documents(sf_dir))
+
+
 def q_entity_timeline(sf_dir: str):
     """Temporal-KG provenance: per canonical entity, first/last crawl
     snapshot observed, number of distinct snapshots, and mention support

@@ -291,3 +291,103 @@ def infobox_facts(pages, *, id_col: str = "doc_id"):
         )
 
     return pages.map_batches(parse, batch_format="pyarrow")
+
+
+def entity_context_features(ann, *, window: int = CTX_WINDOW, dims: int = 16):
+    """Distributional entity representations: hashed bag-of-context-words
+    per canonical entity — the text-side counterpart of the graph-side
+    FastRP embedding (entity-linking / clustering features that need no
+    trained model). Every mention contributes its KWIC context window's
+    word-class tokens, feature-hashed into ``dims`` integer buckets
+    (h64(token) % dims — the classifier/DSIR hashing-trick convention).
+
+    Shape: fused doc-local explode + vectorized context gather per batch,
+    ONE dictionary-encode per batch computes token buckets per DISTINCT
+    token, a 2-D scatter-add folds (entity, bucket) counts to ONE row per
+    entity per batch (combiner bounded by gazetteer x dims regardless of
+    batch size), then a single groupby-sum. Output: (surface_norm, label,
+    f0..f{dims-1}, entity_id)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup_approx import h64
+    from ..stages.text_analysis import WORD_CLASS_RE
+    from .canonicalize import entity_id, explode_mentions
+
+    fcols = [f"f{k}" for k in range(dims)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty_cols: dict = {
+            "surface_norm": pa.array([], type=pa.string()),
+            "label": pa.array([], type=pa.string()),
+        }
+        for c in fcols:
+            empty_cols[c] = pa.array([], type=pa.int64())
+        empty = pa.table(empty_cols)
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, keep_text=True)
+        if m.num_rows == 0:
+            return empty
+        ctx = _ctx_batch(m, window=window).column("context")
+        if isinstance(ctx, pa.ChunkedArray):
+            ctx = ctx.combine_chunks()
+        toks = pc.split_pattern_regex(ctx, "[^a-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        parents = parents[nonempty]
+        if not len(flat):
+            return empty
+        enc = pc.dictionary_encode(flat)
+        vocab = enc.dictionary.to_pylist()
+        vb = np.fromiter(
+            (h64(w) % dims for w in vocab), dtype=np.int64, count=len(vocab)
+        )
+        buckets = vb[enc.indices.to_numpy(zero_copy_only=False)]
+        # entity key per mention -> per (entity, bucket) scatter-add
+        key = pc.binary_join_element_wise(
+            m.column("surface_norm").cast(pa.large_string()),
+            m.column("label").cast(pa.large_string()),
+            pa.scalar("\x00", type=pa.large_string()),
+        )
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kenc = pc.dictionary_encode(key)
+        kcodes = kenc.indices.to_numpy(zero_copy_only=False)
+        ne = len(kenc.dictionary)
+        counts = np.zeros((ne, dims), dtype=np.int64)
+        np.add.at(counts, (kcodes[parents], buckets), 1)
+        sn, lb = zip(*(k.rsplit("\x00", 1) for k in kenc.dictionary.to_pylist()))
+        cols: dict = {
+            "surface_norm": pa.array(sn, type=pa.string()),
+            "label": pa.array(lb, type=pa.string()),
+        }
+        for k, c in enumerate(fcols):
+            cols[c] = pa.array(counts[:, k])
+        return pa.table(cols)
+
+    partials = ann.map_batches(partial, batch_format="pyarrow")
+    merged = partials.groupby(["surface_norm", "label"]).aggregate(
+        *[Sum(c, alias_name=c) for c in fcols]
+    )
+
+    def with_id(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            cols = {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+            }
+            for c in fcols:
+                cols[c] = pa.array([], type=pa.int64())
+            cols["entity_id"] = pa.array([], type=pa.string())
+            return pa.table(cols)
+        eids = [
+            entity_id(s, l)
+            for s, l in zip(
+                b.column("surface_norm").to_pylist(), b.column("label").to_pylist()
+            )
+        ]
+        return b.append_column("entity_id", pa.array(eids, type=pa.string()))
+
+    return merged.map_batches(with_id, batch_format="pyarrow")

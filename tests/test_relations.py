@@ -250,3 +250,61 @@ def test_kg_negative_samples_properties():
         assert r["neg_obj"] in ents
     # hash draw spreads over the universe, not a constant
     assert len({r["neg_obj"] for r in out1}) > 3
+
+
+class TestEntityContextFeatures:
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_duckdb_and_counts(self, tmp_path):
+        import duckdb
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import (
+            sql_entity_context_features,
+        )
+        from quickner_ray.pipelines.queries import (
+            DEFAULT_GAZETTEER,
+            documents_gazetteer,
+        )
+        from quickner_ray.stages.detect import detect_mentions
+        from quickner_ray.stages.relations import entity_context_features
+
+        texts = [
+            "the quick sort beats the slow merge every time",
+            "sort",
+            "a hash join and a merge join walked into a scan",
+            "window window window",
+        ]
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        got = (
+            entity_context_features(ann, dims=8)
+            .to_pandas()
+            .sort_values(["surface_norm", "label"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = (
+            con.sql(sql_entity_context_features(DEFAULT_GAZETTEER, dims=8))
+            .df()
+            .sort_values(["surface_norm", "label"])
+            .reset_index(drop=True)
+        )
+        want = want[got.columns]
+        assert got.equals(want), (len(got), len(want))
+        # feature mass == total context tokens: every mention contributes
+        # at least its own surface token
+        fcols = [f"f{k}" for k in range(8)]
+        assert (got[fcols].sum(axis=1) >= 1).all()
