@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_acctbal_ranks": q.q_nation_acctbal_ranks,
         "keyword_search": q.q_keyword_search,
         "bm25_topk": q.q_bm25_topk,
+        "mmr_topk": q.q_mmr_topk,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
         # rows-only: IVF top-k is approximate by construction (recall >= 0.9
@@ -291,7 +292,7 @@ def oracle_sql() -> dict[str, str]:
         sql_gopher_filter,
         sql_keyword_search,
     )
-    from quickner_ray.stages.search import sql_bm25_topk
+    from quickner_ray.stages.search import sql_bm25_topk, sql_mmr_topk
     from quickner_ray.stages.text_analysis import (
         sql_lang_id,
         sql_quality_score,
@@ -394,6 +395,7 @@ def oracle_sql() -> dict[str, str]:
         "rare_word_stats": sql_rare_word_stats(),
         "keyword_search": sql_keyword_search(),
         "bm25_topk": sql_bm25_topk(),
+        "mmr_topk": sql_mmr_topk(),
         "customer_ntile": q.sql_customer_ntile(),
         "regression_stats": q.sql_regression_stats(),
         "nation_rich_counts": q.sql_nation_rich_counts(),

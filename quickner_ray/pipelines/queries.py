@@ -2781,6 +2781,14 @@ def q_bm25_topk(sf_dir: str):
     return bm25_topk(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+def q_mmr_topk(sf_dir: str):
+    """Diversified retrieval: integer-exact Maximal Marginal Relevance
+    re-ranking of the top-20 keyword pool (stages/search.mmr_topk)."""
+    from ..stages.search import mmr_topk
+
+    return mmr_topk(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_keyword_search(sf_dir: str):
     """Boolean AND keyword search (whole-token containment, zero-shuffle)."""
     from ..stages.text_analysis import keyword_search

@@ -186,3 +186,146 @@ def sql_bm25_topk(terms=BM25_TERMS, *, k: int = BM25_K, table: str = "documents"
         f"FROM d CROSS JOIN s\n"
         f"ORDER BY score DESC, d.doc_id LIMIT {k}"
     )
+
+
+MMR_K = 5
+MMR_POOL = 20
+
+
+def mmr_topk(
+    ds,
+    terms=BM25_TERMS,
+    *,
+    k: int = MMR_K,
+    pool: int = MMR_POOL,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Diversified retrieval: Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR'98) re-ranking of the top-``pool`` docs, made
+    integer-exact so the unrolled SQL oracle matches bit-for-bit.
+
+    relevance rel(d) = total whole-token query-term occurrences;
+    redundancy sim(a, b) = |distinct-token sets a ∩ b|; selection is the
+    λ=1/2 greedy — seed with argmax rel, then repeatedly add
+    ``argmax (rel(d) - max_{s in S} sim(d, s))``, all ties by doc_id asc.
+
+    Shape: pool selection is distributed (per-batch local top-``pool``
+    combiner carrying each doc's distinct-token set as a list column —
+    the rideshare trick — then a tiny global sort+limit); the greedy
+    itself runs on the ``pool``-row table, bounded by construction (the
+    POOL is the scale knob, not the corpus). Output: (rank, doc_id, rel).
+    """
+    import ray.data as rd
+
+    terms = tuple(terms)
+
+    def local_pool(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "rel": pa.array([], type=pa.int64()),
+                "ts": pa.array([], type=pa.list_(pa.string())),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tf, _ = _tf_dl(texts, terms)
+        rel = tf.sum(axis=1)
+        ids = b.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idv = ids.to_numpy(zero_copy_only=False)
+        order = np.lexsort((idv, -rel))[:pool]
+        # distinct token sets for the kept rows only
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(texts.take(pa.array(order))), WORD_CLASS_SPLIT_RE
+        )
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.greater(pc.binary_length(flat), 0).to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+        sets: list[list[str]] = [[] for _ in range(len(order))]
+        for w, p in zip(flat.to_pylist(), parents):
+            sets[p].append(w)
+        sets = [sorted(set(s)) for s in sets]
+        return pa.table(
+            {
+                id_col: pa.array(idv[order], type=pa.int64()),
+                "rel": pa.array(rel[order], type=pa.int64()),
+                "ts": pa.array(sets, type=pa.list_(pa.string())),
+            }
+        )
+
+    locals_ds = ds.map_batches(local_pool, batch_format="pyarrow")
+    top = locals_ds.sort(key=["rel", id_col], descending=[True, False]).limit(pool)
+    rows = top.take_all()  # bounded: pool rows
+    cand = [(int(r[id_col]), int(r["rel"]), frozenset(r["ts"])) for r in rows]
+
+    selected: list[tuple[int, int, int]] = []  # (rank, doc_id, rel)
+    chosen: list[frozenset] = []
+    remaining = list(cand)
+    for rank in range(1, k + 1):
+        if not remaining:
+            break
+        if not chosen:
+            best = min(remaining, key=lambda c: (-c[1], c[0]))
+        else:
+            def score(c):
+                msim = max(len(c[2] & s) for s in chosen)
+                return (-(c[1] - msim), c[0])
+
+            best = min(remaining, key=score)
+        selected.append((rank, best[0], best[1]))
+        chosen.append(best[2])
+        remaining = [c for c in remaining if c[0] != best[0]]
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([r for r, _, _ in selected], type=pa.int64()),
+                id_col: pa.array([d for _, d, _ in selected], type=pa.int64()),
+                "rel": pa.array([v for _, _, v in selected], type=pa.int64()),
+            }
+        )
+    )
+
+
+def sql_mmr_topk(
+    terms=BM25_TERMS, *, k: int = MMR_K, pool: int = MMR_POOL, table: str = "documents"
+) -> str:
+    """Unrolled-greedy oracle for ``mmr_topk``: k rounds of
+    argmax(rel - max shared-distinct-tokens vs selected), ties doc_id."""
+    terms = tuple(terms)
+    rel_expr = " + ".join(
+        f"len(list_filter(tk, x -> x = '{t}'))" for t in terms
+    )
+    sql = (
+        f"WITH tq AS (SELECT doc_id,"
+        f" regexp_extract_all(lower(text), '{WORD_CLASS_RE}') AS tk FROM {table}),\n"
+        f"d AS (SELECT doc_id, list_distinct(tk) AS ts, {rel_expr} AS rel FROM tq),\n"
+        f"pool AS (SELECT doc_id, ts, rel FROM d QUALIFY\n"
+        f"  row_number() OVER (ORDER BY rel DESC, doc_id) <= {pool}),\n"
+        f"sel1 AS (SELECT doc_id, ts, rel, 1 AS rk FROM pool QUALIFY\n"
+        f"  row_number() OVER (ORDER BY rel DESC, doc_id) = 1)"
+    )
+    for r in range(2, k + 1):
+        sql += (
+            f",\nc{r} AS (SELECT p.doc_id,"
+            f" max(len(list_intersect(p.ts, s.ts))) AS msim\n"
+            f"  FROM pool p CROSS JOIN sel{r - 1} s\n"
+            f"  WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{r - 1})\n"
+            f"  GROUP BY p.doc_id),\n"
+            f"pick{r} AS (SELECT p.doc_id, p.ts, p.rel, {r} AS rk\n"
+            f"  FROM pool p JOIN c{r} c USING (doc_id) QUALIFY\n"
+            f"  row_number() OVER (ORDER BY p.rel - c.msim DESC, p.doc_id) = 1),\n"
+            f"sel{r} AS (SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r})"
+        )
+    return (
+        sql
+        + f"\nSELECT CAST(rk AS BIGINT) AS rank, doc_id,"
+        f" CAST(rel AS BIGINT) AS rel FROM sel{k}"
+    )

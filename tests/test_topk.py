@@ -5,6 +5,7 @@ safe), and the stratified sample must be deterministic."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 import pyarrow as pa
 
 from quickner_ray.stages.topk import grouped_topk, stratified_sample
@@ -160,3 +161,46 @@ class TestBM25:
         scores = {int(d): s for d, s in zip(top["doc_id"], top["score"])}
         assert scores[3] == 0.0  # no query terms
         assert scores[0] > scores[2] > scores[3]
+
+
+class TestMMR:
+    @pytest.mark.usefixtures("ray_session")
+    def test_diversification_and_oracle(self, tmp_path):
+        import duckdb
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from quickner_ray.stages.search import mmr_topk, sql_mmr_topk
+
+        # doc 0/1: identical high-relevance twins — plain top-k would take
+        # both; MMR must demote the twin below a less-similar doc
+        texts = [
+            "spark window query spark window query alpha beta gamma",
+            "spark window query spark window query alpha beta gamma",
+            "spark window query query delta epsilon zeta eta theta",
+            "spark window kappa",
+            "query mu nu",
+            "nothing here",
+        ]
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        got = mmr_topk(ds, k=4, pool=6).to_pandas().sort_values("rank")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = con.sql(sql_mmr_topk(k=4, pool=6)).df().sort_values("rank")
+        assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+        order = list(got["doc_id"])
+        assert order[0] == 0          # highest rel, lowest id seed
+        # twin: rel 6, but msim 6 vs doc 0 -> score 0; doc 2: rel 4,
+        # msim 3 -> score 1 — diversification demotes the twin
+        assert order[1] == 2
+        assert 1 in order  # the twin re-enters once diversity is paid for
