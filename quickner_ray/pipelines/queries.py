@@ -4329,6 +4329,71 @@ def sql_host_link_graph() -> str:
     )
 
 
+def q_host_components(sf_dir: str):
+    """Web-graph structure: weakly-connected components over the parsed
+    cross-host link graph (min-bucket label; reuses the distributed
+    min-label propagation of stages/graph_cc.connected_components)."""
+    import pyarrow.compute as pc
+
+    from ..stages.graph_cc import connected_components
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64())}
+            )
+        sb = pc.extract_regex(b.column("src_host"), r"host(?P<b>[0-9]+)")
+        db = pc.extract_regex(b.column("dst_host"), r"host(?P<b>[0-9]+)")
+        return pa.table(
+            {
+                "src": pc.struct_field(sb, "b").cast(pa.int64()),
+                "dst": pc.struct_field(db, "b").cast(pa.int64()),
+            }
+        )
+
+    cc = connected_components(edges.map_batches(to_buckets, batch_format="pyarrow"))
+
+    def back_to_hosts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], type=pa.string()),
+                 "component": pa.array([], type=pa.int64())}
+            )
+        hosts = pc.binary_join_element_wise(
+            pa.array(["host"] * b.num_rows),
+            b.column("node").cast(pa.string()),
+            pa.array([".example.com"] * b.num_rows),
+            "",
+        )
+        return pa.table({"host": hosts, "component": b.column("component")})
+
+    return cc.map_batches(back_to_hosts, batch_format="pyarrow")
+
+
+def sql_host_components() -> str:
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e AS (SELECT DISTINCT sb, db FROM l WHERE sb <> db),\n"
+        f"edges AS (SELECT sb AS src, db AS dst FROM e\n"
+        f"  UNION ALL SELECT db, sb FROM e),\n"
+        f"nodes AS (SELECT DISTINCT src AS n FROM edges),\n"
+        f"reach(node, lab) AS (\n"
+        f"  SELECT n, n FROM nodes\n"
+        f"  UNION\n"
+        f"  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)\n"
+        f"SELECT 'host' || CAST(node AS VARCHAR) || '.example.com' AS host,\n"
+        f"       CAST(min(lab) AS BIGINT) AS component\n"
+        f"FROM reach GROUP BY node"
+    )
+
+
 def q_host_degrees(sf_dir: str):
     """Per-host web-graph degrees over the parsed link graph: distinct
     out/in neighbor counts + outgoing/incoming link volume, via a
