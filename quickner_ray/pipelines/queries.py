@@ -4394,6 +4394,69 @@ def sql_host_components() -> str:
     )
 
 
+def q_host_authority(sf_dir: str):
+    """Host authority: DIRECTED link-volume-weighted integer PageRank over
+    the parsed cross-host link graph (stages/graph_cc.weighted_pagerank —
+    mass flows along links proportional to each edge's share of the
+    source host's outgoing link volume)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph_cc import _project_t, weighted_pagerank
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir)).materialize()
+    st = {"node": pa.string()}
+    nodes = (
+        _project_t(edges, {"node": "src_host"}, st)
+        .union(_project_t(edges, {"node": "dst_host"}, st))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+    )
+    nodes = _project_t(nodes, {"node": "node"}, st)
+    wpr = weighted_pagerank(
+        edges,
+        nodes=nodes,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        wpr, {"host": "node", "pr_score": "pr_score"}, {"host": pa.string()}
+    )
+
+
+def sql_host_authority(n_iters: int = 3) -> str:
+    pr_scale = 10**12
+    base = (15 * pr_scale) // 100
+    sql = (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e AS (SELECT sb, db, count(*) AS w FROM l WHERE sb <> db GROUP BY sb, db),\n"
+        f"sw AS (SELECT sb AS s, sum(w) AS sw FROM e GROUP BY sb),\n"
+        f"nodes AS (SELECT DISTINCT sb AS n FROM e UNION SELECT DISTINCT db FROM e),\n"
+        f"s0 AS (SELECT n AS node, CAST({pr_scale} AS BIGINT) AS sc FROM nodes)"
+    )
+    for i in range(1, n_iters + 1):
+        sql += (
+            f",\ns{i} AS (\n"
+            f"  SELECT nd.n AS node,\n"
+            f"    CAST({base} + (85 * COALESCE(x.inc, 0)) // 100 AS BIGINT) AS sc\n"
+            f"  FROM nodes nd LEFT JOIN (\n"
+            f"    SELECT e.db AS node, SUM((p.sc * e.w) // g.sw) AS inc\n"
+            f"    FROM e JOIN s{i - 1} p ON p.node = e.sb\n"
+            f"    JOIN sw g ON g.s = e.sb\n"
+            f"    GROUP BY e.db) x ON x.node = nd.n)"
+        )
+    sql += (
+        f"\nSELECT 'host' || CAST(node AS VARCHAR) || '.example.com' AS host,\n"
+        f"       sc AS pr_score FROM s{n_iters}"
+    )
+    return sql
+
+
 def q_host_degrees(sf_dir: str):
     """Per-host web-graph degrees over the parsed link graph: distinct
     out/in neighbor counts + outgoing/incoming link volume, via a

@@ -1727,3 +1727,162 @@ def _as_np(col):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.to_numpy(zero_copy_only=False)
+
+
+def _broadcast_wpagerank(universe, edge_rows, nt, n_iters: int):
+    """Small-graph weighted directed PageRank, driver-side (numpy codes)."""
+    import numpy as np
+    import ray.data as rd
+
+    nodes = [r["node"] for r in universe.take_all()]
+    vocab = {v: i for i, v in enumerate(sorted(nodes))}
+    n = len(vocab)
+    sc = np.full(n, PR_SCALE, dtype=np.int64)
+    if edge_rows:
+        s = np.fromiter((vocab[r["src"]] for r in edge_rows), dtype=np.int64)
+        d = np.fromiter((vocab[r["dst"]] for r in edge_rows), dtype=np.int64)
+        w = np.fromiter((r["w"] for r in edge_rows), dtype=np.int64)
+        sw = np.zeros(n, dtype=np.int64)
+        np.add.at(sw, s, w)
+    base = (15 * PR_SCALE) // 100
+    for _ in range(n_iters):
+        inc = np.zeros(n, dtype=np.int64)
+        if edge_rows:
+            np.add.at(inc, d, (sc[s] * w) // sw[s])
+        sc = base + (85 * inc) // 100
+    inv = sorted(vocab)
+    return rd.from_items(
+        [{"node": inv[i], "pr_score": int(sc[i])} for i in range(n)]
+    )
+
+
+def weighted_pagerank(
+    edges,
+    *,
+    nodes,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    node_type: "pa.DataType | None" = None,
+    n_iters: int = 3,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Integer fixed-point PageRank over a DIRECTED, edge-WEIGHTED graph
+    (host authority by link volume): mass flows src -> dst proportional to
+    the edge weight's share of the source's total out-weight —
+    ``contribution = (score * w) // sw(src)`` (floor division keeps every
+    iteration bit-deterministic, as in :func:`pagerank`). Damping 0.85,
+    scores in PR_SCALE units, no renormalization; nodes without out-edges
+    simply contribute nothing (mass leaks — the standard simplification
+    when mass is not renormalized anyway). Caller invariant:
+    ``max(score) * max(w)`` must stay < 2^63 (holds when total weight per
+    node is bounded, as for host link volumes).
+
+    Same two execution shapes as :func:`pagerank`: size-gated driver path
+    (numpy scatter-adds) below DRIVER_CAP edges; otherwise one join + one
+    groupby-sum + one outer join per iteration, with only the (node,
+    score) frontier materialized.
+    """
+    from ray.data.aggregate import Sum
+
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt, "jnode": nt, "inode": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    ew = _project_t(
+        edges, {"src": src_col, "dst": dst_col, "w": weight_col}, ntypes
+    ).repartition(num_partitions).materialize()
+    universe0 = _project_t(nodes, {"node": node_col}, ntypes)
+    if ew.count() <= 2 * cap:
+        return _broadcast_wpagerank(universe0, ew.take_all(), nt, n_iters)
+
+    sw = _project_t(
+        ew.map_batches(
+            lambda b: pa.table({"src": b.column("src"), "w": b.column("w")})
+            if b.num_rows
+            else pa.table(
+                {"src": pa.array([], type=nt), "w": pa.array([], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("src")
+        .aggregate(Sum("w", alias_name="sw")),
+        {"node": "src", "sw": "sw"},
+        ntypes,
+    ).repartition(num_partitions).materialize()
+
+    universe = universe0.materialize()
+
+    def with_score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        return b.append_column(
+            "score", pa.array(np.full(b.num_rows, PR_SCALE, dtype=np.int64))
+        )
+
+    scores = universe.map_batches(with_score, batch_format="pyarrow").materialize()
+    base = (15 * PR_SCALE) // 100
+
+    def contrib(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], type=nt), "c": pa.array([], type=pa.int64())}
+            )
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        t = b.column("sw").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"dst": b.column("dst"), "c": pa.array((s * w) // t, type=pa.int64())}
+        )
+
+    def damp(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        inc_np = b.column("inc").fill_null(0).to_numpy(zero_copy_only=False)
+        score = base + (85 * inc_np) // 100
+        return pa.table(
+            {"node": b.column("node"), "score": pa.array(score, type=pa.int64())}
+        )
+
+    for _ in range(n_iters):
+        sd = scores.join(
+            sw, "inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",),
+        )
+        j = ew.join(
+            _project_t(
+                sd, {"jnode": "node", "score": "score", "sw": "sw"}, ntypes
+            ).repartition(num_partitions),
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("jnode",),
+        )
+        inc = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inc"))
+        )
+        inc = _project_t(inc, {"inode": "dst", "inc": "inc"}, ntypes).repartition(
+            num_partitions
+        )
+        nxt = universe.join(
+            inc, "left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("inode",),
+        )
+        scores = nxt.map_batches(damp, batch_format="pyarrow").repartition(
+            num_partitions
+        ).materialize()
+    return _project_t(scores, {"node": "node", "pr_score": "score"}, ntypes)
