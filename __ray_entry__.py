@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
         "events_window": q.q_events_window,
+        "events_zorder": q.q_events_zorder,
         "events_sliding_window": q.q_events_sliding_window,
         "events_resampled": q.q_events_resampled,
         "user_event_pivot": q.q_user_event_pivot,
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_link": sql_entity_link(DEFAULT_GAZETTEER),
         "fingerprints": sql_fingerprint(),
         "events_window": ev.sql_window_counts(),
+        "events_zorder": q.sql_events_zorder(),
         "events_sliding_window": ev.sql_sliding_window_counts(),
         "events_resampled": ev.sql_resample_user_windows(),
         "user_event_pivot": _sql_pivot(),

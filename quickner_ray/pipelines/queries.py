@@ -428,6 +428,62 @@ FUZZY_NAMES = [
 P99 = 0.99
 
 
+def q_events_zorder(sf_dir: str):
+    """Z-order data-clustering keys per event: Morton interleave of
+    (user_id, 256-second time bucket) — the multi-column sort key whose
+    contiguous ranges are 2-D tiles (stages/zorder.py). Sorting parquet
+    output by zkey makes row-group min/max stats prune BOTH user and time
+    range predicates."""
+    import pyarrow.compute as pc
+
+    from ..stages.zorder import add_zorder_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], type=pa.int64()),
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                }
+            )
+        secs = pc.divide(pc.cast(b.column("ts"), pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "a": b.column("user_id"),
+                "b": pc.divide(secs, 256),
+            }
+        )
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts", "user_id"]
+    )
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: add_zorder_key(t, "a", "b").select(["event_id", "zkey"])
+        if t.num_rows
+        else pa.table(
+            {"event_id": pa.array([], type=pa.int64()),
+             "zkey": pa.array([], type=pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return ds
+
+
+def sql_events_zorder() -> str:
+    from ..stages.zorder import sql_zorder_expr
+
+    a = "(user_id & 65535)"
+    b = "((epoch_us(ts) // 1000000 // 256) & 65535)"
+    return (
+        f"SELECT event_id, {sql_zorder_expr(a, b)} AS zkey FROM events"
+    )
+
+
 def q_events_above_p99(sf_dir: str):
     """Quantile-threshold anomaly filter: the exact global p99 of the
     continuous value column (distributed quickselect — no global sort)

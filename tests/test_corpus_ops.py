@@ -333,3 +333,39 @@ def test_crawl_budget_hamilton_allocation(ray_session, tmp_path):
     for _, r in got.iterrows():
         exact = 1000 * r["n_docs"] / tot
         assert abs(r["budget"] - exact) < 1
+
+
+def test_zorder_key_locality_and_bits():
+    """Morton keys: magic-mask spread == per-bit reference, and z-ordered
+    blocks prune a 2-D range query better than either single-column sort."""
+    import numpy as np
+
+    from quickner_ray.stages.zorder import zorder_key16
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 65536, 2000).astype(np.int64)
+    b = rng.integers(0, 65536, 2000).astype(np.int64)
+    z = zorder_key16(a, b)
+    # per-bit reference
+    ref = np.zeros(len(a), dtype=np.int64)
+    for i in range(16):
+        ref |= ((a >> i) & 1) << (2 * i)
+        ref |= ((b >> i) & 1) << (2 * i + 1)
+    assert (z == ref).all()
+    # locality: uniform grid, 64-row blocks, square range query
+    lo, hi = 20000, 28000
+
+    def blocks_touched(order):
+        aa, bb = a[order], b[order]
+        touched = 0
+        for s in range(0, len(aa), 64):
+            amin, amax = aa[s : s + 64].min(), aa[s : s + 64].max()
+            bmin, bmax = bb[s : s + 64].min(), bb[s : s + 64].max()
+            if amin <= hi and amax >= lo and bmin <= hi and bmax >= lo:
+                touched += 1
+        return touched
+
+    zt = blocks_touched(np.argsort(z, kind="stable"))
+    at = blocks_touched(np.argsort(a, kind="stable"))
+    bt = blocks_touched(np.argsort(b, kind="stable"))
+    assert zt < at and zt < bt
