@@ -1265,6 +1265,50 @@ def q_event_intervals(sf_dir: str):
     )
 
 
+def q_session_island_overlap(sf_dir: str):
+    """Interval-overlap JOIN with both sides large: per-user observation
+    sessions (gap sessionization) x per-user fact-validity islands
+    (gaps-and-islands coalescing), matched on temporal overlap via the
+    day-bucket decomposition join (stages/intervaljoin.py — pairs kept
+    exactly once in their first shared bucket, no dedup shuffle).
+    Sessions are closed at their last event instant -> half-open as
+    [start, end+1)."""
+    from ..stages.events import coalesce_intervals, sessionize
+    from ..stages.intervaljoin import interval_overlap_join
+
+    sessions = sessionize(_events(sf_dir, columns=["event_id", "ts", "user_id"]))
+
+    def half_open(b: pa.Table) -> pa.Table:
+        e = pc.add(b.column("end_us"), pa.scalar(1, type=pa.int64()))
+        return b.set_column(b.column_names.index("end_us"), "end_us", e)
+
+    sessions = sessions.map_batches(half_open, batch_format="pyarrow")
+    islands = coalesce_intervals(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    )
+    return interval_overlap_join(
+        sessions,
+        islands,
+        key_col="user_id",
+        left_cols=("session_id", "start_us", "end_us"),
+        right_cols=("island_id", "start_us", "end_us"),
+    )
+
+
+def sql_session_island_overlap() -> str:
+    from ..stages.events import sql_coalesce_intervals, sql_sessionize
+
+    return (
+        f"WITH sess AS ({sql_sessionize()}),\n"
+        f"isl AS ({sql_coalesce_intervals()})\n"
+        f"SELECT s.user_id, s.session_id, i.island_id,\n"
+        f"  least(s.end_us + 1, i.end_us) - greatest(s.start_us, i.start_us)\n"
+        f"    AS overlap_us\n"
+        f"FROM sess s JOIN isl i ON s.user_id = i.user_id\n"
+        f"  AND greatest(s.start_us, i.start_us) < least(s.end_us + 1, i.end_us)"
+    )
+
+
 def q_top_orders_per_priority(sf_dir: str, k: int = 3):
     """Grouped top-k with a partial combiner (stages/topk.py): top-k orders
     per priority class by total price."""
