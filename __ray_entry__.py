@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "event_intervals": q.q_event_intervals,
         "session_island_overlap": q.q_session_island_overlap,
+        "order_skyline": q.q_order_skyline,
         "host_link_graph": q.q_host_link_graph,
         "infobox_facts": q.q_infobox_facts,
         "host_degrees": q.q_host_degrees,
@@ -497,6 +498,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ev.sql_sessionize(),
         "event_intervals": ev.sql_coalesce_intervals(),
         "session_island_overlap": q.sql_session_island_overlap(),
+        "order_skyline": q.sql_order_skyline(),
         "host_link_graph": q.sql_host_link_graph(),
         "infobox_facts": q.sql_infobox_facts(),
         "host_degrees": q.sql_host_degrees(),

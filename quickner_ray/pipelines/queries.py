@@ -1309,6 +1309,49 @@ def sql_session_island_overlap() -> str:
     )
 
 
+def q_order_skyline(sf_dir: str):
+    """2-D skyline / Pareto frontier: orders not dominated on
+    (total price, order recency) — multi-criteria selection via the
+    lossless local-skyline combiner (stages/skyline.py); only
+    frontier-sized partials ever move."""
+    import ray.data as rd
+
+    from ..stages.skyline import skyline_2d
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        price_c = pc.round(pc.multiply(b.column("o_totalprice"), pa.scalar(100.0))).cast(
+            pa.int64()
+        )
+        day = pc.divide(
+            pc.cast(b.column("o_orderdate").combine_chunks(), pa.int64()),
+            pa.scalar(86_400_000_000, type=pa.int64()),
+        )
+        return pa.Table.from_pydict(
+            {"o_orderkey": b.column("o_orderkey"), "price_c": price_c, "day": day}
+        )
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return skyline_2d(ds, "price_c", "day")
+
+
+def sql_order_skyline() -> str:
+    return (
+        "WITH t AS (\n"
+        "  SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS price_c,\n"
+        "    epoch_us(o_orderdate) // 86400000000 AS day\n"
+        "  FROM orders)\n"
+        "SELECT o_orderkey, price_c, day FROM t a\n"
+        "WHERE NOT EXISTS (SELECT 1 FROM t b\n"
+        "  WHERE b.price_c >= a.price_c AND b.day >= a.day\n"
+        "    AND (b.price_c > a.price_c OR b.day > a.day))"
+    )
+
+
 def q_top_orders_per_priority(sf_dir: str, k: int = 3):
     """Grouped top-k with a partial combiner (stages/topk.py): top-k orders
     per priority class by total price."""
