@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
+        "host_hits": q.q_host_hits,
         "host_pagerank": q.q_host_pagerank,
         "anchor_aliases": q.q_anchor_aliases,
         "canonical_urls": q.q_canonical_urls,
@@ -504,6 +505,7 @@ def oracle_sql() -> dict[str, str]:
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),
+        "host_hits": q.sql_host_hits(),
         "host_pagerank": q.sql_host_pagerank(),
         "anchor_aliases": q.sql_anchor_aliases(),
         "canonical_urls": q.sql_canonical_urls(),

@@ -4600,6 +4600,80 @@ def sql_host_authority(n_iters: int = 3) -> str:
     return sql
 
 
+def q_host_hits(sf_dir: str, n_iters: int = 2):
+    """Host hubs & authorities: integer fixed-point HITS over the parsed
+    cross-host link graph (stages/graph_cc.hits_scores — link-volume
+    weighted, each half-step max-normalized by the exact integer rule so
+    the unrolled SQL oracle compares value-exact). Complements
+    host_authority's PageRank: HITS separates 'points at good pages'
+    (hub) from 'is pointed at by good hubs' (authority)."""
+    from ray.data.aggregate import Count
+
+    from ..stages.graph_cc import _project_t, hits_scores
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir)).materialize()
+    st = {"node": pa.string()}
+    nodes = (
+        _project_t(edges, {"node": "src_host"}, st)
+        .union(_project_t(edges, {"node": "dst_host"}, st))
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+    )
+    nodes = _project_t(nodes, {"node": "node"}, st)
+    out = hits_scores(
+        edges,
+        nodes=nodes,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+        node_type=pa.string(),
+        n_iters=n_iters,
+    )
+    return _project_t(
+        out,
+        {"host": "node", "hub_score": "hub_score", "auth_score": "auth_score"},
+        {"host": pa.string()},
+    )
+
+
+def sql_host_hits(n_iters: int = 2) -> str:
+    from ..stages.graph_cc import HITS_SCALE
+
+    sql = (
+        f"WITH l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e AS (SELECT sb, db, CAST(count(*) AS BIGINT) AS w FROM l\n"
+        f"  WHERE sb <> db GROUP BY sb, db),\n"
+        f"nodes AS (SELECT DISTINCT sb AS n FROM e UNION SELECT DISTINCT db FROM e),\n"
+        f"h0 AS (SELECT n AS node, CAST({HITS_SCALE} AS BIGINT) AS sc FROM nodes)"
+    )
+    for i in range(1, n_iters + 1):
+        prev_h = f"h{i - 1}"
+        sql += (
+            f",\nar{i} AS (SELECT e.db AS node, SUM(p.sc * e.w) AS raw\n"
+            f"  FROM e JOIN {prev_h} p ON p.node = e.sb GROUP BY e.db),\n"
+            f"a{i} AS (SELECT nd.n AS node,\n"
+            f"  CAST(COALESCE(ar.raw, 0) //\n"
+            f"    ((SELECT max(raw) FROM ar{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
+            f"  FROM nodes nd LEFT JOIN ar{i} ar ON ar.node = nd.n),\n"
+            f"hr{i} AS (SELECT e.sb AS node, SUM(p.sc * e.w) AS raw\n"
+            f"  FROM e JOIN a{i} p ON p.node = e.db GROUP BY e.sb),\n"
+            f"h{i} AS (SELECT nd.n AS node,\n"
+            f"  CAST(COALESCE(hr.raw, 0) //\n"
+            f"    ((SELECT max(raw) FROM hr{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
+            f"  FROM nodes nd LEFT JOIN hr{i} hr ON hr.node = nd.n)"
+        )
+    sql += (
+        f"\nSELECT 'host' || CAST(h.node AS VARCHAR) || '.example.com' AS host,\n"
+        f"  h.sc AS hub_score, a.sc AS auth_score\n"
+        f"FROM h{n_iters} h JOIN a{n_iters} a ON a.node = h.node"
+    )
+    return sql
+
+
 def q_host_degrees(sf_dir: str):
     """Per-host web-graph degrees over the parsed link graph: distinct
     out/in neighbor counts + outgoing/incoming link volume, via a

@@ -1886,3 +1886,182 @@ def weighted_pagerank(
             num_partitions
         ).materialize()
     return _project_t(scores, {"node": "node", "pr_score": "score"}, ntypes)
+
+
+HITS_SCALE = 10**9  # fixed-point unit for integer HITS (see overflow note)
+
+
+def _broadcast_hits(universe, edge_rows, nt, n_iters: int):
+    """Small-graph HITS, driver-side (numpy scatter-adds)."""
+    import numpy as np
+    import ray.data as rd
+
+    nodes = sorted(r["node"] for r in universe.take_all())
+    vocab = {v: i for i, v in enumerate(nodes)}
+    n = len(vocab)
+    h = np.full(n, HITS_SCALE, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    if edge_rows:
+        s = np.fromiter((vocab[r["src"]] for r in edge_rows), dtype=np.int64)
+        d = np.fromiter((vocab[r["dst"]] for r in edge_rows), dtype=np.int64)
+        w = np.fromiter((r["w"] for r in edge_rows), dtype=np.int64)
+    for _ in range(n_iters):
+        araw = np.zeros(n, dtype=np.int64)
+        if edge_rows:
+            np.add.at(araw, d, h[s] * w)
+        amax = int(araw.max()) if n else 0
+        a = araw // (amax // HITS_SCALE + 1)
+        hraw = np.zeros(n, dtype=np.int64)
+        if edge_rows:
+            np.add.at(hraw, s, a[d] * w)
+        hmax = int(hraw.max()) if n else 0
+        h = hraw // (hmax // HITS_SCALE + 1)
+    return rd.from_items(
+        [
+            {"node": nodes[i], "hub_score": int(h[i]), "auth_score": int(a[i])}
+            for i in range(n)
+        ]
+    )
+
+
+def _hits_half(scores, ew, from_col, to_col, universe, ntypes, nt, num_partitions):
+    """One HITS half-step: push ``scores`` along edges from ``from_col``
+    to ``to_col``, sum, then max-normalize back into HITS_SCALE units with
+    the exact integer rule ``sc = raw // (max(raw) // HITS_SCALE + 1)``
+    (divisor-first keeps every term inside int64 — no raw*SCALE blowup).
+    The max is a one-scalar driver aggregate broadcast into the
+    normalizing map; everything else is one hash join + one groupby-sum
+    + one outer join onto the node universe (absent nodes score 0)."""
+    from ray.data.aggregate import Sum
+
+    j = ew.join(
+        _project_t(scores, {"jnode": "node", "sc": "sc"}, ntypes).repartition(
+            num_partitions
+        ),
+        "inner",
+        num_partitions=num_partitions,
+        on=(from_col,),
+        right_on=("jnode",),
+    )
+
+    def contrib(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"tnode": pa.array([], type=nt), "c": pa.array([], type=pa.int64())}
+            )
+        sc = b.column("sc").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        return pa.table({"tnode": b.column(to_col), "c": pa.array(sc * w, type=pa.int64())})
+
+    raw = (
+        j.map_batches(contrib, batch_format="pyarrow")
+        .groupby("tnode")
+        .aggregate(Sum("c", alias_name="raw"))
+        .materialize()
+    )
+    rmax = raw.max("raw") if raw.count() else None
+    q = (int(rmax) if rmax is not None else 0) // HITS_SCALE + 1
+
+    def norm(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"inode": pa.array([], type=nt), "nsc": pa.array([], type=pa.int64())}
+            )
+        r = b.column("raw").to_numpy(zero_copy_only=False)
+        return pa.table({"inode": b.column("tnode"), "nsc": pa.array(r // q, type=pa.int64())})
+
+    normed = raw.map_batches(norm, batch_format="pyarrow").repartition(num_partitions)
+    out = universe.join(
+        normed, "left_outer", num_partitions=num_partitions,
+        on=("node",), right_on=("inode",),
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "sc": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {"node": b.column("node"), "sc": b.column("nsc").fill_null(0)}
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow").repartition(
+        num_partitions
+    ).materialize()
+
+
+def hits_scores(
+    edges,
+    *,
+    nodes,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    node_type: "pa.DataType | None" = None,
+    n_iters: int = 2,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Integer fixed-point HITS (hubs & authorities) over a directed,
+    edge-weighted graph: per iteration, auth(v) = sum of hub(u)*w over
+    in-edges then hub(u) = sum of auth(v)*w over out-edges, each half
+    max-normalized back into HITS_SCALE units by the exact integer rule
+    ``sc = raw // (max(raw) // HITS_SCALE + 1)`` — bit-deterministic at
+    any parallelism, so the unrolled SQL oracle compares value-exact.
+
+    Overflow invariant (documented, like weighted_pagerank): per-node
+    total in/out weight x HITS_SCALE must stay < 2^63, i.e. per-host
+    link volume < ~9e9 at the 1e-9 fixed point.
+
+    Size-gated: driver numpy path below DRIVER_CAP edges, else per
+    half-step one hash join + one groupby-sum + one scalar max + one
+    outer join (only the (node, score) frontier materializes).
+    Returns Dataset(node, hub_score, auth_score).
+    """
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt, "jnode": nt, "inode": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+
+    ew = _project_t(
+        edges, {"src": src_col, "dst": dst_col, "w": weight_col}, ntypes
+    ).repartition(num_partitions).materialize()
+    universe0 = _project_t(nodes, {"node": node_col}, ntypes)
+    if ew.count() <= 2 * cap:
+        return _broadcast_hits(universe0, ew.take_all(), nt, n_iters)
+
+    universe = universe0.repartition(num_partitions).materialize()
+
+    def with_score(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "sc": pa.array([], type=pa.int64())}
+            )
+        return b.append_column(
+            "sc", pa.array(np.full(b.num_rows, HITS_SCALE, dtype=np.int64))
+        )
+
+    h = universe.map_batches(with_score, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(n_iters):
+        a = _hits_half(h, ew, "src", "dst", universe, ntypes, nt, num_partitions)
+        h = _hits_half(a, ew, "dst", "src", universe, ntypes, nt, num_partitions)
+
+    ha = h.join(
+        _project_t(a, {"anode": "node", "asc": "sc"}, {"anode": nt}).repartition(
+            num_partitions
+        ),
+        "inner",
+        num_partitions=num_partitions,
+        on=("node",),
+        right_on=("anode",),
+    )
+    return _project_t(
+        ha, {"node": "node", "hub_score": "sc", "auth_score": "asc"}, ntypes
+    )

@@ -807,3 +807,63 @@ class TestWeightedPagerank:
         sc = {r["node"]: r["pr_score"]
               for r in weighted_pagerank(e2, nodes=n2, n_iters=2).take_all()}
         assert sc[1] > sc[2]
+
+
+class TestHits:
+    """Integer HITS: driver path == distributed path == hand fixed point;
+    hubs and authorities separate on a directed star."""
+
+    def _brute(self, edges, universe, n_iters):
+        SC = 10**9
+        h = {v: SC for v in universe}
+        a = {v: 0 for v in universe}
+        for _ in range(n_iters):
+            araw = {v: 0 for v in universe}
+            for s, d, w in edges:
+                araw[d] += h[s] * w
+            amax = max(araw.values()) if universe else 0
+            a = {v: araw[v] // (amax // SC + 1) for v in universe}
+            hraw = {v: 0 for v in universe}
+            for s, d, w in edges:
+                hraw[s] += a[d] * w
+            hmax = max(hraw.values()) if universe else 0
+            h = {v: hraw[v] // (hmax // SC + 1) for v in universe}
+        return h, a
+
+    @pytest.mark.parametrize("cap", [0, 200_000], ids=["distributed", "broadcast"])
+    @pytest.mark.usefixtures("ray_session")
+    def test_matches_brute(self, cap):
+        from quickner_ray.stages.graph_cc import hits_scores
+
+        rng = random.Random(17)
+        n = 10
+        edges = []
+        seen = set()
+        for _ in range(26):
+            s, d = rng.sample(range(n), 2)
+            if (s, d) not in seen:
+                seen.add((s, d))
+                edges.append((s, d, rng.randint(1, 9)))
+        edge_ds = rd.from_items([{"src": s, "dst": d, "w": w} for s, d, w in edges])
+        node_ds = rd.from_items([{"node": v} for v in range(n)])
+        out = hits_scores(
+            edge_ds, nodes=node_ds, n_iters=2, driver_cap=cap
+        ).take_all()
+        bh, ba = self._brute(edges, range(n), 2)
+        assert {r["node"]: r["hub_score"] for r in out} == bh
+        assert {r["node"]: r["auth_score"] for r in out} == ba
+
+    @pytest.mark.usefixtures("ray_session")
+    def test_hub_authority_separation(self):
+        # star: 0 points at 1,2,3 -> 0 is the pure hub, 1-3 pure authorities
+        from quickner_ray.stages.graph_cc import hits_scores
+
+        e = rd.from_items(
+            [{"src": 0, "dst": d, "w": 1} for d in (1, 2, 3)]
+        )
+        nds = rd.from_items([{"node": v} for v in range(4)])
+        sc = {r["node"]: (r["hub_score"], r["auth_score"])
+              for r in hits_scores(e, nodes=nds, n_iters=2).take_all()}
+        assert sc[0][0] > 0 and sc[0][1] == 0
+        for v in (1, 2, 3):
+            assert sc[v][0] == 0 and sc[v][1] > 0
