@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
         "hll_user_registers": q.q_hll_user_registers,
+        "hll_users_by_type": q.q_hll_users_by_type,
         "cms_token_registers": q.q_cms_token_registers,
         "normalized_text": q.q_normalized_text,
         "event_value_global_quantiles": q.q_event_value_global_quantiles,
@@ -335,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         sql_cms_registers as _sql_cms,
         sql_heavy_hitters as _sql_hh,
         sql_hll_registers as _sql_hll,
+        sql_hll_registers_grouped as _sql_hll_g,
     )
     from quickner_ray.stages.text_analysis import (
         sql_normalized_text as _sql_norm,
@@ -529,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sql_strat_sample(),
         "source_mixture_sample": _sql_mix_sample(),
         "hll_user_registers": _sql_hll("user_id", "events"),
+        "hll_users_by_type": _sql_hll_g("user_id", "event_type", "events"),
         "cms_token_registers": _sql_cms(),
         "heavy_hitters": _sql_hh(),
         "normalized_text": _sql_norm(),

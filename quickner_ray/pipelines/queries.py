@@ -1116,6 +1116,17 @@ def q_hll_user_registers(sf_dir: str):
     return hll_registers(ds, "user_id")
 
 
+def q_hll_users_by_type(sf_dir: str):
+    """GROUPED approximate COUNT DISTINCT: per-event-type HLL register
+    tables (distinct users per event type) — one shuffle bounded by
+    groups x 4096 registers, independent of row count. Registers are
+    deterministic, hence exactly oracle-checkable."""
+    from ..stages.sketch import hll_registers_grouped
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return hll_registers_grouped(ds, "user_id", "event_type")
+
+
 def q_source_mixture_sample(sf_dir: str):
     """Deterministic source-mixture subsample (LLM data mixing): per-source
     hash-derived keep rates, pure per-batch filter."""

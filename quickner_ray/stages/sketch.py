@@ -379,3 +379,81 @@ def sql_heavy_hitters(table: str = "documents", k: int = MG_K) -> str:
         f"SELECT tok AS token, CAST(c AS BIGINT) AS n_occurrences\n"
         f"FROM tc, tot WHERE c * ({k} + 1) > n"
     )
+
+
+def _partial_registers_grouped(batch: pa.Table, col: str, group_col: str) -> pa.Table:
+    """Per-(group, bucket) sparse partial registers. Vectorized over the
+    whole batch via a flat (group_code * M + bucket) scatter-max; partial
+    size is bounded by distinct-groups-per-batch x M (fine for
+    dimension-like group keys such as event_type — the grouped-HLL use
+    case; a corpus-keyed group column would belong in exact COUNT
+    DISTINCT instead)."""
+    from .dedup_approx import h64
+
+    vals = batch.column(col)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    grp = batch.column(group_col)
+    if isinstance(grp, pa.ChunkedArray):
+        grp = grp.combine_chunks()
+    if len(vals) == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "register": pa.array([], type=pa.int64()),
+            }
+        )
+    h = np.fromiter(
+        (h64(s) for s in vals.cast(pa.string()).to_pylist()),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+    bucket = (h >> np.uint64(_LOW_BITS)).astype(np.int64)
+    low = h & _LOW_MASK
+    bitlen = np.frexp(low.astype(np.float64))[1]
+    rho = np.where(low == 0, _LOW_BITS + 1, _LOW_BITS + 1 - bitlen).astype(np.int64)
+    enc = grp.cast(pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = enc.dictionary.to_pylist()
+    regs = np.zeros(len(uniques) * M, dtype=np.int64)
+    np.maximum.at(regs, codes * M + bucket, rho)
+    nz = np.flatnonzero(regs)
+    return pa.table(
+        {
+            group_col: pa.array([uniques[i] for i in nz // M], type=pa.string()),
+            "bucket": pa.array(nz % M, type=pa.int64()),
+            "register": pa.array(regs[nz], type=pa.int64()),
+        }
+    )
+
+
+def hll_registers_grouped(ds, col: str, group_col: str):
+    """Dataset -> Dataset(group, bucket, register): merged per-group HLL
+    register tables (grouped approximate COUNT DISTINCT — e.g. distinct
+    users per event type). ONE groupby bounded by groups x M rows."""
+    from ray.data.aggregate import Max
+
+    partial = ds.map_batches(
+        lambda b: _partial_registers_grouped(b, col, group_col),
+        batch_format="pyarrow",
+    )
+    return partial.groupby([group_col, "bucket"]).aggregate(
+        Max("register", alias_name="register")
+    )
+
+
+def sql_hll_registers_grouped(col: str, group_col: str, table: str) -> str:
+    div = 1 << _LOW_BITS
+    return (
+        f"WITH hv AS (SELECT DISTINCT {group_col},\n"
+        f"    md5_number_upper(CAST({col} AS VARCHAR)) AS h FROM {table}),\n"
+        f"parts AS (SELECT {group_col}, CAST(h // {div} AS BIGINT) AS bucket,\n"
+        f"                 h % {div} AS low FROM hv),\n"
+        f"rho AS (SELECT {group_col}, bucket,\n"
+        f"  CASE WHEN low = 0 THEN {_LOW_BITS + 1}\n"
+        f"  ELSE strpos(lpad(bin(low), {_LOW_BITS}, '0'), '1') END AS r\n"
+        f"  FROM parts)\n"
+        f"SELECT {group_col}, bucket, CAST(max(r) AS BIGINT) AS register\n"
+        f"FROM rho GROUP BY {group_col}, bucket"
+    )

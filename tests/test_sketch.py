@@ -148,3 +148,35 @@ class TestMisraGries:
                 got.column("n_occurrences").to_pylist())
         )
         assert got_d == expect
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGroupedHLL:
+    def test_per_group_estimates_and_layout_invariance(self):
+        from quickner_ray.stages.sketch import hll_registers_grouped
+
+        rng = np.random.RandomState(5)
+        # three groups with very different true cardinalities
+        rows_g, rows_u = [], []
+        true = {"a": 50, "b": 500, "c": 3000}
+        for g, card in true.items():
+            users = rng.randint(0, card * 10, size=card * 3) % card + (
+                0 if g == "a" else 10**6 * (ord(g) - 96)
+            )
+            rows_g += [g] * len(users)
+            rows_u += users.tolist()
+        t = pa.table(
+            {"g": pa.array(rows_g, pa.string()), "u": pa.array(rows_u, pa.int64())}
+        )
+        outs = []
+        for nblocks in (1, 6):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            regs = hll_registers_grouped(ds, "u", "g").take_all()
+            outs.append(sorted((r["g"], r["bucket"], r["register"]) for r in regs))
+        assert outs[0] == outs[1]  # parallelism-invariant registers
+        # per-group estimates within HLL error
+        for g, card in true.items():
+            sub = [(r[1], r[2]) for r in outs[0] if r[0] == g]
+            est = hll_estimate(sub)
+            true_card = len(set(u for gg, u in zip(rows_g, rows_u) if gg == g))
+            assert abs(est - true_card) / true_card < 0.1
