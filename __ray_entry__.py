@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": q.q_doc_length_deciles,
         "sessionize": q.q_sessionize,
         "event_intervals": q.q_event_intervals,
+        "event_decay_scores": q.q_event_decay_scores,
         "session_island_overlap": q.q_session_island_overlap,
         "order_skyline": q.q_order_skyline,
         "host_link_graph": q.q_host_link_graph,
@@ -500,6 +501,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_deciles": _sql_deciles(),
         "sessionize": ev.sql_sessionize(),
         "event_intervals": ev.sql_coalesce_intervals(),
+        "event_decay_scores": ev.sql_decay_scores(),
         "session_island_overlap": q.sql_session_island_overlap(),
         "order_skyline": q.sql_order_skyline(),
         "host_link_graph": q.sql_host_link_graph(),

@@ -1363,6 +1363,19 @@ def sql_order_skyline() -> str:
     )
 
 
+def q_event_decay_scores(sf_dir: str):
+    """Per-event exponential-decay activity score (alpha=1/2 EWMA over
+    value cents, exact integer recurrence s_i = (v_i + s_{i-1}) // 2 in
+    per-user event-time order) — the feature-engineering recurrence a
+    recommender/abuse pipeline computes per user. Oracle: recursive CTE
+    stepping the identical integer rule."""
+    from ..stages.events import decay_scores
+
+    return decay_scores(
+        _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+    )
+
+
 def q_top_orders_per_priority(sf_dir: str, k: int = 3):
     """Grouped top-k with a partial combiner (stages/topk.py): top-k orders
     per priority class by total price."""

@@ -1098,3 +1098,65 @@ def sql_coalesce_intervals(
         f"  CAST(count(*) AS BIGINT) AS n_events\n"
         f"FROM g GROUP BY user_id, island_id"
     )
+
+
+# --- exponential-decay activity score (EWMA, alpha = 1/2, exact) -------------
+
+
+def _decay_group(group: pa.Table) -> pa.Table:
+    """One user's events -> the running half-life decay score over value
+    cents: ``s_1 = v_1``, ``s_i = (v_i + s_{i-1}) // 2`` in per-user
+    event-time order. The floor at EVERY step makes the recurrence
+    bit-deterministic (an IEEE EWMA would drift ulps across engines), at
+    the cost of a sequential scan: nested floors do not distribute, so
+    the within-group recurrence is a genuine O(events-per-user) loop —
+    bounded by the same hot-user contract as sessionize (module
+    docstring). Everything around it (sort, cents, assembly) stays
+    vectorized."""
+    from ..kernel.rounding import round_away
+
+    us, eid, order = _sorted_user_events(group)
+    us, eid = us[order], eid[order]
+    val = group.column("value").to_numpy(zero_copy_only=False)[order]
+    v = round_away(val * 100.0, 0).astype(np.int64)
+    s = np.empty(len(v), dtype=np.int64)
+    acc = 0
+    first = True
+    for i in range(len(v)):
+        acc = int(v[i]) if first else (int(v[i]) + acc) // 2
+        first = False
+        s[i] = acc
+    user = group.column("user_id")[0].as_py()
+    return pa.Table.from_pydict(
+        {
+            "user_id": pa.array(np.full(len(v), user), type=pa.int64()),
+            "event_id": pa.array(eid, type=pa.int64()),
+            "decay_c": pa.array(s, type=pa.int64()),
+        }
+    )
+
+
+def decay_scores(ds):
+    """Per-event exponential-decay activity score (half-life EWMA over
+    value cents, exact integer): one user_id shuffle, sequential
+    recurrence within each group (see _decay_group)."""
+    return ds.groupby("user_id").map_groups(_decay_group, batch_format="pyarrow")
+
+
+def sql_decay_scores(table: str = "events") -> str:
+    """Recursive-CTE oracle: the identical integer recurrence stepped per
+    rank; recursion depth = max events per user."""
+    return (
+        f"WITH RECURSIVE o AS (\n"
+        f"  SELECT user_id, event_id,\n"
+        f"    CAST(round(value*100) AS BIGINT) AS v,\n"
+        f"    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)\n"
+        f"      AS rn\n"
+        f"  FROM {table}),\n"
+        f"r(user_id, event_id, rn, s) AS (\n"
+        f"  SELECT user_id, event_id, rn, v FROM o WHERE rn = 1\n"
+        f"  UNION ALL\n"
+        f"  SELECT o.user_id, o.event_id, o.rn, (o.v + r.s) // 2\n"
+        f"  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)\n"
+        f"SELECT user_id, event_id, s AS decay_c FROM r"
+    )

@@ -676,3 +676,38 @@ class TestCoalesceIntervals:
         for _, grp in got.groupby("user_id"):
             g = grp.sort_values("start_us")
             assert (g.start_us.values[1:] > g.end_us.values[:-1]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestDecayScores:
+    def test_recurrence_and_layout_invariance(self):
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        from quickner_ray.stages.events import decay_scores
+
+        # user 1: values 100, 50, 200 cents-> 10000, (5000+10000)//2=7500,
+        # (20000+7500)//2=13750; out-of-order ts exercises the sort
+        t = pa.table(
+            {
+                "event_id": pa.array([3, 1, 2, 9], pa.int64()),
+                "ts": pa.array([3_000_000, 1_000_000, 2_000_000, 5_000_000]).cast(
+                    pa.timestamp("us")
+                ),
+                "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+                "value": pa.array([200.0, 100.0, 50.0, 7.77], pa.float64()),
+            }
+        )
+        for nblocks in (1, 3):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            got = {
+                (r["user_id"], r["event_id"]): r["decay_c"]
+                for r in decay_scores(ds).take_all()
+            }
+            assert got == {
+                (1, 1): 10000,
+                (1, 2): 7500,
+                (1, 3): 13750,
+                (2, 9): 777,
+            }
