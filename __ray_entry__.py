@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities": q.q_canonical_entities,
         "canonical_entities_incremental": q.q_canonical_entities_incremental,
         "triples": q.q_triples,
+        "triple_store_lookup": q.q_triple_store_lookup,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
@@ -413,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
         # boundary-rule NER family: the acceptance rules collapse to a
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
         "triples": sql_triples(DEFAULT_GAZETTEER),
+        "triple_store_lookup": q.sql_triple_store_lookup(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("

@@ -3034,6 +3034,37 @@ def q_triples(sf_dir: str):
     )
 
 
+def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
+    """Triple-store materialize + point lookup: distinct (s,p,o) triples
+    written as the three permutation indexes (sinks/triplestore.py —
+    range-sorted Parquet whose row-group stats prune any-position
+    lookups), then the POS index answers 'all triples with predicate X'
+    reading only admitting fragments. Store cached under /tmp keyed by
+    corpus + store version; finished permutations skip on re-run
+    (resumable writes)."""
+    import ray.data as rd
+
+    from ..sinks.triplestore import lookup, write_triple_store
+
+    key = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/quickner_ray_tstore_v1_{key}"
+    if not os.path.exists(os.path.join(store, "pos", "_DONE")):
+        write_triple_store(q_triples(sf_dir), store, perms=["pos"])
+    return lookup(store, "pred", pred)
+
+
+def sql_triple_store_lookup(pred: str = "OPERATOR") -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT CAST(doc_id AS VARCHAR) AS subj, plabel AS pred, eid AS obj,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_mentions\n"
+        f"FROM acc WHERE plabel = '{pred}'\n"
+        f"GROUP BY 1, 2, 3"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
