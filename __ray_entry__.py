@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": q.q_dup_cluster_sizes,
         "dedup_keep_best": q.q_dedup_keep_best,
         "fuzzy_name_matches": q.q_fuzzy_name_matches,
+        "sorted_neighborhood_pairs": q.q_sorted_neighborhood_pairs,
         "url_filtered_docs": q.q_url_filtered_docs,
         "train_val_split": q.q_train_val_split,
         "epoch_shuffle": q.q_epoch_shuffle,
@@ -562,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": q.sql_local_supplier_revenue(),
         "dedup_keep_best": q.sql_dedup_keep_best(),
         "fuzzy_name_matches": q.sql_fuzzy_name_matches(),
+        "sorted_neighborhood_pairs": q.sql_sorted_neighborhood_pairs(),
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
         "train_val_split": q.sql_train_val_split(),

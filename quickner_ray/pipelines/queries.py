@@ -738,6 +738,45 @@ def sql_url_filtered_docs() -> str:
     )
 
 
+SNB_WINDOW = 4
+
+
+def q_sorted_neighborhood_pairs(sf_dir: str):
+    """Sorted-neighborhood ER blocking over the corpus: records sorted
+    globally by a normalized key (first 16 chars of the lowered text),
+    each paired with its next SNB_WINDOW neighbors (stages/blocking.py —
+    one global sort, bucketed self-join, pair volume n x window by
+    construction)."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        t = b.column("text")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        key = pc.utf8_slice_codeunits(pc.utf8_lower(t), 0, 16)
+        return pa.table({"doc_id": b.column("doc_id"), "key": key})
+
+    ds = ds.map_batches(keyed, batch_format="pyarrow")
+    out = sorted_neighborhood_pairs(ds, ["key"], "doc_id", window=SNB_WINDOW)
+    from ..stages.graph_cc import _project
+
+    return _project(out, {"doc_a": "id_a", "doc_b": "id_b", "dist": "dist"})
+
+
+def sql_sorted_neighborhood_pairs() -> str:
+    return (
+        f"WITH k AS (SELECT doc_id, substr(lower(text), 1, 16) AS key\n"
+        f"  FROM documents),\n"
+        f"r AS (SELECT doc_id, row_number() OVER (ORDER BY key, doc_id) AS rn\n"
+        f"  FROM k)\n"
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        f"  CAST(b.rn - a.rn AS BIGINT) AS dist\n"
+        f"FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + {SNB_WINDOW}"
+    )
+
+
 def q_fuzzy_name_matches(sf_dir: str):
     """Approximate string join (Levenshtein <= 1) between the corpus
     vocabulary and a reference name list, via SymSpell deletion-variant
