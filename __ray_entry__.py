@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_bands": q.q_events_value_bands,
         "token_count_ranks": q.q_token_count_ranks,
         "source_mixture_sample": q.q_source_mixture_sample,
+        "shard_assignments": q.q_shard_assignments,
         "hll_user_registers": q.q_hll_user_registers,
         "hll_users_by_type": q.q_hll_users_by_type,
         "cms_token_registers": q.q_cms_token_registers,
@@ -537,6 +538,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mixture_sample": _sql_mix_sample(),
         "hll_user_registers": _sql_hll("user_id", "events"),
         "hll_users_by_type": _sql_hll_g("user_id", "event_type", "events"),
+        "shard_assignments": q.sql_shard_assignments(),
         "cms_token_registers": _sql_cms(),
         "heavy_hitters": _sql_hh(),
         "normalized_text": _sql_norm(),

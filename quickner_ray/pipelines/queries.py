@@ -1166,6 +1166,30 @@ def q_hll_users_by_type(sf_dir: str):
     return hll_registers_grouped(ds, "user_id", "event_type")
 
 
+def q_shard_assignments(sf_dir: str):
+    """Consistent-hashing shard plan for the corpus: each doc key lands on
+    the first ring vnode clockwise from its md5 hash (stages/sharding.py)
+    — the partition layout that moves only ~1/(N+1) of keys on a cluster
+    resize (vs ~all for hash-mod). Zero shuffles; ring broadcast as a
+    64-int constant."""
+    from ..stages.sharding import assign_shards
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": b.column("doc_id").combine_chunks().cast(pa.string())}
+        )
+
+    return assign_shards(ds.map_batches(keyed, batch_format="pyarrow"), "key")
+
+
+def sql_shard_assignments() -> str:
+    from ..stages.sharding import sql_assign_shards
+
+    return sql_assign_shards("CAST(doc_id AS VARCHAR)", "documents")
+
+
 def q_source_mixture_sample(sf_dir: str):
     """Deterministic source-mixture subsample (LLM data mixing): per-source
     hash-derived keep rates, pure per-batch filter."""
