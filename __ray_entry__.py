@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q.q_snapshot_diff,
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
+        "lang_confusion": q.q_lang_confusion,
         "events_window": q.q_events_window,
         "events_zorder": q.q_events_zorder,
         "events_sliding_window": q.q_events_sliding_window,
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.q_sessionize,
         "event_intervals": q.q_event_intervals,
         "event_decay_scores": q.q_event_decay_scores,
+        "retention_cohorts": q.q_retention_cohorts,
         "session_island_overlap": q.q_session_island_overlap,
         "order_skyline": q.q_order_skyline,
         "host_link_graph": q.q_host_link_graph,
@@ -402,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep": sql_corpus_prep(),
         "corpus_prep_full": _sql_prep_full(),
         "lang_id": sql_lang_id(),
+        "lang_confusion": q.sql_lang_confusion(),
         "quality_scores": sql_quality_score(),
         "gopher_filter": sql_gopher_filter(),
         "rare_word_stats": sql_rare_word_stats(),
@@ -506,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": ev.sql_sessionize(),
         "event_intervals": ev.sql_coalesce_intervals(),
         "event_decay_scores": ev.sql_decay_scores(),
+        "retention_cohorts": ev.sql_retention_cohorts(),
         "session_island_overlap": q.sql_session_island_overlap(),
         "order_skyline": q.sql_order_skyline(),
         "host_link_graph": q.sql_host_link_graph(),

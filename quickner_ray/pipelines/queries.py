@@ -1739,6 +1739,43 @@ def q_lang_id(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention grid: distinct users per (first-seen day, activity
+    day offset) — stages/events.retention_cohorts (distinct-days dedup ->
+    per-user min -> one hash join -> dimension-bounded final groupby)."""
+    from ..stages.events import retention_cohorts
+
+    return retention_cohorts(_events(sf_dir, columns=["ts", "user_id"]))
+
+
+def q_lang_confusion(sf_dir: str):
+    """Language-metadata audit: confusion matrix of declared ``lang`` vs
+    detected ``lang_pred`` (the mislabeled-document report a curation run
+    reads before trusting crawl metadata). One dimension-bounded groupby
+    over the actor-pool lang-ID pass."""
+    from ray.data.aggregate import Count
+
+    from ..stages.taskstate import task_stage
+    from ..stages.text_analysis import LangIdStage
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(task_stage(LangIdStage), batch_format="pyarrow")
+    return ds.select_columns(["lang", "lang_pred"]).groupby(
+        ["lang", "lang_pred"]
+    ).aggregate(Count(alias_name="n_docs"))
+
+
+def sql_lang_confusion() -> str:
+    from ..stages.text_analysis import sql_lang_id
+
+    return (
+        f"WITH p AS ({sql_lang_id()})\n"
+        f"SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs\n"
+        f"FROM documents d JOIN p ON p.doc_id = d.doc_id\n"
+        f"GROUP BY d.lang, p.lang_pred"
+    )
+
+
 def _media_path(sf_dir: str) -> str:
     """Synth media parquet cache, keyed on the SOURCE's identity: the cache
     name embeds a fingerprint of documents.parquet's path + size + mtime,

@@ -1160,3 +1160,106 @@ def sql_decay_scores(table: str = "events") -> str:
         f"  FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1)\n"
         f"SELECT user_id, event_id, s AS decay_c FROM r"
     )
+
+
+# --- retention cohorts --------------------------------------------------------
+
+US_PER_DAY = 86_400_000_000
+
+
+def retention_cohorts(ds):
+    """Cohort retention table: users bucketed by FIRST-seen day, counted
+    per (cohort_day, day_offset) of later activity — the product-analytics
+    grid behind every retention curve.
+
+    Shapes: per-batch (user, day) projection -> one composite-key groupby
+    dedup (distinct active days per user) -> per-user min aggregate
+    (cohort) -> one hash join back -> final dimension-bounded groupby.
+    The join ships one row per (user, active day), never raw events."""
+    from ray.data.aggregate import Count, Min
+
+    def to_days(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "day": pa.array([], type=pa.int64())}
+            )
+        us = _ts_us(b).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "day": pa.array(us // US_PER_DAY, type=pa.int64()),
+            }
+        )
+
+    days = (
+        ds.map_batches(to_days, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="_n"))
+    )
+    def project_days(b: pa.Table) -> pa.Table:
+        # typed projection (not drop_columns): groupby emits schema-less
+        # empty blocks that would break the downstream hash join
+        if b.num_rows == 0:
+            return pa.table(
+                {"user_id": pa.array([], type=pa.int64()),
+                 "day": pa.array([], type=pa.int64())}
+            )
+        return pa.table({"user_id": b.column("user_id"), "day": b.column("day")})
+
+    days = (
+        days.map_batches(project_days, batch_format="pyarrow")
+        .repartition(8)
+        .materialize()
+    )
+    first = days.groupby("user_id").aggregate(Min("day", alias_name="cohort_day"))
+
+    def strip(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"juser": pa.array([], type=pa.int64()),
+                 "cohort_day": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {"juser": b.column("user_id"), "cohort_day": b.column("cohort_day")}
+        )
+
+    # repartition decouples the join input from the aggregate's block
+    # layout (Ray's hash join rejects aggregate-emitted empty blocks —
+    # same workaround as q_dedup_keep_best)
+    first = first.map_batches(strip, batch_format="pyarrow").repartition(8)
+    joined = days.join(
+        first, "inner", num_partitions=8, on=("user_id",), right_on=("juser",)
+    )
+
+    def offset(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"cohort_day": pa.array([], type=pa.int64()),
+                 "day_offset": pa.array([], type=pa.int64())}
+            )
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        c = b.column("cohort_day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_day": b.column("cohort_day"),
+                "day_offset": pa.array(d - c, type=pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(offset, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def sql_retention_cohorts(table: str = "events") -> str:
+    return (
+        f"WITH d AS (SELECT DISTINCT user_id,\n"
+        f"    epoch_us(ts) // {US_PER_DAY} AS day FROM {table}),\n"
+        f"f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)\n"
+        f"SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,\n"
+        f"  CAST(count(*) AS BIGINT) AS n_users\n"
+        f"FROM d JOIN f USING (user_id) GROUP BY 1, 2"
+    )

@@ -711,3 +711,42 @@ class TestDecayScores:
                 (1, 3): 13750,
                 (2, 9): 777,
             }
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRetentionCohorts:
+    def test_hand_computed_and_layout_invariance(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.stages.events import US_PER_DAY, retention_cohorts
+
+        def ts(day, k=0):
+            return day * US_PER_DAY + k * 1_000_000
+
+        # user 1: first day 0, active days 0,1,3 (two events day 0)
+        # user 2: first day 1, active days 1,2
+        # user 3: first day 3 only
+        rows = [
+            (1, ts(0)), (1, ts(0, 5)), (1, ts(1)), (1, ts(3)),
+            (2, ts(1)), (2, ts(2)),
+            (3, ts(3)),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows]).cast(pa.timestamp("us")),
+            }
+        )
+        expect = {
+            (0, 0): 1, (0, 1): 1, (0, 3): 1,
+            (1, 0): 1, (1, 1): 1,
+            (3, 0): 1,
+        }
+        for nblocks in (1, 4):
+            ds = rd.from_arrow(t).repartition(nblocks)
+            got = {
+                (r["cohort_day"], r["day_offset"]): r["n_users"]
+                for r in retention_cohorts(ds).take_all()
+            }
+            assert got == expect
