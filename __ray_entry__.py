@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": q.q_gopher_filter,
         "rare_word_stats": q.q_rare_word_stats,
         "embedding_dim_stats": q.q_embedding_dim_stats,
+        "embedding_int8": q.q_embedding_int8,
         "embedding_kmeans": q.q_embedding_kmeans,
         "customer_ntile": q.q_customer_ntile,
         "regression_stats": q.q_regression_stats,
@@ -571,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_matches": q.sql_fuzzy_name_matches(),
         "sorted_neighborhood_pairs": q.sql_sorted_neighborhood_pairs(),
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
+        "embedding_int8": q.sql_embedding_int8(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
         "train_val_split": q.sql_train_val_split(),
         "epoch_shuffle": q.sql_epoch_shuffle(),

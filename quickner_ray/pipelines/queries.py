@@ -2539,6 +2539,68 @@ def sql_embedding_dim_stats() -> str:
     )
 
 
+def q_embedding_int8(sf_dir: str):
+    """Int8 embedding quantization (the 4x vector-memory compression an
+    ANN index applies before sharding): per-vector absmax scale,
+    q = round_away(127 * v / absmax) — every op is one IEEE-double
+    expression evaluated in the same order on both engines, so the
+    long-form output is bit-exact against SQL. Zero-shuffle batch map;
+    zero vectors quantize to 0."""
+    import ray.data as rd
+
+    from ..kernel.rounding import round_away
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def quant(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "dim": pa.array([], type=pa.int64()),
+                    "q8": pa.array([], type=pa.int64()),
+                }
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // n
+        mat = flat.reshape(n, dim)
+        m = np.abs(mat).max(axis=1)
+        safe = np.where(m == 0.0, 1.0, m)
+        q = round_away(127.0 * mat / safe[:, None], 0).astype(np.int64)
+        q[m == 0.0, :] = 0
+        vids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(vids, dim), type=pa.int64()),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), n), type=pa.int64()
+                ),
+                "q8": pa.array(q.reshape(-1), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(quant, batch_format="pyarrow")
+
+
+def sql_embedding_int8() -> str:
+    return (
+        "SELECT vec_id, CAST(dim AS BIGINT) AS dim,\n"
+        "  CAST(CASE WHEN m = 0 THEN 0\n"
+        "       ELSE round(127.0 * v / m) END AS BIGINT) AS q8\n"
+        "FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,\n"
+        "        CAST(unnest(embedding) AS DOUBLE) AS v,\n"
+        "        CAST(list_max(list_transform(embedding, x -> abs(x)))\n"
+        "          AS DOUBLE) AS m\n"
+        "      FROM embeddings)"
+    )
+
+
 def q_embedding_kmeans(sf_dir: str):
     """Distributed Lloyd k-means assignments over the embeddings table
     (rows-only: per-dimension float means drift ulps across engines, so no

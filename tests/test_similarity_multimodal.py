@@ -220,3 +220,42 @@ def test_media_embed_stage_pooling():
     assert out.column("dim").to_pylist() == list(range(EMBED_DIM))
     with _pytest.raises(NotImplementedError):
         stage._embed_one(b"JPEG not really")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestEmbeddingInt8:
+    def test_quantization_semantics(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.pipelines.queries import q_embedding_int8
+
+        # direct kernel probe via a tiny synthetic embeddings dir
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        vecs = [
+            [0.5, -1.0, 0.25, 0.0],   # absmax 1.0 -> -1.0 maps to -127
+            [0.0, 0.0, 0.0, 0.0],     # zero vector -> all zeros
+            [2.0, 1.0, -0.5, 0.1],    # absmax 2.0 -> 2.0 maps to 127
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            pq.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array([0, 1, 2], pa.int64()),
+                        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                    }
+                ),
+                os.path.join(d, "embeddings.parquet"),
+            )
+            rows = q_embedding_int8(d).take_all()
+        got = {(r["vec_id"], r["dim"]): r["q8"] for r in rows}
+        assert got[(0, 2)] == -127 and got[(2, 1)] == 127
+        assert all(got[(1, j)] == 0 for j in range(1, 5))
+        assert all(-127 <= v <= 127 for v in got.values())
+        # round-half-away: 0.5/1.0 * 127 = 63.5 -> 64
+        assert got[(0, 1)] == 64
