@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relation_candidates": q.q_relation_candidates,
         "entity_pmi": q.q_entity_pmi,
         "entity_aliases": q.q_entity_aliases,
+        "entity_sameas": q.q_entity_sameas,
         "entity_kcore": q.q_entity_kcore,
         "entity_bfs": q.q_entity_bfs,
         "kg_negative_samples": q.q_kg_negative_samples,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "relation_candidates": sql_relation_candidates(DEFAULT_GAZETTEER),
         "entity_pmi": sql_entity_pmi(DEFAULT_GAZETTEER),
         "entity_aliases": sql_entity_aliases(DEFAULT_GAZETTEER),
+        "entity_sameas": q.sql_entity_sameas(),
         "entity_kcore": sql_entity_kcore(DEFAULT_GAZETTEER),
         "entity_bfs": sql_entity_bfs(DEFAULT_GAZETTEER),
         "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),

@@ -4008,6 +4008,130 @@ def q_entity_kcore(sf_dir: str):
     )
 
 
+def q_entity_sameas(sf_dir: str):
+    """owl:sameAs-style transitive closure over MULTI-KEY alias blocking:
+    canonical surfaces sharing EITHER the punctuation-stripped key OR the
+    first token link into one identity cluster, closed transitively via
+    connected components (chains like "u.s." ~ "u s" ~ "u s navy" merge
+    even when no single key spans all three). Node ids are the shared
+    signed md5 h64 of the surface, so the component label (min reachable
+    id) is value-exact against the recursive-CTE oracle."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.dedup_approx import h64
+    from ..stages.graph_cc import _project, connected_components
+
+    ents = canonical_entities(mentions_dataset(sf_dir))
+    surf = ents.select_columns(["surface_norm"]).groupby("surface_norm").aggregate(
+        Count(alias_name="_c")
+    )
+    return sameas_components(surf)
+
+
+def sameas_components(surf):
+    """(surface_norm, ...) Dataset of DISTINCT surfaces -> (surface_norm,
+    sameas_component): the multi-key blocking closure of q_entity_sameas
+    (factored out so tests can drive synthetic chains directly)."""
+    import numpy as np
+
+    from ..stages.dedup_approx import h64
+    from ..stages.graph_cc import _project, connected_components
+
+    def keyed(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "sid": pa.array([], type=pa.int64()),
+                    "k1": pa.array([], type=pa.string()),
+                    "k2": pa.array([], type=pa.string()),
+                }
+            )
+        s = b.column("surface_norm")
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        sid = np.fromiter(
+            (h64(v) for v in s.to_pylist()), dtype=np.uint64, count=len(s)
+        ).astype(np.int64)
+        k1 = pc.replace_substring_regex(s, "[^a-z0-9]", "")
+        k2 = pc.struct_field(pc.extract_regex(s, r"^(?P<t>[^ ]+)"), "t")
+        return pa.table(
+            {"surface_norm": s, "sid": pa.array(sid, type=pa.int64()), "k1": k1, "k2": k2}
+        )
+
+    nodes = surf.map_batches(keyed, batch_format="pyarrow").materialize()
+
+    def link_group(g: pa.Table) -> pa.Table:
+        sid = g.column("sid").to_numpy(zero_copy_only=False)
+        m = int(sid.min())
+        return pa.table(
+            {
+                "src": pa.array(sid, type=pa.int64()),
+                "dst": pa.array(np.full(len(sid), m), type=pa.int64()),
+            }
+        )
+
+    e1 = nodes.groupby("k1").map_groups(link_group, batch_format="pyarrow")
+    e2 = nodes.groupby("k2").map_groups(link_group, batch_format="pyarrow")
+    cc = connected_components(
+        e1.union(e2),
+        nodes=_project(nodes, {"node": "sid"}),
+    )
+    cc = _project(cc, {"jnode": "node", "component": "component"}).repartition(8)
+    joined = nodes.join(
+        cc, "inner", num_partitions=8, on=("sid",), right_on=("jnode",)
+    )
+
+    def out(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "sameas_component": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "surface_norm": b.column("surface_norm"),
+                "sameas_component": b.column("component"),
+            }
+        )
+
+    return joined.map_batches(out, batch_format="pyarrow")
+
+
+SIGNED_WRAP = (
+    "CAST(md5_number_upper(surface_norm) - CASE WHEN "
+    "md5_number_upper(surface_norm) >= 9223372036854775808 THEN "
+    "18446744073709551616 ELSE 0 END AS BIGINT)"
+)
+
+
+def sql_entity_sameas() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH RECURSIVE {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"ce AS (SELECT pname AS surface_norm FROM acc GROUP BY pname),\n"
+        f"n AS (SELECT surface_norm, {SIGNED_WRAP} AS sid,\n"
+        f"  regexp_replace(surface_norm, '[^a-z0-9]', '', 'g') AS k1,\n"
+        f"  regexp_extract(surface_norm, '^[^ ]+') AS k2 FROM ce),\n"
+        f"e1 AS (SELECT n.sid AS src, m.msid AS dst FROM n JOIN\n"
+        f"  (SELECT k1, min(sid) AS msid FROM n GROUP BY k1) m ON m.k1 = n.k1),\n"
+        f"e2 AS (SELECT n.sid AS src, m.msid AS dst FROM n JOIN\n"
+        f"  (SELECT k2, min(sid) AS msid FROM n GROUP BY k2) m ON m.k2 = n.k2),\n"
+        f"edges0 AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),\n"
+        f"edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),\n"
+        f"reach(node, lab) AS (\n"
+        f"  SELECT sid, sid FROM n\n"
+        f"  UNION\n"
+        f"  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)\n"
+        f"SELECT n.surface_norm, CAST(min(r.lab) AS BIGINT) AS sameas_component\n"
+        f"FROM n JOIN reach r ON r.node = n.sid GROUP BY n.surface_norm"
+    )
+
+
 def q_entity_aliases(sf_dir: str):
     """Entity resolution by alias normalization: canonical surface forms
     that collapse to the same punctuation/space-stripped key (e.g.

@@ -867,3 +867,24 @@ class TestHits:
         assert sc[0][0] > 0 and sc[0][1] == 0
         for v in (1, 2, 3):
             assert sc[v][0] == 0 and sc[v][1] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSameasClosure:
+    def test_multi_key_chain_merges_transitively(self):
+        import pyarrow as pa
+
+        from quickner_ray.pipelines.queries import sameas_components
+
+        # chain: "u.s." -k1- "u s" -k2- "u s navy"; "table" isolated
+        surfaces = ["u.s.", "u s", "u s navy", "table"]
+        ds = rd.from_arrow(
+            pa.table({"surface_norm": pa.array(surfaces, pa.string())})
+        )
+        got = {
+            r["surface_norm"]: r["sameas_component"]
+            for r in sameas_components(ds).take_all()
+        }
+        assert got["u.s."] == got["u s"] == got["u s navy"]
+        assert got["table"] != got["u.s."]
+        assert set(got) == set(surfaces)
