@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_stats": q.q_dsir_stats,
         "lang_id": q.q_lang_id,
         "lang_confusion": q.q_lang_confusion,
+        "shingle_novelty": q.q_shingle_novelty,
         "events_window": q.q_events_window,
         "events_zorder": q.q_events_zorder,
         "events_sliding_window": q.q_events_sliding_window,
@@ -407,6 +408,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_prep_full": _sql_prep_full(),
         "lang_id": sql_lang_id(),
         "lang_confusion": q.sql_lang_confusion(),
+        "shingle_novelty": q.sql_shingle_novelty(),
         "quality_scores": sql_quality_score(),
         "gopher_filter": sql_gopher_filter(),
         "rare_word_stats": sql_rare_word_stats(),

@@ -1748,6 +1748,63 @@ def q_retention_cohorts(sf_dir: str):
     return retention_cohorts(_events(sf_dir, columns=["ts", "user_id"]))
 
 
+NOVELTY_SNAPS = 8
+
+
+def q_shingle_novelty(sf_dir: str):
+    """Crawl-freshness metric: NEW distinct word-shingles contributed by
+    each crawl snapshot (doc_id%8 snapshots, as in entity_timeline) —
+    shingle -> min-snapshot aggregate on the uniform 64-bit hash key, then
+    a snapshot-bounded count. The curve a crawl scheduler reads to decide
+    when re-crawling stops paying."""
+    from ray.data.aggregate import Count, Min
+
+    from ..stages.dedup_approx import _shingle_rows
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        p, h, _ = _shingle_rows(b.column("text"))
+        ids = b.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        snap = pc.bit_wise_and(
+            ids.take(pa.array(p)), pa.scalar(NOVELTY_SNAPS - 1, type=pa.int64())
+        )
+        t = pa.table({"h": pa.array(h.view(np.int64)), "snap": snap})
+        # per-batch (h, snap) dedup combiner bounds the shuffle
+        arr = np.stack(
+            [t.column("h").to_numpy(zero_copy_only=False),
+             t.column("snap").to_numpy(zero_copy_only=False)], axis=1
+        )
+        uniq = np.unique(arr, axis=0)
+        return pa.table(
+            {"h": pa.array(uniq[:, 0], type=pa.int64()),
+             "snap": pa.array(uniq[:, 1], type=pa.int64())}
+        )
+
+    first = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("snap", alias_name="first_snap"))
+    )
+    return first.groupby("first_snap").aggregate(
+        Count(alias_name="n_new_shingles")
+    )
+
+
+def sql_shingle_novelty() -> str:
+    from ..stages.dedup_approx import sql_shingle_ctes
+
+    return (
+        f"WITH {sql_shingle_ctes()},\n"
+        f"s AS (SELECT doc_id % {NOVELTY_SNAPS} AS snap, h64 FROM hsh),\n"
+        f"f AS (SELECT h64, min(snap) AS first_snap FROM s GROUP BY h64)\n"
+        f"SELECT first_snap, CAST(count(*) AS BIGINT) AS n_new_shingles\n"
+        f"FROM f GROUP BY first_snap"
+    )
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-metadata audit: confusion matrix of declared ``lang`` vs
     detected ``lang_pred`` (the mislabeled-document report a curation run

@@ -580,3 +580,39 @@ class TestExactSimilarityJoin:
             .reset_index(drop=True)
         )
         assert got.equals(want), (len(got), len(want))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestShingleNovelty:
+    def test_first_snapshot_owns_shared_shingles(self, tmp_path):
+        """Docs 0 and 8 share snapshot-0-first shingles (doc_id%8==0);
+        doc 1 (snap 1) contributes only its own novel shingles."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from quickner_ray.pipelines.queries import q_shingle_novelty
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 8, 1], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",      # snap 0
+                        "alpha beta gamma epsilon",    # snap 0 (dup shingle)
+                        "alpha beta gamma zeta",       # snap 1: only novel
+                                                       # shingles counted
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+        got = {
+            r["first_snap"]: r["n_new_shingles"]
+            for r in q_shingle_novelty(str(tmp_path)).take_all()
+        }
+        # snap 0 shingles: abg, bgd, abg(dup), bge -> {abg, bgd, bge} = 3
+        # snap 1: abg seen, bgz new -> 1
+        assert got == {0: 3, 1: 1}
