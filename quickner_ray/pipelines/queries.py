@@ -3265,8 +3265,18 @@ def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
 
     from ..sinks.triplestore import lookup, write_triple_store
 
-    key = os.path.basename(os.path.normpath(sf_dir))
-    store = f"/tmp/quickner_ray_tstore_v1_{key}"
+    # cache keyed on the SOURCE's identity (path+size+mtime fingerprint,
+    # same rationale as _media_path) so regenerated testdata can never
+    # serve a stale store
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:v1".encode()
+    ).hexdigest()[:12]
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}"
+    store = f"/tmp/quickner_ray_tstore_{key}"
     if not os.path.exists(os.path.join(store, "pos", "_DONE")):
         write_triple_store(q_triples(sf_dir), store, perms=["pos"])
     return lookup(store, "pred", pred)
