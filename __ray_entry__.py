@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": q.q_kg_negative_samples,
         "entity_salience": q.q_entity_salience,
         "entity_timeline": q.q_entity_timeline,
+        "fact_corroboration": q.q_fact_corroboration,
         "entity_context_features": q.q_entity_context_features,
         "entity_fastrp": q.q_entity_fastrp,
         "entity_communities": q.q_entity_communities,
@@ -383,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_bfs,
         sql_entity_salience,
         sql_entity_timeline,
+        sql_fact_corroboration,
         sql_entity_context_features,
         sql_entity_fastrp,
         sql_entity_communities,
@@ -457,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": sql_kg_negative_samples(DEFAULT_GAZETTEER),
         "entity_salience": sql_entity_salience(DEFAULT_GAZETTEER),
         "entity_timeline": sql_entity_timeline(DEFAULT_GAZETTEER),
+        "fact_corroboration": sql_fact_corroboration(DEFAULT_GAZETTEER),
         "entity_context_features": sql_entity_context_features(DEFAULT_GAZETTEER),
         "entity_fastrp": sql_entity_fastrp(DEFAULT_GAZETTEER),
         "entity_communities": sql_entity_communities(DEFAULT_GAZETTEER),

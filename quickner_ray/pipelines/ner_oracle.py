@@ -634,6 +634,30 @@ def sql_entity_random_walks(
     return sql + "\n" + selects
 
 
+def sql_fact_corroboration(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    min_sources: int = 2,
+) -> str:
+    """Oracle for ``q_fact_corroboration``: (surface_norm, label,
+    n_sources, n_mentions, corroborated, entity_id) — distinct-source
+    support per canonical fact; mentions inherit their document's
+    ``source`` column."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"src AS (SELECT doc_id, source FROM {table})\n"
+        f"SELECT a.pname AS surface_norm, a.plabel AS label,\n"
+        f"       count(DISTINCT s.source) AS n_sources,\n"
+        f"       count(*) AS n_mentions,\n"
+        f"       CAST(count(DISTINCT s.source) >= {min_sources} AS BIGINT)\n"
+        f"         AS corroborated,\n"
+        f"       a.eid AS entity_id\n"
+        f"FROM acc a JOIN src s ON s.doc_id = a.doc_id\n"
+        f"GROUP BY a.pname, a.plabel, a.eid"
+    )
+
+
 def sql_canonical_entities_delta(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

@@ -3464,6 +3464,19 @@ def q_entity_timeline(sf_dir: str):
     return entity_timeline(annotated_documents(sf_dir))
 
 
+def q_fact_corroboration(sf_dir: str):
+    """Knowledge-fusion fact support: per canonical fact, distinct-source
+    count, mention support, and a corroborated flag (>= 2 independent
+    sources — Knowledge-Vault-style multi-source trust; the ``source``
+    column is the provenance proxy for a page's host). Carries ``source``
+    through the fused detect so no doc->source join is ever shuffled."""
+    from ..stages.canonicalize import fact_corroboration
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ann = detect_mentions(ds, documents_gazetteer(), batch_size=2048)
+    return fact_corroboration(ann)
+
+
 def _dict_utf8_length(col) -> "pa.Array":
     """Char length of a (possibly dictionary-encoded) string column —
     computed once per dictionary VALUE, then fanned out by take (doc_text

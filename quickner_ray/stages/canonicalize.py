@@ -382,6 +382,112 @@ def entity_timeline(
     return tl.map_batches(with_id, batch_format="pyarrow")
 
 
+def fact_corroboration(
+    ann,
+    *,
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+    min_sources: int = 2,
+):
+    """Knowledge-fusion fact support (Knowledge-Vault-style multi-source
+    corroboration): per canonical fact (surface_norm, label), the number
+    of DISTINCT sources (hosts / crawl feeds) that assert it, total
+    mention support, and a ``corroborated`` flag (``n_sources >=
+    min_sources``). A KG built from web extraction trusts a fact far more
+    when independent hosts repeat it than when one site repeats it many
+    times — this is the fusion signal that separates the two.
+
+    ``ann`` must carry ``source_col`` (the provenance string — host of the
+    page URL, or the corpus ``source`` column); mentions inherit their
+    document's source via a batch-local index_in (the explode is doc-local
+    by construction).
+
+    Shape (the 100 TB-safe one, same as ``entity_timeline``): fused
+    doc-local explode -> per-batch combiner emitting at most ONE row per
+    (surface_norm, label, source) per batch (bounded by |gazetteer| x
+    |sources-in-batch| regardless of batch size) -> groupby-sum on the
+    3-part key -> second groupby on the entity key folds per-source rows
+    into (count -> n_sources, sum -> n_mentions). Both shuffles move only
+    combiner output, never mention rows.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "src": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, subj_col=doc_col)
+        if m.num_rows == 0:
+            return empty
+        pos = pc.index_in(
+            _as_combined(m.column(doc_col)), _as_combined(b.column(doc_col))
+        )
+        src = _as_combined(b.column(source_col)).cast(pa.string()).take(pos)
+        t = pa.table(
+            {
+                "surface_norm": m.column("surface_norm"),
+                "label": m.column("label"),
+                "src": src,
+            }
+        )
+        g = t.group_by(["surface_norm", "label", "src"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["surface_norm", "label", "src", "n"])
+
+    partials = ann.map_batches(partial, batch_format="pyarrow")
+    per_src = partials.groupby(["surface_norm", "label", "src"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    facts = per_src.groupby(["surface_norm", "label"]).aggregate(
+        Count(alias_name="n_sources"),
+        Sum("n", alias_name="n_mentions"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "surface_norm": pa.array([], type=pa.string()),
+                    "label": pa.array([], type=pa.string()),
+                    "n_sources": pa.array([], type=pa.int64()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                    "corroborated": pa.array([], type=pa.int64()),
+                    "entity_id": pa.array([], type=pa.string()),
+                }
+            )
+        corr = pc.cast(
+            pc.greater_equal(b.column("n_sources"), pa.scalar(min_sources)),
+            pa.int64(),
+        )
+        ids = [
+            entity_id(s, l)
+            for s, l in zip(
+                b.column("surface_norm").to_pylist(),
+                b.column("label").to_pylist(),
+            )
+        ]
+        return pa.table(
+            {
+                "surface_norm": b.column("surface_norm"),
+                "label": b.column("label"),
+                "n_sources": pc.cast(b.column("n_sources"), pa.int64()),
+                "n_mentions": pc.cast(b.column("n_mentions"), pa.int64()),
+                "corroborated": corr,
+                "entity_id": pa.array(ids, type=pa.string()),
+            }
+        )
+
+    return facts.map_batches(finish, batch_format="pyarrow")
+
+
 def canonical_entities_delta(ann, *, doc_col: str = "doc_id"):
     """Incremental-KG delta feed: compare the canonical entity tables of
     two crawls — the even-``doc_id`` corpus (old crawl) vs the odd one

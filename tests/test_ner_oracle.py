@@ -306,3 +306,52 @@ class TestEntityTimelineWarcTs:
             jan, mar, 2, 2,
         )
         assert ("no", "OPERATOR") not in tl
+
+
+class TestFactCorroboration:
+    def test_matches_duckdb(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import sql_fact_corroboration
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import fact_corroboration
+        from quickner_ray.stages.detect import detect_mentions
+
+        # "scan" appears under several sources (corroborated); "window"
+        # appears only under src0 however often (NOT corroborated).
+        texts = [
+            "a scan here",          # src0
+            "scan and sort again",  # src1
+            "window window",        # src0
+            "the window stays",     # src0
+            "scan",                 # src2
+            "no hits at all",       # src1
+        ]
+        srcs = ["src0", "src1", "src0", "src0", "src2", "src1"]
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        # concurrency=2 forces multi-batch partials: per-(fact, source)
+        # combiner rows must merge correctly across batches
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        got = _canon(fact_corroboration(ann).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = _canon(con.sql(sql_fact_corroboration(DEFAULT_GAZETTEER)).df())
+        assert got.equals(want), (got, want)
+        by = got.set_index("surface_norm")
+        assert by.loc["scan", "n_sources"] == 3
+        assert by.loc["scan", "corroborated"] == 1
+        # single-source repetition is support, not corroboration
+        assert by.loc["window", "n_sources"] == 1
+        assert by.loc["window", "n_mentions"] == 3
+        assert by.loc["window", "corroborated"] == 0
