@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_salience": q.q_entity_salience,
         "entity_timeline": q.q_entity_timeline,
         "fact_corroboration": q.q_fact_corroboration,
+        "source_reliability": q.q_source_reliability,
         "entity_context_features": q.q_entity_context_features,
         "entity_fastrp": q.q_entity_fastrp,
         "entity_communities": q.q_entity_communities,
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         sql_entity_salience,
         sql_entity_timeline,
         sql_fact_corroboration,
+        sql_source_reliability,
         sql_entity_context_features,
         sql_entity_fastrp,
         sql_entity_communities,
@@ -460,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_salience": sql_entity_salience(DEFAULT_GAZETTEER),
         "entity_timeline": sql_entity_timeline(DEFAULT_GAZETTEER),
         "fact_corroboration": sql_fact_corroboration(DEFAULT_GAZETTEER),
+        "source_reliability": sql_source_reliability(DEFAULT_GAZETTEER),
         "entity_context_features": sql_entity_context_features(DEFAULT_GAZETTEER),
         "entity_fastrp": sql_entity_fastrp(DEFAULT_GAZETTEER),
         "entity_communities": sql_entity_communities(DEFAULT_GAZETTEER),

@@ -658,6 +658,30 @@ def sql_fact_corroboration(
     )
 
 
+def sql_source_reliability(
+    entities: list[tuple[str, str]],
+    table: str = "documents",
+    *,
+    min_sources: int = 2,
+) -> str:
+    """Oracle for ``q_source_reliability``: (source, n_facts,
+    n_corroborated) — per source, distinct facts asserted and how many
+    are asserted by >= ``min_sources`` distinct sources overall."""
+    return (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"src AS (SELECT doc_id, source FROM {table}),\n"
+        f"fs AS (SELECT DISTINCT a.pname, a.plabel, s.source\n"
+        f"       FROM acc a JOIN src s ON s.doc_id = a.doc_id),\n"
+        f"ns AS (SELECT pname, plabel, count(*) AS n_sources\n"
+        f"       FROM fs GROUP BY pname, plabel)\n"
+        f"SELECT fs.source, count(*) AS n_facts,\n"
+        f"       CAST(count(*) FILTER (ns.n_sources >= {min_sources})\n"
+        f"         AS BIGINT) AS n_corroborated\n"
+        f"FROM fs JOIN ns ON ns.pname = fs.pname AND ns.plabel = fs.plabel\n"
+        f"GROUP BY fs.source"
+    )
+
+
 def sql_canonical_entities_delta(
     entities: list[tuple[str, str]], table: str = "documents"
 ) -> str:

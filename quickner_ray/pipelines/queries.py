@@ -3477,6 +3477,18 @@ def q_fact_corroboration(sf_dir: str):
     return fact_corroboration(ann)
 
 
+def q_source_reliability(sf_dir: str):
+    """Knowledge-fusion source scoring: per source, distinct facts
+    asserted and how many are independently corroborated (>= 2 distinct
+    sources overall) — the prior a fusion system assigns to the source's
+    uncorroborated claims. Exact integers; division is the consumer's."""
+    from ..stages.canonicalize import source_reliability
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ann = detect_mentions(ds, documents_gazetteer(), batch_size=2048)
+    return source_reliability(ann)
+
+
 def _dict_utf8_length(col) -> "pa.Array":
     """Char length of a (possibly dictionary-encoded) string column —
     computed once per dictionary VALUE, then fanned out by take (doc_text

@@ -488,6 +488,131 @@ def fact_corroboration(
     return facts.map_batches(finish, batch_format="pyarrow")
 
 
+def source_reliability(
+    ann,
+    *,
+    doc_col: str = "doc_id",
+    source_col: str = "source",
+    min_sources: int = 2,
+):
+    """Knowledge-fusion source scoring (the other half of
+    ``fact_corroboration``): per source, how many distinct facts it
+    asserts and how many of those are independently corroborated
+    (asserted by >= ``min_sources`` distinct sources overall, the
+    asserting source included). ``n_corroborated / n_facts`` is the
+    source's reliability rate — the prior a fusion system assigns to the
+    source's UNcorroborated claims; emitted as exact integers so the
+    oracle hash-matches (the division is the consumer's).
+
+    Shape: the same combiner-bounded (fact, source) partial stream as
+    ``fact_corroboration`` -> groupby-sum on the 3-part key -> the
+    fact-level distinct-source table is GAZETTEER-bounded (one row per
+    (surface, label)), so it broadcasts via ray.put and each (fact,
+    source) row looks up its fact's source count with a vectorized
+    index_in — no second shuffle join; the final per-source fold is a
+    groupby on the (tiny) source key.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "label": pa.array([], type=pa.string()),
+                "src": pa.array([], type=pa.string()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        m = explode_mentions(b, subj_col=doc_col)
+        if m.num_rows == 0:
+            return empty
+        pos = pc.index_in(
+            _as_combined(m.column(doc_col)), _as_combined(b.column(doc_col))
+        )
+        src = _as_combined(b.column(source_col)).cast(pa.string()).take(pos)
+        t = pa.table(
+            {
+                "surface_norm": m.column("surface_norm"),
+                "label": m.column("label"),
+                "src": src,
+            }
+        )
+        g = t.group_by(["surface_norm", "label", "src"]).aggregate([])
+        return g
+
+    per_src = (
+        ann.map_batches(partial, batch_format="pyarrow")
+        .groupby(["surface_norm", "label", "src"])
+        .aggregate(Count(alias_name="_n"))
+        .materialize()
+    )
+    # fact-level distinct-source counts: gazetteer-bounded -> broadcast
+    fact_rows = (
+        per_src.groupby(["surface_norm", "label"])
+        .aggregate(Count(alias_name="n_sources"))
+        .take_all()
+    )
+    keys = pa.array(
+        [f"{r['surface_norm']}\x1f{r['label']}" for r in fact_rows],
+        type=pa.string(),
+    )
+    counts = pa.array([r["n_sources"] for r in fact_rows], type=pa.int64())
+    ref = ray.put((keys, counts))
+
+    def flag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], type=pa.string()),
+                    "one": pa.array([], type=pa.int64()),
+                    "is_corr": pa.array([], type=pa.int64()),
+                }
+            )
+        k_arr, c_arr = ray.get(ref)
+        k = pc.binary_join_element_wise(
+            _as_combined(b.column("surface_norm")).cast(pa.string()),
+            _as_combined(b.column("label")).cast(pa.string()),
+            "\x1f",
+        )
+        ns = pc.take(c_arr, pc.index_in(k, value_set=k_arr))
+        return pa.table(
+            {
+                "src": b.column("src"),
+                "one": pa.array([1] * b.num_rows, type=pa.int64()),
+                "is_corr": pc.cast(
+                    pc.greater_equal(ns, pa.scalar(min_sources)), pa.int64()
+                ),
+            }
+        )
+
+    flagged = per_src.map_batches(flag, batch_format="pyarrow")
+    out = flagged.groupby("src").aggregate(
+        Sum("one", alias_name="n_facts"),
+        Sum("is_corr", alias_name="n_corroborated"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "source": pa.array([], type=pa.string()),
+                    "n_facts": pa.array([], type=pa.int64()),
+                    "n_corroborated": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "source": b.column("src"),
+                "n_facts": pc.cast(b.column("n_facts"), pa.int64()),
+                "n_corroborated": pc.cast(b.column("n_corroborated"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def canonical_entities_delta(ann, *, doc_col: str = "doc_id"):
     """Incremental-KG delta feed: compare the canonical entity tables of
     two crawls — the even-``doc_id`` corpus (old crawl) vs the odd one

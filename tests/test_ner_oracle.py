@@ -355,3 +355,49 @@ class TestFactCorroboration:
         assert by.loc["window", "n_sources"] == 1
         assert by.loc["window", "n_mentions"] == 3
         assert by.loc["window", "corroborated"] == 0
+
+    def test_source_reliability_matches_duckdb(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from quickner_ray.pipelines.ner_oracle import sql_source_reliability
+        from quickner_ray.pipelines.queries import documents_gazetteer
+        from quickner_ray.stages.canonicalize import source_reliability
+        from quickner_ray.stages.detect import detect_mentions
+
+        texts = [
+            "a scan here",          # src0
+            "scan and sort again",  # src1
+            "window window",        # src0: window is src0-only
+            "the window stays",     # src0
+            "scan",                 # src2
+            "no hits at all",       # src1
+        ]
+        srcs = ["src0", "src1", "src0", "src0", "src2", "src1"]
+        path = str(tmp_path / "documents.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs),
+                }
+            ),
+            path,
+        )
+        ds = rd.read_parquet(path)
+        ann = detect_mentions(ds, documents_gazetteer(), concurrency=2)
+        got = _canon(source_reliability(ann).to_pandas())
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+        want = _canon(con.sql(sql_source_reliability(DEFAULT_GAZETTEER)).df())
+        assert got.equals(want), (got, want)
+        by = got.set_index("source")
+        # src0 asserts {scan, window}; only scan is corroborated elsewhere
+        assert by.loc["src0", "n_facts"] == 2
+        assert by.loc["src0", "n_corroborated"] == 1
+        # src1 asserts {scan, sort}; sort is src1-only
+        assert by.loc["src1", "n_facts"] == 2
+        assert by.loc["src1", "n_corroborated"] == 1
+        # src2 asserts only the corroborated scan
+        assert by.loc["src2", "n_facts"] == 1
+        assert by.loc["src2", "n_corroborated"] == 1
