@@ -602,6 +602,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": q.sql_ccnet_buckets(),
         "classifier_scores": _sql_classifier(),
         "unicode_nfc": _sql_nfc(),
+        "semdedup": q.sql_semdedup(),
         "host_quality": q.sql_host_quality(),
         "crawl_budget": q.sql_crawl_budget(),
         "similarity_join_exact": __import__("quickner_ray.stages.setjoin", fromlist=["sql_similarity_join"]).sql_similarity_join(),

@@ -578,22 +578,22 @@ def q_epoch_shuffle(sf_dir: str):
     range-partitioned sort + zipWithIndex ordinals (rank.global_row_number)
     — the same order on every run/cluster size, resumable mid-epoch by
     filtering epoch_pos > checkpoint. Changing EPOCH_SEED reshuffles.
-    md5 per row on the doc_id-only projection (same documented cost as
-    train_val_split)."""
-    import hashlib
+    Shuffle keys come from the batch-vectorized md5 kernel
+    (kernel/md5vec.md5_hex — bit-identical to hashlib/DuckDB md5)."""
+    import pyarrow.compute as pc
 
+    from ..kernel.md5vec import md5_hex
     from ..stages.rank import global_row_number
 
     ds = _docs(sf_dir, columns=["doc_id"])
 
     def key(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").combine_chunks().cast(pa.string())
-        ks = [
-            hashlib.md5(f"{EPOCH_SEED}:{v}".encode()).hexdigest()
-            for v in ids.to_pylist()
-        ]
+        seeded = pc.binary_join_element_wise(
+            pa.scalar(f"{EPOCH_SEED}:"), ids, pa.scalar("")
+        )
         return pa.Table.from_pydict(
-            {"doc_id": b.column("doc_id"), "k": pa.array(ks, type=pa.string())}
+            {"doc_id": b.column("doc_id"), "k": md5_hex(seeded)}
         )
 
     ds = ds.map_batches(key, batch_format="pyarrow")
@@ -617,19 +617,15 @@ def q_train_val_split(sf_dir: str):
     zero-shuffle, reproducible at any parallelism, stable under corpus
     growth (a doc's split never changes when other docs arrive). Uses the
     shared md5-derived h64 so the SQL oracle recomputes identical buckets
-    (md5_number_upper); md5 has no vectorized kernel, so this is a per-row
-    hash by necessity — the same documented cost as the P8 content-hash id
-    (dedup_exact.add_doc_id), amortized by its position on the tiny
-    doc_id-only projection."""
-    from ..stages.dedup_approx import h64
+    (md5_number_upper), computed by the batch-vectorized md5 kernel
+    (kernel/md5vec) on the tiny doc_id-only projection."""
+    from ..kernel.md5vec import md5_h64
 
     ds = _docs(sf_dir, columns=["doc_id"])
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").combine_chunks().cast(pa.string())
-        h = np.fromiter(
-            (h64(s) for s in ids.to_pylist()), dtype=np.uint64, count=len(ids)
-        )
+        h = md5_h64(ids)
         bucket = (h % np.uint64(100)).astype(np.int64)
         split = np.where(bucket < 100 - VAL_PCT, "train", "val")
         fold = (h % np.uint64(N_FOLDS)).astype(np.int64)
@@ -2866,8 +2862,8 @@ def q_host_quality(sf_dir: str, min_tokens: int = 30):
 
 def q_similarity_join_exact(sf_dir: str):
     """Exact set-similarity self-join (PPJoin-style prefix filtering, no
-    false negatives): all doc pairs with distinct-word Jaccard >= 3/5
-    (stages/setjoin.similarity_join)."""
+    false negatives): all doc pairs with word-3-gram shingle-set Jaccard
+    >= 1/2 (TAU = (1, 2); stages/setjoin.similarity_join)."""
     from ..stages.setjoin import similarity_join
 
     return similarity_join(_docs(sf_dir, columns=["doc_id", "text"]))
@@ -3119,13 +3115,26 @@ def sql_web_curation(min_docs: int = 2) -> str:
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, drop
     within-cluster cosine near-duplicates (>= tau) keeping the lowest id.
-    One shuffle (cluster-key groupby); rows-only — k-means float means
-    drift ulps across engines (brute-force equivalence pinned by tests).
+    One shuffle (cluster-key groupby).
 
     The synthetic embeddings carry no natural near-dups (max off-diagonal
     cosine ~0.51), so the query PLANTS exact duplicates of the even
     vec_ids (id + 1,000,000): the prune provably fires — every planted
-    copy lands in its original's cluster with cosine 1.0 and keep=0."""
+    copy lands in its original's cluster with cosine 1.0 and keep=0.
+
+    SQL-ORACLED (value-exact, sql_semdedup): on this corpus the >=tau
+    similarity graph is a perfect matching (planted copy <-> original at
+    cos 1.0; every other pair <= ~0.51 << tau=0.95), so the greedy
+    within-cluster prune equals the GLOBAL rule "drop iff some lower-id
+    vector anywhere has cosine >= tau" — (a) identical vectors always
+    co-cluster under k-means (identical distances -> identical argmin),
+    (b) any lower-id >=tau neighbor of a dropped row is itself kept
+    (a matching has no chains), (c) no cross-cluster pair reaches tau.
+    DuckDB computes the global rule directly; the 0.95-vs-{1.0, 0.51}
+    margin makes the threshold decision immune to float summation-order
+    ulps. The cluster ids themselves are the one non-SQL-able artifact
+    (float k-means means drift ulps across engines), so the contract
+    returns (vec_id, keep) and pins cluster semantics via tests."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -3148,7 +3157,27 @@ def q_semdedup(sf_dir: str):
         )
         return pa.concat_tables([b, dup])
 
-    return semdedup(ds.map_batches(plant, batch_format="pyarrow"))
+    out = semdedup(ds.map_batches(plant, batch_format="pyarrow"))
+    return out.select_columns(["vec_id", "keep"])
+
+
+def sql_semdedup(tau: float = 0.95) -> str:
+    """Global-matching oracle for q_semdedup (see its docstring for the
+    greedy-equivalence argument)."""
+    return (
+        "WITH allv AS (\n"
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings\n"
+        "  UNION ALL\n"
+        "  SELECT vec_id + 1000000, CAST(embedding AS DOUBLE[])\n"
+        "  FROM embeddings WHERE vec_id % 2 = 0),\n"
+        "dropped AS (\n"
+        "  SELECT DISTINCT a.vec_id\n"
+        "  FROM allv a JOIN allv b ON b.vec_id < a.vec_id\n"
+        f"  WHERE list_cosine_similarity(a.emb, b.emb) >= {tau})\n"
+        "SELECT a.vec_id,\n"
+        "  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep\n"
+        "FROM allv a LEFT JOIN dropped d ON d.vec_id = a.vec_id"
+    )
 
 
 def q_rare_word_stats(sf_dir: str):
@@ -5090,13 +5119,13 @@ def sql_host_hits(n_iters: int = 2) -> str:
             f"  FROM e JOIN {prev_h} p ON p.node = e.sb GROUP BY e.db),\n"
             f"a{i} AS (SELECT nd.n AS node,\n"
             f"  CAST(COALESCE(ar.raw, 0) //\n"
-            f"    ((SELECT max(raw) FROM ar{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
+            f"    ((SELECT COALESCE(max(raw), 0) FROM ar{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
             f"  FROM nodes nd LEFT JOIN ar{i} ar ON ar.node = nd.n),\n"
             f"hr{i} AS (SELECT e.sb AS node, SUM(p.sc * e.w) AS raw\n"
             f"  FROM e JOIN a{i} p ON p.node = e.db GROUP BY e.sb),\n"
             f"h{i} AS (SELECT nd.n AS node,\n"
             f"  CAST(COALESCE(hr.raw, 0) //\n"
-            f"    ((SELECT max(raw) FROM hr{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
+            f"    ((SELECT COALESCE(max(raw), 0) FROM hr{i}) // {HITS_SCALE} + 1) AS BIGINT) AS sc\n"
             f"  FROM nodes nd LEFT JOIN hr{i} hr ON hr.node = nd.n)"
         )
     sql += (

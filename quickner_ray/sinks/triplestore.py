@@ -57,6 +57,8 @@ def write_triple_store(
     granularity of lookups (default pyarrow 1M; lower it so stores whose
     key cardinality is high prune inside files too, not only across
     them)."""
+    import shutil
+
     dt = distinct_triples(triples).materialize()
     kw = {"row_group_size": row_group_size} if row_group_size else {}
     for name in perms or list(PERMS):
@@ -64,7 +66,17 @@ def write_triple_store(
         done = os.path.join(d, "_DONE")
         if os.path.exists(done):
             continue
-        dt.sort(PERMS[name]).write_parquet(d, **kw)
+        # Crash-safe: a prior run may have died mid-write_parquet, leaving
+        # partial files in `d`; a naive re-run would ADD uniquely-named
+        # files beside them and serve duplicated triples. Write into a
+        # sibling temp dir and promote with an atomic rename instead.
+        tmp = d + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        dt.sort(PERMS[name]).write_parquet(tmp, **kw)
+        os.rename(tmp, d)
         with open(done, "w") as f:
             f.write("ok")
     return out_dir

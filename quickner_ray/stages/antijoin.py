@@ -47,16 +47,13 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 
 def _key_hashes(col: pa.Array) -> np.ndarray:
-    """Column -> uint64 hashes (ints mixed directly; strings via md5)."""
+    """Column -> uint64 hashes (ints mixed directly; strings via the
+    batch-vectorized md5 kernel — value-identical to dedup_approx.h64)."""
     if pa.types.is_integer(col.type):
         return _mix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
-    from .dedup_approx import h64
+    from ..kernel.md5vec import md5_h64
 
-    return np.fromiter(
-        (h64(s) for s in col.cast(pa.string()).to_pylist()),
-        dtype=np.uint64,
-        count=len(col),
-    )
+    return md5_h64(col.cast(pa.string()))
 
 
 def _bloom_probes(h: np.ndarray, m_bits: int):

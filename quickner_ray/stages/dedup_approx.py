@@ -117,11 +117,9 @@ def _shingle_rows(texts, n: int = N_SHINGLE):
         flat = flat.filter(pa.array(nonempty))
         parents = parents[nonempty]
     enc = pc.dictionary_encode(flat)
-    vocab_h = np.fromiter(
-        (h64(w) for w in enc.dictionary.to_pylist()),
-        dtype=np.uint64,
-        count=len(enc.dictionary),
-    )
+    from ..kernel.md5vec import md5_h64
+
+    vocab_h = md5_h64(enc.dictionary)
     codes = enc.indices.to_numpy(zero_copy_only=False)
     hw = vocab_h[codes] if len(codes) else np.empty(0, dtype=np.uint64)
     wc = np.bincount(parents, minlength=n_rows) if len(parents) else np.zeros(

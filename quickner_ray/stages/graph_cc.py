@@ -2023,6 +2023,8 @@ def hits_scores(
     outer join (only the (node, score) frontier materializes).
     Returns Dataset(node, hub_score, auth_score).
     """
+    if n_iters < 1:
+        raise ValueError("hits_scores requires n_iters >= 1")
     nt = node_type if node_type is not None else pa.int64()
     ntypes = {"src": nt, "dst": nt, "node": nt, "jnode": nt, "inode": nt}
     cap = DRIVER_CAP if driver_cap is None else driver_cap

@@ -14,10 +14,13 @@ Determinism & fault tolerance by ALGEBRA, not by ordering: each shard
 keeps ``min(doc_id)`` and an arrival count per content hash. Min-merge is
 commutative, associative and idempotent on ids, so the survivor set is
 identical for ANY arrival order / parallelism, and a retried ingest task
-re-offering the same (hash, id) pairs can only re-assert the same min —
-the count is the only retry-sensitive field (Ray task retries are
-at-least-once; exactly-once counts would need per-task dedup tokens,
-noted here as the documented tradeoff).
+re-offering the same (hash, id) pairs can only re-assert the same min.
+Counts are made exactly-once too: every offer() carries a delivery token
+derived from the ids it ships (stable across retries because a retried
+task re-sends the same rows, unique across deliveries because doc_ids
+are globally unique), and a shard that has already seen the token drops
+the re-delivery — so ``n_dupes`` is retry-proof and safe to check
+against an exact COUNT(*) oracle.
 
 Scale notes: registry memory is one (uint64 -> int64) entry per DISTINCT
 document spread over ``n_shards`` actors — at 10^12 docs that is the same
@@ -41,8 +44,16 @@ class DedupRegistryShard:
     def __init__(self) -> None:
         self._min: dict[str, int] = {}
         self._n: dict[str, int] = {}
+        self._seen_tokens: set[str] = set()
 
-    def offer(self, hashes: list[str], ids: list[int]) -> int:
+    def offer(self, hashes: list[str], ids: list[int], token: str) -> int:
+        # At-least-once delivery: a Ray task retry re-sends the same rows
+        # under the same content-derived token — drop the duplicate so
+        # n_dupes stays an exact arrival count (min-merge is idempotent
+        # anyway; the token guard makes the COUNT exact too).
+        if token in self._seen_tokens:
+            return 0
+        self._seen_tokens.add(token)
         mn, cnt = self._min, self._n
         for h, i in zip(hashes, ids):
             cur = mn.get(h)
@@ -103,9 +114,17 @@ def streaming_ingest_dedup(
         for s in range(n_shards):
             sel = np.flatnonzero(shard_of == s)
             if len(sel):
+                sub_ids = [int(idv[j]) for j in sel]
+                # delivery token: stable across task retries (same rows),
+                # unique across deliveries (doc_ids are globally unique)
+                import hashlib
+
+                token = hashlib.md5(
+                    np.asarray(sub_ids, dtype=np.int64).tobytes()
+                ).hexdigest()
                 pending.append(
                     shards[s].offer.remote(
-                        [hashes[j] for j in sel], [int(idv[j]) for j in sel]
+                        [hashes[j] for j in sel], sub_ids, token
                     )
                 )
         ray.get(pending)  # ack before the batch is considered ingested

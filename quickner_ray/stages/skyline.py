@@ -39,12 +39,13 @@ def skyline_mask_2d(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     np.not_equal(xs[1:], xs[:-1], out=new_group[1:])
     starts = np.flatnonzero(new_group)
     gmax = ys[starts]  # ys is desc within each x group -> first is the max
-    # strict prefix max of previous groups' maxes
-    prev_best = np.empty(len(starts), dtype=gmax.dtype)
-    prev_best[0] = np.iinfo(np.int64).min if gmax.dtype.kind == "i" else -np.inf
+    # strict prefix max of previous groups' maxes; the first (max-x) group
+    # is always on the frontier, so no dtype-dependent sentinel is needed
+    # (works for signed, unsigned and float y alike)
+    group_alive = np.empty(len(starts), dtype=bool)
+    group_alive[0] = True
     if len(starts) > 1:
-        np.maximum.accumulate(gmax[:-1], out=prev_best[1:])
-    group_alive = gmax > prev_best
+        group_alive[1:] = gmax[1:] > np.maximum.accumulate(gmax[:-1])
     gid = np.cumsum(new_group) - 1
     # survive: group alive AND y equals the group max
     alive_sorted = group_alive[gid] & (ys == gmax[gid])

@@ -185,3 +185,55 @@ class TestRoundAway:
 
         out = round_away(np.array([0.5078125, -0.5078125, 1.25]), 6)
         assert out.tolist() == [0.507813, -0.507813, 1.25]
+
+
+class TestMd5Vec:
+    """Batch MD5 kernel == hashlib, byte for byte (kernel/md5vec.py)."""
+
+    def test_matches_hashlib(self):
+        import hashlib
+        import random
+
+        import pyarrow as pa
+
+        from quickner_ray.kernel.md5vec import md5_h64, md5_hex
+
+        random.seed(11)
+        strs = ["", "a", "hello world", "x" * 55, "x" * 56, "y" * 63,
+                "z" * 64, "w" * 65, "q" * 119, "r" * 120, "ü€汉я" * 20]
+        strs += [
+            "".join(random.choice("abcdefgh ü汉") for _ in range(random.randint(0, 200)))
+            for _ in range(300)
+        ]
+        arr = pa.array(strs, type=pa.string())
+        hexes = md5_hex(arr).to_pylist()
+        h64s = md5_h64(arr)
+        for s, hx, h6 in zip(strs, hexes, h64s):
+            d = hashlib.md5(s.encode()).digest()
+            assert hx == d.hex()
+            assert int(h6) == int.from_bytes(d[:8], "little")
+
+    def test_sliced_and_chunked(self):
+        import hashlib
+
+        import pyarrow as pa
+
+        from quickner_ray.kernel.md5vec import md5_hex
+
+        arr = pa.array([f"row-{i}" for i in range(50)])
+        sl = arr.slice(7, 20)
+        got = md5_hex(sl).to_pylist()
+        want = [hashlib.md5(f"row-{i}".encode()).hexdigest() for i in range(7, 27)]
+        assert got == want
+        ch = pa.chunked_array([arr.slice(0, 25), arr.slice(25, 25)])
+        assert len(md5_hex(ch)) == 50
+
+    def test_matches_h64_scalar(self):
+        import pyarrow as pa
+
+        from quickner_ray.kernel.md5vec import md5_h64
+        from quickner_ray.stages.dedup_approx import h64
+
+        words = ["", "the", "word", "doc-123", "ümlaut", "汉字"]
+        got = md5_h64(pa.array(words))
+        assert [int(x) for x in got] == [h64(w) for w in words]
