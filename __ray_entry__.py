@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": q.q_order_skyline,
         "host_link_graph": q.q_host_link_graph,
         "infobox_facts": q.q_infobox_facts,
+        "infobox_corroboration": q.q_infobox_corroboration,
+        "infobox_source_reliability": q.q_infobox_source_reliability,
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -525,6 +527,8 @@ def oracle_sql() -> dict[str, str]:
         "order_skyline": q.sql_order_skyline(),
         "host_link_graph": q.sql_host_link_graph(),
         "infobox_facts": q.sql_infobox_facts(),
+        "infobox_corroboration": q.sql_infobox_corroboration(),
+        "infobox_source_reliability": q.sql_infobox_source_reliability(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

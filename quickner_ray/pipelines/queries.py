@@ -4861,14 +4861,21 @@ def _linked_pages(sf_dir: str):
 
 INFOBOX_ATTRS = ("population", "area", "language")
 INFOBOX_MOD = 97
+INFOBOX_SRC_MOD = 13  # provenance buckets for open-vocab fusion
+INFOBOX_MIN_SOURCES = 6  # corroboration bar: >= 6 independent sources
 
 
-def _infobox_pages(sf_dir: str):
+def _infobox_pages(sf_dir: str, with_source: bool = False):
     """Deterministic infobox-bearing pages: doc_id -> 3 attribute-value
     facts, values pure integer functions of doc_id (value_j =
     'v{(doc_id*(j+2) + 5*j + 1) % 97} & co') so the SQL oracle regenerates
     the SAME facts arithmetically while the Ray path must recover them
-    from raw bytes (comment decoys, <b>-wrapped cells, &amp; escapes)."""
+    from raw bytes (comment decoys, <b>-wrapped cells, &amp; escapes).
+
+    ``with_source`` adds a provenance column ``source = 'src' || doc_id %
+    13`` (13 coprime to the 97 value modulus, so docs asserting the same
+    fact land on distinct sources) feeding the open-vocabulary fusion
+    queries."""
     from ..kernel.htmlextract import synth_infobox_page
 
     def build(b: pa.Table) -> pa.Table:
@@ -4880,12 +4887,15 @@ def _infobox_pages(sf_dir: str):
                 for j, a in enumerate(INFOBOX_ATTRS)
             ]
             htmls.append(synth_infobox_page(f"doc {d}", facts, seq=d))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "html": pa.array(htmls, type=pa.binary()),
-            }
-        )
+        cols = {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "html": pa.array(htmls, type=pa.binary()),
+        }
+        if with_source:
+            cols["source"] = pa.array(
+                [f"src{d % INFOBOX_SRC_MOD}" for d in ids], type=pa.string()
+            )
+        return pa.table(cols)
 
     return _docs(sf_dir, columns=["doc_id"]).map_batches(build, batch_format="pyarrow")
 
@@ -4906,6 +4916,84 @@ def sql_infobox_facts() -> str:
         f"       'v' || CAST((doc_id * (j + 2) + 5 * j + 1) % {INFOBOX_MOD}"
         f" AS VARCHAR) || ' & co' AS value\n"
         f"FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t"
+    )
+
+
+def _sql_infobox_facts_src_cte() -> str:
+    """Shared CTE body: the infobox fact table with provenance, regenerated
+    arithmetically (same formulas the synth pages encode in raw bytes)."""
+    attrs = ", ".join(f"'{a}'" for a in INFOBOX_ATTRS)
+    return (
+        f"f AS (\n"
+        f"  SELECT [{attrs}][j + 1] AS attr,\n"
+        f"         'v' || CAST((doc_id * (j + 2) + 5 * j + 1) % {INFOBOX_MOD}"
+        f" AS VARCHAR) || ' & co' AS value,\n"
+        f"         'src' || CAST(doc_id % {INFOBOX_SRC_MOD} AS VARCHAR)"
+        f" AS source\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t)"
+    )
+
+
+def q_infobox_corroboration(sf_dir: str):
+    """OPEN-VOCABULARY knowledge fusion over infobox extractions: per
+    (attr, value) fact, how many distinct sources assert it, total
+    assertions, and a corroborated flag (>= INFOBOX_MIN_SOURCES sources).
+    Unlike `fact_corroboration` the fact key is open-world — nothing is
+    broadcast or driver-collected (stages/canonicalize.fact_corroboration_open:
+    combiner -> (fact, source) groupby -> fact groupby)."""
+    from ..stages.canonicalize import fact_corroboration_open
+    from ..stages.relations import infobox_facts
+
+    facts = infobox_facts(
+        _infobox_pages(sf_dir, with_source=True), carry_cols=["source"]
+    )
+    return fact_corroboration_open(
+        facts, key_cols=["attr", "value"], min_sources=INFOBOX_MIN_SOURCES
+    )
+
+
+def sql_infobox_corroboration() -> str:
+    return (
+        f"WITH {_sql_infobox_facts_src_cte()}\n"
+        f"SELECT attr, value,\n"
+        f"       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_mentions,\n"
+        f"       CAST(count(DISTINCT source) >= {INFOBOX_MIN_SOURCES}"
+        f" AS BIGINT) AS corroborated\n"
+        f"FROM f GROUP BY attr, value"
+    )
+
+
+def q_infobox_source_reliability(sf_dir: str):
+    """Open-world source reliability: per source, distinct infobox facts
+    asserted and how many are corroborated overall. broadcast_cap=0 forces
+    the hash-partitioned keyed-JOIN fold (the 100 TB path) so the oracle
+    checks the scale path, not the small-side broadcast shortcut."""
+    from ..stages.canonicalize import source_reliability_open
+    from ..stages.relations import infobox_facts
+
+    facts = infobox_facts(
+        _infobox_pages(sf_dir, with_source=True), carry_cols=["source"]
+    )
+    return source_reliability_open(
+        facts,
+        key_cols=["attr", "value"],
+        min_sources=INFOBOX_MIN_SOURCES,
+        broadcast_cap=0,
+    )
+
+
+def sql_infobox_source_reliability() -> str:
+    return (
+        f"WITH {_sql_infobox_facts_src_cte()},\n"
+        f"ps AS (SELECT DISTINCT attr, value, source FROM f),\n"
+        f"fc AS (SELECT attr, value, count(*) AS ns FROM ps"
+        f" GROUP BY attr, value)\n"
+        f"SELECT ps.source AS source,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_facts,\n"
+        f"       CAST(sum(CASE WHEN fc.ns >= {INFOBOX_MIN_SOURCES} THEN 1"
+        f" ELSE 0 END) AS BIGINT) AS n_corroborated\n"
+        f"FROM ps JOIN fc USING (attr, value) GROUP BY ps.source"
     )
 
 

@@ -613,6 +613,205 @@ def source_reliability(
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+FACT_BROADCAST_CAP = 1_000_000  # facts; above this the reliability fold
+# switches from broadcast lookup to a hash-partitioned keyed join
+
+
+def fact_corroboration_open(
+    facts,
+    *,
+    key_cols: list[str],
+    source_col: str = "source",
+    min_sources: int = 2,
+):
+    """OPEN-VOCABULARY knowledge fusion: multi-source corroboration over an
+    arbitrary fact table (one row per assertion, e.g. infobox extractions)
+    — unlike ``fact_corroboration`` the fact key is NOT gazetteer-bounded,
+    so nothing here may broadcast or driver-collect the fact table.
+
+    Shape: per-batch combiner (groupby key+source inside ``map_batches``,
+    output bounded by distinct (fact, source) per batch) -> ONE
+    groupby-sum on (key..., source) -> ONE groupby on the fact key folding
+    sources (count -> n_sources, sum -> n_mentions). Pure keyed shuffles;
+    scales with distinct facts, never assertions."""
+    from ray.data.aggregate import Count, Sum
+
+    gcols = [*key_cols, source_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pa.string()) for c in gcols},
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        g = b.select(gcols).group_by(gcols).aggregate([([], "count_all")])
+        return g.rename_columns([*gcols, "n"])
+
+    per_src = (
+        facts.map_batches(partial, batch_format="pyarrow")
+        .groupby(gcols)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = per_src.groupby(key_cols).aggregate(
+        Count(alias_name="n_sources"), Sum("n", alias_name="n_mentions")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    **{c: pa.array([], type=pa.string()) for c in key_cols},
+                    "n_sources": pa.array([], type=pa.int64()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                    "corroborated": pa.array([], type=pa.int64()),
+                }
+            )
+        corr = pc.cast(
+            pc.greater_equal(b.column("n_sources"), pa.scalar(min_sources)),
+            pa.int64(),
+        )
+        cols = {c: b.column(c) for c in key_cols}
+        cols["n_sources"] = pc.cast(b.column("n_sources"), pa.int64())
+        cols["n_mentions"] = pc.cast(b.column("n_mentions"), pa.int64())
+        cols["corroborated"] = corr
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def source_reliability_open(
+    facts,
+    *,
+    key_cols: list[str],
+    source_col: str = "source",
+    min_sources: int = 2,
+    broadcast_cap: int = FACT_BROADCAST_CAP,
+    num_partitions: int = 8,
+):
+    """Open-vocabulary source reliability: per source, distinct facts
+    asserted and how many are corroborated (asserted by >= ``min_sources``
+    distinct sources overall). The fact-level distinct-source table is
+    open-world here, so the fold is CAP-GATED: at most ``broadcast_cap``
+    distinct facts it broadcasts (one ray.put, vectorized index_in lookup
+    — cheapest when facts fit an executor); above the cap it switches to
+    a hash-partitioned keyed JOIN on the fact key — the 100 TB path, no
+    driver materialization. Set ``broadcast_cap=0`` to force the join
+    path (the driver contract's infobox_source_reliability does, so the
+    scale path is what the oracle checks)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    gcols = [*key_cols, source_col]
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({c: pa.array([], type=pa.string()) for c in gcols})
+        return b.select(gcols).group_by(gcols).aggregate([])
+
+    per_src = (
+        facts.map_batches(partial, batch_format="pyarrow")
+        .groupby(gcols)
+        .aggregate(Count(alias_name="_n"))
+        .materialize()
+    )
+    fact_counts = per_src.groupby(key_cols).aggregate(
+        Count(alias_name="n_sources")
+    )
+
+    def fold(flagged):
+        out = flagged.groupby(source_col).aggregate(
+            Sum("one", alias_name="n_facts"),
+            Sum("is_corr", alias_name="n_corroborated"),
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "source": pa.array([], type=pa.string()),
+                        "n_facts": pa.array([], type=pa.int64()),
+                        "n_corroborated": pa.array([], type=pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "source": b.column(source_col),
+                    "n_facts": pc.cast(b.column("n_facts"), pa.int64()),
+                    "n_corroborated": pc.cast(
+                        b.column("n_corroborated"), pa.int64()
+                    ),
+                }
+            )
+
+        return out.map_batches(finish, batch_format="pyarrow")
+
+    def to_flags(b: pa.Table, ns) -> pa.Table:
+        return pa.table(
+            {
+                source_col: b.column(source_col),
+                "one": pa.array([1] * b.num_rows, type=pa.int64()),
+                "is_corr": pc.cast(
+                    pc.greater_equal(ns, pa.scalar(min_sources)), pa.int64()
+                ),
+            }
+        )
+
+    n_facts_total = fact_counts.count()
+    if n_facts_total <= broadcast_cap:
+        rows = fact_counts.take_all()
+        keys = pa.array(
+            ["\x1f".join(str(r[c]) for c in key_cols) for r in rows],
+            type=pa.string(),
+        )
+        counts = pa.array([r["n_sources"] for r in rows], type=pa.int64())
+        ref = ray.put((keys, counts))
+
+        def flag_bcast(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        source_col: pa.array([], type=pa.string()),
+                        "one": pa.array([], type=pa.int64()),
+                        "is_corr": pa.array([], type=pa.int64()),
+                    }
+                )
+            k_arr, c_arr = ray.get(ref)
+            parts = [
+                _as_combined(b.column(c)).cast(pa.string()) for c in key_cols
+            ]
+            k = parts[0]
+            for p in parts[1:]:
+                k = pc.binary_join_element_wise(k, p, "\x1f")
+            ns = pc.take(c_arr, pc.index_in(k, value_set=k_arr))
+            return to_flags(b, ns)
+
+        flagged = per_src.map_batches(flag_bcast, batch_format="pyarrow")
+        return fold(flagged)
+
+    # join path: per_src (fact, source) x fact_counts (fact, n_sources)
+    joined = per_src.join(
+        fact_counts,
+        "inner",
+        num_partitions=num_partitions,
+        on=tuple(key_cols),
+    )
+
+    def flag_join(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    source_col: pa.array([], type=pa.string()),
+                    "one": pa.array([], type=pa.int64()),
+                    "is_corr": pa.array([], type=pa.int64()),
+                }
+            )
+        return to_flags(b, b.column("n_sources"))
+
+    return fold(joined.map_batches(flag_join, batch_format="pyarrow"))
+
+
 def canonical_entities_delta(ann, *, doc_col: str = "doc_id"):
     """Incremental-KG delta feed: compare the canonical entity tables of
     two crawls — the even-``doc_id`` corpus (old crawl) vs the odd one

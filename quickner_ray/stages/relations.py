@@ -244,7 +244,7 @@ def kg_negative_samples(triples_ds, entity_ids, *, sep: str = "|"):
     return triples_ds.map_batches(corrupt, batch_format="pyarrow")
 
 
-def infobox_facts(pages, *, id_col: str = "doc_id"):
+def infobox_facts(pages, *, id_col: str = "doc_id", carry_cols: list[str] | None = None):
     """Semi-structured fact extraction: parse each page's
     ``<table class="infobox">`` into (id, attr, value) rows — the
     WebTables / DBpedia-infobox KG-construction step (each row is a
@@ -254,17 +254,24 @@ def infobox_facts(pages, *, id_col: str = "doc_id"):
     Stateless ``map_batches`` over (id, html) — the parse
     (kernel/htmlextract.extract_infobox) is a compiled-regex pass per
     page, comments/scripts stripped, cells tag-stripped + unescaped.
-    Zero shuffles; output volume = rows-per-infobox x pages."""
+    Zero shuffles; output volume = rows-per-infobox x pages.
+
+    ``carry_cols`` propagates page-level provenance columns (e.g. the
+    source/host) onto each emitted fact via a batch-local take — the
+    zero-shuffle alternative to a facts-to-pages join."""
     from ..kernel.htmlextract import extract_infobox
 
+    carry = carry_cols or []
+
     def parse(b: pa.Table) -> pa.Table:
+        cols: dict = {
+            id_col: pa.array([], type=pa.int64()),
+            "attr": pa.array([], type=pa.string()),
+            "value": pa.array([], type=pa.string()),
+        }
         empty = pa.table(
-            {
-                id_col: pa.array([], type=pa.int64()),
-                "attr": pa.array([], type=pa.string()),
-                "value": pa.array([], type=pa.string()),
-            }
-        )
+            {**cols, **{c: b.column(c).combine_chunks().slice(0, 0) for c in carry}}
+        ) if b.num_rows else pa.table(cols)
         if b.num_rows == 0:
             return empty
         ids = b.column(id_col)
@@ -273,22 +280,31 @@ def infobox_facts(pages, *, id_col: str = "doc_id"):
         htmls = b.column("html")
         if isinstance(htmls, pa.ChunkedArray):
             htmls = htmls.combine_chunks()
-        out_id, out_attr, out_val = [], [], []
+        out_id, out_attr, out_val, out_row = [], [], [], []
         for i, page in enumerate(htmls.to_pylist()):
             did = ids[i].as_py()
             for attr, val in extract_infobox(page):
                 out_id.append(did)
                 out_attr.append(attr)
                 out_val.append(val)
+                out_row.append(i)
         if not out_id:
             return empty
-        return pa.table(
+        t = pa.table(
             {
                 id_col: pa.array(out_id, type=pa.int64()),
                 "attr": pa.array(out_attr, type=pa.string()),
                 "value": pa.array(out_val, type=pa.string()),
             }
         )
+        if carry:
+            idx = pa.array(out_row, type=pa.int64())
+            for c in carry:
+                col = b.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                t = t.append_column(c, col.take(idx))
+        return t
 
     return pages.map_batches(parse, batch_format="pyarrow")
 

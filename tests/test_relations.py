@@ -308,3 +308,113 @@ class TestEntityContextFeatures:
         # at least its own surface token
         fcols = [f"f{k}" for k in range(8)]
         assert (got[fcols].sum(axis=1) >= 1).all()
+
+
+class TestOpenVocabFusion:
+    """fact_corroboration_open / source_reliability_open vs brute force;
+    both reliability fold paths (broadcast vs keyed join) must agree."""
+
+    FACTS = [
+        # (attr, value, source) assertions, with repeats
+        ("pop", "1", "a"), ("pop", "1", "b"), ("pop", "1", "b"),
+        ("pop", "2", "a"),
+        ("area", "9", "c"), ("area", "9", "a"), ("area", "9", "b"),
+        ("lang", "fr", "c"),
+    ]
+
+    def _ds(self):
+        import pyarrow as pa
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "attr": [f[0] for f in self.FACTS],
+                    "value": [f[1] for f in self.FACTS],
+                    "source": [f[2] for f in self.FACTS],
+                }
+            )
+        )
+
+    def test_corroboration_matches_brute_force(self):
+        from collections import defaultdict
+
+        from quickner_ray.stages.canonicalize import fact_corroboration_open
+
+        out = {
+            (r["attr"], r["value"]): (
+                r["n_sources"], r["n_mentions"], r["corroborated"]
+            )
+            for r in fact_corroboration_open(
+                self._ds(), key_cols=["attr", "value"], min_sources=2
+            ).take_all()
+        }
+        srcs, mentions = defaultdict(set), defaultdict(int)
+        for a, v, s in self.FACTS:
+            srcs[(a, v)].add(s)
+            mentions[(a, v)] += 1
+        expect = {
+            k: (len(srcs[k]), mentions[k], int(len(srcs[k]) >= 2))
+            for k in srcs
+        }
+        assert out == expect
+
+    @pytest.mark.parametrize("cap", [0, 10**6])
+    def test_reliability_join_and_broadcast_agree(self, cap):
+        from collections import defaultdict
+
+        from quickner_ray.stages.canonicalize import source_reliability_open
+
+        out = {
+            r["source"]: (r["n_facts"], r["n_corroborated"])
+            for r in source_reliability_open(
+                self._ds(),
+                key_cols=["attr", "value"],
+                min_sources=2,
+                broadcast_cap=cap,
+                num_partitions=2,
+            ).take_all()
+        }
+        srcs = defaultdict(set)
+        per_src = defaultdict(set)
+        for a, v, s in self.FACTS:
+            srcs[(a, v)].add(s)
+            per_src[s].add((a, v))
+        expect = {
+            s: (
+                len(facts),
+                sum(1 for f in facts if len(srcs[f]) >= 2),
+            )
+            for s, facts in per_src.items()
+        }
+        assert out == expect
+
+    def test_infobox_carry_cols_provenance(self):
+        """infobox_facts carry_cols propagates page provenance per fact."""
+        from quickner_ray.kernel.htmlextract import synth_infobox_page
+        from quickner_ray.stages.relations import infobox_facts
+        import pyarrow as pa
+
+        pages = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "html": pa.array(
+                        [
+                            synth_infobox_page("p1", [("k", "v1")], seq=1),
+                            synth_infobox_page("p2", [("k", "v2"), ("k2", "x")], seq=2),
+                        ],
+                        type=pa.binary(),
+                    ),
+                    "source": ["sA", "sB"],
+                }
+            )
+        )
+        rows = sorted(
+            (r["doc_id"], r["attr"], r["value"], r["source"])
+            for r in infobox_facts(pages, carry_cols=["source"]).take_all()
+        )
+        assert rows == [
+            (1, "k", "v1", "sA"),
+            (2, "k", "v2", "sB"),
+            (2, "k2", "x", "sB"),
+        ]
