@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_entities_incremental": q.q_canonical_entities_incremental,
         "triples": q.q_triples,
         "triple_store_lookup": q.q_triple_store_lookup,
+        "triple_store_lookup_delta": q.q_triple_store_lookup_delta,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         # closed SQL form on ASCII corpora (pipelines/ner_oracle.py)
         "triples": sql_triples(DEFAULT_GAZETTEER),
         "triple_store_lookup": q.sql_triple_store_lookup(),
+        "triple_store_lookup_delta": q.sql_triple_store_lookup_delta(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("

@@ -101,8 +101,63 @@ def annotated_documents(sf_dir: str, *, batch_size: int = 2048):
     return detect_mentions(ds, documents_gazetteer(), batch_size=batch_size)
 
 
+_ANN_CACHE_VERSION = "v1"
+
+
+def _corpus_cache_key(sf_dir: str, version: str) -> str:
+    """Cache key bound to the SOURCE's identity (path+size+mtime) so a
+    regenerated corpus can never serve a stale cache."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:{version}".encode()
+    ).hexdigest()[:12]
+    return f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}"
+
+
+def annotated_documents_cached(sf_dir: str):
+    """Write-once annotated corpus shared by every downstream consumer.
+
+    The graph/KG query family reads the annotated corpus many times
+    (co-occurrence edges, canonicalization, timelines, random walks, ...);
+    re-running detection per consumer multiplies the most expensive stage.
+    This is the 100 TB shape made local: annotate ONCE -> write partitioned
+    parquet -> each consumer re-reads (column-pruned, streaming) instead of
+    re-detecting or pinning the whole corpus in the object store with
+    ``materialize()``. Crash-safe: written to a temp dir and promoted with
+    an atomic rename; keyed by source fingerprint (stale-guarded)."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.detect import LABEL_TYPE
+
+    d = f"/tmp/quickner_ray_ann_{_corpus_cache_key(sf_dir, _ANN_CACHE_VERSION)}"
+    done = d + ".done"  # marker OUTSIDE the dir: the dir stays pure parquet
+    if not os.path.exists(done):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        annotated_documents(sf_dir).write_parquet(tmp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        with open(done, "w") as f:
+            f.write("ok\n")
+
+    def renorm(b: pa.Table) -> pa.Table:
+        # parquet round-trip narrows large_string and loosens the
+        # list<struct> nullability; restore the detector's exact schema
+        idx = b.column_names.index("text")
+        b = b.set_column(idx, "text", b.column("text").cast(pa.large_string()))
+        li = b.column_names.index("label")
+        return b.set_column(li, "label", b.column("label").cast(LABEL_TYPE))
+
+    return rd.read_parquet(d).map_batches(renorm, batch_format="pyarrow")
+
+
 def mentions_dataset(sf_dir: str, *, keep_text: bool = False):
-    ann = annotated_documents(sf_dir)
+    ann = annotated_documents_cached(sf_dir)
     return ann.map_batches(
         lambda b: explode_mentions(b, subj_col="doc_id", keep_text=keep_text),
         batch_format="pyarrow",
@@ -3323,6 +3378,47 @@ def sql_triple_store_lookup(pred: str = "OPERATOR") -> str:
     )
 
 
+def q_triple_store_lookup_delta(sf_dir: str, pred: str = "OPERATOR"):
+    """Incremental triple-store maintenance, driver-checked: the base POS
+    permutation index is built from the EVEN-doc_id half of the corpus
+    only; the ODD half is then MERGED as a range-sorted LSM delta
+    partition (sinks/triplestore.apply_triple_delta — |delta| work, no
+    rebuild). The lookup must answer identically to a store built from
+    the whole corpus (the oracle is the full-corpus SQL), which exercises
+    the split-key re-aggregation read path across base + delta runs.
+    ``compact_store`` folding deltas back to one run is pinned
+    value-identical to a full rebuild by tests/test_triplestore.py."""
+    from ..sinks.triplestore import (
+        _delta_dirs,
+        apply_triple_delta,
+        lookup,
+        write_triple_store,
+    )
+
+    store = f"/tmp/quickner_ray_tstore_delta_{_corpus_cache_key(sf_dir, 'v1')}"
+
+    def half(parity: int):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b.column("subj")
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            ids = pc.cast(ids, pa.int64())
+            return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+        return q_triples(sf_dir).map_batches(f, batch_format="pyarrow")
+
+    pos_dir = os.path.join(store, "pos")
+    if not os.path.exists(os.path.join(pos_dir, "_DONE")):
+        write_triple_store(half(0), store, perms=["pos"])
+    if not _delta_dirs(pos_dir):  # idempotent: apply the odd half ONCE
+        apply_triple_delta(store, half(1), perms=["pos"])
+    return lookup(store, "pred", pred)
+
+
+def sql_triple_store_lookup_delta(pred: str = "OPERATOR") -> str:
+    return sql_triple_store_lookup(pred)
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
@@ -3393,7 +3489,7 @@ def q_entity_random_walks(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, random_walks
 
-    ann = annotated_documents(sf_dir).materialize()
+    ann = annotated_documents_cached(sf_dir)
     edges = cooccurrence_pairs(ann, annotated=True)
     nodes = _project_t(
         canonical_entities(_explode_ann(ann)),
@@ -3415,7 +3511,7 @@ def q_canonical_entities_delta(sf_dir: str):
     (stages/canonicalize.canonical_entities_delta)."""
     from ..stages.canonicalize import canonical_entities_delta
 
-    return canonical_entities_delta(annotated_documents(sf_dir))
+    return canonical_entities_delta(annotated_documents_cached(sf_dir))
 
 
 def q_entity_trend(sf_dir: str):
@@ -3424,7 +3520,7 @@ def q_entity_trend(sf_dir: str):
     (stages/canonicalize.entity_trend)."""
     from ..stages.canonicalize import entity_trend
 
-    return entity_trend(annotated_documents(sf_dir))
+    return entity_trend(annotated_documents_cached(sf_dir))
 
 
 def q_entity_communities(sf_dir: str):
@@ -3434,7 +3530,7 @@ def q_entity_communities(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, label_propagation
 
-    ann = annotated_documents(sf_dir).materialize()
+    ann = annotated_documents_cached(sf_dir)
     edges = cooccurrence_pairs(ann, annotated=True)
     nodes = _project_t(
         canonical_entities(_explode_ann(ann)),
@@ -3461,7 +3557,7 @@ def q_entity_fastrp(sf_dir: str):
     moments (stages/graph_cc.fastrp_embeddings)."""
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, fastrp_embeddings
 
-    ann = annotated_documents(sf_dir)
+    ann = annotated_documents_cached(sf_dir)
     edges = cooccurrence_pairs(ann, annotated=True)  # materialized inside fastrp
     emb = fastrp_embeddings(
         edges, src_col="entity_a", dst_col="entity_b", node_type=pa.string()
@@ -3480,7 +3576,7 @@ def q_entity_context_features(sf_dir: str):
     (stages/relations.entity_context_features)."""
     from ..stages.relations import entity_context_features
 
-    return entity_context_features(annotated_documents(sf_dir))
+    return entity_context_features(annotated_documents_cached(sf_dir))
 
 
 def q_entity_timeline(sf_dir: str):
@@ -3490,7 +3586,7 @@ def q_entity_timeline(sf_dir: str):
     deterministic stand-in for warc_ts month buckets)."""
     from ..stages.canonicalize import entity_timeline
 
-    return entity_timeline(annotated_documents(sf_dir))
+    return entity_timeline(annotated_documents_cached(sf_dir))
 
 
 def q_fact_corroboration(sf_dir: str):
@@ -3587,7 +3683,7 @@ def q_entity_salience(sf_dir: str):
             ["doc_id", "entity_id", "label", "n_mentions", "first_start", "n_chars"]
         )
 
-    return annotated_documents(sf_dir).map_batches(per_batch, batch_format="pyarrow")
+    return annotated_documents_cached(sf_dir).map_batches(per_batch, batch_format="pyarrow")
 
 
 def q_entity_cooccurrence(sf_dir: str):
@@ -3597,7 +3693,7 @@ def q_entity_cooccurrence(sf_dir: str):
     shuffles."""
     from ..stages.graph_cc import cooccurrence_pairs
 
-    return cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    return cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True)
 
 
 def q_entity_jaccard(sf_dir: str):
@@ -3608,7 +3704,7 @@ def q_entity_jaccard(sf_dir: str):
 
     from ..stages.graph_cc import cooccurrence_pairs, neighborhood_jaccard
 
-    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    edges = cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True)
     return neighborhood_jaccard(
         edges,
         src_col="entity_a",
@@ -3626,7 +3722,7 @@ def q_entity_resource_alloc(sf_dir: str):
 
     from ..stages.graph_cc import cooccurrence_pairs, resource_allocation
 
-    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    edges = cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True)
     return resource_allocation(
         edges,
         src_col="entity_a",
@@ -3643,7 +3739,7 @@ def q_entity_bfs(sf_dir: str, k: int = 4):
     set and the (node,) frontier materialize per round."""
     from ..stages.graph_cc import bfs_distances, cooccurrence_pairs
 
-    edges = cooccurrence_pairs(annotated_documents(sf_dir), annotated=True)
+    edges = cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True)
     bf = bfs_distances(
         edges,
         k=k,
@@ -3674,7 +3770,7 @@ def q_entity_pagerank(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, pagerank
 
-    ann = annotated_documents(sf_dir).materialize()
+    ann = annotated_documents_cached(sf_dir)
     edges = cooccurrence_pairs(ann, annotated=True)
     nodes = canonical_entities(_explode_ann(ann))
     pr = pagerank(
@@ -3698,7 +3794,7 @@ def q_relation_candidates(sf_dir: str):
     Zero shuffles — pair generation is batch-local by doc contiguity."""
     from ..stages.relations import relation_candidates
 
-    return relation_candidates(annotated_documents(sf_dir), annotated=True)
+    return relation_candidates(annotated_documents_cached(sf_dir), annotated=True)
 
 
 def q_entity_pmi(sf_dir: str):
@@ -3716,7 +3812,7 @@ def q_entity_pmi(sf_dir: str):
 
     from ..stages.graph_cc import cooccurrence_pairs, entity_doc_freq
 
-    ann = annotated_documents(sf_dir).materialize()
+    ann = annotated_documents_cached(sf_dir)
     pairs = cooccurrence_pairs(ann, annotated=True)
     df_rows = entity_doc_freq(ann, annotated=True).take_all()  # gazetteer-bounded
     n_total = _docs(sf_dir, columns=["doc_id"]).count()
@@ -4116,7 +4212,7 @@ def q_entity_kcore(sf_dir: str):
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, kcore
 
     out = kcore(
-        cooccurrence_pairs(annotated_documents(sf_dir), annotated=True),
+        cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True),
         k=2,
         src_col="entity_a",
         dst_col="entity_b",
@@ -4313,7 +4409,7 @@ def q_entity_triangles(sf_dir: str):
     from ..stages.canonicalize import canonical_entities
     from ..stages.graph_cc import _project_t, cooccurrence_pairs, triangle_counts
 
-    ann = annotated_documents(sf_dir).materialize()
+    ann = annotated_documents_cached(sf_dir)
     out = triangle_counts(
         cooccurrence_pairs(ann, annotated=True),
         nodes=canonical_entities(_explode_ann(ann)),
@@ -4714,7 +4810,7 @@ def q_graph_degree(sf_dir: str):
     guarantee as ``cooccurrence_pairs(annotated=True)``). Were the key NOT
     aligned with the doc layout, this would need the groupby(s,p,o) ->
     groupby(s,p) partial-aggregate chain instead."""
-    ann = annotated_documents(sf_dir)
+    ann = annotated_documents_cached(sf_dir)
 
     def degree(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:

@@ -82,18 +82,148 @@ def write_triple_store(
     return out_dir
 
 
+def _delta_dirs(perm_dir: str) -> list[str]:
+    if not os.path.isdir(perm_dir):
+        return []
+    return sorted(
+        os.path.join(perm_dir, f)
+        for f in os.listdir(perm_dir)
+        if f.startswith("delta-") and os.path.isdir(os.path.join(perm_dir, f))
+    )
+
+
 def lookup(store_dir: str, position: str, value):
     """Point lookup by leading key: position in {'subj','pred','obj'}.
     Reads ONLY the fragments/row groups whose min/max statistics admit
-    ``value`` (pyarrow predicate pushdown over the sorted layout)."""
+    ``value`` (pyarrow predicate pushdown over the sorted layout — delta
+    partitions are range-sorted too, so they prune the same way). When
+    delta partitions exist, a (s,p,o) key may be split across base +
+    deltas: the filtered (small) result is re-aggregated and retracted
+    keys (support folded to <= 0) are dropped."""
     import pyarrow.compute as pc
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
     perm = {"subj": "spo", "pred": "pos", "obj": "osp"}[position]
-    return rd.read_parquet(
-        os.path.join(store_dir, perm),
-        filter=(pc.field(position) == value),
+    d = os.path.join(store_dir, perm)
+    ds = rd.read_parquet(d, filter=(pc.field(position) == value))
+    if not _delta_dirs(d):
+        return ds
+    out = ds.groupby(["subj", "pred", "obj"]).aggregate(
+        Sum("n_mentions", alias_name="n_mentions")
     )
+
+    def positive(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = b.column("n_mentions")
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        b = b.filter(_pc.greater(n, 0))
+        i = b.column_names.index("n_mentions")
+        return b.set_column(i, "n_mentions", b.column("n_mentions").cast(pa.int64()))
+
+    return out.map_batches(positive, batch_format="pyarrow")
+
+
+def apply_triple_delta(
+    store_dir: str,
+    delta,
+    *,
+    perms: list[str] | None = None,
+    distinct: bool = False,
+    row_group_size: int | None = None,
+) -> list[str]:
+    """Incrementally MERGE a triple delta into an existing store — no full
+    rebuild. ``delta`` is a mention-level (subj, pred, obj) Dataset (or,
+    with ``distinct=True``, an already-aggregated (s,p,o, n_mentions)
+    table; negative ``n_mentions`` retracts support). The delta is
+    aggregated once, then written as a range-sorted ``delta-NNNN``
+    partition inside each permutation dir — the LSM pattern: base +
+    sorted delta runs, folded by ``compact_store``. Writes are crash-safe
+    (temp dir + atomic rename); a re-run of a crashed apply cannot leave a
+    partial partition behind. Returns the created partition dirs.
+
+    Cost: one (s,p,o) groupby over the DELTA only + three delta-sized
+    sorts — at 100 TB this is |delta| work instead of |store| work; reads
+    pay a per-key re-aggregate only on keys the delta touched (lookup
+    filters first, so that cost is on the result rows, not the store)."""
+    import shutil
+
+    dt = (delta if distinct else distinct_triples(delta)).materialize()
+    kw = {"row_group_size": row_group_size} if row_group_size else {}
+    created: list[str] = []
+    for name in perms or list(PERMS):
+        d = os.path.join(store_dir, name)
+        if not os.path.exists(os.path.join(d, "_DONE")):
+            raise FileNotFoundError(f"no completed base permutation at {d}")
+        seq = len(_delta_dirs(d))
+        part = os.path.join(d, f"delta-{seq:04d}")
+        tmp = part + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        dt.sort(PERMS[name]).write_parquet(tmp, **kw)
+        os.rename(tmp, part)
+        created.append(part)
+    return created
+
+
+def compact_store(
+    store_dir: str,
+    *,
+    perms: list[str] | None = None,
+    row_group_size: int | None = None,
+) -> dict:
+    """Fold base + delta partitions back into one sorted run per
+    permutation (the LSM compaction): read the whole perm dir (base +
+    deltas), re-aggregate (s,p,o) support, drop retracted keys, range-sort,
+    rewrite atomically. After compaction the store is value-identical to a
+    full rebuild from the merged corpus (pinned by tests) and lookups are
+    single-run again. Returns {perm: n_deltas_folded}."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    kw = {"row_group_size": row_group_size} if row_group_size else {}
+    folded: dict = {}
+    for name in perms or list(PERMS):
+        d = os.path.join(store_dir, name)
+        deltas = _delta_dirs(d)
+        folded[name] = len(deltas)
+        if not deltas:
+            continue
+        merged = (
+            rd.read_parquet(d)
+            .groupby(["subj", "pred", "obj"])
+            .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        )
+
+        def positive(b: pa.Table) -> pa.Table:
+            n = b.column("n_mentions")
+            if isinstance(n, pa.ChunkedArray):
+                n = n.combine_chunks()
+            b = b.filter(pc.greater(n, 0))
+            i = b.column_names.index("n_mentions")
+            return b.set_column(
+                i, "n_mentions", b.column("n_mentions").cast(pa.int64())
+            )
+
+        merged = merged.map_batches(positive, batch_format="pyarrow")
+        tmp = d + ".compact.tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        merged.sort(PERMS[name]).write_parquet(tmp, **kw)
+        old = d + ".old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        with open(os.path.join(d, "_DONE"), "w") as f:
+            f.write("ok")
+    return folded
 
 
 def pruned_fraction(store_dir: str, position: str, value) -> float:

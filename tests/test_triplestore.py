@@ -67,3 +67,100 @@ class TestTripleStore:
         before = sorted((tmp_path / "store" / "pos").iterdir())
         write_triple_store(rd.from_arrow(t), store, perms=["pos"])
         assert sorted((tmp_path / "store" / "pos").iterdir()) == before
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestIncrementalMaintenance:
+    """apply_triple_delta + compact_store: LSM delta runs must be
+    read-equivalent immediately and byte-fold to a full rebuild."""
+
+    def _perm_table(self, store, perm):
+        import os
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(store, perm)
+        files = sorted(
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        t = pa.concat_tables(pq.read_table(f) for f in files)
+        return t.sort_by([(c, "ascending") for c in t.column_names])
+
+    def test_delta_then_compact_equals_full_rebuild(self, tmp_path):
+        from quickner_ray.sinks.triplestore import (
+            apply_triple_delta,
+            compact_store,
+        )
+
+        t = _triples_table()
+        half = t.num_rows // 2
+        base, delta = t.slice(0, half), t.slice(half)
+
+        inc = str(tmp_path / "inc")
+        write_triple_store(rd.from_arrow(base), inc)
+        apply_triple_delta(inc, rd.from_arrow(delta))
+
+        # BEFORE compaction: lookups already see the merged store
+        got = {
+            (r["subj"], r["obj"]): r["n_mentions"]
+            for r in lookup(inc, "pred", "P00").take_all()
+        }
+        full = str(tmp_path / "full")
+        write_triple_store(rd.from_arrow(t), full)
+        want = {
+            (r["subj"], r["obj"]): r["n_mentions"]
+            for r in lookup(full, "pred", "P00").take_all()
+        }
+        assert got == want and len(got) == 30
+
+        # AFTER compaction: every permutation is value-identical to the
+        # full rebuild (single sorted run, deltas folded)
+        folded = compact_store(inc)
+        assert folded == {"spo": 1, "pos": 1, "osp": 1}
+        for perm in ("spo", "pos", "osp"):
+            assert self._perm_table(inc, perm) == self._perm_table(full, perm)
+        # and the delta partitions are gone
+        import os
+
+        for perm in ("spo", "pos", "osp"):
+            subdirs = [
+                f
+                for f in os.listdir(os.path.join(inc, perm))
+                if f.startswith("delta-")
+            ]
+            assert subdirs == []
+
+    def test_retraction_drops_key(self, tmp_path):
+        from quickner_ray.sinks.triplestore import (
+            apply_triple_delta,
+            compact_store,
+        )
+
+        base = pa.table(  # mention-level: (a,P,x) twice, (b,P,y) once
+            {
+                "subj": ["a", "a", "b"],
+                "pred": ["P", "P", "P"],
+                "obj": ["x", "x", "y"],
+            }
+        )
+        store = str(tmp_path / "s")
+        write_triple_store(rd.from_arrow(base), store)
+        retract = pa.table(
+            {
+                "subj": ["b"],
+                "pred": ["P"],
+                "obj": ["y"],
+                "n_mentions": pa.array([-1], pa.int64()),
+            }
+        )
+        apply_triple_delta(store, rd.from_arrow(retract), distinct=True)
+        rows = lookup(store, "pred", "P").take_all()
+        assert {(r["subj"], r["obj"]) for r in rows} == {("a", "x")}
+        compact_store(store)
+        rows = lookup(store, "pred", "P").take_all()
+        assert [(r["subj"], r["obj"], r["n_mentions"]) for r in rows] == [
+            ("a", "x", 2)
+        ]
