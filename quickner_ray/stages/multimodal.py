@@ -1,9 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads with
 typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The image/audio decode libraries are NOT in this container, so the pixel
-work is STUBBED (clearly marked: ``NotImplementedError`` on real media when
-PIL is absent) — but the Ray-side plumbing is real and tested end-to-end:
+Real codecs are wired behind guarded imports — PIL for images, soundfile
+for audio, PyAV for video containers — probed ONCE per actor in
+``__init__``; when a library is importable the real decode path runs, and
+``NotImplementedError`` is reachable only when no codec exists at all
+(this container ships none, so CI exercises the deterministic Q* formats
+and the real-codec contract tests skip). The Ray-side plumbing is real
+and tested end-to-end either way:
 
 - schema: ``media_id:int64, media_type:string, payload:binary`` (+ per-type
   metadata columns), large payloads -> SMALL batch sizes (``batch_size``
@@ -105,11 +109,11 @@ class ImageDecodeStage:
 
     def __init__(self):
         try:  # one-time library probe per actor
-            import PIL.Image  # noqa: F401
+            import PIL.Image
 
-            self._pil = True
+            self._pil_image = PIL.Image
         except ImportError:
-            self._pil = False
+            self._pil_image = None
 
     def _decode_one(self, b: bytes) -> tuple[int, int, int]:
         if b[:4] == QIMG_MAGIC:
@@ -117,8 +121,12 @@ class ImageDecodeStage:
             if len(b) != 9 + w * h * c:
                 raise ValueError("corrupt QIMG payload")
             return w, h, c
-        if self._pil:
-            raise NotImplementedError("real image decode path not wired yet")
+        if self._pil_image is not None:  # real formats (PNG/JPEG/...)
+            import io
+
+            with self._pil_image.open(io.BytesIO(b)) as im:
+                w, h = im.size
+                return w, h, len(im.getbands())
         raise NotImplementedError(
             "real image decode requires PIL (unavailable in this container); "
             "only the QIMG synthetic format is supported"
@@ -165,19 +173,36 @@ class FrameSampleStage:
 
     def __init__(self, step: int = 5):
         self.step = step
+        try:  # real containers (MP4/MKV/...) via PyAV when importable
+            import av
+
+            self._av = av
+        except ImportError:
+            self._av = None
+
+    def _n_frames(self, b: bytes) -> int:
+        if b[:4] == QVID_MAGIC:
+            (n_frames,) = struct.unpack_from("<H", b, 4)
+            return n_frames
+        if self._av is not None:
+            import io
+
+            with self._av.open(io.BytesIO(b)) as container:
+                stream = container.streams.video[0]
+                if stream.frames:  # container declares the count
+                    return int(stream.frames)
+                return sum(1 for _ in container.decode(stream))
+        raise NotImplementedError(
+            "real video containers require PyAV (unavailable in this "
+            "container); only the QVID synthetic format is supported"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         payloads = batch.column("payload").to_pylist()
         out_id, out_frame = [], []
         for mid, b in zip(ids, payloads):
-            if b[:4] != QVID_MAGIC:
-                raise NotImplementedError(
-                    "real video containers need a decoder (unavailable); "
-                    "only the QVID synthetic format is supported"
-                )
-            (n_frames,) = struct.unpack_from("<H", b, 4)
-            for f in range(0, n_frames, self.step):
+            for f in range(0, self._n_frames(b), self.step):
                 out_id.append(mid)
                 out_frame.append(f)
         return pa.Table.from_pydict(
@@ -198,25 +223,47 @@ def decode_images(ds, *, batch_size: int = 256, concurrency=(1, 8)):
     )
 
 
-class AudioFeatureStage:
-    """Decode QAUD payloads -> (duration_ms, peak_amp, sum_amp). Actor-pool
-    stage like the image decoder; a real codec (soundfile/ffmpeg — absent in
-    this container) would slot into ``_decode_one`` behind the same guard."""
-
-    def __init__(self):
-        self.n_decoded = 0
-
-    def _decode_one(self, b: bytes):
-        if b[:4] != QAUD_MAGIC:
-            raise NotImplementedError(
-                "real audio codecs are not available in this environment; "
-                "only the QAUD synthetic format is supported"
-            )
+def _decode_audio_payload(b: bytes, sf_mod):
+    """Shared audio decode: QAUD fast path, else a real codec (soundfile)
+    when importable -> (rate, n_samples, int64 sample array)."""
+    if b[:4] == QAUD_MAGIC:
         rate, n = struct.unpack("<II", b[4:12])
         s = np.frombuffer(b[12:], dtype="<i2").astype(np.int64)
         if len(s) != n:
             raise ValueError("corrupt QAUD payload")
         return rate, n, s
+    if sf_mod is not None:  # real formats (WAV/FLAC/OGG/...)
+        import io
+
+        data, rate = sf_mod.read(io.BytesIO(b), dtype="int16", always_2d=True)
+        s = data[:, 0].astype(np.int64)  # first channel, reference layout
+        return int(rate), len(s), s
+    raise NotImplementedError(
+        "real audio codecs require soundfile (unavailable in this "
+        "container); only the QAUD synthetic format is supported"
+    )
+
+
+def _probe_soundfile():
+    try:
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+class AudioFeatureStage:
+    """Decode audio payloads -> (duration_ms, peak_amp, sum_amp). Actor-pool
+    stage like the image decoder; QAUD decodes natively, real formats go
+    through soundfile when importable (one probe per actor)."""
+
+    def __init__(self):
+        self.n_decoded = 0
+        self._sf = _probe_soundfile()
+
+    def _decode_one(self, b: bytes):
+        return _decode_audio_payload(b, self._sf)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
@@ -300,6 +347,7 @@ class AudioSegmentStage:
 
     def __init__(self, threshold: int = LOUD_THRESHOLD):
         self.threshold = threshold
+        self._sf = _probe_soundfile()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload")
@@ -307,13 +355,7 @@ class AudioSegmentStage:
             payloads = payloads.combine_chunks()
         n_loud, n_seg, longest = [], [], []
         for b in payloads.to_pylist():
-            if b[:4] != QAUD_MAGIC:
-                raise NotImplementedError(
-                    "real audio codecs are not available in this environment; "
-                    "only the QAUD synthetic format is supported"
-                )
-            _rate, n = struct.unpack("<II", b[4:12])
-            s = np.frombuffer(b[12:], dtype="<i2").astype(np.int64)
+            _rate, _n, s = _decode_audio_payload(b, self._sf)
             loud = np.abs(s) >= self.threshold
             n_loud.append(int(loud.sum()))
             edges = np.diff(np.r_[0, loud.astype(np.int8), 0])
@@ -387,6 +429,17 @@ class MediaEmbedStage:
 
     def __init__(self, d: int = EMBED_DIM):
         self.d = d
+        try:
+            import PIL.Image
+
+            self._pil_image = PIL.Image
+        except ImportError:
+            self._pil_image = None
+
+    def _pool(self, px: "np.ndarray") -> "np.ndarray":
+        return np.bincount(
+            np.arange(len(px)) % self.d, weights=px, minlength=self.d
+        ).astype(np.int64)
 
     def _embed_one(self, b: bytes) -> "np.ndarray":
         if b[:4] == QIMG_MAGIC:
@@ -394,12 +447,16 @@ class MediaEmbedStage:
             if len(b) != 9 + w * h * c:
                 raise ValueError("corrupt QIMG payload")
             px = np.frombuffer(b, dtype=np.uint8, offset=9).astype(np.int64)
-            return np.bincount(
-                np.arange(len(px)) % self.d, weights=px, minlength=self.d
-            ).astype(np.int64)
+            return self._pool(px)
+        if self._pil_image is not None:  # real formats: decode -> same pool
+            import io
+
+            with self._pil_image.open(io.BytesIO(b)) as im:
+                px = np.asarray(im, dtype=np.uint8).reshape(-1).astype(np.int64)
+            return self._pool(px)
         raise NotImplementedError(
-            "real image encoders require torch/PIL (unavailable); only the "
-            "QIMG synthetic format is supported"
+            "real image decode requires PIL (unavailable); only the QIMG "
+            "synthetic format is supported (a learned encoder slots in here)"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -259,3 +259,77 @@ class TestEmbeddingInt8:
         assert all(-127 <= v <= 127 for v in got.values())
         # round-half-away: 0.5/1.0 * 127 = 63.5 -> 64
         assert got[(0, 1)] == 64
+
+
+class TestRealCodecs:
+    """Real-codec decode paths (guarded imports). These run only when the
+    codec library is present in the environment; the Q* synthetic-format
+    coverage above runs everywhere."""
+
+    def test_pil_image_decode_and_embed(self):
+        PIL_Image = pytest.importorskip("PIL.Image")
+        import io
+
+        import numpy as np
+
+        im = PIL_Image.new("RGB", (10, 6))
+        im.putdata([(i % 256, (i * 3) % 256, (i * 7) % 256) for i in range(60)])
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        png = buf.getvalue()
+
+        stage = mm.ImageDecodeStage()
+        assert stage._decode_one(png) == (10, 6, 3)
+
+        embed = mm.MediaEmbedStage()
+        px = np.asarray(im, dtype=np.uint8).reshape(-1).astype(np.int64)
+        want = np.bincount(
+            np.arange(len(px)) % mm.EMBED_DIM, weights=px, minlength=mm.EMBED_DIM
+        ).astype(np.int64)
+        assert (embed._embed_one(png) == want).all()
+
+    def test_soundfile_audio_decode(self):
+        sf = pytest.importorskip("soundfile")
+        import io
+
+        import numpy as np
+
+        samples = (np.arange(100, dtype=np.int64) * 37 % 256 - 128).astype(
+            np.int16
+        )
+        buf = io.BytesIO()
+        sf.write(buf, samples, 8000, format="WAV", subtype="PCM_16")
+        rate, n, s = mm._decode_audio_payload(buf.getvalue(), sf)
+        assert (rate, n) == (8000, 100)
+        assert (s == samples.astype(np.int64)).all()
+
+    def test_pyav_frame_count(self):
+        av = pytest.importorskip("av")
+        import io
+
+        import numpy as np
+
+        buf = io.BytesIO()
+        with av.open(buf, mode="w", format="mp4") as container:
+            stream = container.add_stream("mpeg4", rate=5)
+            stream.width, stream.height = 32, 32
+            stream.pix_fmt = "yuv420p"
+            for i in range(7):
+                frame = av.VideoFrame.from_ndarray(
+                    np.full((32, 32, 3), i * 30, dtype=np.uint8), format="rgb24"
+                )
+                for packet in stream.encode(frame):
+                    container.mux(packet)
+            for packet in stream.encode():
+                container.mux(packet)
+        stage = mm.FrameSampleStage(step=2)
+        assert stage._n_frames(buf.getvalue()) == 7
+
+    def test_stub_only_without_codecs(self):
+        """When no codec is importable, non-Q* payloads raise the documented
+        NotImplementedError (the only reachable stub)."""
+        stage = mm.ImageDecodeStage()
+        if stage._pil_image is not None:
+            pytest.skip("PIL present: real path active")
+        with pytest.raises(NotImplementedError):
+            stage._decode_one(b"\x89PNG\r\n\x1a\nxxxx")
