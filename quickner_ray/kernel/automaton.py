@@ -90,6 +90,9 @@ class Gazetteer:
         for pid, name in enumerate(names):
             d = self.len_pairs.setdefault((self.byte_lens[pid], len(name)), {})
             d.setdefault(name, []).append(pid)
+        # longest name byte length: every rule-4 probe lies within the last
+        # max_end_bl chars of an ASCII doc (s = b_text - bl >= b_text - max)
+        self.max_end_bl = max((bl for bl, _cl in self.len_pairs), default=0)
         # batch concatenation uses '\n' as separator; unsafe if a name contains it
         self.sep_safe = not any("\n" in n for n in names)
         self._scan_re: re.Pattern | None = None
@@ -174,6 +177,25 @@ class Gazetteer:
             if s < 0 or s + cl > n_char:
                 continue
             pids = by_name.get(text[s : s + cl])
+            if pids:
+                e = s + cl
+                for pid in pids:
+                    out.append((s, e, pid))
+        return out
+
+    def _end_aligned_tail(
+        self, tail: str, tail_off: int, n_char: int, b_text: int
+    ) -> list[tuple[int, int, int]]:
+        """Rule-4 candidates probed against only the doc's TAIL slice
+        (``tail == text[tail_off:]``, ``tail_off >= n_char - max_end_bl``)
+        — the Arrow scan path decodes just these <= max_end_bl chars per
+        doc instead of materializing the whole text as a Python str."""
+        out: list[tuple[int, int, int]] = []
+        for (bl, cl), by_name in self.len_pairs.items():
+            s = b_text - bl
+            if s < 0 or s + cl > n_char:
+                continue
+            pids = by_name.get(tail[s - tail_off : s - tail_off + cl])
             if pids:
                 e = s + cl
                 for pid in pids:

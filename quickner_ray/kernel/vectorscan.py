@@ -159,22 +159,48 @@ def compile_token_patterns(names: list[str]) -> dict | None:
     }
 
 
+# Per-process grow-only scratch buffers. Fresh large numpy allocations are
+# the WORST-scaling primitive on an overcommitted host (page-fault zeroing
+# does not parallelize; measured 0.71 efficiency 8->32 procs vs 0.88 for
+# L2-resident ALU work) — reusing arenas across batches removes that traffic
+# entirely. Each Ray worker process has its own arena; memory is bounded by
+# the largest batch seen (a few MB).
+_ARENA: dict = {}
+
+
+def _scratch(name: str, size: int, dtype=np.uint8) -> np.ndarray:
+    buf = _ARENA.get(name)
+    if buf is None or buf.size < size or buf.dtype != dtype:
+        cap = 1 << max(12, int(size - 1).bit_length())
+        buf = np.empty(cap, dtype)
+        _ARENA[name] = buf
+    return buf[:size]
+
+
 def _word_segments(data: np.ndarray, wide: bool = False):
     """Word [start, end) offsets over the mega buffer (bytes when narrow,
-    chars when wide)."""
-    if len(data) == 0:
+    chars when wide). ``data`` MUST end with a boundary char (callers
+    append a trailing separator) — that guarantee removes the
+    trailing-word edge case and lets the whole segmentation run as one
+    int8 diff + one nonzero pass instead of five boolean temporaries."""
+    n = len(data)
+    if n == 0:
         z = np.empty(0, dtype=np.int64)
         return z, z
-    bnd = _lut32(LUT32_BOUND, data) if wide else LUT_BOUND[data]
-    nonb = ~bnd
-    prev_bnd = np.empty_like(bnd)
-    prev_bnd[0] = True
-    prev_bnd[1:] = bnd[:-1]
-    next_bnd = np.empty_like(bnd)
-    next_bnd[-1] = True
-    next_bnd[:-1] = bnd[1:]
-    w_start = np.flatnonzero(nonb & prev_bnd)
-    w_end = np.flatnonzero(nonb & next_bnd) + 1  # exclusive
+    bnd = _scratch("seg_bnd", n, np.bool_)
+    if wide:
+        LUT32_BOUND.take(data, mode="clip", out=bnd)
+    else:
+        LUT_BOUND.take(data, out=bnd)
+    b8 = bnd.view(np.int8)
+    d = _scratch("seg_d", n - 1, np.int8)
+    np.subtract(b8[1:], b8[:-1], out=d)
+    nz = np.flatnonzero(d)
+    sign = d[nz]
+    w_start = nz[sign < 0] + 1
+    w_end = nz[sign > 0] + 1  # exclusive
+    if not b8[0]:  # first char starts a word
+        w_start = np.concatenate([np.zeros(1, dtype=np.int64), w_start])
     return w_start, w_end
 
 
@@ -184,14 +210,23 @@ def _word_keys(data: np.ndarray, w_start: np.ndarray, w_end: np.ndarray) -> np.n
     verification at CANDIDATE positions only (match-count work). On the
     wide path the first/last codepoints are masked to 8 bits so ASCII
     token keys (``_token_key``) stay comparable; a masked collision with a
-    non-ASCII word is caught by the exact verify."""
-    # uint32 cumsum with wraparound: the key keeps only sum mod 2^24, and
-    # 2^24 | 2^32, so (sum mod 2^32) & 0xFFFFFF == sum & 0xFFFFFF — exact
-    # for any buffer size, half the memory of an int64 cumsum. Cast BEFORE
-    # the cumsum: mismatched out= dtypes force numpy's slow buffered path.
-    cs = np.zeros(len(data) + 1, dtype=np.uint32)
-    np.cumsum(data.astype(np.uint32, copy=False), out=cs[1:])
-    wsum = ((cs[w_end] - cs[w_start]) & np.uint32(0xFFFFFF)).astype(np.int64)
+    non-ASCII word is caught by the exact verify.
+
+    Word sums come from ONE ``np.add.reduceat`` pass over the raw units
+    (uint32 accumulate; interleaved [start_i, end_i) ranges) — ~1 byte/char
+    of traffic instead of the previous uint32-cumsum's ~13 (cast write +
+    cumsum read/write). The uint32 wraparound is exact for the masked
+    24-bit key: 2^24 | 2^32. Requires every index < len(data), which the
+    trailing-separator guarantee provides (w_end <= len-1)."""
+    nw = len(w_start)
+    if nw == 0:
+        return np.empty(0, dtype=np.int64)
+    idx = _scratch("wk_idx", 2 * nw, np.int64)
+    idx[0::2] = w_start
+    idx[1::2] = w_end
+    wsum = (
+        np.add.reduceat(data, idx, dtype=np.uint32)[0::2] & np.uint32(0xFFFFFF)
+    ).astype(np.int64)
     wlen = w_end - w_start
     first = data[w_start].astype(np.int64) & 0xFF
     last = data[w_end - 1].astype(np.int64) & 0xFF
@@ -277,18 +312,24 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
     if n_docs == 0:
         return (np.empty(0, np.int64),) * 4
     mega = "\n".join(texts)
+    # copy into the arena with a TRAILING separator: segmentation and the
+    # reduceat word keys then need no edge handling, and the two former
+    # whole-array np.append copies (adjacency pad + rule sentinel pad)
+    # disappear — every probe index stays < len(data).
     if wide:
-        data = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+        enc = np.frombuffer(mega.encode("utf-32-le"), dtype=np.uint32)
+        data = _scratch("mega32", len(enc) + 1, np.uint32)
+        data[:-1] = enc
+        data[-1] = 10
     else:
-        data = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
-    n = len(data)
+        enc = np.frombuffer(mega.encode("ascii"), dtype=np.uint8)
+        data = _scratch("mega8", len(enc) + 1, np.uint8)
+        data[:-1] = enc
+        data[-1] = 10
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n_docs)
     doc_starts = np.zeros(n_docs + 1, dtype=np.int64)
-    acc = 0
-    for i, t in enumerate(texts):
-        doc_starts[i] = acc
-        acc += len(t) + 1
-    doc_starts[n_docs] = acc
-    doc_lens = np.diff(doc_starts) - 1  # char length of each doc
+    np.cumsum(lens + 1, out=doc_starts[1:])
+    doc_lens = lens  # char length of each doc
     if wide:
         # rule 4 compares against the doc's UTF-8 BYTE length
         from .chars import byte_len
@@ -298,6 +339,73 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
         )
     else:
         doc_blens = doc_lens  # ASCII: byte length == char length
+
+    def end_aligned(di: int):
+        return gaz._end_aligned(texts[di], int(doc_lens[di]), int(doc_blens[di]))
+
+    return _scan_core(
+        gaz, data, doc_starts, doc_lens, doc_blens, wide, end_aligned
+    )
+
+
+def scan_batch_ascii_arrow(gaz, arr):
+    """Arrow-native ASCII fast path: ``arr`` is a pyarrow string /
+    large_string ARRAY (not chunked), no nulls, pure-ASCII value buffer,
+    already case-normalized. The scan reads the Arrow value buffer
+    directly — no ``to_pylist``, no per-text ``str`` objects, no join, no
+    encode (the worst-scaling interpreter work at high core counts) —
+    copying doc bytes once into the separator-interleaved arena. The only
+    per-doc Python left is the bounded rule-4 tail probe (<= longest-name
+    bytes per doc)."""
+    import pyarrow as _pa
+
+    n_docs = len(arr)
+    if n_docs == 0:
+        return (np.empty(0, np.int64),) * 4
+    large = _pa.types.is_large_string(arr.type)
+    osz = 8 if large else 4
+    off = np.frombuffer(
+        arr.buffers()[1],
+        dtype=np.int64 if large else np.int32,
+        count=n_docs + 1,
+        offset=osz * arr.offset,
+    ).astype(np.int64, copy=False)
+    vals_buf = arr.buffers()[2]
+    vals = (
+        np.frombuffer(vals_buf, dtype=np.uint8)
+        if vals_buf is not None
+        else np.empty(0, np.uint8)
+    )
+    lens = off[1:] - off[:-1]
+    total = int(lens.sum()) + n_docs  # content + one separator per doc
+    data = _scratch("mega8", total, np.uint8)
+    doc_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=doc_starts[1:])
+    for i in range(n_docs):  # n_docs bounded memcpys
+        s = doc_starts[i]
+        e = s + lens[i]
+        data[s:e] = vals[off[i] : off[i + 1]]
+        data[e] = 10
+    max_bl = gaz.max_end_bl
+
+    def end_aligned(di: int):
+        blen = int(lens[di])
+        toff = blen - max_bl if blen > max_bl else 0
+        st = int(doc_starts[di])
+        tail = data[st + toff : st + blen].tobytes().decode("ascii")
+        return gaz._end_aligned_tail(tail, toff, blen, blen)
+
+    return _scan_core(
+        gaz, data, doc_starts, lens, lens, False, end_aligned
+    )
+
+
+def _scan_core(gaz, data, doc_starts, doc_lens, doc_blens, wide, end_aligned):
+    """Shared scan over a separator-interleaved (and separator-TERMINATED)
+    unit buffer. ``data[doc_starts[i] : doc_starts[i] + doc_lens[i]]`` is
+    doc i; ``end_aligned(di)`` yields the per-doc rule-4 candidates."""
+    n_docs = len(doc_lens)
+    n = len(data) - 1  # content length (excluding the trailing separator)
 
     w_start, w_end = _word_segments(data, wide)
     n_words = len(w_start)
@@ -312,7 +420,6 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
         member_cache: dict[str, np.ndarray] = {}
         spec = gaz.token_spec
         by_first = spec["by_first"]
-        data_pad = np.append(data, data.dtype.type(32))
         # ONE searchsorted probe finds every word that key-matches any first
         # token; pattern count doesn't multiply the scan cost
         fk = spec["first_keys"]
@@ -366,7 +473,7 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
                         # one char and it is a space (the pattern is literal)
                         good = (
                             member[nxt_i]
-                            & (data_pad[prev_end] == 32)
+                            & (data[prev_end] == 32)
                             & (w_start[nxt_i] == prev_end + 1)
                         )
                         ok = ok[good]
@@ -408,9 +515,9 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
 
     # rule-4 end-aligned candidates (byte-probe per doc, ~shapes x docs)
     ea_s, ea_e, ea_p = [], [], []
-    for di, t in enumerate(texts):
+    for di in range(n_docs):
         base = doc_starts[di]
-        for cand in gaz._end_aligned(t, len(t), doc_blens[di]):
+        for cand in end_aligned(di):
             s, e, pid = cand
             ea_s.append(base + s)
             ea_e.append(base + e)
@@ -443,9 +550,9 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
     e_rel = E - doc_starts[doc_idx]
     dlen = doc_lens[doc_idx]
     sent = data.dtype.type(_SENT)
-    data_pad = np.append(data, sent)
-    prev = np.where(s_rel > 0, data_pad[np.maximum(S - 1, 0)], sent)
-    nxt = np.where(e_rel < dlen, data_pad[np.minimum(E, n)], sent)
+    # trailing separator => every probe index is already < len(data)
+    prev = np.where(s_rel > 0, data[np.maximum(S - 1, 0)], sent)
+    nxt = np.where(e_rel < dlen, data[np.minimum(E, n)], sent)
     if wide:
         wsp, pup = _lut32(LUT32_WS, prev), _lut32(LUT32_PU, prev)
         wsn, pun = _lut32(LUT32_WS, nxt), _lut32(LUT32_PU, nxt)
@@ -465,7 +572,7 @@ def scan_batch_arrays(gaz, texts: list[str], wide: bool = False):
         tl_rel = s_rel + gaz.token_spec["byte_lens"][P]
         r4 = tl_rel == doc_blens[doc_idx]
         after = np.where(
-            tl_rel < dlen, data_pad[np.minimum(doc_starts[doc_idx] + tl_rel, n)], sent
+            tl_rel < dlen, data[np.minimum(doc_starts[doc_idx] + tl_rel, n)], sent
         )
         if wide:
             wsa, pua = _lut32(LUT32_WS, after), _lut32(LUT32_PU, after)

@@ -49,19 +49,67 @@ class MentionDetector:
         return annotate_batch_table(batch, self.gazetteer, self.text_col)
 
 
+def _ascii_values(arr: pa.Array) -> bool:
+    """One vectorized pass: is every byte of the array's value buffer (the
+    used region) ASCII? Gate for the Arrow-native kernel path."""
+    import numpy as np
+
+    bufs = arr.buffers()
+    if bufs[2] is None:
+        return True
+    large = pa.types.is_large_string(arr.type)
+    off = np.frombuffer(
+        bufs[1],
+        dtype=np.int64 if large else np.int32,
+        count=len(arr) + 1,
+        offset=(8 if large else 4) * arr.offset,
+    )
+    v = np.frombuffer(bufs[2], dtype=np.uint8)[int(off[0]) : int(off[-1])]
+    return bool(v.size == 0 or int(v.max()) < 0x80)
+
+
+def batch_matches(batch: pa.Table, gaz: Gazetteer, text_col: str = "text"):
+    """Kernel dispatch for a batch: returns ``(matched, doc_idx, starts,
+    ends, pids)`` where ``matched`` is the case-normalized text as a
+    pyarrow Array (Arrow fast path) or list[str] (fallback).
+
+    The fast path hands the Arrow value buffer straight to
+    ``scan_batch_ascii_arrow`` — no ``to_pylist``, no per-text ``str``
+    objects, no join/encode. Interpreter-bound string prep is the
+    worst-scaling work at high core counts (measured 0.73 efficiency
+    8->32 procs vs 0.88 for vectorized kernels), so the hot path avoids
+    it entirely; case-normalization is ``pc.ascii_lower`` (C, exact ==
+    str.lower on ASCII)."""
+    import pyarrow.compute as pc
+
+    from ..kernel.vectorscan import scan_batch_ascii_arrow
+
+    col = batch.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if (
+        gaz.token_spec is not None
+        and arr.null_count == 0
+        and (pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type))
+        and _ascii_values(arr)
+    ):
+        matched = arr if gaz.case_sensitive else pc.ascii_lower(arr)
+        doc_idx, starts, ends, pids = scan_batch_ascii_arrow(gaz, matched)
+        return matched, doc_idx, starts, ends, pids
+    texts = arr.to_pylist()
+    if not gaz.case_sensitive:
+        texts = [t.lower() for t in texts]
+    doc_idx, starts, ends, pids = gaz.annotate_batch_arrays(texts)
+    return texts, doc_idx, starts, ends, pids
+
+
 def annotate_batch_table(batch: pa.Table, gaz: Gazetteer, text_col: str = "text") -> pa.Table:
     """Annotate a batch; the ``label`` list<struct> column is assembled from
     the kernel's numpy arrays (offsets + struct children + label take) —
     no per-mention Python dicts."""
     import numpy as np
 
-    texts = batch.column(text_col).to_pylist()
-    if gaz.case_sensitive:
-        matched = texts
-    else:
-        matched = [t.lower() for t in texts]
-    doc_idx, starts, ends, pids = gaz.annotate_batch_arrays(matched)
-    n_docs = len(texts)
+    matched, doc_idx, starts, ends, pids = batch_matches(batch, gaz, text_col)
+    n_docs = batch.num_rows
     counts = np.bincount(doc_idx, minlength=n_docs) if len(doc_idx) else np.zeros(
         n_docs, dtype=np.int64
     )
@@ -79,7 +127,11 @@ def annotate_batch_table(batch: pa.Table, gaz: Gazetteer, text_col: str = "text"
     label_arr = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), struct)
     out = batch
     idx = out.column_names.index(text_col)
-    out = out.set_column(idx, text_col, pa.array(matched, type=pa.large_string()))
+    if isinstance(matched, pa.Array):
+        text_arr = matched.cast(pa.large_string())
+    else:
+        text_arr = pa.array(matched, type=pa.large_string())
+    out = out.set_column(idx, text_col, text_arr)
     out = out.append_column("label", label_arr.cast(LABEL_TYPE))
     out = out.append_column("n_mentions", pa.array(counts, type=pa.int64()))
     return out
@@ -120,12 +172,12 @@ class MentionTripleDetector:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        if not self.gaz.case_sensitive:
-            texts = [t.lower() for t in texts]
-        # arrays straight from the kernel (vector fast path: no per-mention
-        # Python anywhere between the byte buffer and the Arrow output)
-        doc_idx, starts, ends, pids = self.gaz.annotate_batch_arrays(texts)
+        # arrays straight from the kernel (Arrow fast path: no per-mention
+        # OR per-text Python anywhere between the byte buffer and the
+        # Arrow output)
+        _matched, doc_idx, starts, ends, pids = batch_matches(
+            batch, self.gaz, self.text_col
+        )
         parents = pa.array(doc_idx)
         pid_arr = pa.array(pids)
         subj_col = self.subj_col if self.subj_col in batch.column_names else "doc_id"

@@ -1,0 +1,144 @@
+"""Order-of-magnitude scale-stress run (sf1-equivalent).
+
+Synthesizes a 10x-sf0.1 corpus under /tmp (deterministic tiling of
+documents/embeddings: ids shifted per tile, HALF the tiles carry perturbed
+text so the dedup family sees both planted cross-tile duplicates and
+near-misses), then runs:
+
+- the headline KG build over 400,000 CC-density synthetic pages
+  (bench.run_headline, repeat=8 over the 50k-doc table), and
+- the dedup family at sf1: doc_dedup, minhash_dedup_docs, dup_clusters,
+  similarity_join_exact, semdedup.
+
+Prints one JSON line with walls + spill stats; paste the result into
+BASELINE.md. Usage:
+
+    python scripts/stress_sf1.py [--skip-headline]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/quickner_sf1"
+TILES = 10
+
+
+def build_sf1(dst: str = DST) -> str:
+    done = os.path.join(dst, "_DONE")
+    if os.path.exists(done):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    n = docs.num_rows
+    tiles = []
+    for k in range(TILES):
+        t = docs
+        ids = pc.add(t.column("doc_id"), pa.scalar(k * n, pa.int64()))
+        t = t.set_column(t.column_names.index("doc_id"), "doc_id", ids)
+        if k % 2 == 1:  # odd tiles: perturbed text (near-miss corpus)
+            txt = pc.binary_join_element_wise(
+                t.column("text").cast(pa.string()),
+                pa.array([f"tile {k} marker"] * n, pa.string()),
+                " ",
+            )
+            t = t.set_column(t.column_names.index("text"), "text", txt)
+            t = t.set_column(
+                t.column_names.index("n_chars"),
+                "n_chars",
+                pc.utf8_length(txt).cast(pa.int64()),
+            )
+        tiles.append(t)
+    pq.write_table(pa.concat_tables(tiles), os.path.join(dst, "documents.parquet"))
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    m = emb.num_rows
+    etiles = []
+    for k in range(TILES):
+        t = emb
+        ids = pc.add(t.column("vec_id"), pa.scalar(k * m, pa.int64()))
+        t = t.set_column(t.column_names.index("vec_id"), "vec_id", ids)
+        etiles.append(t)  # identical vectors => planted exact dup clusters
+    pq.write_table(pa.concat_tables(etiles), os.path.join(dst, "embeddings.parquet"))
+    # the remaining tables are only touched by relational queries; link the
+    # originals so q_* helpers that sniff sf_dir still resolve
+    for f in os.listdir(SRC):
+        p = os.path.join(dst, f)
+        if not os.path.exists(p):
+            os.symlink(os.path.join(SRC, f), p)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return dst
+
+
+def spilled_bytes() -> int:
+    total = 0
+    spill_dir = "/tmp/ray"
+    for root, _dirs, files in os.walk(spill_dir):
+        if "spilled" in root or "object_spilling" in root:
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def main() -> None:
+    import ray
+
+    skip_headline = "--skip-headline" in sys.argv
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = build_sf1()
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR")
+
+    out: dict = {"metric": "sf1_stress", "sf": 1.0, "num_cpus": cpus,
+                 "tiles": TILES, "walls": {}}
+
+    if not skip_headline:
+        from bench import run_headline
+
+        head = run_headline(sf_dir, repeat=8, warmup=False, reps=1)
+        out["walls"]["headline_kg"] = round(head["wall_sec"], 2)
+        out["headline_docs"] = head["n_docs"]
+        out["headline_docs_per_sec"] = round(head["docs_per_sec"], 1)
+
+    from quickner_ray.pipelines import queries as q
+
+    family = {
+        "doc_dedup": q.q_doc_dedup,
+        "minhash_dedup_docs": q.q_minhash_dedup_docs,
+        "dup_clusters": q.q_dup_clusters,
+        "similarity_join_exact": q.q_similarity_join_exact,
+        "semdedup": q.q_semdedup,
+    }
+    rows: dict = {}
+    for name, fn in family.items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        n = res.count() if hasattr(res, "count") else len(res)
+        out["walls"][name] = round(time.perf_counter() - t0, 2)
+        rows[name] = int(n)
+    out["rows"] = rows
+    out["spilled_bytes"] = spilled_bytes()
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

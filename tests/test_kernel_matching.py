@@ -197,3 +197,89 @@ class TestOracleEquivalence:
         g2 = pickle.loads(pickle.dumps(g))
         t = "i use rust at sun microsystems in a café"
         assert g2.annotate(t) == g.annotate(t) != []
+
+
+class TestArrowScanPath:
+    """scan_batch_ascii_arrow / batch_matches must be value-identical to
+    the text-list kernel on every layout Arrow can hand them."""
+
+    TEXTS = [
+        "rust is made by Mozilla and sun microsystems",
+        "",
+        "the fast key opens the door. Sun!",
+        "data data data query key value part",
+        "order line customer vector batch row",
+        "sun",
+    ]
+
+    def _gaz(self):
+        from quickner_ray.pipelines.queries import documents_gazetteer
+
+        return documents_gazetteer()
+
+    @pytest.mark.parametrize("typ", ["string", "large_string"])
+    @pytest.mark.parametrize("slice_off", [0, 2])
+    def test_matches_text_path(self, typ, slice_off):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from quickner_ray.kernel.vectorscan import scan_batch_ascii_arrow
+
+        gaz = self._gaz()
+        arr = pa.array(self.TEXTS, type=getattr(pa, typ)())
+        arr = arr.slice(slice_off)
+        texts = [t.lower() for t in self.TEXTS[slice_off:]]
+        want = gaz.annotate_batch_arrays(texts)
+        got = scan_batch_ascii_arrow(gaz, pc.ascii_lower(arr))
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
+
+    def test_batch_matches_fallback_on_non_ascii(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from quickner_ray.stages.detect import batch_matches
+
+        gaz = self._gaz()
+        texts = ["Rust chez Mozilla — naïve sun microsystems", "sun"]
+        batch = pa.table({"text": texts})
+        matched, *got = batch_matches(batch, gaz)
+        assert isinstance(matched, list)  # fell back (non-ASCII buffer)
+        want = gaz.annotate_batch_arrays([t.lower() for t in texts])
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
+
+    def test_batch_matches_arrow_path_and_lowering(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from quickner_ray.stages.detect import batch_matches
+
+        gaz = self._gaz()
+        batch = pa.table({"text": self.TEXTS})
+        matched, *got = batch_matches(batch, gaz)
+        assert isinstance(matched, pa.Array)
+        assert matched.to_pylist() == [t.lower() for t in self.TEXTS]
+        want = gaz.annotate_batch_arrays([t.lower() for t in self.TEXTS])
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
+
+    def test_rule4_tail_probe_end_aligned(self):
+        """Names matching only at the doc end (rule 4) must survive the
+        tail-slice probe."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from quickner_ray.kernel.automaton import Gazetteer
+        from quickner_ray.kernel.vectorscan import scan_batch_ascii_arrow
+
+        gaz = Gazetteer([("deep learning", "X"), ("sun", "Y")])
+        texts = ["we all love deep learning", "a doc about the sun"]
+        arr = pc.ascii_lower(pa.array(texts, type=pa.large_string()))
+        got = scan_batch_ascii_arrow(gaz, arr)
+        want = gaz.annotate_batch_arrays([t.lower() for t in texts])
+        for g, w in zip(got, want):
+            assert np.array_equal(g, w)
+        assert len(got[0]) >= 2  # both names matched somewhere
