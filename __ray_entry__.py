@@ -45,6 +45,15 @@ def entry() -> Any:
     return rd.read_parquet(os.path.join(work, "out", "triples"))
 
 
+def _tkg(fn_name: str) -> Callable[[str], Any]:
+    def call(sf_dir: str):
+        from quickner_ray.pipelines import temporal_kg
+
+        return getattr(temporal_kg, fn_name)(sf_dir)
+
+    return call
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2 plus
     the training-data operator set. Callables take ``sf_dir``."""
@@ -120,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "infobox_facts": q.q_infobox_facts,
         "infobox_corroboration": q.q_infobox_corroboration,
         "infobox_source_reliability": q.q_infobox_source_reliability,
+        "fact_validity_intervals": _tkg("q_fact_validity_intervals"),
+        "fact_asof_lookup": _tkg("q_fact_asof_lookup"),
+        "fact_majority_vote": _tkg("q_fact_majority_vote"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -304,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (same column names). Tables are
     pre-registered views over the same parquet files. Rows-only queries
     (full NER semantics) are intentionally absent."""
+    from quickner_ray.pipelines import temporal_kg as tkg
     from quickner_ray.stages import dedup_approx as da
     from quickner_ray.stages import multimodal as mm
     from quickner_ray.stages.text_analysis import (
@@ -531,6 +544,9 @@ def oracle_sql() -> dict[str, str]:
         "infobox_facts": q.sql_infobox_facts(),
         "infobox_corroboration": q.sql_infobox_corroboration(),
         "infobox_source_reliability": q.sql_infobox_source_reliability(),
+        "fact_validity_intervals": tkg.sql_fact_validity_intervals(),
+        "fact_asof_lookup": tkg.sql_fact_asof_lookup(),
+        "fact_majority_vote": tkg.sql_fact_majority_vote(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

@@ -1,0 +1,268 @@
+"""Temporal-KG queries over versioned infobox facts.
+
+The fact source extends ``queries._infobox_pages``'s deterministic scheme
+with a time axis: every document is re-crawled at SNAPSHOTS snapshot
+points, and each (doc, attr) fact advances one EPOCH every
+``period = 2 + doc_id % 3`` snapshots — so fact values genuinely change
+over time at per-document cadence, and the SQL oracle regenerates the
+exact observation table arithmetically while the Ray path must recover
+it from raw page bytes (same adversarial markup as the static infobox
+queries: comment decoys, <b> wraps, entity escapes).
+
+value_j(doc, epoch) = 'v' || (doc*(j+2) + 5*j + 1 + 31*epoch) % 97 || ' & co'
+
+31 is coprime to 97, so every epoch within the snapshot horizon yields a
+DISTINCT value string — island boundaries equal epoch boundaries exactly
+and the interval collapse is non-trivial (change detection, not distinct).
+
+Three operators (stages/temporal.py):
+- fact_validity_intervals — SCD2 collapse to [valid_from, valid_to]
+- fact_asof_lookup       — multi-key as-of join of probe timestamps
+- fact_majority_vote     — truth discovery across staleness-lagged sources
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import INFOBOX_ATTRS, INFOBOX_MOD, _docs
+
+SNAPSHOTS = 6
+EPOCH_STEP = 31  # coprime to INFOBOX_MOD=97: epochs never collide
+OBS_TS_SCALE = 10  # snapshot t observed at ts = 10*(t+1): probes < 10 miss
+PROBES_PER_DOC = 4  # probe_ts = doc_id % 7 + 13*i
+K_SOURCES = 5  # assertions per fact for majority vote
+SRC_MOD = 13
+
+_ATTRS_SQL = ", ".join(f"'{a}'" for a in INFOBOX_ATTRS)
+
+
+def _value(d: int, j: int, epoch: int) -> str:
+    return f"v{(d * (j + 2) + 5 * j + 1 + EPOCH_STEP * epoch) % INFOBOX_MOD} & co"
+
+
+def _period(d: int) -> int:
+    return 2 + d % 3
+
+
+def _snapshot_pages(sf_dir: str):
+    """(doc_id, snap, html): SNAPSHOTS re-crawls per doc, fact values at
+    the doc's epoch for that snapshot."""
+    from ..kernel.htmlextract import synth_infobox_page
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_pylist()
+        out_ids, out_snaps, htmls = [], [], []
+        for d in ids:
+            p = _period(d)
+            for t in range(SNAPSHOTS):
+                e = t // p
+                facts = [(a, _value(d, j, e)) for j, a in enumerate(INFOBOX_ATTRS)]
+                out_ids.append(d)
+                out_snaps.append(t)
+                htmls.append(
+                    synth_infobox_page(f"doc {d} snap {t}", facts, seq=d * SNAPSHOTS + t)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "snap": pa.array(out_snaps, type=pa.int64()),
+                "html": pa.array(htmls, type=pa.binary()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+def _assertion_pages(sf_dir: str):
+    """(doc_id, source, html): K_SOURCES independent assertions per doc at
+    the FINAL snapshot; odd-k sources of odd docs (and source 4 of
+    doc_id%4==3 docs) are one epoch STALE — so doc_id%4 in (0,2) is
+    conflict-free, %4==1 has a fresh 3-2 majority, %4==3 a stale 3-2
+    majority (tests the vote both ways)."""
+    from ..kernel.htmlextract import synth_infobox_page
+
+    e_final = lambda d: (SNAPSHOTS - 1) // _period(d)  # noqa: E731
+
+    def build(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_pylist()
+        out_ids, sources, htmls = [], [], []
+        for d in ids:
+            ef = e_final(d)
+            for k in range(K_SOURCES):
+                lag = int((d % 2 == 1 and k % 2 == 1) or (d % 4 == 3 and k == 4))
+                facts = [
+                    (a, _value(d, j, ef - lag)) for j, a in enumerate(INFOBOX_ATTRS)
+                ]
+                out_ids.append(d)
+                sources.append(f"src{(d + 7 * k) % SRC_MOD}")
+                htmls.append(synth_infobox_page(f"doc {d} src {k}", facts, seq=d + k))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "source": pa.array(sources, type=pa.string()),
+                "html": pa.array(htmls, type=pa.binary()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(build, batch_format="pyarrow")
+
+
+def _snapshot_facts(sf_dir: str):
+    from ..stages.relations import infobox_facts
+
+    return infobox_facts(_snapshot_pages(sf_dir), carry_cols=["snap"])
+
+
+_SQL_OBS = (
+    "obs AS (\n"
+    f"  SELECT doc_id, s.snap AS snap, [{_ATTRS_SQL}][t.j + 1] AS attr,\n"
+    f"         'v' || CAST((doc_id*(t.j+2) + 5*t.j + 1 + {EPOCH_STEP}*"
+    f"(s.snap // (2 + doc_id % 3))) % {INFOBOX_MOD} AS VARCHAR)"
+    " || ' & co' AS value\n"
+    "  FROM documents\n"
+    "  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t\n"
+    f"  CROSS JOIN (SELECT unnest(range({SNAPSHOTS})) AS snap) s)"
+)
+
+
+def q_fact_validity_intervals(sf_dir: str):
+    """Temporal KG SCD2: collapse per-(subject, attr) fact observations
+    over crawl snapshots into validity intervals (islands). One bucket
+    shuffle; vectorized multi-key island kernel per bucket
+    (stages/temporal.islands_by_key)."""
+    from ..stages.temporal import islands_by_key
+
+    return islands_by_key(
+        _snapshot_facts(sf_dir),
+        key_cols=["doc_id", "attr"],
+        order_col="snap",
+        value_col="value",
+    )
+
+
+def sql_fact_validity_intervals() -> str:
+    return (
+        f"WITH {_SQL_OBS},\n"
+        "chg AS (SELECT doc_id, attr, snap, value,\n"
+        "  CASE WHEN lag(value) OVER (PARTITION BY doc_id, attr ORDER BY snap)\n"
+        "       IS DISTINCT FROM value THEN 1 ELSE 0 END AS c FROM obs),\n"
+        "isl AS (SELECT *, sum(c) OVER (PARTITION BY doc_id, attr ORDER BY snap)"
+        " AS island FROM chg)\n"
+        "SELECT doc_id, attr, max(value) AS value,\n"
+        "       CAST(min(snap) AS BIGINT) AS valid_from,\n"
+        "       CAST(max(snap) AS BIGINT) AS valid_to,\n"
+        "       CAST(count(*) AS BIGINT) AS n_snaps\n"
+        "FROM isl GROUP BY doc_id, attr, island"
+    )
+
+
+def q_fact_asof_lookup(sf_dir: str):
+    """Multi-key as-of join: probe timestamps (4 per doc x 3 attrs) pick
+    the fact version valid at that instant — the 'what did the KG believe
+    at time T' primitive. Probes below the first observation ts stay null
+    (left as-of). One bucket shuffle (stages/temporal.asof_join)."""
+    from ..stages.temporal import asof_join
+
+    def to_obs(b: pa.Table) -> pa.Table:
+        snap = b.column("snap")
+        if isinstance(snap, pa.ChunkedArray):
+            snap = snap.combine_chunks()
+        obs_ts = pc.add(
+            pc.multiply(snap, pa.scalar(OBS_TS_SCALE, type=pa.int64())),
+            pa.scalar(OBS_TS_SCALE, type=pa.int64()),
+        )
+        return b.drop_columns(["snap"]).append_column("obs_ts", obs_ts)
+
+    obs = _snapshot_facts(sf_dir).map_batches(to_obs, batch_format="pyarrow")
+
+    def probes(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(ids)
+        d = np.repeat(ids, PROBES_PER_DOC * len(INFOBOX_ATTRS))
+        i = np.tile(np.repeat(np.arange(PROBES_PER_DOC), len(INFOBOX_ATTRS)), n)
+        j = np.tile(np.arange(len(INFOBOX_ATTRS)), n * PROBES_PER_DOC)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "attr": pa.array(np.array(INFOBOX_ATTRS, dtype=object)[j]),
+                "probe_ts": pa.array((d % 7 + 13 * i).astype(np.int64)),
+            }
+        )
+
+    probe_ds = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        probes, batch_format="pyarrow"
+    )
+    return asof_join(
+        probe_ds,
+        obs,
+        key_cols=["doc_id", "attr"],
+        left_ts="probe_ts",
+        right_ts="obs_ts",
+        value_cols=["value", "obs_ts"],
+        carry_cols=[],
+    )
+
+
+def sql_fact_asof_lookup() -> str:
+    return (
+        f"WITH {_SQL_OBS},\n"
+        "o AS (SELECT doc_id, attr, value,\n"
+        f"      CAST({OBS_TS_SCALE}*(snap + 1) AS BIGINT) AS obs_ts FROM obs),\n"
+        f"p AS (SELECT doc_id, [{_ATTRS_SQL}][t.j + 1] AS attr,\n"
+        "      CAST(doc_id % 7 + 13*u.i AS BIGINT) AS probe_ts\n"
+        "  FROM documents\n"
+        "  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t\n"
+        f"  CROSS JOIN (SELECT unnest(range({PROBES_PER_DOC})) AS i) u)\n"
+        "SELECT p.doc_id, p.attr, p.probe_ts, o.value, o.obs_ts\n"
+        "FROM p ASOF LEFT JOIN o\n"
+        "  ON p.doc_id = o.doc_id AND p.attr = o.attr AND o.obs_ts <= p.probe_ts"
+    )
+
+
+def q_fact_majority_vote(sf_dir: str):
+    """Truth discovery: K_SOURCES sources assert each (doc, attr) fact —
+    some one epoch stale — and the value with the most distinct sources
+    wins (ties to the smallest value). Batch-local distinct combiner, one
+    bucket shuffle (stages/temporal.majority_vote)."""
+    from ..stages.relations import infobox_facts
+    from ..stages.temporal import majority_vote
+
+    facts = infobox_facts(_assertion_pages(sf_dir), carry_cols=["source"])
+    return majority_vote(
+        facts, key_cols=["doc_id", "attr"], value_col="value", source_col="source"
+    )
+
+
+def sql_fact_majority_vote() -> str:
+    e_final = f"(({SNAPSHOTS - 1}) // (2 + doc_id % 3))"
+    lag = (
+        "CASE WHEN (doc_id % 2 = 1 AND u.k % 2 = 1)"
+        " OR (doc_id % 4 = 3 AND u.k = 4) THEN 1 ELSE 0 END"
+    )
+    return (
+        "WITH a AS (\n"
+        f"  SELECT doc_id, [{_ATTRS_SQL}][t.j + 1] AS attr,\n"
+        f"    'src' || CAST((doc_id + 7*u.k) % {SRC_MOD} AS VARCHAR) AS source,\n"
+        f"    'v' || CAST((doc_id*(t.j+2) + 5*t.j + 1 + {EPOCH_STEP}*"
+        f"({e_final} - {lag})) % {INFOBOX_MOD} AS VARCHAR) || ' & co' AS value\n"
+        "  FROM documents\n"
+        "  CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) t\n"
+        f"  CROSS JOIN (SELECT unnest(range({K_SOURCES})) AS k) u),\n"
+        "kv AS (SELECT doc_id, attr, value,\n"
+        "       CAST(count(DISTINCT source) AS BIGINT) AS sup\n"
+        "       FROM a GROUP BY 1, 2, 3),\n"
+        "ky AS (SELECT doc_id, attr,\n"
+        "       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,\n"
+        "       CAST(count(DISTINCT value) AS BIGINT) AS n_values\n"
+        "       FROM a GROUP BY 1, 2),\n"
+        "w AS (SELECT doc_id, attr, value, sup, row_number() OVER\n"
+        "      (PARTITION BY doc_id, attr ORDER BY sup DESC, value ASC) AS rn\n"
+        "      FROM kv)\n"
+        "SELECT ky.doc_id, ky.attr, ky.n_sources, ky.n_values,\n"
+        "       w.value AS majority_value, w.sup AS support,\n"
+        "       CAST(ky.n_values > 1 AS BIGINT) AS conflict\n"
+        "FROM ky JOIN w ON w.doc_id = ky.doc_id AND w.attr = ky.attr AND w.rn = 1"
+    )
