@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_validity_intervals": _tkg("q_fact_validity_intervals"),
         "fact_asof_lookup": _tkg("q_fact_asof_lookup"),
         "fact_majority_vote": _tkg("q_fact_majority_vote"),
+        "fact_churn_stats": _tkg("q_fact_churn_stats"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_validity_intervals": tkg.sql_fact_validity_intervals(),
         "fact_asof_lookup": tkg.sql_fact_asof_lookup(),
         "fact_majority_vote": tkg.sql_fact_majority_vote(),
+        "fact_churn_stats": tkg.sql_fact_churn_stats(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

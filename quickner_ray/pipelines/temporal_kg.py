@@ -159,6 +159,90 @@ def sql_fact_validity_intervals() -> str:
     )
 
 
+def q_fact_churn_stats(sf_dir: str):
+    """Temporal-KG churn rollup: per attribute, how volatile is the fact
+    across the corpus — subjects observed, total validity islands,
+    subjects whose value changed at least once, and the max island count.
+    Shape: per-(subject, attr) island counts (one bucket shuffle,
+    stages/temporal.island_counts) -> batch-local per-attr partials
+    (attr set is bounded) -> one tiny groupby on attr."""
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.temporal import island_counts
+
+    per_key = island_counts(
+        _snapshot_facts(sf_dir),
+        key_cols=["doc_id", "attr"],
+        order_col="snap",
+        value_col="value",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "attr": pa.array([], type=pa.string()),
+                    "n_subjects": pa.array([], type=pa.int64()),
+                    "n_islands": pa.array([], type=pa.int64()),
+                    "n_changed_subjects": pa.array([], type=pa.int64()),
+                    "max_islands": pa.array([], type=pa.int64()),
+                }
+            )
+        t = b.sort_by([("attr", "ascending")])
+        attr = t.column("attr")
+        if isinstance(attr, pa.ChunkedArray):
+            attr = attr.combine_chunks()
+        ni = t.column("n_islands")
+        if isinstance(ni, pa.ChunkedArray):
+            ni = ni.combine_chunks()
+        ni = ni.to_numpy(zero_copy_only=False)
+        a_np = np.asarray(attr.to_pylist(), dtype=object)
+        new = np.r_[True, a_np[1:] != a_np[:-1]]
+        starts = np.flatnonzero(new)
+        return pa.table(
+            {
+                "attr": attr.take(pa.array(starts)),
+                "n_subjects": pa.array(
+                    (np.r_[starts[1:], len(a_np)] - starts).astype(np.int64)
+                ),
+                "n_islands": pa.array(np.add.reduceat(ni, starts)),
+                "n_changed_subjects": pa.array(
+                    np.add.reduceat((ni > 1).astype(np.int64), starts)
+                ),
+                "max_islands": pa.array(np.maximum.reduceat(ni, starts)),
+            }
+        )
+
+    agg = (
+        per_key.map_batches(partial, batch_format="pyarrow")
+        .groupby("attr")
+        .aggregate(
+            Sum("n_subjects", alias_name="n_subjects"),
+            Sum("n_islands", alias_name="n_islands"),
+            Sum("n_changed_subjects", alias_name="n_changed_subjects"),
+            Max("max_islands", alias_name="max_islands"),
+        )
+    )
+    return agg
+
+
+def sql_fact_churn_stats() -> str:
+    return (
+        f"WITH {_SQL_OBS},\n"
+        "chg AS (SELECT doc_id, attr, snap, value,\n"
+        "  CASE WHEN lag(value) OVER (PARTITION BY doc_id, attr ORDER BY snap)\n"
+        "       IS DISTINCT FROM value THEN 1 ELSE 0 END AS c FROM obs),\n"
+        "pk AS (SELECT doc_id, attr, CAST(sum(c) AS BIGINT) AS n_islands\n"
+        "       FROM chg GROUP BY doc_id, attr)\n"
+        "SELECT attr, CAST(count(*) AS BIGINT) AS n_subjects,\n"
+        "       CAST(sum(n_islands) AS BIGINT) AS n_islands,\n"
+        "       CAST(sum(CASE WHEN n_islands > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_changed_subjects,\n"
+        "       CAST(max(n_islands) AS BIGINT) AS max_islands\n"
+        "FROM pk GROUP BY attr"
+    )
+
+
 def q_fact_asof_lookup(sf_dir: str):
     """Multi-key as-of join: probe timestamps (4 per doc x 3 attrs) pick
     the fact version valid at that instant — the 'what did the KG believe

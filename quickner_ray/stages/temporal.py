@@ -102,6 +102,41 @@ def islands_by_key(
     )
 
 
+def island_counts(
+    ds,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    bucket_key: str | None = None,
+    n_buckets: int = 64,
+):
+    """Per composite key: how many value islands (= 1 + number of value
+    changes) its observation sequence contains. Same bucket kernel as
+    ``islands_by_key`` but collapses straight to (key..., n_islands) —
+    one atomic row per key, so downstream per-attr rollups can combine
+    per batch without split-key risk."""
+    bucket_key = bucket_key or key_cols[0]
+    sort_spec = [(c, "ascending") for c in [*key_cols, order_col]]
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_bkt"]).sort_by(sort_spec)
+        new_island = _new_flags(t, [*key_cols, value_col])
+        new_key = _new_flags(t, key_cols)
+        k_starts = np.flatnonzero(new_key)
+        # islands per key: count island starts within each key segment
+        n_islands = np.add.reduceat(new_island.astype(np.int64), k_starts)
+        cols = {c: _chunk(t.column(c)).take(pa.array(k_starts)) for c in key_cols}
+        cols["n_islands"] = pa.array(n_islands)
+        return pa.table(cols)
+
+    return (
+        _add_bucket(ds, bucket_key, n_buckets)
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def asof_join(
     left,
     right,

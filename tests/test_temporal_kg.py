@@ -80,6 +80,23 @@ def test_islands_bucket_invariance(ray_session, obs_table):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_island_counts(ray_session, obs_table):
+    import ray.data as rd
+
+    from quickner_ray.stages.temporal import island_counts
+
+    out = _pdf(
+        island_counts(
+            rd.from_arrow(obs_table).repartition(4),
+            key_cols=["doc_id", "attr"],
+            order_col="snap",
+            value_col="value",
+        )
+    )
+    got = {(r.doc_id, r.attr): r.n_islands for r in out.itertuples()}
+    assert got == {(1, "a"): 3, (1, "b"): 1, (2, "a"): 1}
+
+
 def test_asof_ties_nulls_and_key_guard(ray_session):
     import ray.data as rd
 
@@ -173,7 +190,12 @@ def test_contract_queries_match_duckdb(ray_session, sf_dir):
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
-    for name in ("fact_validity_intervals", "fact_asof_lookup", "fact_majority_vote"):
+    for name in (
+        "fact_validity_intervals",
+        "fact_asof_lookup",
+        "fact_majority_vote",
+        "fact_churn_stats",
+    ):
         ray_df = _pdf(q[name](sf_dir))
         sql_df = con.execute(o[name]).fetchdf()
         sql_df = sql_df.sort_values(
