@@ -177,6 +177,168 @@ def test_majority_vote_tiebreak_and_distinct_sources(ray_session):
     }
 
 
+# ---- hypothesis property tests: kernels vs brute-force references ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_key = st.integers(min_value=0, max_value=3)
+_attr = st.sampled_from(["a", "b"])
+_snap = st.integers(min_value=0, max_value=5)
+_val = st.sampled_from(["x", "y", "z"])
+_src = st.sampled_from(["s1", "s2", "s3"])
+
+
+def _brute_islands(rows):
+    """rows: (doc, attr, snap, value), unique (doc, attr, snap)."""
+    from collections import defaultdict
+
+    seq = defaultdict(list)
+    for d, a, s, v in rows:
+        seq[(d, a)].append((s, v))
+    out = set()
+    for (d, a), obs in seq.items():
+        obs.sort()
+        i = 0
+        while i < len(obs):
+            j = i
+            while j + 1 < len(obs) and obs[j + 1][1] == obs[i][1]:
+                j += 1
+            out.add((d, a, obs[i][1], obs[i][0], obs[j][0], j - i + 1))
+            i = j + 1
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_key, _attr, _snap, _val), min_size=1, max_size=30,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    )
+)
+def test_islands_hypothesis(ray_session, rows):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "attr": [r[1] for r in rows],
+            "snap": pa.array([r[2] for r in rows], type=pa.int64()),
+            "value": [r[3] for r in rows],
+        }
+    )
+    out = _pdf(
+        islands_by_key(
+            rd.from_arrow(t).repartition(3),
+            key_cols=["doc_id", "attr"],
+            order_col="snap",
+            value_col="value",
+            n_buckets=4,
+        )
+    )
+    got = {
+        (r.doc_id, r.attr, r.value, r.valid_from, r.valid_to, r.n_snaps)
+        for r in out.itertuples()
+    }
+    assert got == _brute_islands(rows)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_key, _attr, _snap, _val), min_size=1, max_size=20,
+        unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+    st.lists(
+        st.tuples(_key, _attr, st.integers(min_value=-1, max_value=7)),
+        min_size=1, max_size=20, unique_by=lambda r: (r[0], r[1], r[2]),
+    ),
+)
+def test_asof_hypothesis(ray_session, right_rows, left_rows):
+    import ray.data as rd
+
+    right = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in right_rows], type=pa.int64()),
+            "attr": [r[1] for r in right_rows],
+            "obs_ts": pa.array([r[2] for r in right_rows], type=pa.int64()),
+            "value": [r[3] for r in right_rows],
+        }
+    )
+    left = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in left_rows], type=pa.int64()),
+            "attr": [r[1] for r in left_rows],
+            "probe_ts": pa.array([r[2] for r in left_rows], type=pa.int64()),
+        }
+    )
+    out = _pdf(
+        asof_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            key_cols=["doc_id", "attr"],
+            left_ts="probe_ts",
+            right_ts="obs_ts",
+            value_cols=["value"],
+            carry_cols=[],
+            n_buckets=4,
+        )
+    )
+    got = {
+        (r.doc_id, r.attr, r.probe_ts): (None if pd.isna(r.value) else r.value)
+        for r in out.itertuples()
+    }
+    assert len(out) == len(left_rows)
+    for d, a, pt in [(r[0], r[1], r[2]) for r in left_rows]:
+        cands = [r for r in right_rows if r[0] == d and r[1] == a and r[2] <= pt]
+        want = max(cands, key=lambda r: r[2])[3] if cands else None
+        assert got[(d, a, pt)] == want, (d, a, pt)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_key, _attr, _val, _src), min_size=1, max_size=30,
+    )
+)
+def test_majority_vote_hypothesis(ray_session, rows):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "attr": [r[1] for r in rows],
+            "value": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+        }
+    )
+    out = _pdf(
+        majority_vote(
+            rd.from_arrow(t).repartition(3),
+            key_cols=["doc_id", "attr"],
+            value_col="value",
+            source_col="source",
+            n_buckets=4,
+        )
+    )
+    from collections import defaultdict
+
+    by_key = defaultdict(set)
+    for d, a, v, s in rows:
+        by_key[(d, a)].add((v, s))
+    assert len(out) == len(by_key)
+    for r in out.itertuples():
+        triples = by_key[(r.doc_id, r.attr)]
+        vals = {v for v, _ in triples}
+        srcs = {s for _, s in triples}
+        sup = {v: len({s for vv, s in triples if vv == v}) for v in vals}
+        best = max(sup.values())
+        winner = min(v for v in vals if sup[v] == best)
+        assert (r.n_sources, r.n_values) == (len(srcs), len(vals))
+        assert (r.majority_value, r.support) == (winner, best)
+        assert r.conflict == int(len(vals) > 1)
+
+
 def test_contract_queries_match_duckdb(ray_session, sf_dir):
     """End-to-end: the three contract queries hash-match their oracles at
     sf0.001 (the driver gate in miniature)."""
