@@ -29,6 +29,20 @@ import pyarrow.compute as pc
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _default_buckets() -> int:
+    """Bucket count sized to the cluster: ~4 buckets per CPU (floor 64) so
+    the one shuffle parallelizes across every worker while each bucket
+    stays a single vectorized kernel call. Output values are
+    bucket-count-invariant (pinned by tests), so auto-sizing is safe."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cpus = 16
+    return max(64, cpus * 4)
+
+
 def _chunk(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
@@ -71,13 +85,14 @@ def islands_by_key(
     order_col: str,
     value_col: str,
     bucket_key: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """SCD2 collapse (gaps-and-islands): consecutive observations of the
     same ``value_col`` per key — ordered by ``order_col`` — fold into one
     row (key..., value, valid_from, valid_to, n_snaps). A value that
     reverts later starts a NEW island (change detection, not distinct)."""
     bucket_key = bucket_key or key_cols[0]
+    n_buckets = n_buckets or _default_buckets()
     sort_spec = [(c, "ascending") for c in [*key_cols, order_col]]
     out_keys = [*key_cols, value_col]
 
@@ -109,7 +124,7 @@ def island_counts(
     order_col: str,
     value_col: str,
     bucket_key: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Per composite key: how many value islands (= 1 + number of value
     changes) its observation sequence contains. Same bucket kernel as
@@ -117,6 +132,7 @@ def island_counts(
     one atomic row per key, so downstream per-attr rollups can combine
     per batch without split-key risk."""
     bucket_key = bucket_key or key_cols[0]
+    n_buckets = n_buckets or _default_buckets()
     sort_spec = [(c, "ascending") for c in [*key_cols, order_col]]
 
     def per_bucket(g: pa.Table) -> pa.Table:
@@ -147,7 +163,7 @@ def asof_join(
     value_cols: list[str],
     carry_cols: list[str],
     bucket_key: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Generalized multi-key left as-of join: for each left row
     (key..., left_ts) attach the right row with the greatest
@@ -159,6 +175,7 @@ def asof_join(
     last-right-seen scan per bucket (maximum.accumulate over right-row
     indices, segment-guarded at key boundaries) — no per-key Python."""
     bucket_key = bucket_key or key_cols[0]
+    n_buckets = n_buckets or _default_buckets()
 
     def tag(side: int, vcols_from: pa.Table | None = None):
         def f(b: pa.Table) -> pa.Table:
@@ -239,7 +256,7 @@ def majority_vote(
     value_col: str,
     source_col: str,
     bucket_key: str | None = None,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ):
     """Truth discovery over multi-source fact assertions: per composite
     key, the value asserted by the most DISTINCT sources wins (ties break
@@ -251,6 +268,7 @@ def majority_vote(
     bucket shuffle, so duplicate assertions never hit the wire — at corpus
     scale the shuffled volume is bounded by the distinct-assertion set."""
     bucket_key = bucket_key or key_cols[0]
+    n_buckets = n_buckets or _default_buckets()
     triple = [*key_cols, value_col, source_col]
     tsort = [(c, "ascending") for c in triple]
 

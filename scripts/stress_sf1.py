@@ -120,12 +120,18 @@ def main() -> None:
 
     from quickner_ray.pipelines import queries as q
 
+    from quickner_ray.pipelines import temporal_kg as tkg
+
     family = {
         "doc_dedup": q.q_doc_dedup,
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
         "dup_clusters": q.q_dup_clusters,
         "similarity_join_exact": q.q_similarity_join_exact,
         "semdedup": q.q_semdedup,
+        # temporal-KG wave: 6 synth snapshots x 500k docs = 3M page parses
+        # feeding the bucket-shuffle island kernel
+        "fact_validity_intervals": tkg.q_fact_validity_intervals,
+        "fact_majority_vote": tkg.q_fact_majority_vote,
     }
     rows: dict = {}
     for name, fn in family.items():
