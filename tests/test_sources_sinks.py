@@ -394,3 +394,67 @@ class TestNTriplesSink:
         for m in manifest[:2]:
             for ln in open(m["path"], encoding="utf-8").read().splitlines()[:50]:
                 assert pat.match(ln), ln
+
+
+class TestNTriplesReader:
+    def test_round_trip(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.sinks.distributed import write_ntriples_dataset
+        from quickner_ray.sources.ntriples import read_ntriples
+
+        tab = pa.table(
+            {
+                "subj": ["d1", "d2", "d 3", "d4"],
+                "pred": ["ORG", "mentions", "PL", "p"],
+                # exercises every writer escape incl. the \\n ambiguity
+                # (backslash-then-n must NOT come back as newline)
+                "obj": ["plain", 'q"uote\\back\nnl\tté', "汉字", "back\\nslash"],
+            }
+        )
+        out = str(tmp_path / "nt_rt")
+        write_ntriples_dataset(rd.from_arrow(tab), out).take_all()
+        back = read_ntriples(out).to_pandas()
+        got = {
+            (r.subj, r.pred, r.obj, r.obj_is_iri) for r in back.itertuples()
+        }
+        want = {
+            (s, p, o, False)
+            for s, p, o in zip(
+                tab.column("subj").to_pylist(),
+                tab.column("pred").to_pylist(),
+                tab.column("obj").to_pylist(),
+            )
+        }
+        assert got == want
+
+    def test_foreign_dump_and_escapes(self, ray_session, tmp_path):
+        from quickner_ray.sources.ntriples import read_ntriples
+
+        p = tmp_path / "dump.nt"
+        p.write_text(
+            "# a comment line\n"
+            '<http://ex.org/a> <http://ex.org/p> "caf\\u00e9" .\n'
+            "<http://ex.org/a> <http://ex.org/q> <http://ex.org/b> .\n"
+            '<urn:quickner:doc:42> <urn:quickner:pred:OPERATOR> "v" .\n'
+            "\n",
+            encoding="utf-8",
+        )
+        df = read_ntriples(str(p)).to_pandas()
+        rows = {(r.subj, r.pred, r.obj, r.obj_is_iri) for r in df.itertuples()}
+        assert ("http://ex.org/a", "http://ex.org/p", "café", False) in rows
+        assert ("http://ex.org/a", "http://ex.org/q", "http://ex.org/b", True) in rows
+        # our urn base strips back to bare ids
+        assert ("42", "OPERATOR", "v", False) in rows
+        assert len(rows) == 3
+
+    def test_malformed_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from quickner_ray.sources.ntriples import read_ntriples
+
+        p = tmp_path / "bad.nt"
+        p.write_text("<urn:x> <urn:p> no-object-here\n", encoding="utf-8")
+        with _pytest.raises(Exception):
+            read_ntriples(str(p)).materialize()
