@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_asof_lookup": _tkg("q_fact_asof_lookup"),
         "fact_majority_vote": _tkg("q_fact_majority_vote"),
         "fact_churn_stats": _tkg("q_fact_churn_stats"),
+        "triple_pattern_match": q.q_triple_pattern_match,
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -549,6 +550,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_asof_lookup": tkg.sql_fact_asof_lookup(),
         "fact_majority_vote": tkg.sql_fact_majority_vote(),
         "fact_churn_stats": tkg.sql_fact_churn_stats(),
+        "triple_pattern_match": q.sql_triple_pattern_match(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

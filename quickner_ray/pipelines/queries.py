@@ -3419,6 +3419,45 @@ def sql_triple_store_lookup_delta(pred: str = "OPERATOR") -> str:
     return sql_triple_store_lookup(pred)
 
 
+def q_triple_pattern_match(sf_dir: str):
+    """SPARQL-style BGP conjunctive query over the extracted KG: bindings
+    (?doc, ?op, ?unit) such that ?doc mentions the SYSTEM entity 'spark'
+    AND some OPERATOR entity ?op AND some UNIT entity ?unit. Each pattern
+    is one vectorized filter+project with a batch-local distinct; patterns
+    fold through Ray's native partitioned hash join on the shared ?doc
+    variable; one bounded groupby makes the bindings DISTINCT
+    (stages/bgp.bgp_match)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        q_triples(sf_dir),
+        [
+            ("?doc", "SYSTEM", spark),
+            ("?doc", "OPERATOR", "?op"),
+            ("?doc", "UNIT", "?unit"),
+        ],
+    )
+
+
+def sql_triple_pattern_match() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel, eid FROM acc)\n"
+        "SELECT DISTINCT a.subj AS doc, b.eid AS op, c.eid AS unit\n"
+        "FROM tri a JOIN tri b ON a.subj = b.subj"
+        " JOIN tri c ON a.subj = c.subj\n"
+        f"WHERE a.plabel = 'SYSTEM' AND a.eid = '{spark}'\n"
+        "  AND b.plabel = 'OPERATOR' AND c.plabel = 'UNIT'"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
