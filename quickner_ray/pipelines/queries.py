@@ -855,13 +855,22 @@ def q_dedup_keep_best(sf_dir: str):
     from ..stages.text_analysis import add_quality_score
     from ..stages.topk import grouped_topk
 
-    clusters = q_dup_clusters(sf_dir).repartition(8)
+    from ..stages.hashjoin import bucketed_inner_join
+
+    clusters = q_dup_clusters(sf_dir)
     quality = (
         _docs(sf_dir, columns=["doc_id", "text"])
         .map_batches(add_quality_score, batch_format="pyarrow")
         .select_columns(["doc_id", "quality_score"])
     )
-    joined = clusters.join(quality, "inner", num_partitions=8, on=("doc_id",))
+    joined = bucketed_inner_join(
+        clusters,
+        quality,
+        on=("doc_id",),
+        n_buckets=64,
+        left_types={"doc_id": pa.int64(), "component": pa.int64()},
+        right_types={"doc_id": pa.int64(), "quality_score": pa.int64()},
+    )
     return grouped_topk(
         joined, "component", ["quality_score", "doc_id"], 1, descending=True
     ).select_columns(["component", "doc_id", "quality_score"])

@@ -35,6 +35,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .hashjoin import bucketed_inner_join
 from .temporal import _default_buckets
 
 
@@ -78,73 +79,6 @@ def _pattern_ds(triples, pattern, cols: tuple[str, str, str]):
     return triples.map_batches(f, batch_format="pyarrow"), [n for n, _ in out_vars]
 
 
-def _chunk(col):
-    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-
-
-def _key_bucket(b: pa.Table, on: tuple[str, ...], n_buckets: int) -> pa.Array:
-    """md5-derived int64 bucket of the (string) key tuple — vectorized
-    (kernel/md5vec.md5_h64 over the NUL-joined key)."""
-    import numpy as np
-
-    from ..kernel.md5vec import md5_h64
-
-    if len(on) == 1:
-        key = pc.cast(_chunk(b.column(on[0])), pa.string())
-    else:
-        parts = [pc.cast(_chunk(b.column(c)), pa.string()) for c in on]
-        key = pc.binary_join_element_wise(*parts, "\x00")
-    h = md5_h64(key).astype(np.uint64)
-    return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
-
-
-def bucketed_inner_join(left, right, *, on: tuple[str, ...], n_buckets: int):
-    """Inner equi-join as ONE exchange: tag-union both sides (missing
-    columns padded with typed nulls), groupby-shuffle on an md5 bucket of
-    the key tuple, then Arrow's C++ ``Table.join`` inside each bucket.
-    No actor pools, no per-key Python; the non-key column names of the
-    two sides must be disjoint (BGP variables are)."""
-    lsch = dict(zip(left.schema().names, left.schema().types))
-    rsch = dict(zip(right.schema().names, right.schema().types))
-    lonly = [c for c in lsch if c not in on]
-    ronly = [c for c in rsch if c not in on]
-    clash = set(lonly) & set(ronly)
-    if clash:
-        raise ValueError(f"non-key column name clash: {sorted(clash)}")
-
-    def tag(side: int, pad: dict):
-        def f(b: pa.Table) -> pa.Table:
-            import numpy as np
-
-            n = b.num_rows
-            cols = {c: _chunk(b.column(c)) for c in b.column_names}
-            for c, t in pad.items():
-                cols[c] = pa.nulls(n, type=t)
-            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
-            cols["_bkt"] = _key_bucket(b, on, n_buckets)
-            # canonical column order so the union schemas line up
-            order = [*on, *sorted(lonly), *sorted(ronly), "_side", "_bkt"]
-            return pa.table({c: cols[c] for c in order})
-
-        return f
-
-    tagged = left.map_batches(
-        tag(0, {c: rsch[c] for c in ronly}), batch_format="pyarrow"
-    ).union(
-        right.map_batches(tag(1, {c: lsch[c] for c in lonly}), batch_format="pyarrow")
-    )
-
-    def per_bucket(g: pa.Table) -> pa.Table:
-        import numpy as np
-
-        side = _chunk(g.column("_side")).to_numpy(zero_copy_only=False)
-        lt = g.take(pa.array(np.flatnonzero(side == 0))).select([*on, *sorted(lonly)])
-        rt = g.take(pa.array(np.flatnonzero(side == 1))).select([*on, *sorted(ronly)])
-        return lt.join(rt, keys=list(on), join_type="inner")
-
-    return tagged.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
-
-
 def bgp_match(
     triples,
     patterns,
@@ -183,7 +117,14 @@ def bgp_match(
         if engine == "native":
             acc = acc.join(nxt, "inner", nparts, on=shared)
         else:
-            acc = bucketed_inner_join(acc, nxt, on=shared, n_buckets=nparts)
+            acc = bucketed_inner_join(
+                acc,
+                nxt,
+                on=shared,
+                n_buckets=nparts,
+                left_types={v: pa.string() for v in sorted(bound)},
+                right_types={v: pa.string() for v in nxt_vars},
+            )
         bound |= set(nxt_vars)
     out_cols = sorted(bound)
     return (

@@ -1,0 +1,89 @@
+"""Bucketed inner hash join — ONE exchange, no actor pools.
+
+Shape: tag-union both sides (each side pads the other's non-key columns
+with typed nulls so the union schemas line up), ONE groupby shuffle on an
+md5-derived bucket of the key tuple (kernel/md5vec — vectorized), then
+Arrow's C++ ``Table.join`` (Acero) inside each bucket. Compared to Ray's
+built-in ``Dataset.join`` this trades the hash-aggregator actor pool
+(whole-pool spin-up per join; seconds of fixed cost at contract scale,
+and schema-less empty-block crashes when an Aggregate feeds it) for the
+repo's standard groupby exchange: same all-to-all volume, zero fixed
+actor cost, empty blocks tolerated.
+
+Pass ``left_types``/``right_types`` (column -> pyarrow DataType) when the
+input is a lazy aggregate: ``Dataset.schema()`` on an un-executed
+aggregate runs the whole upstream plan once just to learn the schema and
+then AGAIN for the join — explicit types keep the plan single-execution.
+
+Partitioning assumption: one bucket's rows (both sides) fit in a worker;
+buckets are md5-uniform so the bound is ``n_rows / n_buckets``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _chunk(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _key_bucket(b: pa.Table, on: tuple[str, ...], n_buckets: int) -> pa.Array:
+    from ..kernel.md5vec import md5_h64
+
+    if len(on) == 1:
+        key = pc.cast(_chunk(b.column(on[0])), pa.string())
+    else:
+        parts = [pc.cast(_chunk(b.column(c)), pa.string()) for c in on]
+        key = pc.binary_join_element_wise(*parts, "\x00")
+    h = md5_h64(key).astype(np.uint64)
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+
+
+def bucketed_inner_join(
+    left,
+    right,
+    *,
+    on: tuple[str, ...],
+    n_buckets: int,
+    left_types: dict | None = None,
+    right_types: dict | None = None,
+):
+    """Inner equi-join of two Datasets on ``on``; non-key column names of
+    the two sides must be disjoint."""
+    lsch = left_types or dict(zip(left.schema().names, left.schema().types))
+    rsch = right_types or dict(zip(right.schema().names, right.schema().types))
+    lonly = sorted(c for c in lsch if c not in on)
+    ronly = sorted(c for c in rsch if c not in on)
+    clash = set(lonly) & set(ronly)
+    if clash:
+        raise ValueError(f"non-key column name clash: {sorted(clash)}")
+    order = [*on, *lonly, *ronly, "_side", "_bkt"]
+
+    def tag(side: int, pad: dict):
+        def f(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {c: _chunk(b.column(c)) for c in b.column_names}
+            for c, t in pad.items():
+                cols[c] = pa.nulls(n, type=t)
+            cols["_side"] = pa.array(np.full(n, side, dtype=np.int8))
+            cols["_bkt"] = _key_bucket(b, on, n_buckets)
+            return pa.table({c: cols[c] for c in order})
+
+        return f
+
+    tagged = left.map_batches(
+        tag(0, {c: rsch[c] for c in ronly}), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag(1, {c: lsch[c] for c in lonly}), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = _chunk(g.column("_side")).to_numpy(zero_copy_only=False)
+        lt = g.take(pa.array(np.flatnonzero(side == 0))).select([*on, *lonly])
+        rt = g.take(pa.array(np.flatnonzero(side == 1))).select([*on, *ronly])
+        return lt.join(rt, keys=list(on), join_type="inner")
+
+    return tagged.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")

@@ -153,24 +153,36 @@ def lm_bigram_scores(
 
     if num_partitions is None:
         num_partitions = _default_partitions()
-    # Both join inputs are repartitioned to normalize empty-block schemas:
-    # Ray forwards 0-row blocks from empty read/filter outputs WITHOUT
-    # schema, and the hash-join aggregator fails in acero when a partition
-    # receives only such blocks for one side (same workaround as
-    # dup_shingle_stats). Full repartition drops them; the extra pass over
-    # the bigram stream is the price until the upstream bug is fixed.
     counts = (
         train_ds.map_batches(
             lambda b: partial_bigram_counts(b, text_col), batch_format="pyarrow"
         )
         .groupby(["w1", "w2"])
         .aggregate(Sum("cnt", alias_name="cnt"))
-        .repartition(num_partitions)
     )
     doc_bigrams = score_ds.map_batches(
         lambda b: doc_bigram_multiplicities(b, text_col), batch_format="pyarrow"
-    ).repartition(num_partitions)
-    joined = doc_bigrams.join(counts, "inner", num_partitions, on=("w1", "w2"))
+    )
+    # bucketed hash join (stages/hashjoin.py): one groupby exchange, no
+    # hash-aggregator actor pool and no schema-less-empty-block hazard —
+    # which also removes the two full repartition passes the native join
+    # needed as a workaround. Explicit types keep the aggregate plan
+    # single-execution (no schema() probe).
+    from .hashjoin import bucketed_inner_join
+
+    joined = bucketed_inner_join(
+        doc_bigrams,
+        counts,
+        on=("w1", "w2"),
+        n_buckets=num_partitions,
+        left_types={
+            "doc_id": pa.int64(),
+            "w1": pa.string(),
+            "w2": pa.string(),
+            "m": pa.int64(),
+        },
+        right_types={"w1": pa.string(), "w2": pa.string(), "cnt": pa.int64()},
+    )
 
     def weigh(b: pa.Table) -> pa.Table:
         m = b.column("m").cast(pa.int64())
