@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_majority_vote": _tkg("q_fact_majority_vote"),
         "fact_churn_stats": _tkg("q_fact_churn_stats"),
         "triple_pattern_match": q.q_triple_pattern_match,
+        "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -551,6 +552,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_majority_vote": tkg.sql_fact_majority_vote(),
         "fact_churn_stats": tkg.sql_fact_churn_stats(),
         "triple_pattern_match": q.sql_triple_pattern_match(),
+        "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

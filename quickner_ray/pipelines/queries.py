@@ -3346,22 +3346,15 @@ def q_triples(sf_dir: str):
     )
 
 
-def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
-    """Triple-store materialize + point lookup: distinct (s,p,o) triples
-    written as the three permutation indexes (sinks/triplestore.py —
-    range-sorted Parquet whose row-group stats prune any-position
-    lookups), then the POS index answers 'all triples with predicate X'
-    reading only admitting fragments. Store cached under /tmp keyed by
-    corpus + store version; finished permutations skip on re-run
+def _pos_triple_store(sf_dir: str) -> str:
+    """Build (or reuse) the POS permutation index for the corpus's triples.
+    Cache keyed on the SOURCE's identity (path+size+mtime fingerprint,
+    same rationale as _media_path) so regenerated testdata can never
+    serve a stale store; finished permutations skip on re-run
     (resumable writes)."""
-    import ray.data as rd
-
-    from ..sinks.triplestore import lookup, write_triple_store
-
-    # cache keyed on the SOURCE's identity (path+size+mtime fingerprint,
-    # same rationale as _media_path) so regenerated testdata can never
-    # serve a stale store
     import hashlib
+
+    from ..sinks.triplestore import write_triple_store
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
@@ -3372,7 +3365,18 @@ def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
     store = f"/tmp/quickner_ray_tstore_{key}"
     if not os.path.exists(os.path.join(store, "pos", "_DONE")):
         write_triple_store(q_triples(sf_dir), store, perms=["pos"])
-    return lookup(store, "pred", pred)
+    return store
+
+
+def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
+    """Triple-store materialize + point lookup: distinct (s,p,o) triples
+    written as the three permutation indexes (sinks/triplestore.py —
+    range-sorted Parquet whose row-group stats prune any-position
+    lookups), then the POS index answers 'all triples with predicate X'
+    reading only admitting fragments."""
+    from ..sinks.triplestore import lookup
+
+    return lookup(_pos_triple_store(sf_dir), "pred", pred)
 
 
 def sql_triple_store_lookup(pred: str = "OPERATOR") -> str:
@@ -3448,6 +3452,35 @@ def q_triple_pattern_match(sf_dir: str):
             ("?doc", "UNIT", "?unit"),
         ],
     )
+
+
+def q_triple_pattern_match_indexed(sf_dir: str):
+    """The same BGP as `triple_pattern_match`, evaluated AGAINST THE
+    PERMUTATION-INDEX STORE instead of the extracted stream: every
+    pattern binds its predicate, so each one reads only the POS-index
+    fragments whose row-group stats admit that predicate
+    (sinks/triplestore.lookup) — the index-pruned query path a 100 TB KG
+    serves from. Must answer identically to the stream evaluation (same
+    oracle)."""
+    from ..sinks.triplestore import lookup
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    store = _pos_triple_store(sf_dir)
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        None,
+        [
+            ("?doc", "SYSTEM", spark),
+            ("?doc", "OPERATOR", "?op"),
+            ("?doc", "UNIT", "?unit"),
+        ],
+        pattern_source=lambda pat: lookup(store, "pred", pat[1]),
+    )
+
+
+def sql_triple_pattern_match_indexed() -> str:
+    return sql_triple_pattern_match()
 
 
 def sql_triple_pattern_match() -> str:

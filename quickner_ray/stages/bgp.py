@@ -88,9 +88,16 @@ def bgp_match(
     obj_col: str = "obj",
     num_partitions: int | None = None,
     engine: str = "bucket",
+    pattern_source=None,
 ):
     """Match every pattern conjunctively; return DISTINCT variable
-    bindings as a Dataset with one column per variable."""
+    bindings as a Dataset with one column per variable.
+
+    ``pattern_source`` (optional): callable pattern -> Dataset supplying
+    each pattern's triples individually — pass a permutation-index
+    ``lookup`` (sinks/triplestore.py) so a bound-predicate pattern reads
+    ONLY admitting index fragments instead of scanning the full stream;
+    the vectorized constant masks still apply on top."""
     from ray.data.aggregate import Count
 
     if not patterns:
@@ -98,7 +105,10 @@ def bgp_match(
     nparts = num_partitions or max(32, _default_buckets() // 4)
     cols = (subj_col, pred_col, obj_col)
 
-    compiled = [_pattern_ds(triples, p, cols) for p in patterns]
+    compiled = [
+        _pattern_ds(pattern_source(p) if pattern_source else triples, p, cols)
+        for p in patterns
+    ]
     acc, acc_vars = compiled[0]
     bound = set(acc_vars)
     pending = list(compiled[1:])
