@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_churn_stats": _tkg("q_fact_churn_stats"),
         "triple_pattern_match": q.q_triple_pattern_match,
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
+        "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
         "host_authority": q.q_host_authority,
@@ -553,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_churn_stats": tkg.sql_fact_churn_stats(),
         "triple_pattern_match": q.sql_triple_pattern_match(),
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
+        "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),
         "host_authority": q.sql_host_authority(),

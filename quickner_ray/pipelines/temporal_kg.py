@@ -306,6 +306,69 @@ def sql_fact_asof_lookup() -> str:
     )
 
 
+SNAPSHOT_BGP_T = 3
+SNAPSHOT_BGP_LANG = "v42 & co"  # language value with multiple holders at T
+
+
+def q_kg_snapshot_bgp(sf_dir: str):
+    """Temporal BGP — the two new subsystems composed: facts valid AT
+    snapshot T (SCD2 islands filtered on valid_from <= T <= valid_to)
+    form a (doc, attr, value) triple view, and a SPARQL-style BGP runs
+    over it: docs whose 'language' fact at T equals a constant, binding
+    their 'population' and 'area' values at the same instant. The SQL
+    oracle derives the same answer from the RAW observation table at
+    snap = T — an independent formulation, so interval reconstruction is
+    cross-checked, not mirrored."""
+    from ..stages.bgp import bgp_match
+    from ..stages.temporal import islands_by_key
+
+    iv = islands_by_key(
+        _snapshot_facts(sf_dir),
+        key_cols=["doc_id", "attr"],
+        order_col="snap",
+        value_col="value",
+    )
+
+    def at_t(b: pa.Table) -> pa.Table:
+        lo = b.column("valid_from")
+        hi = b.column("valid_to")
+        t = pa.scalar(SNAPSHOT_BGP_T, type=pa.int64())
+        keep = pc.and_(pc.less_equal(lo, t), pc.greater_equal(hi, t))
+        f = b.filter(keep)
+        ids = f.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "subj": pc.cast(ids, pa.string()),
+                "pred": f.column("attr"),
+                "obj": f.column("value"),
+            }
+        )
+
+    return bgp_match(
+        iv.map_batches(at_t, batch_format="pyarrow"),
+        [
+            ("?doc", "language", SNAPSHOT_BGP_LANG),
+            ("?doc", "population", "?pop"),
+            ("?doc", "area", "?area"),
+        ],
+    )
+
+
+def sql_kg_snapshot_bgp() -> str:
+    return (
+        f"WITH {_SQL_OBS},\n"
+        f"att AS (SELECT doc_id, attr, value FROM obs WHERE snap = {SNAPSHOT_BGP_T})\n"
+        "SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS doc,\n"
+        "       b.value AS pop, c.value AS area\n"
+        "FROM att a JOIN att b ON a.doc_id = b.doc_id\n"
+        "     JOIN att c ON a.doc_id = c.doc_id\n"
+        f"WHERE a.attr = 'language' AND a.value = '{SNAPSHOT_BGP_LANG}'\n"
+        "  AND b.attr = 'population' AND c.attr = 'area'"
+    )
+
+
 def q_fact_majority_vote(sf_dir: str):
     """Truth discovery: K_SOURCES sources assert each (doc, attr) fact —
     some one epoch stale — and the value with the most distinct sources
