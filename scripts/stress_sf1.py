@@ -132,6 +132,8 @@ def main() -> None:
         # feeding the bucket-shuffle island kernel
         "fact_validity_intervals": tkg.q_fact_validity_intervals,
         "fact_majority_vote": tkg.q_fact_majority_vote,
+        # BGP joins over the sf1 mention-triple stream (bucketed hash join)
+        "triple_pattern_match": q.q_triple_pattern_match,
     }
     rows: dict = {}
     for name, fn in family.items():
