@@ -23,6 +23,8 @@ Three operators (stages/temporal.py):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -116,6 +118,32 @@ def _snapshot_facts(sf_dir: str):
     return infobox_facts(_snapshot_pages(sf_dir), carry_cols=["snap"])
 
 
+def _snapshot_facts_cached(sf_dir: str):
+    """Write-once snapshot-fact table shared by the five temporal-KG
+    consumers (intervals, churn, as-of, snapshot BGP): extract ONCE ->
+    partitioned parquet under /tmp -> each consumer re-reads streaming.
+    Crash-safe temp-dir + atomic-rename promotion; keyed on the source
+    corpus fingerprint so regenerated testdata can never serve a stale
+    cache (same pattern as queries.annotated_documents_cached)."""
+    import shutil
+
+    import ray.data as rd
+
+    from .queries import _corpus_cache_key
+
+    d = f"/tmp/quickner_ray_snapfacts_{_corpus_cache_key(sf_dir, 'tkg-v1')}"
+    done = d + ".done"
+    if not os.path.exists(done):
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        _snapshot_facts(sf_dir).write_parquet(tmp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return rd.read_parquet(d)
+
+
 _SQL_OBS = (
     "obs AS (\n"
     f"  SELECT doc_id, s.snap AS snap, [{_ATTRS_SQL}][t.j + 1] AS attr,\n"
@@ -136,7 +164,7 @@ def q_fact_validity_intervals(sf_dir: str):
     from ..stages.temporal import islands_by_key
 
     return islands_by_key(
-        _snapshot_facts(sf_dir),
+        _snapshot_facts_cached(sf_dir),
         key_cols=["doc_id", "attr"],
         order_col="snap",
         value_col="value",
@@ -171,7 +199,7 @@ def q_fact_churn_stats(sf_dir: str):
     from ..stages.temporal import island_counts
 
     per_key = island_counts(
-        _snapshot_facts(sf_dir),
+        _snapshot_facts_cached(sf_dir),
         key_cols=["doc_id", "attr"],
         order_col="snap",
         value_col="value",
@@ -260,7 +288,7 @@ def q_fact_asof_lookup(sf_dir: str):
         )
         return b.drop_columns(["snap"]).append_column("obs_ts", obs_ts)
 
-    obs = _snapshot_facts(sf_dir).map_batches(to_obs, batch_format="pyarrow")
+    obs = _snapshot_facts_cached(sf_dir).map_batches(to_obs, batch_format="pyarrow")
 
     def probes(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
@@ -323,7 +351,7 @@ def q_kg_snapshot_bgp(sf_dir: str):
     from ..stages.temporal import islands_by_key
 
     iv = islands_by_key(
-        _snapshot_facts(sf_dir),
+        _snapshot_facts_cached(sf_dir),
         key_cols=["doc_id", "attr"],
         order_col="snap",
         value_col="value",
