@@ -211,10 +211,18 @@ def asof_join(
     tagged = left.map_batches(tag(1), batch_format="pyarrow").union(
         right.map_batches(tag(0), batch_format="pyarrow")
     )
-    sort_spec = [(c, "ascending") for c in key_cols] + [
-        ("_ts", "ascending"),
-        ("_side", "ascending"),  # right (0) before left (1) at equal ts
-    ]
+    sort_spec = (
+        [(c, "ascending") for c in key_cols]
+        + [
+            ("_ts", "ascending"),
+            ("_side", "ascending"),  # right (0) before left (1) at equal ts
+        ]
+        # deterministic tie-break when SEVERAL right rows share right_ts:
+        # the greatest value tuple wins (last-in-sort-order is what the
+        # accumulate picks). Left rows are unaffected: their value cols
+        # are all-null, and _side already separates the two groups.
+        + [(c, "ascending") for c in value_cols]
+    )
 
     def per_bucket(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["_bkt"]).sort_by(sort_spec)
