@@ -57,6 +57,52 @@ def test_bucketed_join_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_k = st.sampled_from(["a", "b", "c", "d", "e"])
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(st.tuples(_k, st.integers(0, 9)), min_size=0, max_size=25),
+    st.lists(st.tuples(_k, st.integers(0, 9)), min_size=0, max_size=25),
+)
+def test_bucketed_join_hypothesis(ray_session, lrows, rrows):
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "k": [r[0] for r in lrows],
+            "x": pa.array([r[1] for r in lrows], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": [r[0] for r in rrows],
+            "y": pa.array([r[1] for r in rrows], type=pa.int64()),
+        }
+    )
+    got = _pdf(
+        bucketed_inner_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(3),
+            on=("k",),
+            n_buckets=3,
+        )
+    )
+    want = left.to_pandas().merge(right.to_pandas(), on="k", how="inner")
+    want = (
+        want[sorted(want.columns)]
+        .sort_values(sorted(want.columns), kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        pd.testing.assert_frame_equal(got, want)
+
+
 def test_bucketed_join_name_clash_raises(ray_session):
     import ray.data as rd
 
