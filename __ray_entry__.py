@@ -135,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_churn_stats": _tkg("q_fact_churn_stats"),
         "triple_pattern_match": q.q_triple_pattern_match,
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
+        "kg_optional_bgp": q.q_kg_optional_bgp,
+        "kg_negation_bgp": q.q_kg_negation_bgp,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -554,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "fact_churn_stats": tkg.sql_fact_churn_stats(),
         "triple_pattern_match": q.sql_triple_pattern_match(),
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
+        "kg_optional_bgp": q.sql_kg_optional_bgp(),
+        "kg_negation_bgp": q.sql_kg_negation_bgp(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

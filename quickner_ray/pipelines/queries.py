@@ -3500,6 +3500,86 @@ def sql_triple_pattern_match() -> str:
     )
 
 
+def q_kg_optional_bgp(sf_dir: str):
+    """SPARQL OPTIONAL over the extracted KG: bindings (?doc, ?op,
+    ?unit) where ?doc mentions the SYSTEM entity 'spark' AND an OPERATOR
+    ?op, with ?unit OPTIONALLY bound to a co-mentioned UNIT entity —
+    docs with no UNIT mention KEEP their (doc, op) bindings with unit
+    rendered as '' (SPARQL's unbound; '' not null so the value-hash
+    compare is null-free). Execution: the required fold's bucketed hash
+    join, then ONE bucketed LEFT OUTER join (stages/hashjoin.bucketed_join
+    join_type="left outer") — bucket-local left outer is globally correct
+    because a key's left and right rows co-locate. No reference
+    counterpart (quickner has no query layer)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        q_triples(sf_dir),
+        [
+            ("?doc", "SYSTEM", spark),
+            ("?doc", "OPERATOR", "?op"),
+        ],
+        optional=[("?doc", "UNIT", "?unit")],
+    )
+
+
+def sql_kg_optional_bgp() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel, eid FROM acc)\n"
+        "SELECT DISTINCT a.subj AS doc, b.eid AS op,"
+        " COALESCE(c.eid, '') AS unit\n"
+        "FROM tri a JOIN tri b ON a.subj = b.subj AND b.plabel = 'OPERATOR'\n"
+        "LEFT JOIN tri c ON a.subj = c.subj AND c.plabel = 'UNIT'\n"
+        f"WHERE a.plabel = 'SYSTEM' AND a.eid = '{spark}'"
+    )
+
+
+def q_kg_negation_bgp(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS over the extracted KG: bindings (?doc,
+    ?op) where ?doc mentions 'spark' (SYSTEM) AND an OPERATOR ?op and
+    NO UNIT entity at all — the anti-join verb of the query layer.
+    Execution: required fold, then ONE bucketed LEFT ANTI join keyed on
+    ?doc against the UNIT pattern's bindings (right side projected to
+    keys only — membership test, no payload shipped)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        q_triples(sf_dir),
+        [
+            ("?doc", "SYSTEM", spark),
+            ("?doc", "OPERATOR", "?op"),
+        ],
+        not_exists=[("?doc", "UNIT", "?unit")],
+    )
+
+
+def sql_kg_negation_bgp() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel, eid FROM acc)\n"
+        "SELECT DISTINCT a.subj AS doc, b.eid AS op\n"
+        "FROM tri a JOIN tri b ON a.subj = b.subj AND b.plabel = 'OPERATOR'\n"
+        f"WHERE a.plabel = 'SYSTEM' AND a.eid = '{spark}'\n"
+        "  AND NOT EXISTS (SELECT 1 FROM tri c"
+        " WHERE c.subj = a.subj AND c.plabel = 'UNIT')"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER

@@ -4,6 +4,10 @@ A KG is queried, not just built: the BGP evaluator takes a list of
 (subject, predicate, object) patterns — constants bind, ``?name`` terms
 are variables — and returns the DISTINCT variable bindings satisfying
 every pattern simultaneously (the conjunctive-query core of SPARQL).
+``optional=`` adds SPARQL OPTIONAL patterns (null-preserving left outer
+join, unbound rendered as '') and ``not_exists=`` adds FILTER NOT
+EXISTS (anti-join) — together the monotone core + the two most-used
+non-monotone SPARQL verbs.
 
 Execution shape (idiomatic Ray Data, no driver loops):
 - each pattern compiles to ONE vectorized ``map_batches`` filter+project
@@ -35,7 +39,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashjoin import bucketed_inner_join
+from .hashjoin import bucketed_join
 from .temporal import _default_buckets
 
 
@@ -89,6 +93,8 @@ def bgp_match(
     num_partitions: int | None = None,
     engine: str = "bucket",
     pattern_source=None,
+    optional=(),
+    not_exists=(),
 ):
     """Match every pattern conjunctively; return DISTINCT variable
     bindings as a Dataset with one column per variable.
@@ -97,7 +103,17 @@ def bgp_match(
     each pattern's triples individually — pass a permutation-index
     ``lookup`` (sinks/triplestore.py) so a bound-predicate pattern reads
     ONLY admitting index fragments instead of scanning the full stream;
-    the vectorized constant masks still apply on top."""
+    the vectorized constant masks still apply on top.
+
+    ``optional``: SPARQL OPTIONAL patterns — each left-outer-joins the
+    required bindings on its shared variables; its new variables stay in
+    the output with the SPARQL-unbound rendered as ``''`` (empty string,
+    not null, so downstream groupbys and the driver's value-hash compare
+    stay null-free; '' cannot collide because entity ids are non-empty).
+
+    ``not_exists``: SPARQL FILTER NOT EXISTS patterns — each anti-joins
+    the bindings on its shared variables, keeping only bindings with NO
+    match; its variables never join the output."""
     from ray.data.aggregate import Count
 
     if not patterns:
@@ -105,10 +121,10 @@ def bgp_match(
     nparts = num_partitions or max(32, _default_buckets() // 4)
     cols = (subj_col, pred_col, obj_col)
 
-    compiled = [
-        _pattern_ds(pattern_source(p) if pattern_source else triples, p, cols)
-        for p in patterns
-    ]
+    def compile_one(p):
+        return _pattern_ds(pattern_source(p) if pattern_source else triples, p, cols)
+
+    compiled = [compile_one(p) for p in patterns]
     acc, acc_vars = compiled[0]
     bound = set(acc_vars)
     pending = list(compiled[1:])
@@ -127,7 +143,7 @@ def bgp_match(
         if engine == "native":
             acc = acc.join(nxt, "inner", nparts, on=shared)
         else:
-            acc = bucketed_inner_join(
+            acc = bucketed_join(
                 acc,
                 nxt,
                 on=shared,
@@ -136,6 +152,41 @@ def bgp_match(
                 right_types={v: pa.string() for v in nxt_vars},
             )
         bound |= set(nxt_vars)
+
+    for side_type, group in (("left outer", optional), ("left anti", not_exists)):
+        for p in group:
+            nxt, nxt_vars = compile_one(p)
+            shared = tuple(sorted(bound & set(nxt_vars)))
+            if not shared:
+                raise ValueError(
+                    f"{side_type} pattern {p!r} shares no variable with the "
+                    f"required bindings (bound={sorted(bound)})"
+                )
+            new_vars = sorted(set(nxt_vars) - bound)
+            acc = bucketed_join(
+                acc,
+                nxt,
+                on=shared,
+                n_buckets=nparts,
+                join_type=side_type,
+                left_types={v: pa.string() for v in sorted(bound)},
+                right_types={v: pa.string() for v in nxt_vars},
+            )
+            if side_type == "left outer" and new_vars:
+                acc = acc.map_batches(
+                    lambda b, nv=tuple(new_vars): pa.table(
+                        {
+                            c: (
+                                pc.fill_null(b.column(c), "") if c in nv
+                                else b.column(c)
+                            )
+                            for c in b.column_names
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+                bound |= set(new_vars)
+
     out_cols = sorted(bound)
     return (
         acc.groupby(out_cols)

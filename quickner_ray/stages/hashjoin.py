@@ -1,4 +1,5 @@
-"""Bucketed inner hash join — ONE exchange, no actor pools.
+"""Bucketed hash join (inner / left outer / left semi / left anti) —
+ONE exchange, no actor pools.
 
 Shape: tag-union both sides (each side pads the other's non-key columns
 with typed nulls so the union schemas line up), ONE groupby shuffle on an
@@ -9,6 +10,10 @@ built-in ``Dataset.join`` this trades the hash-aggregator actor pool
 and schema-less empty-block crashes when an Aggregate feeds it) for the
 repo's standard groupby exchange: same all-to-all volume, zero fixed
 actor cost, empty blocks tolerated.
+
+Per-bucket correctness for the one-sided types: every left row hashes to
+exactly one bucket together with ALL right rows sharing its key, so a
+bucket-local left outer / semi / anti answer is the global answer.
 
 Pass ``left_types``/``right_types`` (column -> pyarrow DataType) when the
 input is a lazy aggregate: ``Dataset.schema()`` on an un-executed
@@ -42,19 +47,39 @@ def _key_bucket(b: pa.Table, on: tuple[str, ...], n_buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
 
 
-def bucketed_inner_join(
+def bucketed_join(
     left,
     right,
     *,
     on: tuple[str, ...],
     n_buckets: int,
+    join_type: str = "inner",
     left_types: dict | None = None,
     right_types: dict | None = None,
 ):
-    """Inner equi-join of two Datasets on ``on``; non-key column names of
-    the two sides must be disjoint."""
-    lsch = left_types or dict(zip(left.schema().names, left.schema().types))
-    rsch = right_types or dict(zip(right.schema().names, right.schema().types))
+    """Equi-join of two Datasets on ``on``; non-key column names of the
+    two sides must be disjoint. ``join_type``: "inner", "left outer",
+    "left semi", "left anti" (Arrow Acero names). Semi/anti emit the
+    left columns only."""
+    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+        raise ValueError(f"unsupported join_type {join_type!r}")
+
+    def sdict(ds, types):
+        if types:
+            return types
+        sch = ds.schema()  # None <=> the dataset is verifiably empty
+        return None if sch is None else dict(zip(sch.names, sch.types))
+
+    lsch = sdict(left, left_types)
+    rsch = sdict(right, right_types)
+    # Empty-side degeneration (schema unknowable): empty left -> empty
+    # result for every join type; empty right -> left unchanged for
+    # outer/anti, empty-with-left-schema for inner/semi (the right-side
+    # pad columns are unknowable and omitted from the empty result).
+    if lsch is None:
+        return left
+    if rsch is None:
+        return left if join_type in ("left outer", "left anti") else left.limit(0)
     lonly = sorted(c for c in lsch if c not in on)
     ronly = sorted(c for c in rsch if c not in on)
     clash = set(lonly) & set(ronly)
@@ -84,6 +109,13 @@ def bucketed_inner_join(
         side = _chunk(g.column("_side")).to_numpy(zero_copy_only=False)
         lt = g.take(pa.array(np.flatnonzero(side == 0))).select([*on, *lonly])
         rt = g.take(pa.array(np.flatnonzero(side == 1))).select([*on, *ronly])
-        return lt.join(rt, keys=list(on), join_type="inner")
+        if join_type in ("left semi", "left anti"):
+            rt = rt.select(list(on))  # keys only: membership test
+        return lt.join(rt, keys=list(on), join_type=join_type)
 
     return tagged.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def bucketed_inner_join(left, right, **kw):
+    """Back-compat alias: ``bucketed_join(..., join_type="inner")``."""
+    return bucketed_join(left, right, join_type="inner", **kw)

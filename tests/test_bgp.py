@@ -8,11 +8,14 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from quickner_ray.stages.bgp import bgp_match, bucketed_inner_join
+from quickner_ray.stages.bgp import bgp_match
+from quickner_ray.stages.hashjoin import bucketed_inner_join, bucketed_join
 
 
 def _pdf(ds) -> pd.DataFrame:
     df = ds.to_pandas()
+    if not len(df.columns):  # schema-less empty result
+        return df
     return (
         df[sorted(df.columns)]
         .sort_values(sorted(df.columns), kind="mergesort")
@@ -103,6 +106,67 @@ def test_bucketed_join_hypothesis(ray_session, lrows, rrows):
         pd.testing.assert_frame_equal(got, want)
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(_k, st.integers(0, 9)), min_size=0, max_size=20),
+    st.lists(st.tuples(_k, st.integers(0, 9)), min_size=0, max_size=20),
+    st.sampled_from(["left outer", "left semi", "left anti"]),
+)
+def test_bucketed_join_types_hypothesis(ray_session, lrows, rrows, jt):
+    import numpy as np
+    import ray.data as rd
+
+    left = pa.table(
+        {
+            "k": pa.array([r[0] for r in lrows], type=pa.string()),
+            "x": pa.array([r[1] for r in lrows], type=pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([r[0] for r in rrows], type=pa.string()),
+            "y": pa.array([r[1] for r in rrows], type=pa.int64()),
+        }
+    )
+    got = _pdf(
+        bucketed_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(3),
+            on=("k",),
+            n_buckets=3,
+            join_type=jt,
+            # explicit types so the verifiably-empty short-circuit does not
+            # engage and the pad path is exercised even on empty sides
+            left_types={"k": pa.string(), "x": pa.int64()},
+            right_types={"k": pa.string(), "y": pa.int64()},
+        )
+    )
+    ldf, rdf = left.to_pandas(), right.to_pandas()
+    rkeys = set(rdf["k"])
+    if jt == "left outer":
+        want = ldf.merge(rdf, on="k", how="left")
+        # pandas promotes y to float64 on unmatched rows; compare as nullable
+        if len(want):
+            want["y"] = want["y"].astype("Int64")
+            got["y"] = got["y"].astype("Int64")
+    elif jt == "left semi":
+        want = ldf[ldf["k"].isin(rkeys)]
+    else:  # left anti
+        want = ldf[~ldf["k"].isin(rkeys)]
+    want = (
+        want[sorted(want.columns)]
+        .sort_values(sorted(want.columns), kind="mergesort")
+        .reset_index(drop=True)
+    )
+    if len(want) == 0:
+        assert len(got) == 0
+    else:
+        got = got[sorted(want.columns)].sort_values(
+            sorted(want.columns), kind="mergesort"
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_bucketed_join_name_clash_raises(ray_session):
     import ray.data as rd
 
@@ -182,6 +246,73 @@ def test_bgp_disconnected_raises(ray_session, tiny_triples):
         bgp_match(
             rd.from_arrow(tiny_triples),
             [("?a", "SYS", "spark"), ("?b", "OP", "scan")],
+        )
+
+
+def test_bucketed_join_empty_side_degeneration(ray_session):
+    """A side whose schema is unknowable (verifiably empty, no explicit
+    types) short-circuits as documented instead of crashing."""
+    import ray.data as rd
+
+    full = rd.from_arrow(pa.table({"k": ["a", "b"], "x": [1, 2]}))
+    empty = rd.from_arrow(pa.table({"k": ["z"], "y": [0]})).filter(
+        lambda r: False
+    ).materialize()
+    assert empty.schema() is None or empty.count() == 0
+    for jt, want_rows in (
+        ("inner", 0),
+        ("left semi", 0),
+        ("left anti", 2),
+        ("left outer", 2),
+    ):
+        out = bucketed_join(full, empty, on=("k",), n_buckets=2, join_type=jt)
+        assert out.count() == want_rows, jt
+    # empty LEFT side: every join type yields zero rows
+    for jt in ("inner", "left semi", "left anti", "left outer"):
+        out = bucketed_join(empty, full, on=("k",), n_buckets=2, join_type=jt)
+        assert out.count() == 0, jt
+
+
+def test_bgp_optional(ray_session, tiny_triples):
+    import ray.data as rd
+
+    out = _pdf(
+        bgp_match(
+            rd.from_arrow(tiny_triples).repartition(3),
+            [("?doc", "SYS", "spark"), ("?doc", "OP", "?op")],
+            optional=[("?doc", "UNIT", "?unit")],
+            num_partitions=4,
+        )
+    )
+    got = {(r.doc, r.op, r.unit) for r in out.itertuples()}
+    # d1 has a UNIT mention (row); d2 has none -> unbound rendered as ''
+    assert got == {("d1", "join", "row"), ("d2", "scan", "")}
+
+
+def test_bgp_not_exists(ray_session, tiny_triples):
+    import ray.data as rd
+
+    out = _pdf(
+        bgp_match(
+            rd.from_arrow(tiny_triples).repartition(3),
+            [("?doc", "SYS", "spark"), ("?doc", "OP", "?op")],
+            not_exists=[("?doc", "UNIT", "?unit")],
+            num_partitions=4,
+        )
+    )
+    got = {(r.doc, r.op) for r in out.itertuples()}
+    assert got == {("d2", "scan")}  # d1 is removed by its UNIT mention
+    assert list(out.columns) == ["doc", "op"]  # ?unit never joins the output
+
+
+def test_bgp_optional_disconnected_raises(ray_session, tiny_triples):
+    import ray.data as rd
+
+    with pytest.raises(ValueError, match="shares no variable"):
+        bgp_match(
+            rd.from_arrow(tiny_triples),
+            [("?doc", "SYS", "spark")],
+            optional=[("?a", "OP", "?b")],
         )
 
 
