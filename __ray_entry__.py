@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
+        "kmv_entity_overlap": q.q_kmv_entity_overlap,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -558,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
+        "kmv_entity_overlap": q.sql_kmv_entity_overlap(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

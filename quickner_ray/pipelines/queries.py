@@ -3580,6 +3580,53 @@ def sql_kg_negation_bgp() -> str:
     )
 
 
+def q_kmv_entity_overlap(sf_dir: str):
+    """KMV-sketch set-intersection estimate (Beyer et al. 2007) between
+    two KG doc sets: A = docs mentioning the SYSTEM entity 'spark', B =
+    docs mentioning any OPERATOR entity. Each side keeps only its k=256
+    smallest distinct md5-h64 doc-id hashes, so the only exchange moves
+    sketch-sized data regardless of corpus size — the mergeable-synopsis
+    path to |A∩B| at 10^12 docs. All-integer output, bit-exact oracle
+    (stages/sketch.kmv_overlap)."""
+    import pyarrow.compute as pc2
+
+    from ..stages.canonicalize import entity_id
+    from ..stages.sketch import kmv_overlap
+
+    spark = entity_id("spark", "SYSTEM")
+    tri = q_triples(sf_dir)
+
+    def side(pred: str, obj: str | None):
+        def f(b: pa.Table) -> pa.Table:
+            mask = pc2.equal(b.column("pred"), pa.scalar(pred))
+            if obj is not None:
+                mask = pc2.and_(mask, pc2.equal(b.column("obj"), pa.scalar(obj)))
+            return b.filter(mask).select(["subj"])
+
+        return tri.map_batches(f, batch_format="pyarrow")
+
+    return kmv_overlap(side("SYSTEM", spark), side("OPERATOR", None), "subj")
+
+
+def sql_kmv_entity_overlap() -> str:
+    from ..stages.canonicalize import entity_id
+    from ..stages.sketch import sql_kmv_overlap
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    a = (
+        "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS v FROM acc "
+        f"WHERE plabel = 'SYSTEM' AND eid = '{spark}'"
+    )
+    b = (
+        "SELECT DISTINCT CAST(doc_id AS VARCHAR) AS v FROM acc "
+        "WHERE plabel = 'OPERATOR'"
+    )
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n{sql_kmv_overlap(a, b)}"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER

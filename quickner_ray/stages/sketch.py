@@ -457,3 +457,147 @@ def sql_hll_registers_grouped(col: str, group_col: str, table: str) -> str:
         f"SELECT {group_col}, bucket, CAST(max(r) AS BIGINT) AS register\n"
         f"FROM rho GROUP BY {group_col}, bucket"
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) sketch + set-intersection estimation
+# --------------------------------------------------------------------------
+# Beyer et al., "On Synopses for Distinct-Value Estimation Under Multiset
+# Operations" (SIGMOD 2007): keep the k smallest hash values of the
+# distinct keys. Unlike HLL, two KMV sketches support a DIRECT
+# intersection estimate (no inclusion-exclusion error blow-up): merge to
+# the union sketch, count how many of its members appear in BOTH input
+# sketches (K), then |A∩B| ~= K/k * (k-1) * 2^64 / kth_min. Everything is
+# deterministic over the shared md5 h64, so the whole sketch AND the
+# integer-exact estimate have a bit-exact DuckDB oracle. No reference
+# counterpart (quickner-core has no sketches).
+
+KMV_K = 256
+_TWO64 = 1 << 64
+
+
+def _kmv_partial(batch: pa.Table, col: str, k: int) -> pa.Table:
+    """Batch -> its k smallest distinct h64 hashes of ``col`` (<= k rows)."""
+    from ..kernel.md5vec import md5_h64
+
+    vals = batch.column(col)
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    if len(vals) == 0:
+        return pa.table({"h": pa.array([], type=pa.uint64())})
+    h = np.unique(md5_h64(vals.cast(pa.string())))
+    return pa.table({"h": h[:k]})  # np.unique is sorted ascending
+
+
+def _kmv_combine(batch: pa.Table, k: int) -> pa.Table:
+    """Merge partial sketches: distinct hashes, keep the k smallest."""
+    h = batch.column("h")
+    if isinstance(h, pa.ChunkedArray):
+        h = h.combine_chunks()
+    merged = np.unique(h.to_numpy(zero_copy_only=False))
+    return pa.table({"h": pa.array(merged[:k], type=pa.uint64())})
+
+
+def kmv_sketch(ds, col: str, k: int = KMV_K, fan_in: int = 32):
+    """Dataset -> one-block Dataset(h: uint64, ascending) of the k smallest
+    distinct hashes of ``col``.
+
+    Tree combine, no groupby/sort: per-block partials (<= k rows each) ->
+    repartition(fan_in) -> in-block unique+take-k -> repartition(1) ->
+    final unique+take-k. Every exchange moves <= k rows per upstream
+    block, so the wire cost is sketch-sized and independent of input row
+    count (the 100 TB shape). Deliberately avoids Dataset.groupby/sort:
+    Ray's hash-aggregate round-trips keys through Python and cannot
+    represent uint64 hashes above 2^63 (falls back to pickled-object
+    columns); the numpy combine keeps the column native Arrow uint64."""
+    partial = ds.map_batches(
+        lambda b: _kmv_partial(b, col, k), batch_format="pyarrow"
+    )
+    mid = partial.repartition(fan_in).map_batches(
+        lambda b: _kmv_combine(b, k), batch_size=None, batch_format="pyarrow"
+    )
+    return mid.repartition(1).map_batches(
+        lambda b: _kmv_combine(b, k), batch_size=None, batch_format="pyarrow"
+    )
+
+
+def kmv_overlap(ds_a, ds_b, col: str, k: int = KMV_K):
+    """Two Datasets -> ONE-row Dataset estimating |A ∩ B| over the
+    distinct values of ``col`` from their KMV sketches.
+
+    Columns (all integers, bit-exact vs the SQL oracle):
+      k, n_a, n_b      sketch parameter and the two sketch sizes
+      n_union          union-sketch size (min(k, |distinct union|))
+      union_kth        largest hash kept in the union sketch (uint64)
+      n_shared         union-sketch members present in BOTH sketches
+      est_intersection K(k-1)*2^64 // (k*union_kth), or exactly n_shared
+                       when the union sketch is the whole union (< k)
+    """
+    sa = kmv_sketch(ds_a, col, k).map_batches(
+        lambda b: b.append_column("_s", pa.array(np.zeros(b.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    sb = kmv_sketch(ds_b, col, k).map_batches(
+        lambda b: b.append_column("_s", pa.array(np.ones(b.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        side = t.column("_s").to_numpy(zero_copy_only=False)
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        ha, hb = set(h[side == 0].tolist()), set(h[side == 1].tolist())
+        u = sorted(ha | hb)
+        sk_u = u[:k]
+        n_u = len(sk_u)
+        kth = sk_u[-1] if sk_u else 0
+        shared = sum(1 for x in sk_u if x in ha and x in hb)
+        if n_u >= k and kth:
+            est = shared * (k - 1) * _TWO64 // (k * kth)
+        else:  # sketches are the complete sets: the overlap is exact
+            est = shared
+        return pa.table(
+            {
+                "k": pa.array([k], type=pa.int64()),
+                "n_a": pa.array([len(ha)], type=pa.int64()),
+                "n_b": pa.array([len(hb)], type=pa.int64()),
+                "n_union": pa.array([n_u], type=pa.int64()),
+                "union_kth": pa.array([kth], type=pa.uint64()),
+                "n_shared": pa.array([shared], type=pa.int64()),
+                "est_intersection": pa.array([est], type=pa.int64()),
+            }
+        )
+
+    # both sketches are <= k rows: ONE tiny block finishes exactly
+    return sa.union(sb).repartition(1).map_batches(
+        finish, batch_size=None, batch_format="pyarrow"
+    )
+
+
+def sql_kmv_overlap(sql_a: str, sql_b: str, k: int = KMV_K) -> str:
+    """Oracle for ``kmv_overlap``: ``sql_a``/``sql_b`` are subqueries
+    yielding one string column ``v`` (the key to sketch)."""
+    return (
+        f"a AS (SELECT DISTINCT CAST(md5_number_upper(v) AS UBIGINT) AS h\n"
+        f"      FROM ({sql_a})),\n"
+        f"sa AS (SELECT h FROM a ORDER BY h LIMIT {k}),\n"
+        f"b AS (SELECT DISTINCT CAST(md5_number_upper(v) AS UBIGINT) AS h\n"
+        f"      FROM ({sql_b})),\n"
+        f"sb AS (SELECT h FROM b ORDER BY h LIMIT {k}),\n"
+        f"su AS (SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL"
+        f" SELECT h FROM sb) ORDER BY h LIMIT {k}),\n"
+        f"st AS (SELECT count(*) AS n_u, max(h) AS kth,\n"
+        f"  count(*) FILTER (h IN (SELECT h FROM sa)"
+        f" AND h IN (SELECT h FROM sb)) AS shared FROM su)\n"
+        f"SELECT CAST({k} AS BIGINT) AS k,\n"
+        f"  (SELECT count(*) FROM sa) AS n_a,\n"
+        f"  (SELECT count(*) FROM sb) AS n_b,\n"
+        f"  CAST(n_u AS BIGINT) AS n_union,\n"
+        f"  CAST(COALESCE(kth, 0) AS UBIGINT) AS union_kth,\n"
+        f"  CAST(shared AS BIGINT) AS n_shared,\n"
+        f"  CAST(CASE WHEN n_u >= {k} AND kth > 0 THEN\n"
+        f"    CAST(shared AS HUGEINT) * {k - 1}"
+        f" * CAST(18446744073709551616 AS HUGEINT)"
+        f" // (CAST({k} AS HUGEINT) * kth)\n"
+        f"  ELSE shared END AS BIGINT) AS est_intersection\n"
+        f"FROM st"
+    )

@@ -180,3 +180,70 @@ class TestGroupedHLL:
             est = hll_estimate(sub)
             true_card = len(set(u for gg, u in zip(rows_g, rows_u) if gg == g))
             assert abs(est - true_card) / true_card < 0.1
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMV:
+    """KMV sketch (Beyer et al. 2007): k smallest distinct h64 hashes and
+    the direct set-intersection estimate, vs brute-force references."""
+
+    @staticmethod
+    def _hashes(vals) -> np.ndarray:
+        from quickner_ray.kernel.md5vec import md5_h64
+
+        return np.unique(md5_h64(pa.array([str(v) for v in vals])))
+
+    def _sketch(self, vals, k, parallelism=1):
+        from quickner_ray.stages.sketch import kmv_sketch
+
+        ds = rd.from_arrow(
+            pa.table({"v": pa.array([str(v) for v in vals])})
+        )
+        if parallelism > 1:
+            ds = ds.repartition(parallelism)
+        out = kmv_sketch(ds, "v", k=k).take_all()
+        return [r["h"] for r in out]
+
+    def test_sketch_is_k_smallest_distinct(self):
+        vals = [f"doc{i % 700}" for i in range(3_000)]  # dupes collapse
+        got = self._sketch(vals, k=64)
+        want = self._hashes(vals)[:64].tolist()
+        assert got == want
+        assert got == sorted(got)
+
+    def test_small_set_sketch_is_complete(self):
+        vals = [f"x{i}" for i in range(20)]
+        got = self._sketch(vals, k=256)
+        assert got == self._hashes(vals).tolist()
+
+    def test_parallelism_invariant(self):
+        vals = [f"doc{i}" for i in range(2_000)]
+        assert self._sketch(vals, k=128, parallelism=1) == self._sketch(
+            vals, k=128, parallelism=13
+        )
+
+    def test_overlap_exact_when_union_below_k(self):
+        from quickner_ray.stages.sketch import kmv_overlap
+
+        a = [f"d{i}" for i in range(80)]
+        b = [f"d{i}" for i in range(50, 130)]
+        dsa = rd.from_arrow(pa.table({"v": pa.array(a)}))
+        dsb = rd.from_arrow(pa.table({"v": pa.array(b)}))
+        row = kmv_overlap(dsa, dsb, "v", k=256).take_all()[0]
+        assert row["n_a"] == 80 and row["n_b"] == 80
+        assert row["n_union"] == 130
+        assert row["n_shared"] == 30
+        assert row["est_intersection"] == 30  # exact below k
+
+    def test_overlap_estimate_within_tolerance(self):
+        from quickner_ray.stages.sketch import kmv_overlap
+
+        n, overlap, k = 20_000, 5_000, 512
+        a = [f"d{i}" for i in range(n)]
+        b = [f"d{i}" for i in range(n - overlap, 2 * n - overlap)]
+        dsa = rd.from_arrow(pa.table({"v": pa.array(a)})).repartition(7)
+        dsb = rd.from_arrow(pa.table({"v": pa.array(b)})).repartition(5)
+        row = kmv_overlap(dsa, dsb, "v", k=k).take_all()[0]
+        assert row["n_a"] == k and row["n_b"] == k and row["n_union"] == k
+        # k=512 -> relative std ~1/sqrt(k) ~ 4.4%; allow 4 sigma
+        assert abs(row["est_intersection"] - overlap) / overlap < 0.18
