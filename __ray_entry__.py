@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
+        "host_reachability": q.q_host_reachability,
+        "kg_path_affinity": q.q_kg_path_affinity,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -560,6 +562,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
         "kmv_entity_overlap": q.sql_kmv_entity_overlap(),
+        "host_reachability": q.sql_host_reachability(),
+        "kg_path_affinity": q.sql_kg_path_affinity(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

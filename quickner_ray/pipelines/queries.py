@@ -3627,6 +3627,85 @@ def sql_kmv_entity_overlap() -> str:
     )
 
 
+PATH_DOC_MOD = 23  # sparse link subgraph: pages with doc_id % 23 == 0
+PATH_MAX_HOPS = 3
+
+
+def q_host_reachability(sf_dir: str):
+    """SPARQL property-path closure over the web host graph: every host
+    pair connected by a directed path of 1..3 cross-host links, labeled
+    with its minimum hop count (stages/paths.min_hops_closure — semi-naive
+    BFS, per-round wire cost |frontier| + |edges|, never path counts).
+    Runs on the deterministic sparse subgraph (doc_id % 23 == 0) so the
+    32-host universe doesn't saturate at one hop; the Ray path recovers
+    the edges from raw HTML bytes while the oracle regenerates them
+    arithmetically and closes them with a recursive CTE."""
+    from ..stages.linkgraph import host_link_graph
+    from ..stages.paths import min_hops_closure
+
+    edges = host_link_graph(_linked_pages(sf_dir, mod=PATH_DOC_MOD))
+    pairs = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src_host"), "dst": b.column("dst_host")}
+        ),
+        batch_format="pyarrow",
+    )
+    return min_hops_closure(pairs, max_hops=PATH_MAX_HOPS)
+
+
+def sql_host_reachability() -> str:
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t\n"
+        f"  WHERE doc_id % {PATH_DOC_MOD} = 0),\n"
+        f"e AS (\n"
+        f"  SELECT DISTINCT\n"
+        f"    'host' || CAST(sb AS VARCHAR) || '.example.com' AS src,\n"
+        f"    'host' || CAST(db AS VARCHAR) || '.example.com' AS dst\n"
+        f"  FROM l WHERE sb <> db),\n"
+        f"r AS (\n"
+        f"  SELECT src, dst, 1 AS hops FROM e\n"
+        f"  UNION\n"
+        f"  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN e ON r.dst = e.src\n"
+        f"  WHERE r.hops < {PATH_MAX_HOPS})\n"
+        f"SELECT src, dst, CAST(min(hops) AS BIGINT) AS min_hops\n"
+        f"FROM r GROUP BY src, dst"
+    )
+
+
+def q_kg_path_affinity(sf_dir: str):
+    """SPARQL property path over the extracted KG:
+    ``^SYSTEM / (OPERATOR | UNIT)`` — from a SYSTEM entity, walk the
+    inverse mention edge back to its documents, then forward along an
+    OPERATOR or UNIT mention: the DISTINCT (system entity, co-mentioned
+    entity) affinity pairs. Exercises inv/seq/alt of stages/paths.eval_path
+    (one bucketed hash join on the shared doc midpoint; alternation is a
+    zero-shuffle union)."""
+    from ..stages.paths import eval_path
+
+    expr = (
+        "seq",
+        ("inv", ("pred", "SYSTEM")),
+        ("alt", ("pred", "OPERATOR"), ("pred", "UNIT")),
+    )
+    return eval_path(q_triples(sf_dir), expr)
+
+
+def sql_kg_path_affinity() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"sys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS src\n"
+        f"        FROM acc WHERE plabel = 'SYSTEM'),\n"
+        f"oth AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS dst\n"
+        f"        FROM acc WHERE plabel IN ('OPERATOR', 'UNIT'))\n"
+        f"SELECT DISTINCT src, dst FROM sys JOIN oth USING (d)"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
@@ -5125,17 +5204,23 @@ LINKS_PER_PAGE = 3
 LINK_HOST_BUCKETS = 32
 
 
-def _linked_pages(sf_dir: str):
+def _linked_pages(sf_dir: str, mod: int | None = None):
     """Deterministic linked-pages dataset: each document becomes a page on
     host ``host{doc_id % 32}.example.com`` whose HTML carries three
     absolute outlinks to hosts ``host{(doc_id*7 + 13*j + 3) % 32}`` —
     pure integer functions of doc_id so the SQL oracle regenerates the
     SAME edges without parsing HTML, while the Ray path must recover them
-    from the raw bytes (kernel regex parse, entity round-trip)."""
+    from the raw bytes (kernel regex parse, entity round-trip).
+
+    ``mod`` keeps only pages with ``doc_id % mod == 0`` — a deterministic
+    sparse subgraph for the reachability family (the full graph saturates
+    at 32 hosts, so every pair would sit one hop apart)."""
     from ..kernel.htmlextract import synth_linked_page
 
     def build(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").combine_chunks().to_pylist()
+        if mod is not None:
+            ids = [d for d in ids if d % mod == 0]
         urls, htmls = [], []
         for d in ids:
             sb = d % LINK_HOST_BUCKETS

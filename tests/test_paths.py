@@ -1,0 +1,138 @@
+"""SPARQL property paths: algebra vs brute-force references, BFS closure."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from quickner_ray.stages.paths import eval_path, min_hops_closure
+
+
+def _triples(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows]),
+                "pred": pa.array([r[1] for r in rows]),
+                "obj": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def _pairs(ds):
+    return sorted((r["src"], r["dst"]) for r in ds.take_all())
+
+
+def _bfs_ref(edges, max_hops):
+    """Brute-force min-hop closure over a directed edge list."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        adj[s].add(d)
+    out = {}
+    for start in {s for s, _ in edges}:
+        frontier, seen, h = {start}, set(), 0
+        while frontier and h < max_hops:
+            h += 1
+            frontier = {d for u in frontier for d in adj[u]} - seen
+            for d in frontier:
+                out.setdefault((start, d), h)
+            seen |= frontier
+    return out
+
+
+T = [
+    ("d1", "SYS", "e_spark"),
+    ("d1", "OP", "e_join"),
+    ("d1", "OP", "e_join"),  # duplicate mention
+    ("d2", "SYS", "e_spark"),
+    ("d2", "UNIT", "e_row"),
+    ("d3", "OP", "e_sort"),  # no SYS in d3
+    ("d3", "SYS", "e_stream"),
+]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestPathAlgebra:
+    def test_pred_and_inv(self):
+        assert _pairs(eval_path(_triples(T), ("pred", "SYS"))) == [
+            ("d1", "e_spark"),
+            ("d2", "e_spark"),
+            ("d3", "e_stream"),
+        ]
+        assert _pairs(eval_path(_triples(T), ("inv", ("pred", "UNIT")))) == [
+            ("e_row", "d2")
+        ]
+
+    def test_seq_inv_composition(self):
+        # ^SYS / OP : system entity -> doc -> operator entity
+        expr = ("seq", ("inv", ("pred", "SYS")), ("pred", "OP"))
+        assert _pairs(eval_path(_triples(T), expr)) == [
+            ("e_spark", "e_join"),
+            ("e_stream", "e_sort"),
+        ]
+
+    def test_alt_unions_and_dedups(self):
+        expr = ("alt", ("pred", "SYS"), ("alt", ("pred", "SYS"), ("pred", "OP")))
+        got = _pairs(eval_path(_triples(T), expr))
+        assert got == sorted(
+            set(_pairs(eval_path(_triples(T), ("pred", "SYS"))))
+            | set(_pairs(eval_path(_triples(T), ("pred", "OP"))))
+        )
+
+    def test_unknown_op_raises(self):
+        with pytest.raises(ValueError, match="unknown path op"):
+            eval_path(_triples(T), ("star", ("pred", "SYS")))
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestMinHopsClosure:
+    # chain with a shortcut and a cycle: a->b->c->d, a->c, d->a
+    E = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("d", "a")]
+
+    def _edges_ds(self, edges, parallelism=1):
+        t = pa.table(
+            {
+                "src": pa.array([s for s, _ in edges]),
+                "dst": pa.array([d for _, d in edges]),
+            }
+        )
+        ds = rd.from_arrow(t)
+        return ds.repartition(parallelism) if parallelism > 1 else ds
+
+    def _closure(self, edges, max_hops, parallelism=1):
+        out = min_hops_closure(
+            self._edges_ds(edges, parallelism), max_hops=max_hops
+        ).take_all()
+        return {(r["src"], r["dst"]): r["min_hops"] for r in out}
+
+    @pytest.mark.parametrize("h", [1, 2, 4])
+    def test_matches_bfs_reference(self, h):
+        assert self._closure(self.E, h) == _bfs_ref(self.E, h)
+
+    def test_cycle_reaches_self(self):
+        got = self._closure(self.E, 4)
+        assert got[("a", "a")] == 3  # a->c->d->a
+        assert got[("d", "b")] == 2  # d->a->b
+
+    def test_duplicate_edges_collapse(self):
+        assert self._closure(self.E * 3, 3) == _bfs_ref(self.E, 3)
+
+    def test_parallelism_invariant(self):
+        assert self._closure(self.E, 3, parallelism=5) == _bfs_ref(self.E, 3)
+
+    def test_early_stop_at_fixpoint(self):
+        # closure saturates at 3 hops; asking for 10 must not loop or differ
+        assert self._closure(self.E, 10) == _bfs_ref(self.E, 10)
+
+    def test_plus_via_eval_path(self):
+        tri = _triples([(s, "link", d) for s, d in self.E])
+        got = _pairs(eval_path(tri, ("plus", ("pred", "link"), 3)))
+        assert got == sorted(_bfs_ref(self.E, 3).keys())
+
+    def test_max_hops_validation(self):
+        with pytest.raises(ValueError, match="max_hops >= 1"):
+            min_hops_closure(self._edges_ds(self.E), max_hops=0)
