@@ -109,13 +109,29 @@ def _seq(a, b, n_buckets: int):
     )
 
 
-def min_hops_closure(edges, *, max_hops: int, n_buckets: int | None = None):
+def min_hops_closure(
+    edges,
+    *,
+    max_hops: int,
+    n_buckets: int | None = None,
+    driver_cap: int | None = None,
+):
     """Edge Dataset(src, dst) -> Dataset(src, dst, min_hops): every pair
     connected by a directed path of 1..max_hops edges, labeled with its
     shortest hop count. Semi-naive BFS: round h joins only the pairs
-    FIRST discovered at h-1 against the edge set, so no path is re-walked."""
+    FIRST discovered at h-1 against the edge set, so no path is re-walked.
+
+    Size gate (the graph_cc convention): when the distinct edge set is
+    below ``driver_cap`` the BFS runs driver-side on the collected edges —
+    host/entity graphs are dimension-bounded (tiny next to the corpus),
+    and 2-4 distributed shuffle rounds cost seconds of fixed overhead that
+    a dict BFS over 200k edges does not. Above the cap, the distributed
+    frontier rounds run; both paths emit identical pairs."""
     if max_hops < 1:
         raise ValueError("min_hops_closure requires max_hops >= 1")
+    from .graph_cc import DRIVER_CAP
+
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
     nb = n_buckets or max(32, _default_buckets() // 4)
 
     def tag(ds, h: int):
@@ -129,6 +145,8 @@ def min_hops_closure(edges, *, max_hops: int, n_buckets: int | None = None):
     e = _distinct_pairs(
         edges.map_batches(_local_distinct, batch_format="pyarrow"), nb
     ).materialize()
+    if e.count() <= cap:
+        return _broadcast_min_hops(e.take_all(), max_hops)
     frontier = e
     seen = e  # pairs only (untagged) for the anti-join side
     out = tag(e, 1)
@@ -149,6 +167,37 @@ def min_hops_closure(edges, *, max_hops: int, n_buckets: int | None = None):
         seen = seen.union(new).materialize()
         frontier = new
     return out
+
+
+def _broadcast_min_hops(edge_rows, max_hops: int):
+    """Driver-side BFS over collected distinct edges (below the size gate)."""
+    import ray.data as rd
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for r in edge_rows:
+        adj[r["src"]].append(r["dst"])
+    src_out, dst_out, hop_out = [], [], []
+    for start in adj:
+        frontier, seen = {start}, set()
+        for h in range(1, max_hops + 1):
+            frontier = {d for u in frontier for d in adj.get(u, ())} - seen
+            if not frontier:
+                break
+            for d in frontier:
+                src_out.append(start)
+                dst_out.append(d)
+                hop_out.append(h)
+            seen |= frontier
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src_out, type=pa.string()),
+                "dst": pa.array(dst_out, type=pa.string()),
+                "min_hops": pa.array(hop_out, type=pa.int64()),
+            }
+        )
+    )
 
 
 def eval_path(

@@ -103,15 +103,20 @@ class TestMinHopsClosure:
         ds = rd.from_arrow(t)
         return ds.repartition(parallelism) if parallelism > 1 else ds
 
-    def _closure(self, edges, max_hops, parallelism=1):
+    def _closure(self, edges, max_hops, parallelism=1, driver_cap=None):
         out = min_hops_closure(
-            self._edges_ds(edges, parallelism), max_hops=max_hops
+            self._edges_ds(edges, parallelism),
+            max_hops=max_hops,
+            driver_cap=driver_cap,
         ).take_all()
         return {(r["src"], r["dst"]): r["min_hops"] for r in out}
 
+    # driver_cap=0 forces the distributed frontier rounds; None takes the
+    # size-gated driver-side BFS — both must emit identical labeled pairs
+    @pytest.mark.parametrize("cap", [None, 0])
     @pytest.mark.parametrize("h", [1, 2, 4])
-    def test_matches_bfs_reference(self, h):
-        assert self._closure(self.E, h) == _bfs_ref(self.E, h)
+    def test_matches_bfs_reference(self, h, cap):
+        assert self._closure(self.E, h, driver_cap=cap) == _bfs_ref(self.E, h)
 
     def test_cycle_reaches_self(self):
         got = self._closure(self.E, 4)
@@ -122,11 +127,13 @@ class TestMinHopsClosure:
         assert self._closure(self.E * 3, 3) == _bfs_ref(self.E, 3)
 
     def test_parallelism_invariant(self):
-        assert self._closure(self.E, 3, parallelism=5) == _bfs_ref(self.E, 3)
+        assert self._closure(self.E, 3, parallelism=5, driver_cap=0) == _bfs_ref(
+            self.E, 3
+        )
 
     def test_early_stop_at_fixpoint(self):
         # closure saturates at 3 hops; asking for 10 must not loop or differ
-        assert self._closure(self.E, 10) == _bfs_ref(self.E, 10)
+        assert self._closure(self.E, 10, driver_cap=0) == _bfs_ref(self.E, 10)
 
     def test_plus_via_eval_path(self):
         tri = _triples([(s, "link", d) for s, d in self.E])
