@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
         "host_reachability": q.q_host_reachability,
         "kg_path_affinity": q.q_kg_path_affinity,
+        "kg_system_profile": q.q_kg_system_profile,
+        "kg_construct_comention": q.q_kg_construct_comention,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -564,6 +566,8 @@ def oracle_sql() -> dict[str, str]:
         "kmv_entity_overlap": q.sql_kmv_entity_overlap(),
         "host_reachability": q.sql_host_reachability(),
         "kg_path_affinity": q.sql_kg_path_affinity(),
+        "kg_system_profile": q.sql_kg_system_profile(),
+        "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

@@ -3706,6 +3706,119 @@ def sql_kg_path_affinity() -> str:
     )
 
 
+def q_kg_system_profile(sf_dir: str):
+    """SPARQL-style aggregation over BGP bindings (GROUP BY after the
+    graph pattern): for each SYSTEM entity, the number of distinct
+    documents that mention it together with an OPERATOR, and the number
+    of distinct OPERATOR entities it co-occurs with. Every groupby here
+    is gazetteer-bounded (entity vocabulary, not corpus rows), so the
+    aggregation costs nothing next to the mention scan."""
+    from ray.data.aggregate import Count
+
+    from ..stages.bgp import bgp_match
+    from ..stages.hashjoin import bucketed_join
+
+    # materialized: both count-distinct branches consume the bindings, and
+    # the set is distinct (doc, system, operator) tuples — mention-bounded,
+    # far smaller than re-running the NER scan + join per branch
+    bindings = bgp_match(
+        q_triples(sf_dir), [("?d", "SYSTEM", "?s"), ("?d", "OPERATOR", "?o")]
+    ).materialize()
+
+    def count_distinct(pair_col: str, alias: str):
+        pairs = bindings.map_batches(
+            lambda b, c=pair_col: pa.table(
+                {"s": b.column("s"), c: b.column(c)}
+            ).group_by(["s", c]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        return (
+            pairs.groupby(["s", pair_col])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+            .groupby("s")
+            .aggregate(Count(alias_name=alias))
+        )
+
+    return bucketed_join(
+        count_distinct("d", "n_docs"),
+        count_distinct("o", "n_operators"),
+        on=("s",),
+        n_buckets=8,
+        left_types={"s": pa.string(), "n_docs": pa.int64()},
+        right_types={"s": pa.string(), "n_operators": pa.int64()},
+    )
+
+
+def sql_kg_system_profile() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"b AS (SELECT DISTINCT CAST(s.doc_id AS VARCHAR) AS d,\n"
+        f"             s.eid AS s, o.eid AS o\n"
+        f"      FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        f"      WHERE s.plabel = 'SYSTEM' AND o.plabel = 'OPERATOR')\n"
+        f"SELECT s, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,\n"
+        f"       CAST(count(DISTINCT o) AS BIGINT) AS n_operators\n"
+        f"FROM b GROUP BY s"
+    )
+
+
+def q_kg_construct_comention(sf_dir: str):
+    """SPARQL CONSTRUCT closing the KG-construction loop: materialize new
+    ``CO_MENTIONED`` triples from the ^SYSTEM/(OPERATOR|UNIT) path
+    bindings (q_kg_path_affinity), union them with the extracted mention
+    triples, and profile the enriched graph — distinct (subj, obj) edge
+    count per predicate. The constructed side is entity-pair bounded; the
+    union is a zero-shuffle concat feeding one dimension-bounded groupby."""
+    from ray.data.aggregate import Count
+
+    base = q_triples(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"subj": b.column("subj"), "pred": b.column("pred"),
+             "obj": b.column("obj")}
+        ).group_by(["subj", "pred", "obj"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    constructed = q_kg_path_affinity(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b.column("src"),
+                "pred": pa.array(["CO_MENTIONED"] * b.num_rows),
+                "obj": b.column("dst"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        base.union(constructed)
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_edges"))
+    )
+
+
+def sql_kg_construct_comention() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"base AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,\n"
+        f"                plabel AS pred, eid AS obj FROM acc),\n"
+        f"sys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid\n"
+        f"        FROM acc WHERE plabel = 'SYSTEM'),\n"
+        f"oth AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid\n"
+        f"        FROM acc WHERE plabel IN ('OPERATOR', 'UNIT')),\n"
+        f"built AS (SELECT DISTINCT sys.eid AS subj, 'CO_MENTIONED' AS pred,\n"
+        f"                 oth.eid AS obj FROM sys JOIN oth USING (d)),\n"
+        f"u AS (SELECT * FROM base UNION SELECT * FROM built)\n"
+        f"SELECT pred, CAST(count(*) AS BIGINT) AS n_edges FROM u GROUP BY pred"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
