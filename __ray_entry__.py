@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negation_bgp": q.q_kg_negation_bgp,
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
         "host_reachability": q.q_host_reachability,
+        "host_cheapest_route": q.q_host_cheapest_route,
         "kg_path_affinity": q.q_kg_path_affinity,
         "kg_system_profile": q.q_kg_system_profile,
         "kg_construct_comention": q.q_kg_construct_comention,
@@ -565,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
         "kmv_entity_overlap": q.sql_kmv_entity_overlap(),
         "host_reachability": q.sql_host_reachability(),
+        "host_cheapest_route": q.sql_host_cheapest_route(),
         "kg_path_affinity": q.sql_kg_path_affinity(),
         "kg_system_profile": q.sql_kg_system_profile(),
         "kg_construct_comention": q.sql_kg_construct_comention(),

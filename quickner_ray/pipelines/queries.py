@@ -3706,6 +3706,49 @@ def sql_kg_path_affinity() -> str:
     )
 
 
+def q_host_cheapest_route(sf_dir: str):
+    """Weighted property paths over the sparse host graph: minimum total
+    link-count cost over directed routes of 1..3 hops (hop-bounded
+    Bellman-Ford, stages/paths.cheapest_paths — pair-bounded state, one
+    bucketed join + groupby-min per round above the size gate). Edge
+    weight = n_links between the host pair, recovered from raw HTML on
+    the Ray side and regenerated arithmetically in the oracle."""
+    from ..stages.linkgraph import host_link_graph
+    from ..stages.paths import cheapest_paths
+
+    edges = host_link_graph(_linked_pages(sf_dir, mod=PATH_DOC_MOD))
+    pairs = edges.map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src_host"), "dst": b.column("dst_host"),
+             "w": b.column("n_links")}
+        ),
+        batch_format="pyarrow",
+    )
+    return cheapest_paths(pairs, max_hops=PATH_MAX_HOPS)
+
+
+def sql_host_cheapest_route() -> str:
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t\n"
+        f"  WHERE doc_id % {PATH_DOC_MOD} = 0),\n"
+        f"e AS (\n"
+        f"  SELECT 'host' || CAST(sb AS VARCHAR) || '.example.com' AS src,\n"
+        f"         'host' || CAST(db AS VARCHAR) || '.example.com' AS dst,\n"
+        f"         CAST(count(*) AS BIGINT) AS w\n"
+        f"  FROM l WHERE sb <> db GROUP BY sb, db),\n"
+        f"r AS (\n"
+        f"  SELECT src, dst, w AS cost, 1 AS hops FROM e\n"
+        f"  UNION\n"
+        f"  SELECT r.src, e.dst, r.cost + e.w, r.hops + 1\n"
+        f"  FROM r JOIN e ON r.dst = e.src WHERE r.hops < {PATH_MAX_HOPS})\n"
+        f"SELECT src, dst, CAST(min(cost) AS BIGINT) AS min_cost\n"
+        f"FROM r GROUP BY src, dst"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -200,6 +200,126 @@ def _broadcast_min_hops(edge_rows, max_hops: int):
     )
 
 
+def cheapest_paths(
+    edges,
+    *,
+    max_hops: int,
+    weight_col: str = "w",
+    n_buckets: int | None = None,
+    driver_cap: int | None = None,
+):
+    """Weighted property paths: Dataset(src, dst, w) -> Dataset(src, dst,
+    min_cost) — the minimum total integer weight over directed paths of
+    1..max_hops edges (hop-bounded Bellman-Ford; parallel edges collapse
+    to their cheapest first).
+
+    Per round: ONE bucketed join extends every known cheapest pair by one
+    edge, then a groupby-min folds extensions into the table — the state
+    is always (src, dst, cost) PAIRS, |V|^2-bounded, never path
+    enumerations. Same size gate as min_hops_closure: dimension-bounded
+    graphs relax driver-side."""
+    if max_hops < 1:
+        raise ValueError("cheapest_paths requires max_hops >= 1")
+    from ray.data.aggregate import Min
+
+    from .graph_cc import DRIVER_CAP
+
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+    nb = n_buckets or max(32, _default_buckets() // 4)
+
+    def min_pairs(ds):
+        return ds.groupby(
+            ["src", "dst"], num_partitions=max(2, nb // 8)
+        ).aggregate(Min("cost", alias_name="cost"))
+
+    e = min_pairs(
+        edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "cost": pc.cast(b.column(weight_col), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    if e.count() <= cap:
+        return _broadcast_cheapest(e.take_all(), max_hops)
+
+    dist = e
+    for _ in range(max_hops - 1):
+        left = dist.map_batches(
+            lambda b: pa.table(
+                {"src": b.column("src"), "m": b.column("dst"),
+                 "acc": b.column("cost")}
+            ),
+            batch_format="pyarrow",
+        )
+        right = e.map_batches(
+            lambda b: pa.table(
+                {"m": b.column("src"), "dst": b.column("dst"),
+                 "w": b.column("cost")}
+            ),
+            batch_format="pyarrow",
+        )
+        ext = bucketed_join(
+            left,
+            right,
+            on=("m",),
+            n_buckets=nb,
+            left_types={"src": pa.string(), "m": pa.string(),
+                        "acc": pa.int64()},
+            right_types={"m": pa.string(), "dst": pa.string(),
+                         "w": pa.int64()},
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "cost": pc.add(b.column("acc"), b.column("w")),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        dist = min_pairs(dist.union(ext)).materialize()
+    return dist.map_batches(
+        lambda b: b.rename_columns(["src", "dst", "min_cost"]),
+        batch_format="pyarrow",
+    )
+
+
+def _broadcast_cheapest(edge_rows, max_hops: int):
+    """Driver-side hop-bounded Bellman-Ford over collected distinct edges."""
+    import ray.data as rd
+
+    from collections import defaultdict
+
+    ew = {(r["src"], r["dst"]): r["cost"] for r in edge_rows}
+    adj = defaultdict(list)
+    for (s, d), w in ew.items():
+        adj[s].append((d, w))
+    dist = dict(ew)
+    for _ in range(max_hops - 1):
+        nxt = dict(dist)
+        for (s, m), c in dist.items():
+            for d, w in adj.get(m, ()):
+                cand = c + w
+                if cand < nxt.get((s, d), cand + 1):
+                    nxt[s, d] = cand
+        dist = nxt
+    items = sorted(dist.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([k[0] for k, _ in items], type=pa.string()),
+                "dst": pa.array([k[1] for k, _ in items], type=pa.string()),
+                "min_cost": pa.array([v for _, v in items], type=pa.int64()),
+            }
+        )
+    )
+
+
 def eval_path(
     triples,
     expr,

@@ -143,3 +143,65 @@ class TestMinHopsClosure:
     def test_max_hops_validation(self):
         with pytest.raises(ValueError, match="max_hops >= 1"):
             min_hops_closure(self._edges_ds(self.E), max_hops=0)
+
+
+def _bf_ref(wedges, max_hops):
+    """Brute-force hop-bounded Bellman-Ford over (src, dst, w) tuples."""
+    ew = {}
+    for s, d, w in wedges:
+        ew[(s, d)] = min(w, ew.get((s, d), w))
+    dist = dict(ew)
+    for _ in range(max_hops - 1):
+        nxt = dict(dist)
+        for (s, m), c in dist.items():
+            for (m2, d), w in ew.items():
+                if m2 == m and c + w < nxt.get((s, d), c + w + 1):
+                    nxt[s, d] = c + w
+        dist = nxt
+    return dist
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCheapestPaths:
+    # direct a->d costs 10; the 3-hop route a->b->c->d costs 3
+    W = [
+        ("a", "d", 10),
+        ("a", "b", 1),
+        ("b", "c", 1),
+        ("c", "d", 1),
+        ("b", "c", 5),  # parallel edge, must collapse to the cheaper
+        ("d", "a", 2),
+    ]
+
+    def _run(self, wedges, max_hops, driver_cap=None):
+        from quickner_ray.stages.paths import cheapest_paths
+
+        t = pa.table(
+            {
+                "src": pa.array([s for s, _, _ in wedges]),
+                "dst": pa.array([d for _, d, _ in wedges]),
+                "w": pa.array([w for _, _, w in wedges], type=pa.int64()),
+            }
+        )
+        out = cheapest_paths(
+            rd.from_arrow(t).repartition(3),
+            max_hops=max_hops,
+            driver_cap=driver_cap,
+        ).take_all()
+        return {(r["src"], r["dst"]): r["min_cost"] for r in out}
+
+    @pytest.mark.parametrize("cap", [None, 0])
+    @pytest.mark.parametrize("h", [1, 2, 3])
+    def test_matches_bellman_ford(self, h, cap):
+        assert self._run(self.W, h, driver_cap=cap) == _bf_ref(self.W, h)
+
+    def test_shortcut_beats_direct_edge(self):
+        got = self._run(self.W, 3)
+        assert got[("a", "d")] == 3  # a->b->c->d beats the direct 10
+        assert self._run(self.W, 1)[("a", "d")] == 10
+
+    def test_max_hops_validation(self):
+        from quickner_ray.stages.paths import cheapest_paths
+
+        with pytest.raises(ValueError, match="max_hops >= 1"):
+            cheapest_paths(rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"], "w": [1]})), max_hops=0)
