@@ -3862,6 +3862,47 @@ def sql_kg_construct_comention() -> str:
     )
 
 
+def q_kg_pair_negatives(sf_dir: str):
+    """Pair-level KG-embedding negatives (TransE-style tail corruption,
+    Bordes et al. 2013) over the co-mention EDGE set — complements the
+    existing mention-level ``kg_negative_samples``: for each positive
+    (SYSTEM entity, co-mentioned entity) pair, 3 deterministic corrupted
+    tails md5-picked from the FULL entity vocabulary (every canonical
+    entity in the KG, not just positive tails — co-mention graphs are
+    dense enough that tail-only vocabularies leave nothing to corrupt
+    with), accidental positives removed by ONE bucketed anti-join
+    (stages/negsample.negative_samples — vocabulary broadcast once,
+    generation vectorized, positive set never collected)."""
+    from ..stages.negsample import negative_samples
+
+    vocab = q_triples(sf_dir).map_batches(
+        lambda b: pa.table({"e": b.column("obj")}).group_by(["e"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+    # materialized: the stage consumes the positives twice (candidate
+    # generation + anti-join side) and the set is entity-pair bounded
+    return negative_samples(
+        q_kg_path_affinity(sf_dir).materialize(), vocab=vocab, k=3
+    )
+
+
+def sql_kg_pair_negatives() -> str:
+    from ..stages.negsample import sql_negative_samples
+    from .ner_oracle import sql_match_ctes
+
+    pairs = (
+        "SELECT DISTINCT s.eid AS src, o.eid AS dst\n"
+        "  FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        "  WHERE s.plabel = 'SYSTEM' AND o.plabel IN ('OPERATOR', 'UNIT')"
+    )
+    vocab = "SELECT DISTINCT eid AS e FROM acc"
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"{sql_negative_samples(pairs, sql_vocab=vocab, k=3)}"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
