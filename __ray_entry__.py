@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_system_profile": q.q_kg_system_profile,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
+        "kg_pred_cardinality": q.q_kg_pred_cardinality,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -572,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_system_profile": q.sql_kg_system_profile(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
+        "kg_pred_cardinality": q.sql_kg_pred_cardinality(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

@@ -3903,6 +3903,36 @@ def sql_kg_pair_negatives() -> str:
     )
 
 
+def q_kg_pred_cardinality(sf_dir: str, k: int = 64):
+    """Per-predicate distinct-subject cardinality synopses over the KG:
+    one KMV sketch per predicate (stages/sketch.kmv_estimate_grouped) —
+    exact below k distinct docs, Beyer integer estimate above. The
+    per-batch partial bounds every predicate's shuffle contribution to k
+    rows per block, so the groupby moves sketch-sized data however many
+    mentions a hot predicate has — the cardinality-statistics pass a
+    query planner or crawl scheduler runs over an unbounded key space."""
+    from ..stages.sketch import kmv_estimate_grouped
+
+    rows = q_triples(sf_dir).map_batches(
+        lambda b: pa.table({"g": b.column("pred"), "v": b.column("subj")}),
+        batch_format="pyarrow",
+    )
+    return kmv_estimate_grouped(rows, "g", "v", k=k)
+
+
+def sql_kg_pred_cardinality(k: int = 64) -> str:
+    from ..stages.sketch import sql_kmv_estimate_grouped
+    from .ner_oracle import sql_match_ctes
+
+    rows = (
+        "SELECT plabel AS g, CAST(doc_id AS VARCHAR) AS v FROM acc"
+    )
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"{sql_kmv_estimate_grouped(rows, key='g', k=k)}"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER

@@ -573,6 +573,102 @@ def kmv_overlap(ds_a, ds_b, col: str, k: int = KMV_K):
     )
 
 
+def _kmv_grouped_partial(batch: pa.Table, key: str, col: str, k: int) -> pa.Table:
+    """Batch -> per-key k smallest distinct h64 hashes (<= k rows/key)."""
+    from ..kernel.md5vec import md5_h64
+
+    t = pa.table({key: batch.column(key), "v": batch.column(col)})
+    t = t.group_by([key, "v"]).aggregate([])  # batch-local distinct
+    if t.num_rows == 0:
+        return pa.table(
+            {key: pa.array([], type=pa.string()),
+             "h": pa.array([], type=pa.uint64())}
+        )
+    vals = t.column("v")
+    if isinstance(vals, pa.ChunkedArray):
+        vals = vals.combine_chunks()
+    h = md5_h64(vals.cast(pa.string()))
+    keys = t.column(key)
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    k_np = keys.to_numpy(zero_copy_only=False)
+    # per-key k-min: lexsort by (key, h), keep first k of each key run
+    order = np.lexsort((h, k_np))
+    ks, hs = k_np[order], h[order]
+    new_key = np.empty(len(ks), dtype=bool)
+    new_key[0] = True
+    new_key[1:] = ks[1:] != ks[:-1]
+    rank = np.arange(len(ks)) - np.maximum.accumulate(
+        np.where(new_key, np.arange(len(ks)), 0)
+    )
+    keep = rank < k
+    return pa.table(
+        {key: pa.array(ks[keep], type=pa.string()),
+         "h": pa.array(hs[keep], type=pa.uint64())}
+    )
+
+
+def kmv_estimate_grouped(ds, key: str, col: str, k: int = KMV_K):
+    """Per-key distinct-count estimates from per-key KMV sketches:
+    Dataset -> Dataset(key, n_sketch, kth_min, est_distinct) — exact
+    count when a key has < k distinct values (the sketch IS the set),
+    else the Beyer estimator (k-1) * 2^64 / kth_min as an integer.
+
+    Same shape as the grouped HLL: per-batch partials bound every key's
+    contribution to k rows per block, ONE groupby on the key moves only
+    sketch-sized data, and the per-key finish is a vectorized run scan —
+    the per-group distinct-count synopsis for unbounded key spaces (hosts,
+    predicates, sources) at corpus scale."""
+
+    def finish(g: pa.Table) -> pa.Table:
+        kv = g.column(key)
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        h = np.unique(g.column("h").to_numpy(zero_copy_only=False))[:k]
+        n = len(h)
+        kth = int(h[-1]) if n else 0
+        if n >= k and kth:
+            est = (k - 1) * _TWO64 // kth
+        else:
+            est = n
+        return pa.table(
+            {
+                key: kv[:1],
+                "n_sketch": pa.array([n], type=pa.int64()),
+                "kth_min": pa.array([kth], type=pa.uint64()),
+                "est_distinct": pa.array([est], type=pa.int64()),
+            }
+        )
+
+    partial = ds.map_batches(
+        lambda b: _kmv_grouped_partial(b, key, col, k), batch_format="pyarrow"
+    )
+    return partial.groupby(key).map_groups(finish, batch_format="pyarrow")
+
+
+def sql_kmv_estimate_grouped(
+    sql_rows: str, key: str = "g", k: int = KMV_K
+) -> str:
+    """Oracle for ``kmv_estimate_grouped``: ``sql_rows`` yields (``key``,
+    v) rows; emits (key, n_sketch, kth_min, est_distinct)."""
+    return (
+        f"kg_h AS (SELECT {key},\n"
+        f"    CAST(md5_number_upper(v) AS UBIGINT) AS h\n"
+        f"  FROM ({sql_rows}) GROUP BY {key}, h),\n"
+        f"kg_sk AS (SELECT {key}, h,\n"
+        f"    row_number() OVER (PARTITION BY {key} ORDER BY h) AS rk\n"
+        f"  FROM kg_h),\n"
+        f"kg_st AS (SELECT {key}, count(*) AS n, max(h) AS kth\n"
+        f"  FROM kg_sk WHERE rk <= {k} GROUP BY {key})\n"
+        f"SELECT {key}, CAST(n AS BIGINT) AS n_sketch,\n"
+        f"  CAST(kth AS UBIGINT) AS kth_min,\n"
+        f"  CAST(CASE WHEN n >= {k} AND kth > 0 THEN\n"
+        f"    {k - 1} * CAST(18446744073709551616 AS HUGEINT) // kth\n"
+        f"  ELSE n END AS BIGINT) AS est_distinct\n"
+        f"FROM kg_st"
+    )
+
+
 def sql_kmv_overlap(sql_a: str, sql_b: str, k: int = KMV_K) -> str:
     """Oracle for ``kmv_overlap``: ``sql_a``/``sql_b`` are subqueries
     yielding one string column ``v`` (the key to sketch)."""

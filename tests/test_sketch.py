@@ -247,3 +247,50 @@ class TestKMV:
         assert row["n_a"] == k and row["n_b"] == k and row["n_union"] == k
         # k=512 -> relative std ~1/sqrt(k) ~ 4.4%; allow 4 sigma
         assert abs(row["est_intersection"] - overlap) / overlap < 0.18
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestKMVGrouped:
+    def _run(self, rows, k, parallelism=1):
+        from quickner_ray.stages.sketch import kmv_estimate_grouped
+
+        t = pa.table(
+            {
+                "g": pa.array([g for g, _ in rows]),
+                "v": pa.array([v for _, v in rows]),
+            }
+        )
+        ds = rd.from_arrow(t)
+        if parallelism > 1:
+            ds = ds.repartition(parallelism)
+        out = kmv_estimate_grouped(ds, "g", "v", k=k).take_all()
+        return {r["g"]: r for r in out}
+
+    def test_exact_below_k(self):
+        rows = [("a", f"x{i % 7}") for i in range(100)] + [
+            ("b", f"y{i}") for i in range(30)
+        ]
+        got = self._run(rows, k=64)
+        assert got["a"]["est_distinct"] == 7 and got["a"]["n_sketch"] == 7
+        assert got["b"]["est_distinct"] == 30
+
+    def test_estimate_above_k(self):
+        rows = [("big", f"v{i}") for i in range(20_000)]
+        got = self._run(rows, k=512)
+        est = got["big"]["est_distinct"]
+        assert got["big"]["n_sketch"] == 512
+        assert abs(est - 20_000) / 20_000 < 0.18  # ~4 sigma at k=512
+
+    def test_parallelism_invariant(self):
+        rows = [(f"g{i % 3}", f"v{i % 500}") for i in range(3_000)]
+        assert self._run(rows, k=128) == self._run(rows, k=128, parallelism=11)
+
+    def test_mixed_group_sizes_single_pass(self):
+        rows = (
+            [("hot", f"v{i}") for i in range(5_000)]
+            + [("cold", "only")] * 50
+        )
+        got = self._run(rows, k=256, parallelism=6)
+        assert got["cold"]["est_distinct"] == 1
+        assert got["hot"]["n_sketch"] == 256
+        assert abs(got["hot"]["est_distinct"] - 5_000) / 5_000 < 0.25
