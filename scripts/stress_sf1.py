@@ -134,6 +134,13 @@ def main() -> None:
         "fact_majority_vote": tkg.q_fact_majority_vote,
         # BGP joins over the sf1 mention-triple stream (bucketed hash join)
         "triple_pattern_match": q.q_triple_pattern_match,
+        # property-path family: closure over the parsed host graph (500k
+        # pages -> HTML link extraction dominates; closure is host-bounded),
+        # path-algebra join over the sf1 triple stream, KMV synopsis scan
+        "host_reachability": q.q_host_reachability,
+        "kg_path_affinity": q.q_kg_path_affinity,
+        "kg_pred_cardinality": q.q_kg_pred_cardinality,
+        "kmv_entity_overlap": q.q_kmv_entity_overlap,
     }
     rows: dict = {}
     for name, fn in family.items():
