@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
+        "entity_cards": q.q_entity_cards,
         "kg_snapshot_bgp": _tkg("q_kg_snapshot_bgp"),
         "host_degrees": q.q_host_degrees,
         "host_components": q.q_host_components,
@@ -574,6 +575,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),
+        "entity_cards": q.sql_entity_cards(),
         "kg_snapshot_bgp": tkg.sql_kg_snapshot_bgp(),
         "host_degrees": q.sql_host_degrees(),
         "host_components": q.sql_host_components(),

@@ -3933,6 +3933,148 @@ def sql_kg_pred_cardinality(k: int = 64) -> str:
     )
 
 
+def q_entity_cards(sf_dir: str):
+    """Per-entity serving card — the dossier a KG front-end renders: for
+    every canonical entity, its label and surface name, mention count,
+    distinct-document count, and the top co-mentioned partner entity
+    (most shared docs, ties broken by partner id). All aggregates are
+    entity-bounded; the partner ranking is the grouped top-1 combiner
+    over the co-occurrence edge list (one shuffle each); the final
+    assembly is two bucketed hash joins. Partnerless entities keep the
+    card with top_partner = '' and 0 shared docs."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.graph_cc import cooccurrence_pairs
+    from ..stages.hashjoin import bucketed_join
+    from ..stages.topk import grouped_topk
+
+    tri = q_triples(sf_dir)
+
+    # meta + mention counts: per-batch combiner -> one bounded groupby
+    meta = (
+        tri.map_batches(
+            lambda b: pa.table(
+                {"eid": b.column("obj"), "label": b.column("pred"),
+                 "name": b.column("surface_norm")}
+            ).group_by(["eid", "label", "name"]).aggregate([([], "count_all")])
+            .rename_columns(["eid", "label", "name", "p_n"]),
+            batch_format="pyarrow",
+        )
+        .groupby(["eid", "label", "name"])
+        .aggregate(Sum("p_n", alias_name="n_mentions"))
+    )
+
+    # distinct-doc counts: batch-local pair dedup -> global dedup -> count
+    ndocs = (
+        tri.map_batches(
+            lambda b: pa.table(
+                {"eid": b.column("obj"), "d": b.column("subj")}
+            ).group_by(["eid", "d"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+        .groupby(["eid", "d"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .groupby("eid")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+    # top partner: direct the undirected co-occurrence edges both ways,
+    # grouped top-1 by (shared docs desc, partner asc)
+    edges = cooccurrence_pairs(annotated_documents_cached(sf_dir), annotated=True)
+    directed = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "eid": pa.concat_arrays(
+                    [b.column("entity_a").combine_chunks(),
+                     b.column("entity_b").combine_chunks()]
+                ),
+                "partner": pa.concat_arrays(
+                    [b.column("entity_b").combine_chunks(),
+                     b.column("entity_a").combine_chunks()]
+                ),
+                "shared": pa.concat_arrays(
+                    [b.column("n_docs").combine_chunks()] * 2
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    top = grouped_topk(
+        directed, "eid", ["shared", "partner"], 1, descending=[True, False]
+    ).map_batches(
+        lambda b: pa.table(
+            {"eid": b.column("eid"), "top_partner": b.column("partner"),
+             "top_partner_docs": b.column("shared")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    card = bucketed_join(
+        meta,
+        ndocs,
+        on=("eid",),
+        n_buckets=8,
+        left_types={"eid": pa.string(), "label": pa.string(),
+                    "name": pa.string(), "n_mentions": pa.int64()},
+        right_types={"eid": pa.string(), "n_docs": pa.int64()},
+    )
+    card = bucketed_join(
+        card,
+        top,
+        on=("eid",),
+        n_buckets=8,
+        join_type="left outer",
+        left_types={"eid": pa.string(), "label": pa.string(),
+                    "name": pa.string(), "n_mentions": pa.int64(),
+                    "n_docs": pa.int64()},
+        right_types={"eid": pa.string(), "top_partner": pa.string(),
+                     "top_partner_docs": pa.int64()},
+    )
+    return card.map_batches(
+        lambda b: pa.table(
+            {
+                "eid": b.column("eid"),
+                "label": b.column("label"),
+                "name": b.column("name"),
+                "n_mentions": b.column("n_mentions"),
+                "n_docs": b.column("n_docs"),
+                "top_partner": pc.fill_null(b.column("top_partner"), ""),
+                "top_partner_docs": pc.fill_null(
+                    b.column("top_partner_docs"), 0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def sql_entity_cards() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"stats AS (SELECT eid, plabel AS label, pname AS name,\n"
+        f"    CAST(count(*) AS BIGINT) AS n_mentions,\n"
+        f"    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs\n"
+        f"  FROM acc GROUP BY eid, plabel, pname),\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= 64),\n"
+        f"pairs AS (SELECT a.eid AS eid, b.eid AS partner,\n"
+        f"    CAST(count(*) AS BIGINT) AS shared\n"
+        f"  FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid <> b.eid\n"
+        f"  GROUP BY a.eid, b.eid),\n"
+        f"top AS (SELECT eid, partner, shared, row_number() OVER (\n"
+        f"    PARTITION BY eid ORDER BY shared DESC, partner) AS rk\n"
+        f"  FROM pairs)\n"
+        f"SELECT s.eid, s.label, s.name, s.n_mentions, s.n_docs,\n"
+        f"  COALESCE(t.partner, '') AS top_partner,\n"
+        f"  COALESCE(t.shared, 0) AS top_partner_docs\n"
+        f"FROM stats s LEFT JOIN top t ON t.eid = s.eid AND t.rk = 1"
+    )
+
+
 def q_kg_prep_canonical(sf_dir: str):
     """End-to-end corpus-to-KG prep: P1 length filter -> exact content
     dedup (keep the min doc_id per distinct text) -> boundary-rule NER
