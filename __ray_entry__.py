@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_reachability": q.q_host_reachability,
         "host_cheapest_route": q.q_host_cheapest_route,
         "kg_path_affinity": q.q_kg_path_affinity,
+        "kg_path_affinity_indexed": q.q_kg_path_affinity_indexed,
         "kg_system_profile": q.q_kg_system_profile,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
@@ -571,6 +572,7 @@ def oracle_sql() -> dict[str, str]:
         "host_reachability": q.sql_host_reachability(),
         "host_cheapest_route": q.sql_host_cheapest_route(),
         "kg_path_affinity": q.sql_kg_path_affinity(),
+        "kg_path_affinity_indexed": q.sql_kg_path_affinity(),
         "kg_system_profile": q.sql_kg_system_profile(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),

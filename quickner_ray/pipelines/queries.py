@@ -3693,6 +3693,28 @@ def q_kg_path_affinity(sf_dir: str):
     return eval_path(q_triples(sf_dir), expr)
 
 
+def q_kg_path_affinity_indexed(sf_dir: str):
+    """The same ^SYSTEM/(OPERATOR|UNIT) property path as
+    ``kg_path_affinity``, evaluated AGAINST THE PERMUTATION-INDEX STORE:
+    each predicate step reads only the POS-index fragments whose
+    row-group stats admit that predicate (sinks/triplestore.lookup via
+    eval_path's ``pred_source`` hook) — the index-pruned navigation a
+    100 TB KG serves from. Must answer identically to the stream
+    evaluation (same oracle)."""
+    from ..sinks.triplestore import lookup
+    from ..stages.paths import eval_path
+
+    store = _pos_triple_store(sf_dir)
+    expr = (
+        "seq",
+        ("inv", ("pred", "SYSTEM")),
+        ("alt", ("pred", "OPERATOR"), ("pred", "UNIT")),
+    )
+    return eval_path(
+        None, expr, pred_source=lambda label: lookup(store, "pred", label)
+    )
+
+
 def sql_kg_path_affinity() -> str:
     from .ner_oracle import sql_match_ctes
 

@@ -328,14 +328,24 @@ def eval_path(
     pred_col: str = "pred",
     obj_col: str = "obj",
     n_buckets: int | None = None,
+    pred_source=None,
 ):
-    """Evaluate a path expression; return the DISTINCT (src, dst) pairs."""
+    """Evaluate a path expression; return the DISTINCT (src, dst) pairs.
+
+    ``pred_source`` (optional): callable label -> Dataset supplying each
+    predicate step's triples individually — pass a permutation-index
+    ``lookup`` (sinks/triplestore.py) so a step reads ONLY the POS-index
+    fragments whose row-group stats admit its predicate, instead of
+    scanning the full stream (the same pruning hook as bgp_match's
+    ``pattern_source``; at store scale this is the difference between a
+    fragment read and a 10^12-triple scan per step)."""
     nb = n_buckets or max(32, _default_buckets() // 4)
 
     def ev(e):
         op = e[0]
         if op == "pred":
-            return _step(triples, e[1], subj_col, pred_col, obj_col)
+            src = pred_source(e[1]) if pred_source else triples
+            return _step(src, e[1], subj_col, pred_col, obj_col)
         if op == "inv":
             return _swap(ev(e[1]))
         if op == "seq":

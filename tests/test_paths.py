@@ -83,6 +83,20 @@ class TestPathAlgebra:
             | set(_pairs(eval_path(_triples(T), ("pred", "OP"))))
         )
 
+    def test_pred_source_hook(self):
+        # pred_source supplies each step's triples individually (the
+        # index-pruned read path); constant filter still applies on top
+        calls = []
+
+        def src(label):
+            calls.append(label)
+            return _triples(T)
+
+        expr = ("seq", ("inv", ("pred", "SYS")), ("pred", "OP"))
+        got = _pairs(eval_path(None, expr, pred_source=src))
+        assert got == _pairs(eval_path(_triples(T), expr))
+        assert sorted(calls) == ["OP", "SYS"]
+
     def test_unknown_op_raises(self):
         with pytest.raises(ValueError, match="unknown path op"):
             eval_path(_triples(T), ("star", ("pred", "SYS")))
