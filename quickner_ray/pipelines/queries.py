@@ -3771,6 +3771,46 @@ def sql_host_cheapest_route() -> str:
     )
 
 
+def q_kg_sparql_select(sf_dir: str):
+    """The KG queried through actual SPARQL text (kernel/sparql.py mini
+    front-end -> bgp_match): docs mentioning the SYSTEM entity 'spark'
+    and an OPERATOR, optionally their UNIT, excluding docs that mention
+    the PHRASE entity. Same engine as the kg_*_bgp family underneath;
+    this pins the parser's round-trip from query text to bindings."""
+    from ..kernel.sparql import run_select
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    query = f"""
+      SELECT ?doc ?op ?u WHERE {{   # served SPARQL surface
+        ?doc :SYSTEM :{spark} .
+        ?doc :OPERATOR ?op .
+        OPTIONAL {{ ?doc :UNIT ?u . }}
+        FILTER NOT EXISTS {{ ?doc :PHRASE ?ph . }}
+      }}
+    """
+    return run_select(q_triples(sf_dir), query)
+
+
+def sql_kg_sparql_select() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"b AS (SELECT DISTINCT CAST(s.doc_id AS VARCHAR) AS doc, o.eid AS op\n"
+        f"  FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        f"  WHERE s.plabel = 'SYSTEM' AND s.eid = '{spark}'\n"
+        f"    AND o.plabel = 'OPERATOR'\n"
+        f"    AND NOT EXISTS (SELECT 1 FROM acc p\n"
+        f"      WHERE p.doc_id = s.doc_id AND p.plabel = 'PHRASE'))\n"
+        f"SELECT DISTINCT b.doc, b.op, COALESCE(u.eid, '') AS u\n"
+        f"FROM b LEFT JOIN (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc,\n"
+        f"    eid FROM acc WHERE plabel = 'UNIT') u ON u.doc = b.doc"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct
