@@ -75,6 +75,59 @@ def _tokens(text: str):
             yield tok
 
 
+PLUS_DEFAULT_HOPS = 6  # SPARQL '+' is unbounded; the engine hop-bounds it
+
+_STEP = re.compile(r"^(\^?):([^\^/|+{}]+)(\+(\d*))?$")
+
+
+def parse_path(tok: str):
+    """Predicate-position path expression -> stages/paths.eval_path tuple.
+
+    Grammar (whitespace-free, one token): alternation ``a|b`` (lowest),
+    sequence ``a/b``, and per step an optional leading ``^`` (inverse)
+    and optional trailing ``+`` (closure, hop-bounded at
+    PLUS_DEFAULT_HOPS) or ``+H`` with an explicit hop bound (SPARQL 1.1
+    dropped {n,m}; the engine's closure is hop-bounded by design, so the
+    bound is part of the syntax). No parentheses — compose in the engine
+    API when precedence needs overriding."""
+
+    def step(s: str):
+        m = _STEP.match(s)
+        if not m:
+            raise SparqlError(f"bad path step {s!r}")
+        inv, name, suffix, hops = m.groups()
+        e = ("pred", name)
+        if inv:
+            e = ("inv", e)
+        if suffix:
+            h = int(hops) if hops else PLUS_DEFAULT_HOPS
+            if h < 1:
+                raise SparqlError(f"path bound must be >= 1 in {s!r}")
+            e = ("plus", e, h)
+        return e
+
+    def seq(s: str):
+        parts = s.split("/")
+        if any(not p for p in parts):
+            raise SparqlError(f"empty sequence step in {s!r}")
+        e = step(parts[-1])
+        for p in reversed(parts[:-1]):
+            e = ("seq", step(p), e)
+        return e
+
+    alts = tok.split("|")
+    if any(not a for a in alts):
+        raise SparqlError(f"empty alternation branch in {tok!r}")
+    e = seq(alts[-1])
+    for a in reversed(alts[:-1]):
+        e = ("alt", seq(a), e)
+    return e
+
+
+def _is_path_token(tok: str) -> bool:
+    return tok.startswith((":", "^")) and any(c in tok for c in "/|^+")
+
+
 def _term(tok: str) -> str:
     """Token -> bgp_match term: '?x' stays a variable; ':local' and
     quoted strings become constants."""
@@ -91,6 +144,16 @@ def _term(tok: str) -> str:
     raise SparqlError(
         f"term {tok!r} must be a ?variable, :constant or \"string\""
     )
+
+
+def _pattern(cur: list[str]) -> tuple:
+    """Three tokens -> a bgp_match pattern; a path expression in the
+    predicate position compiles to its eval_path tuple (endpoints must be
+    variables — enforced by the engine)."""
+    s, p, o = cur
+    if _is_path_token(p):
+        return (_term(s), parse_path(p), _term(o))
+    return (_term(s), _term(p), _term(o))
 
 
 def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
@@ -111,7 +174,7 @@ def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
         if t == ".":
             if len(cur) != 3:
                 raise SparqlError(f"pattern needs 3 terms, got {cur!r}")
-            pats.append(tuple(_term(x) for x in cur))
+            pats.append(_pattern(cur))
             cur = []
         elif t == "{":
             raise SparqlError("nested groups are not supported here")
@@ -190,7 +253,7 @@ def parse_select(query: str) -> dict:
         if t == ".":
             if len(cur) != 3:
                 raise SparqlError(f"pattern needs 3 terms, got {cur!r}")
-            patterns.append(tuple(_term(x) for x in cur))
+            patterns.append(_pattern(cur))
             cur = []
         elif t == "{":
             raise SparqlError("bare nested groups are not supported")

@@ -3811,6 +3811,34 @@ def sql_kg_sparql_select() -> str:
     )
 
 
+def q_kg_sparql_path(sf_dir: str):
+    """A property path written IN the SPARQL text
+    (``?s ^:SYSTEM/:OPERATOR|^:SYSTEM/:UNIT ?x``): the parser compiles
+    the predicate-position path to the eval_path algebra and bgp_match
+    folds its binding pairs like any pattern — query-language parity for
+    the whole navigation engine, answer identical to kg_path_affinity
+    modulo variable names."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?s ?x WHERE { ?s ^:SYSTEM/:OPERATOR|^:SYSTEM/:UNIT ?x . }",
+    )
+
+
+def sql_kg_sparql_path() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"sys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        f"        FROM acc WHERE plabel = 'SYSTEM'),\n"
+        f"oth AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS x\n"
+        f"        FROM acc WHERE plabel IN ('OPERATOR', 'UNIT'))\n"
+        f"SELECT DISTINCT s, x FROM sys JOIN oth USING (d)"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

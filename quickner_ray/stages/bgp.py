@@ -122,6 +122,41 @@ def bgp_match(
     cols = (subj_col, pred_col, obj_col)
 
     def compile_one(p):
+        if isinstance(p[1], tuple):  # property-path predicate (paths.eval_path
+            # expr): both endpoints must be variables; bindings come from the
+            # path evaluation and join into the fold like any other pattern
+            sv, expr, ov = p
+            if not (_is_var(sv) and _is_var(ov)):
+                raise ValueError(
+                    f"path pattern {p!r} needs variable endpoints"
+                )
+            from .paths import eval_path
+
+            pairs = eval_path(
+                triples,
+                expr,
+                subj_col=subj_col,
+                pred_col=pred_col,
+                obj_col=obj_col,
+                n_buckets=nparts,
+            )
+            if sv == ov:  # cycle constraint: same var at both ends
+                one = pairs.map_batches(
+                    lambda b: pa.table(
+                        {sv[1:]: b.filter(
+                            pc.equal(b.column("src"), b.column("dst"))
+                        ).column("src")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                return one, [sv[1:]]
+            renamed = pairs.map_batches(
+                lambda b: pa.table(
+                    {sv[1:]: b.column("src"), ov[1:]: b.column("dst")}
+                ),
+                batch_format="pyarrow",
+            )
+            return renamed, [sv[1:], ov[1:]]
         return _pattern_ds(pattern_source(p) if pattern_source else triples, p, cols)
 
     compiled = [compile_one(p) for p in patterns]

@@ -109,3 +109,86 @@ class TestRunSelect:
             run_select(
                 self._ds(), "SELECT ?nope WHERE { ?d :SYS ?s . }"
             )
+
+
+class TestPathParsing:
+    def test_seq_inv_alt(self):
+        from quickner_ray.kernel.sparql import parse_path
+
+        assert parse_path("^:A/:B") == ("seq", ("inv", ("pred", "A")), ("pred", "B"))
+        assert parse_path(":A|:B/:C") == (
+            "alt", ("pred", "A"), ("seq", ("pred", "B"), ("pred", "C"))
+        )
+
+    def test_plus_bounds(self):
+        from quickner_ray.kernel.sparql import PLUS_DEFAULT_HOPS, parse_path
+
+        assert parse_path(":A+") == ("plus", ("pred", "A"), PLUS_DEFAULT_HOPS)
+        assert parse_path(":A+3") == ("plus", ("pred", "A"), 3)
+        assert parse_path("^:A+2") == ("plus", ("inv", ("pred", "A")), 2)
+
+    def test_pattern_with_path_pred(self):
+        q = parse_select("SELECT ?s ?x WHERE { ?s ^:A/:B ?x . }")
+        assert q["patterns"] == [
+            ("?s", ("seq", ("inv", ("pred", "A")), ("pred", "B")), "?x")
+        ]
+
+    @pytest.mark.parametrize(
+        "bad", [":A//:B", ":A|", "^:A/", ":A+0", ":+", ":A/^"]
+    )
+    def test_bad_paths_raise(self, bad):
+        from quickner_ray.kernel.sparql import parse_path
+
+        with pytest.raises(SparqlError):
+            parse_path(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRunSelectPaths:
+    # d1: SYS spark, OP join ; d2: SYS spark, UNIT row ; d3: SYS flink, OP sort
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_path_pattern_end_to_end(self):
+        out = run_select(
+            self._ds(), "SELECT ?s ?x WHERE { ?s ^:SYS/:OP ?x . }"
+        ).take_all()
+        assert sorted((r["s"], r["x"]) for r in out) == [
+            ("flink", "sort"),
+            ("spark", "join"),
+        ]
+
+    def test_path_joins_with_simple_pattern(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?s ?x ?d WHERE { ?s ^:SYS/:OP ?x . ?d :SYS ?s . }",
+        ).take_all()
+        # spark is mentioned by d1 AND d2; flink only by d3
+        assert sorted((r["s"], r["x"], r["d"]) for r in out) == [
+            ("flink", "sort", "d3"),
+            ("spark", "join", "d1"),
+            ("spark", "join", "d2"),
+        ]
+
+    def test_closure_in_query(self):
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": ["a", "b", "c"],
+                    "pred": ["link", "link", "link"],
+                    "obj": ["b", "c", "d"],
+                }
+            )
+        )
+        out = run_select(
+            edges, "SELECT ?x ?y WHERE { ?x :link+2 ?y . }"
+        ).take_all()
+        assert sorted((r["x"], r["y"]) for r in out) == [
+            ("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d"),
+        ]
+
+    def test_constant_endpoint_on_path_raises(self):
+        with pytest.raises(ValueError, match="variable endpoints"):
+            run_select(
+                self._ds(), 'SELECT ?x WHERE { :spark ^:SYS/:OP ?x . }'
+            ).take_all()
