@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_system_profile": q.q_kg_system_profile,
         "kg_sparql_select": q.q_kg_sparql_select,
         "kg_sparql_path": q.q_kg_sparql_path,
+        "kg_sparql_agg": q.q_kg_sparql_agg,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -578,6 +579,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_system_profile": q.sql_kg_system_profile(),
         "kg_sparql_select": q.sql_kg_sparql_select(),
         "kg_sparql_path": q.sql_kg_sparql_path(),
+        "kg_sparql_agg": q.sql_kg_sparql_agg(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

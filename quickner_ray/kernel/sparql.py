@@ -39,9 +39,9 @@ class SparqlError(ValueError):
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<punct>[{}.])
+        (?P<punct>[{}.()])
       | (?P<str>"(?:[^"\\]|\\.)*")
-      | (?P<word>[^\s{}."]+)
+      | (?P<word>[^\s{}."()]+)
     )""",
     re.VERBOSE,
 )
@@ -186,10 +186,41 @@ def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
     raise SparqlError("unterminated '{' group")
 
 
+def _parse_agg(toks: list[str], i: int) -> tuple[dict, int]:
+    """Parse '( COUNT ( [DISTINCT] ?v ) AS ?alias )' from toks[i] == '('."""
+    j = i + 1
+    if j >= len(toks) or toks[j].upper() != "COUNT":
+        raise SparqlError("only COUNT aggregates are supported")
+    j += 1
+    if j >= len(toks) or toks[j] != "(":
+        raise SparqlError("expected '(' after COUNT")
+    j += 1
+    distinct = False
+    if j < len(toks) and toks[j].upper() == "DISTINCT":
+        distinct = True
+        j += 1
+    if j >= len(toks) or not toks[j].startswith("?") or len(toks[j]) < 2:
+        raise SparqlError("COUNT needs a ?variable")
+    var = toks[j][1:]
+    j += 1
+    if j + 2 >= len(toks) or toks[j] != ")" or toks[j + 1].upper() != "AS":
+        raise SparqlError("expected ') AS ?alias' in aggregate")
+    alias_tok = toks[j + 2]
+    if not alias_tok.startswith("?") or len(alias_tok) < 2:
+        raise SparqlError("aggregate alias must be a ?variable")
+    j += 3
+    if j >= len(toks) or toks[j] != ")":
+        raise SparqlError("unterminated aggregate projection")
+    return {"fn": "count", "var": var, "distinct": distinct,
+            "alias": alias_tok[1:]}, j + 1
+
+
 def parse_select(query: str) -> dict:
-    """SPARQL SELECT text -> {'project': [vars] | None, 'patterns': [...],
-    'optional': [...], 'not_exists': [...]} — the bgp_match argument shape
-    (project None == SELECT *, meaning every bound variable)."""
+    """SPARQL SELECT text -> {'project': [vars] | None, 'aggs': [...],
+    'patterns': [...], 'optional': [...], 'not_exists': [...],
+    'group_by': [...], 'order_by': [(var, desc)], 'limit': int | None} —
+    the bgp_match argument shape plus SPARQL 1.1 aggregation and solution
+    modifiers (project None == SELECT *, meaning every bound variable)."""
     toks = list(_tokens(query))
     if not toks or toks[0].upper() != "SELECT":
         raise SparqlError("query must start with SELECT")
@@ -197,14 +228,21 @@ def parse_select(query: str) -> dict:
     if i < len(toks) and toks[i].upper() == "DISTINCT":
         i += 1  # bindings are always distinct; accept and ignore
     project: list[str] | None = []
+    aggs: list[dict] = []
     if i < len(toks) and toks[i] == "*":
         project = None
         i += 1
     else:
-        while i < len(toks) and toks[i].startswith("?"):
-            project.append(toks[i][1:])
-            i += 1
-        if not project:
+        while i < len(toks):
+            if toks[i].startswith("?") and len(toks[i]) > 1:
+                project.append(toks[i][1:])
+                i += 1
+            elif toks[i] == "(":
+                agg, i = _parse_agg(toks, i)
+                aggs.append(agg)
+            else:
+                break
+        if not project and not aggs:
             raise SparqlError("SELECT needs '*' or at least one ?variable")
     if i >= len(toks) or toks[i].upper() != "WHERE":
         raise SparqlError("expected WHERE")
@@ -226,15 +264,30 @@ def parse_select(query: str) -> dict:
                     f"unterminated pattern before '}}': {cur!r} (missing '.')"
                 )
             i += 1
-            if i != len(toks):
-                raise SparqlError(f"trailing tokens after '}}': {toks[i:]!r}")
+            group_by, order_by, limit = _parse_modifiers(toks, i)
             if not patterns:
                 raise SparqlError("WHERE has no required patterns")
+            if aggs and not group_by:
+                raise SparqlError("aggregates need GROUP BY")
+            if group_by:
+                if not aggs:
+                    raise SparqlError("GROUP BY needs an aggregate in SELECT")
+                if project is None:
+                    raise SparqlError("SELECT * cannot be grouped")
+                bad = [v for v in project if v not in group_by]
+                if bad:
+                    raise SparqlError(
+                        f"non-grouped variables in SELECT: {bad}"
+                    )
             return {
                 "project": project,
+                "aggs": aggs,
                 "patterns": patterns,
                 "optional": optional,
                 "not_exists": not_exists,
+                "group_by": group_by,
+                "order_by": order_by,
+                "limit": limit,
             }
         if up == "OPTIONAL" and not cur:
             grp, i = _parse_group(toks, i + 1)
@@ -265,6 +318,61 @@ def parse_select(query: str) -> dict:
     raise SparqlError("unterminated WHERE group")
 
 
+def _parse_modifiers(
+    toks: list[str], i: int
+) -> tuple[list[str], list[tuple[str, bool]], int | None]:
+    """Trailing GROUP BY / ORDER BY / LIMIT clauses after the WHERE group."""
+    group_by: list[str] = []
+    order_by: list[tuple[str, bool]] = []
+    limit: int | None = None
+
+    def var_at(j: int) -> str:
+        if j >= len(toks) or not toks[j].startswith("?") or len(toks[j]) < 2:
+            raise SparqlError(f"expected ?variable, got {toks[j:j+1]!r}")
+        return toks[j][1:]
+
+    while i < len(toks):
+        up = toks[i].upper()
+        if up == "GROUP":
+            if i + 1 >= len(toks) or toks[i + 1].upper() != "BY":
+                raise SparqlError("expected BY after GROUP")
+            i += 2
+            while i < len(toks) and toks[i].startswith("?"):
+                group_by.append(var_at(i))
+                i += 1
+            if not group_by:
+                raise SparqlError("GROUP BY needs at least one ?variable")
+        elif up == "ORDER":
+            if i + 1 >= len(toks) or toks[i + 1].upper() != "BY":
+                raise SparqlError("expected BY after ORDER")
+            i += 2
+            got = False
+            while i < len(toks):
+                u = toks[i].upper()
+                if u in ("ASC", "DESC") and i + 1 < len(toks) and toks[i + 1] == "(":
+                    order_by.append((var_at(i + 2), u == "DESC"))
+                    if i + 3 >= len(toks) or toks[i + 3] != ")":
+                        raise SparqlError(f"unterminated {u}(...)")
+                    i += 4
+                    got = True
+                elif toks[i].startswith("?"):
+                    order_by.append((var_at(i), False))
+                    i += 1
+                    got = True
+                else:
+                    break
+            if not got:
+                raise SparqlError("ORDER BY needs at least one sort key")
+        elif up == "LIMIT":
+            if i + 1 >= len(toks) or not toks[i + 1].isdigit():
+                raise SparqlError("LIMIT needs a non-negative integer")
+            limit = int(toks[i + 1])
+            i += 2
+        else:
+            raise SparqlError(f"trailing tokens after '}}': {toks[i:]!r}")
+    return group_by, order_by, limit
+
+
 def run_select(triples, query: str, **bgp_kwargs):
     """Parse ``query`` and evaluate it with stages/bgp.bgp_match; project
     to the SELECTed variables (DISTINCT bindings re-deduped after a
@@ -281,17 +389,108 @@ def run_select(triples, query: str, **bgp_kwargs):
         not_exists=tuple(q["not_exists"]),
         **bgp_kwargs,
     )
-    if q["project"] is None:
-        return out
-    cols = list(q["project"])
-    missing = [c for c in cols if c not in out.schema().names]
+    # bound variables are static in the query text — never call
+    # Dataset.schema() here: on a lazy aggregate it executes the whole
+    # upstream plan once for the names and then AGAIN for the rows
+    bound = []
+    for p in [*q["patterns"], *q["optional"]]:
+        for t in p:
+            if isinstance(t, str) and t.startswith("?") and t[1:] not in bound:
+                bound.append(t[1:])
+
+    if q["group_by"]:
+        out = _aggregate(out, q, bound)
+        final_cols = list(
+            dict.fromkeys(
+                [*(q["project"] or sorted(q["group_by"])),
+                 *[a["alias"] for a in q["aggs"]]]
+            )
+        )
+    elif q["project"] is not None:
+        cols = list(q["project"])
+        missing = [c for c in cols if c not in bound]
+        if missing:
+            raise SparqlError(f"SELECT of unbound variables: {missing}")
+        if set(cols) == set(bound):
+            out = out.select_columns(cols)
+        else:  # narrowing projection: re-dedup for DISTINCT semantics
+            out = (
+                out.select_columns(cols)
+                .groupby(cols)
+                .aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"])
+            )
+        final_cols = cols
+    else:
+        final_cols = sorted(bound)
+
+    for var, _ in q["order_by"]:
+        if var not in final_cols:
+            raise SparqlError(f"ORDER BY of unbound variable: ?{var}")
+    if q["order_by"]:
+        out = out.sort(
+            [v for v, _ in q["order_by"]],
+            descending=[d for _, d in q["order_by"]],
+        )
+    if q["limit"] is not None:
+        out = out.limit(q["limit"])
+    return out
+
+
+def _aggregate(bindings, q: dict, bound: list[str]):
+    """GROUP BY + COUNT aggregates over distinct bindings. Each aggregate
+    is one bounded groupby (COUNT(?v) counts solutions in the group;
+    COUNT(DISTINCT ?v) pair-dedups first); multiple aggregates fold with
+    a bucketed hash join on the group key."""
+    from ray.data.aggregate import Count
+
+    from ..stages.bgp import _default_buckets
+    from ..stages.hashjoin import bucketed_join
+
+    keys = sorted(q["group_by"])  # canonical key order, like bgp output
+    missing = [c for c in keys if c not in bound]
     if missing:
-        raise SparqlError(f"SELECT of unbound variables: {missing}")
-    if set(cols) == set(out.schema().names):
-        return out.select_columns(cols)
-    return (  # narrowing projection: re-dedup for DISTINCT semantics
-        out.select_columns(cols)
-        .groupby(cols)
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
-    )
+        raise SparqlError(f"GROUP BY of unbound variables: {missing}")
+    seen_aliases = set(keys)
+    out = None
+    for agg in q["aggs"]:
+        var, alias = agg["var"], agg["alias"]
+        if var not in bound:
+            raise SparqlError(f"COUNT of unbound variable: ?{var}")
+        if alias in seen_aliases:
+            raise SparqlError(f"duplicate result name ?{alias}")
+        seen_aliases.add(alias)
+        if agg["distinct"] and var not in keys:
+            pairs = (
+                bindings.select_columns([*keys, var])
+                .groupby([*keys, var])
+                .aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"])
+            )
+            one = pairs.groupby(keys).aggregate(Count(alias_name=alias))
+        else:  # COUNT(?v) == solutions per group (bindings are distinct);
+            # COUNT(DISTINCT key-var) degenerates to the same thing
+            one = bindings.groupby(keys).aggregate(Count(alias_name=alias))
+        if out is None:
+            out = one
+        else:
+            import pyarrow as _pa
+
+            prev = {c: _pa.string() for c in keys}
+            prev.update(
+                {a["alias"]: _pa.int64() for a in q["aggs"]
+                 if a["alias"] in seen_aliases and a["alias"] != alias}
+            )
+            out = bucketed_join(
+                out,
+                one,
+                on=tuple(keys),
+                n_buckets=max(8, _default_buckets() // 16),
+                left_types=prev,
+                right_types={**{c: _pa.string() for c in keys},
+                             alias: _pa.int64()},
+            )
+    cols = [*(q["project"] or keys), *[a["alias"] for a in q["aggs"]]]
+    # drop group keys not projected (SPARQL allows grouping by an
+    # unprojected var); re-dedup is unnecessary — group keys are unique
+    return out.select_columns(list(dict.fromkeys(cols)))

@@ -3839,6 +3839,37 @@ def sql_kg_sparql_path() -> str:
     )
 
 
+def q_kg_sparql_agg(sf_dir: str):
+    """SPARQL 1.1 aggregation written in query text: per SYSTEM entity,
+    COUNT(DISTINCT ?d) co-mentioning docs and COUNT(?o) distinct
+    (doc, operator) solutions, GROUP BY + ORDER BY through the
+    kernel/sparql front-end (each aggregate one bounded groupby; no
+    Dataset.schema() round-trips — bound variables are derived from the
+    query text)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?s (COUNT(DISTINCT ?d) AS ?n_docs) (COUNT(?o) AS ?n_sol) "
+        "WHERE { ?d :SYSTEM ?s . ?d :OPERATOR ?o . } GROUP BY ?s",
+    )
+
+
+def sql_kg_sparql_agg() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"b AS (SELECT DISTINCT CAST(s.doc_id AS VARCHAR) AS d,\n"
+        f"             s.eid AS s, o.eid AS o\n"
+        f"      FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        f"      WHERE s.plabel = 'SYSTEM' AND o.plabel = 'OPERATOR')\n"
+        f"SELECT s, CAST(count(DISTINCT d) AS BIGINT) AS n_docs,\n"
+        f"       CAST(count(*) AS BIGINT) AS n_sol\n"
+        f"FROM b GROUP BY s"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -192,3 +192,59 @@ class TestRunSelectPaths:
             run_select(
                 self._ds(), 'SELECT ?x WHERE { :spark ^:SYS/:OP ?x . }'
             ).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAggregationAndModifiers:
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_group_count_solutions_and_distinct(self):
+        # per system: solutions (doc x op combos) and distinct docs
+        t = pa.table(
+            {
+                "subj": ["d1", "d1", "d1", "d2", "d2", "d3", "d3"],
+                "pred": ["SYS", "OP", "OP", "SYS", "OP", "SYS", "OP"],
+                "obj": ["spark", "join", "sort", "spark", "join", "flink", "sort"],
+            }
+        )
+        out = run_select(
+            rd.from_arrow(t),
+            "SELECT ?s (COUNT(?o) AS ?n) (COUNT(DISTINCT ?d) AS ?nd) "
+            "WHERE { ?d :SYS ?s . ?d :OP ?o . } GROUP BY ?s",
+        ).take_all()
+        got = {r["s"]: (r["n"], r["nd"]) for r in out}
+        assert got == {"spark": (3, 2), "flink": (1, 1)}
+
+    def test_order_by_desc_and_limit(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?s WHERE { ?d :SYS ?s . } ORDER BY DESC(?d) LIMIT 2",
+        ).take_all()
+        assert [(r["d"], r["s"]) for r in out] == [
+            ("d3", "flink"),
+            ("d2", "spark"),
+        ]
+
+    def test_order_by_after_group(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . } "
+            "GROUP BY ?s ORDER BY ?s",
+        ).take_all()
+        assert [(r["s"], r["n"]) for r in out] == [("flink", 1), ("spark", 2)]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",  # no GROUP BY
+            "SELECT ?o (COUNT(?d) AS ?n) WHERE { ?d :SYS ?o . ?d :OP ?x . } GROUP BY ?x",  # non-grouped var
+            "SELECT (SUM(?d) AS ?n) WHERE { ?d :SYS ?s . } GROUP BY ?s",  # SUM
+            "SELECT ?s WHERE { ?d :SYS ?s . } LIMIT many",  # bad limit
+            "SELECT ?s WHERE { ?d :SYS ?s . } ORDER BY",  # empty order
+            "SELECT * WHERE { ?d :SYS ?s . } GROUP BY ?s",  # * grouped
+        ],
+    )
+    def test_bad_aggregation_raises(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad)
