@@ -42,6 +42,12 @@ from .api import Document, Entity, Quickner, Text
 from_jsonl = Quickner.from_jsonl
 from_spacy = Quickner.from_spacy
 
+# KG query surface (no reference counterpart — quickner has no query
+# layer): SPARQL SELECT over a triples Dataset. Ray-free import; the
+# engine modules load lazily inside run_select.
+from .kernel.sparql import SparqlError, parse_select
+from .kernel.sparql import run_select as sparql
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -58,5 +64,8 @@ __all__ = [
     "from_jsonl",
     "from_spacy",
     "hash_text",
+    "parse_select",
+    "sparql",
+    "SparqlError",
     "synth_page",
 ]
