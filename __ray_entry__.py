@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_select": q.q_kg_sparql_select,
         "kg_sparql_path": q.q_kg_sparql_path,
         "kg_sparql_agg": q.q_kg_sparql_agg,
+        "kg_sparql_construct": q.q_kg_sparql_construct,
+        "kg_sparql_ask": q.q_kg_sparql_ask,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -580,6 +582,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_select": q.sql_kg_sparql_select(),
         "kg_sparql_path": q.sql_kg_sparql_path(),
         "kg_sparql_agg": q.sql_kg_sparql_agg(),
+        "kg_sparql_construct": q.sql_kg_sparql_construct(),
+        "kg_sparql_ask": q.sql_kg_sparql_ask(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

@@ -45,7 +45,7 @@ from_spacy = Quickner.from_spacy
 # KG query surface (no reference counterpart — quickner has no query
 # layer): SPARQL SELECT over a triples Dataset. Ray-free import; the
 # engine modules load lazily inside run_select.
-from .kernel.sparql import SparqlError, parse_select
+from .kernel.sparql import SparqlError, parse_select, run_ask, run_construct
 from .kernel.sparql import run_select as sparql
 
 __version__ = "0.1.0"
@@ -65,6 +65,8 @@ __all__ = [
     "from_spacy",
     "hash_text",
     "parse_select",
+    "run_ask",
+    "run_construct",
     "sparql",
     "SparqlError",
     "synth_page",

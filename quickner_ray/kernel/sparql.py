@@ -30,7 +30,15 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["SparqlError", "parse_select", "run_select"]
+import pyarrow as pa
+
+__all__ = [
+    "SparqlError",
+    "parse_select",
+    "run_ask",
+    "run_construct",
+    "run_select",
+]
 
 
 class SparqlError(ValueError):
@@ -435,6 +443,93 @@ def run_select(triples, query: str, **bgp_kwargs):
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
+
+
+def run_construct(triples, query: str, **bgp_kwargs):
+    """SPARQL CONSTRUCT: ``CONSTRUCT { template . ... } WHERE { ... }`` ->
+    Dataset(subj, pred, obj) of the DISTINCT triples instantiated from the
+    WHERE bindings. Template terms are ?vars (must be bound by WHERE) or
+    constants; each template pattern is one zero-shuffle projection of
+    the binding stream, templates union, one bounded groupby dedups."""
+    from ray.data.aggregate import Count
+
+    from ..stages.bgp import bgp_match
+
+    toks = list(_tokens(query))
+    if not toks or toks[0].upper() != "CONSTRUCT":
+        raise SparqlError("query must start with CONSTRUCT")
+    templates, i = _parse_group(toks, 1)
+    if not templates:
+        raise SparqlError("CONSTRUCT needs at least one template pattern")
+    if any(isinstance(p[1], tuple) for p in templates):
+        raise SparqlError("CONSTRUCT templates cannot contain paths")
+    if i >= len(toks) or toks[i].upper() != "WHERE":
+        raise SparqlError("expected WHERE after the CONSTRUCT template")
+    # reuse the SELECT * machinery for the WHERE group + its validation
+    sel = parse_select("SELECT * WHERE " + " ".join(toks[i + 1:]))
+    if sel["group_by"] or sel["order_by"] or sel["limit"] is not None:
+        raise SparqlError("CONSTRUCT takes no solution modifiers")
+    bound = set()
+    for p in [*sel["patterns"], *sel["optional"]]:
+        for t in p:
+            if isinstance(t, str) and t.startswith("?"):
+                bound.add(t[1:])
+    for p in templates:
+        for t in p:
+            if t.startswith("?") and t[1:] not in bound:
+                raise SparqlError(f"template uses unbound variable ?{t[1:]}")
+    bindings = bgp_match(
+        triples,
+        sel["patterns"],
+        optional=tuple(sel["optional"]),
+        not_exists=tuple(sel["not_exists"]),
+        **bgp_kwargs,
+    )
+
+    def instantiate(b: pa.Table) -> pa.Table:
+        outs = []
+        for s, p, o in templates:
+            cols = {}
+            for name, term in (("subj", s), ("pred", p), ("obj", o)):
+                if term.startswith("?"):
+                    cols[name] = b.column(term[1:])
+                else:
+                    cols[name] = pa.array([term] * b.num_rows, type=pa.string())
+            outs.append(pa.table(cols))
+        t = pa.concat_tables(outs)
+        return t.group_by(t.column_names).aggregate([])  # batch-local dedup
+
+    return (
+        bindings.map_batches(instantiate, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def run_ask(triples, query: str, **bgp_kwargs):
+    """SPARQL ASK: ``ASK { ... }`` -> one-row Dataset(ask: int64 0/1) —
+    does any binding satisfy the group? Evaluates the group's bindings
+    and stops at the first one (limit(1) short-circuits the stream)."""
+    import ray.data as rd
+
+    from ..stages.bgp import bgp_match
+
+    toks = list(_tokens(query))
+    if not toks or toks[0].upper() != "ASK":
+        raise SparqlError("query must start with ASK")
+    sel = parse_select("SELECT * WHERE " + " ".join(toks[1:]))
+    bindings = bgp_match(
+        triples,
+        sel["patterns"],
+        optional=tuple(sel["optional"]),
+        not_exists=tuple(sel["not_exists"]),
+        **bgp_kwargs,
+    )
+    hit = len(bindings.limit(1).take(1)) > 0
+    return rd.from_arrow(
+        pa.table({"ask": pa.array([1 if hit else 0], type=pa.int64())})
+    )
 
 
 def _aggregate(bindings, q: dict, bound: list[str]):

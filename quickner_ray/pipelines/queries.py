@@ -3870,6 +3870,63 @@ def sql_kg_sparql_agg() -> str:
     )
 
 
+def q_kg_sparql_construct(sf_dir: str):
+    """SPARQL CONSTRUCT written in query text: materialize CO_MENTIONED
+    triples from a property-path pattern — each template is a
+    zero-shuffle projection of the binding stream, one bounded groupby
+    dedups (kernel/sparql.run_construct)."""
+    from ..kernel.sparql import run_construct
+
+    return run_construct(
+        q_triples(sf_dir),
+        "CONSTRUCT { ?s :CO_MENTIONED ?x . } "
+        "WHERE { ?s ^:SYSTEM/:OPERATOR|^:SYSTEM/:UNIT ?x . }",
+    )
+
+
+def sql_kg_sparql_construct() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"sys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid\n"
+        f"        FROM acc WHERE plabel = 'SYSTEM'),\n"
+        f"oth AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid\n"
+        f"        FROM acc WHERE plabel IN ('OPERATOR', 'UNIT'))\n"
+        f"SELECT DISTINCT sys.eid AS subj, 'CO_MENTIONED' AS pred,\n"
+        f"       oth.eid AS obj FROM sys JOIN oth USING (d)"
+    )
+
+
+def q_kg_sparql_ask(sf_dir: str):
+    """SPARQL ASK written in query text: is any document mentioning the
+    SYSTEM entity 'spark' also carrying a PHRASE mention? One-row 0/1
+    answer; the binding stream short-circuits at the first hit
+    (kernel/sparql.run_ask)."""
+    from ..kernel.sparql import run_ask
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return run_ask(
+        q_triples(sf_dir),
+        f"ASK {{ ?d :SYSTEM :{spark} . ?d :PHRASE ?p . }}",
+    )
+
+
+def sql_kg_sparql_ask() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT CAST(CASE WHEN EXISTS (\n"
+        f"  SELECT 1 FROM acc s JOIN acc p ON s.doc_id = p.doc_id\n"
+        f"  WHERE s.plabel = 'SYSTEM' AND s.eid = '{spark}'\n"
+        f"    AND p.plabel = 'PHRASE') THEN 1 ELSE 0 END AS BIGINT) AS ask"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -248,3 +248,61 @@ class TestAggregationAndModifiers:
     def test_bad_aggregation_raises(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestConstructAndAsk:
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_construct_instantiates_templates(self):
+        from quickner_ray.kernel.sparql import run_construct
+
+        out = run_construct(
+            self._ds(),
+            "CONSTRUCT { ?s :CO ?x . ?x :CO_INV ?s . } "
+            "WHERE { ?s ^:SYS/:OP ?x . }",
+        ).take_all()
+        got = sorted((r["subj"], r["pred"], r["obj"]) for r in out)
+        assert got == [
+            ("flink", "CO", "sort"),
+            ("join", "CO_INV", "spark"),
+            ("sort", "CO_INV", "flink"),
+            ("spark", "CO", "join"),
+        ]
+
+    def test_construct_constant_terms_and_dedup(self):
+        from quickner_ray.kernel.sparql import run_construct
+
+        out = run_construct(
+            self._ds(),
+            'CONSTRUCT { ?d :TYPE "page" . } WHERE { ?d :SYS ?s . }',
+        ).take_all()
+        assert sorted(r["subj"] for r in out) == ["d1", "d2", "d3"]
+        assert {r["pred"] for r in out} == {"TYPE"}
+        assert {r["obj"] for r in out} == {"page"}
+
+    def test_construct_unbound_template_var_raises(self):
+        from quickner_ray.kernel.sparql import run_construct
+
+        with pytest.raises(SparqlError, match="unbound variable"):
+            run_construct(
+                self._ds(), "CONSTRUCT { ?z :P ?d . } WHERE { ?d :SYS ?s . }"
+            )
+
+    def test_ask_true_and_false(self):
+        from quickner_ray.kernel.sparql import run_ask
+
+        yes = run_ask(self._ds(), "ASK { ?d :SYS :spark . ?d :OP ?o . }")
+        no = run_ask(self._ds(), "ASK { ?d :SYS :spark . ?d :UNIT :nope . }")
+        assert yes.take_all() == [{"ask": 1}]
+        assert no.take_all() == [{"ask": 0}]
+
+    def test_ask_with_not_exists(self):
+        from quickner_ray.kernel.sparql import run_ask
+
+        out = run_ask(
+            self._ds(),
+            "ASK { ?d :SYS ?s . FILTER NOT EXISTS { ?d :OP ?o . } }",
+        )
+        assert out.take_all() == [{"ask": 1}]  # d2 has SYS but no OP
