@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_agg": q.q_kg_sparql_agg,
         "kg_sparql_construct": q.q_kg_sparql_construct,
         "kg_sparql_ask": q.q_kg_sparql_ask,
+        "kg_sparql_describe": q.q_kg_sparql_describe,
+        "kg_sparql_values": q.q_kg_sparql_values,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -584,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_agg": q.sql_kg_sparql_agg(),
         "kg_sparql_construct": q.sql_kg_sparql_construct(),
         "kg_sparql_ask": q.sql_kg_sparql_ask(),
+        "kg_sparql_describe": q.sql_kg_sparql_describe(),
+        "kg_sparql_values": q.sql_kg_sparql_values(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

@@ -45,7 +45,13 @@ from_spacy = Quickner.from_spacy
 # KG query surface (no reference counterpart — quickner has no query
 # layer): SPARQL SELECT over a triples Dataset. Ray-free import; the
 # engine modules load lazily inside run_select.
-from .kernel.sparql import SparqlError, parse_select, run_ask, run_construct
+from .kernel.sparql import (
+    SparqlError,
+    parse_select,
+    run_ask,
+    run_construct,
+    run_describe,
+)
 from .kernel.sparql import run_select as sparql
 
 __version__ = "0.1.0"
@@ -67,6 +73,7 @@ __all__ = [
     "parse_select",
     "run_ask",
     "run_construct",
+    "run_describe",
     "sparql",
     "SparqlError",
     "synth_page",

@@ -37,6 +37,7 @@ __all__ = [
     "parse_select",
     "run_ask",
     "run_construct",
+    "run_describe",
     "run_select",
 ]
 
@@ -262,6 +263,7 @@ def parse_select(query: str) -> dict:
     patterns: list[tuple] = []
     optional: list[tuple] = []
     not_exists: list[tuple] = []
+    values: list[tuple[str, list[str]]] = []
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -293,10 +295,34 @@ def parse_select(query: str) -> dict:
                 "patterns": patterns,
                 "optional": optional,
                 "not_exists": not_exists,
+                "values": values,
                 "group_by": group_by,
                 "order_by": order_by,
                 "limit": limit,
             }
+        if up == "VALUES" and not cur:
+            i += 1
+            if i >= len(toks) or not toks[i].startswith("?") or len(toks[i]) < 2:
+                raise SparqlError("VALUES needs one ?variable")
+            var = toks[i][1:]
+            i += 1
+            if i >= len(toks) or toks[i] != "{":
+                raise SparqlError("expected '{' after VALUES variable")
+            i += 1
+            consts: list[str] = []
+            while i < len(toks) and toks[i] != "}":
+                c = _term(toks[i])
+                if c.startswith("?"):
+                    raise SparqlError("VALUES rows must be constants")
+                consts.append(c)
+                i += 1
+            if i >= len(toks):
+                raise SparqlError("unterminated VALUES group")
+            if not consts:
+                raise SparqlError("VALUES needs at least one constant")
+            values.append((var, consts))
+            i += 1
+            continue
         if up == "OPTIONAL" and not cur:
             grp, i = _parse_group(toks, i + 1)
             optional.extend(grp)
@@ -387,24 +413,8 @@ def run_select(triples, query: str, **bgp_kwargs):
     narrowing projection)."""
     from ray.data.aggregate import Count
 
-    from ..stages.bgp import bgp_match
-
     q = parse_select(query)
-    out = bgp_match(
-        triples,
-        q["patterns"],
-        optional=tuple(q["optional"]),
-        not_exists=tuple(q["not_exists"]),
-        **bgp_kwargs,
-    )
-    # bound variables are static in the query text — never call
-    # Dataset.schema() here: on a lazy aggregate it executes the whole
-    # upstream plan once for the names and then AGAIN for the rows
-    bound = []
-    for p in [*q["patterns"], *q["optional"]]:
-        for t in p:
-            if isinstance(t, str) and t.startswith("?") and t[1:] not in bound:
-                bound.append(t[1:])
+    out, bound = _bindings(triples, q, **bgp_kwargs)
 
     if q["group_by"]:
         out = _aggregate(out, q, bound)
@@ -445,6 +455,40 @@ def run_select(triples, query: str, **bgp_kwargs):
     return out
 
 
+def _bindings(triples, sel: dict, **bgp_kwargs):
+    """Shared WHERE evaluation: bgp_match + VALUES restrictions. Returns
+    (bindings Dataset, bound variable names). Bound variables are static
+    in the query text — never call Dataset.schema() here: on a lazy
+    aggregate it executes the whole upstream plan once for the names and
+    then AGAIN for the rows."""
+    import pyarrow.compute as pc
+
+    from ..stages.bgp import bgp_match
+
+    bound: list[str] = []
+    for p in [*sel["patterns"], *sel["optional"]]:
+        for t in p:
+            if isinstance(t, str) and t.startswith("?") and t[1:] not in bound:
+                bound.append(t[1:])
+    out = bgp_match(
+        triples,
+        sel["patterns"],
+        optional=tuple(sel["optional"]),
+        not_exists=tuple(sel["not_exists"]),
+        **bgp_kwargs,
+    )
+    for var, consts in sel.get("values", ()):
+        if var not in bound:
+            raise SparqlError(f"VALUES of unbound variable: ?{var}")
+        out = out.map_batches(
+            lambda b, v=var, cs=tuple(consts): b.filter(
+                pc.is_in(b.column(v), value_set=pa.array(cs, type=pa.string()))
+            ),
+            batch_format="pyarrow",
+        )
+    return out, bound
+
+
 def run_construct(triples, query: str, **bgp_kwargs):
     """SPARQL CONSTRUCT: ``CONSTRUCT { template . ... } WHERE { ... }`` ->
     Dataset(subj, pred, obj) of the DISTINCT triples instantiated from the
@@ -452,8 +496,6 @@ def run_construct(triples, query: str, **bgp_kwargs):
     constants; each template pattern is one zero-shuffle projection of
     the binding stream, templates union, one bounded groupby dedups."""
     from ray.data.aggregate import Count
-
-    from ..stages.bgp import bgp_match
 
     toks = list(_tokens(query))
     if not toks or toks[0].upper() != "CONSTRUCT":
@@ -469,22 +511,11 @@ def run_construct(triples, query: str, **bgp_kwargs):
     sel = parse_select("SELECT * WHERE " + " ".join(toks[i + 1:]))
     if sel["group_by"] or sel["order_by"] or sel["limit"] is not None:
         raise SparqlError("CONSTRUCT takes no solution modifiers")
-    bound = set()
-    for p in [*sel["patterns"], *sel["optional"]]:
-        for t in p:
-            if isinstance(t, str) and t.startswith("?"):
-                bound.add(t[1:])
+    bindings, bound = _bindings(triples, sel, **bgp_kwargs)
     for p in templates:
         for t in p:
             if t.startswith("?") and t[1:] not in bound:
                 raise SparqlError(f"template uses unbound variable ?{t[1:]}")
-    bindings = bgp_match(
-        triples,
-        sel["patterns"],
-        optional=tuple(sel["optional"]),
-        not_exists=tuple(sel["not_exists"]),
-        **bgp_kwargs,
-    )
 
     def instantiate(b: pa.Table) -> pa.Table:
         outs = []
@@ -507,25 +538,53 @@ def run_construct(triples, query: str, **bgp_kwargs):
     )
 
 
+def run_describe(triples, query: str, *, subj_col: str = "subj",
+                 pred_col: str = "pred", obj_col: str = "obj"):
+    """SPARQL DESCRIBE for a constant term: ``DESCRIBE :entity`` -> every
+    DISTINCT triple where the term is the subject or the object. ONE
+    vectorized filter pass over the stream plus a bounded dedup groupby —
+    at store scale feed the SPO/OSP permutation lookups instead."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    toks = list(_tokens(query))
+    if len(toks) != 2 or toks[0].upper() != "DESCRIBE":
+        raise SparqlError("DESCRIBE takes exactly one term")
+    term = _term(toks[1])
+    if term.startswith("?"):
+        raise SparqlError("DESCRIBE needs a constant term, not a variable")
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = pc.or_(
+            pc.equal(b.column(subj_col), pa.scalar(term)),
+            pc.equal(b.column(obj_col), pa.scalar(term)),
+        )
+        t = b.filter(mask)
+        out = pa.table(
+            {"subj": t.column(subj_col), "pred": t.column(pred_col),
+             "obj": t.column(obj_col)}
+        )
+        return out.group_by(out.column_names).aggregate([])
+
+    return (
+        triples.map_batches(f, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
 def run_ask(triples, query: str, **bgp_kwargs):
     """SPARQL ASK: ``ASK { ... }`` -> one-row Dataset(ask: int64 0/1) —
     does any binding satisfy the group? Evaluates the group's bindings
     and stops at the first one (limit(1) short-circuits the stream)."""
     import ray.data as rd
 
-    from ..stages.bgp import bgp_match
-
     toks = list(_tokens(query))
     if not toks or toks[0].upper() != "ASK":
         raise SparqlError("query must start with ASK")
     sel = parse_select("SELECT * WHERE " + " ".join(toks[1:]))
-    bindings = bgp_match(
-        triples,
-        sel["patterns"],
-        optional=tuple(sel["optional"]),
-        not_exists=tuple(sel["not_exists"]),
-        **bgp_kwargs,
-    )
+    bindings, _ = _bindings(triples, sel, **bgp_kwargs)
     hit = len(bindings.limit(1).take(1)) > 0
     return rd.from_arrow(
         pa.table({"ask": pa.array([1 if hit else 0], type=pa.int64())})

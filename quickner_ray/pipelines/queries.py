@@ -3927,6 +3927,61 @@ def sql_kg_sparql_ask() -> str:
     )
 
 
+def q_kg_sparql_describe(sf_dir: str):
+    """SPARQL DESCRIBE for the canonical 'spark' SYSTEM entity: every
+    distinct triple touching it, one vectorized filter pass over the
+    stream (kernel/sparql.run_describe). Output also exercises the
+    VALUES verb indirectly via the oracle's constant restriction."""
+    from ..kernel.sparql import run_describe
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return run_describe(q_triples(sf_dir), f"DESCRIBE :{spark}")
+
+
+def sql_kg_sparql_describe() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj, plabel AS pred,\n"
+        f"       eid AS obj FROM acc WHERE eid = '{spark}'"
+    )
+
+
+def q_kg_sparql_values(sf_dir: str):
+    """SPARQL VALUES inline restriction in query text: co-mention pairs
+    with the SYSTEM side pinned to the 'spark'/'stream' entities via a
+    VALUES row (vectorized is_in over the binding stream)."""
+    from ..kernel.sparql import run_select
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    stream = entity_id("stream", "SYSTEM")
+    return run_select(
+        q_triples(sf_dir),
+        f"SELECT ?s ?o WHERE {{ ?d :SYSTEM ?s . ?d :OPERATOR ?o . "
+        f"VALUES ?s {{ :{spark} :{stream} }} }}",
+    )
+
+
+def sql_kg_sparql_values() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    spark = entity_id("spark", "SYSTEM")
+    stream = entity_id("stream", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT DISTINCT s.eid AS s, o.eid AS o\n"
+        f"FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        f"WHERE s.plabel = 'SYSTEM' AND o.plabel = 'OPERATOR'\n"
+        f"  AND s.eid IN ('{spark}', '{stream}')"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

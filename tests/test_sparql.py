@@ -306,3 +306,73 @@ class TestConstructAndAsk:
             "ASK { ?d :SYS ?s . FILTER NOT EXISTS { ?d :OP ?o . } }",
         )
         assert out.take_all() == [{"ask": 1}]  # d2 has SYS but no OP
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestValuesAndDescribe:
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_values_restricts_bindings(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?s WHERE { ?d :SYS ?s . VALUES ?s { :spark } }",
+        ).take_all()
+        assert sorted((r["d"], r["s"]) for r in out) == [
+            ("d1", "spark"),
+            ("d2", "spark"),
+        ]
+
+    def test_values_applies_to_ask_and_construct(self):
+        from quickner_ray.kernel.sparql import run_ask, run_construct
+
+        no = run_ask(
+            self._ds(), "ASK { ?d :SYS ?s . VALUES ?s { :nope } }"
+        ).take_all()
+        assert no == [{"ask": 0}]
+        tri = run_construct(
+            self._ds(),
+            "CONSTRUCT { ?d :HAS ?s . } WHERE { ?d :SYS ?s . "
+            "VALUES ?s { :flink } }",
+        ).take_all()
+        assert [(r["subj"], r["obj"]) for r in tri] == [("d3", "flink")]
+
+    def test_values_multiple_constants(self):
+        out = run_select(
+            self._ds(),
+            'SELECT ?d WHERE { ?d :SYS ?s . VALUES ?s { :flink "spark" } }',
+        ).take_all()
+        assert sorted(r["d"] for r in out) == ["d1", "d2", "d3"]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT ?d WHERE { ?d :SYS ?s . VALUES ?x { :a } }",  # unbound
+            "SELECT ?d WHERE { ?d :SYS ?s . VALUES ?s { } }",  # empty
+            "SELECT ?d WHERE { ?d :SYS ?s . VALUES ?s { ?v } }",  # var row
+            "SELECT ?d WHERE { ?d :SYS ?s . VALUES { :a } }",  # no var
+        ],
+    )
+    def test_bad_values_raise(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
+
+    def test_describe_subject_and_object_sides(self):
+        from quickner_ray.kernel.sparql import run_describe
+
+        out = run_describe(self._ds(), "DESCRIBE :spark").take_all()
+        assert sorted((r["subj"], r["pred"], r["obj"]) for r in out) == [
+            ("d1", "SYS", "spark"),
+            ("d2", "SYS", "spark"),
+        ]
+        docside = run_describe(self._ds(), "DESCRIBE :d1").take_all()
+        assert sorted((r["pred"], r["obj"]) for r in docside) == [
+            ("OP", "join"),
+            ("SYS", "spark"),
+        ]
+
+    def test_describe_rejects_variables(self):
+        from quickner_ray.kernel.sparql import run_describe
+
+        with pytest.raises(SparqlError, match="constant"):
+            run_describe(self._ds(), "DESCRIBE ?x")
