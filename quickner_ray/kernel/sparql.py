@@ -264,6 +264,7 @@ def parse_select(query: str) -> dict:
     optional: list[tuple] = []
     not_exists: list[tuple] = []
     values: list[tuple[str, list[str]]] = []
+    unions: list[list[tuple]] = []
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -275,7 +276,17 @@ def parse_select(query: str) -> dict:
                 )
             i += 1
             group_by, order_by, limit = _parse_modifiers(toks, i)
-            if not patterns:
+            if unions:
+                if patterns:
+                    raise SparqlError(
+                        "UNION groups cannot mix with top-level patterns"
+                    )
+                if optional or not_exists:
+                    raise SparqlError(
+                        "OPTIONAL/NOT EXISTS/MINUS are not supported "
+                        "alongside UNION"
+                    )
+            elif not patterns:
                 raise SparqlError("WHERE has no required patterns")
             if aggs and not group_by:
                 raise SparqlError("aggregates need GROUP BY")
@@ -296,6 +307,7 @@ def parse_select(query: str) -> dict:
                 "optional": optional,
                 "not_exists": not_exists,
                 "values": values,
+                "unions": unions,
                 "group_by": group_by,
                 "order_by": order_by,
                 "limit": limit,
@@ -322,6 +334,25 @@ def parse_select(query: str) -> dict:
                 raise SparqlError("VALUES needs at least one constant")
             values.append((var, consts))
             i += 1
+            continue
+        if t == "{" and not cur and not patterns and not unions:
+            # '{ groupA } UNION { groupB } [UNION ...]' — branch bindings
+            # union (each branch a plain pattern group; OPTIONAL / FILTER
+            # NOT EXISTS go inside neither — scoped out loudly below)
+            grp, i = _parse_group(toks, i)
+            unions.append(grp)
+            while i < len(toks) and toks[i].upper() == "UNION":
+                grp, i = _parse_group(toks, i + 1)
+                unions.append(grp)
+            if len(unions) < 2:
+                raise SparqlError("a bare group needs UNION branches")
+            continue
+        if up == "MINUS" and not cur:
+            # SPARQL MINUS on shared variables == FILTER NOT EXISTS here;
+            # the engine refuses no-shared-variable MINUS (where real
+            # SPARQL would remove nothing) instead of silently diverging
+            grp, i = _parse_group(toks, i + 1)
+            not_exists.extend(grp)
             continue
         if up == "OPTIONAL" and not cur:
             grp, i = _parse_group(toks, i + 1)
@@ -465,18 +496,42 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
 
     from ..stages.bgp import bgp_match
 
-    bound: list[str] = []
-    for p in [*sel["patterns"], *sel["optional"]]:
-        for t in p:
-            if isinstance(t, str) and t.startswith("?") and t[1:] not in bound:
-                bound.append(t[1:])
-    out = bgp_match(
-        triples,
-        sel["patterns"],
-        optional=tuple(sel["optional"]),
-        not_exists=tuple(sel["not_exists"]),
-        **bgp_kwargs,
-    )
+    def group_vars(pats) -> list[str]:
+        vs: list[str] = []
+        for p in pats:
+            for t in p:
+                if isinstance(t, str) and t.startswith("?") and t[1:] not in vs:
+                    vs.append(t[1:])
+        return vs
+
+    if sel.get("unions"):
+        from ray.data.aggregate import Count
+
+        branches = sel["unions"]
+        bound = sorted(group_vars(branches[0]))
+        for b in branches[1:]:
+            if sorted(group_vars(b)) != bound:
+                raise SparqlError(
+                    "UNION branches must bind the same variables "
+                    f"({bound} vs {sorted(group_vars(b))})"
+                )
+        out = bgp_match(triples, branches[0], **bgp_kwargs)
+        for b in branches[1:]:  # branch outputs share the sorted-var layout
+            out = out.union(bgp_match(triples, b, **bgp_kwargs))
+        out = (  # per-branch DISTINCT doesn't dedup across branches
+            out.groupby(bound)
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+    else:
+        bound = group_vars([*sel["patterns"], *sel["optional"]])
+        out = bgp_match(
+            triples,
+            sel["patterns"],
+            optional=tuple(sel["optional"]),
+            not_exists=tuple(sel["not_exists"]),
+            **bgp_kwargs,
+        )
     for var, consts in sel.get("values", ()):
         if var not in bound:
             raise SparqlError(f"VALUES of unbound variable: ?{var}")

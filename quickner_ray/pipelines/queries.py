@@ -3982,6 +3982,30 @@ def sql_kg_sparql_values() -> str:
     )
 
 
+def q_kg_sparql_union(sf_dir: str):
+    """SPARQL UNION in query text: (doc, entity) bindings from OPERATOR
+    or UNIT mentions — branch evaluations are a zero-shuffle Dataset
+    union, one bounded groupby dedups across branches
+    (kernel/sparql._bindings)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d ?e WHERE { { ?d :OPERATOR ?e . } "
+        "UNION { ?d :UNIT ?e . } }",
+    )
+
+
+def sql_kg_sparql_union() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS e\n"
+        f"FROM acc WHERE plabel IN ('OPERATOR', 'UNIT')"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -376,3 +376,62 @@ class TestValuesAndDescribe:
 
         with pytest.raises(SparqlError, match="constant"):
             run_describe(self._ds(), "DESCRIBE ?x")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestUnionAndMinus:
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_union_of_two_groups(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?e WHERE { { ?d :OP ?e . } UNION { ?d :UNIT ?e . } }",
+        ).take_all()
+        assert sorted((r["d"], r["e"]) for r in out) == [
+            ("d1", "join"),
+            ("d2", "row"),
+            ("d3", "sort"),
+        ]
+
+    def test_union_dedups_across_branches(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?e WHERE { { ?d :SYS ?e . } UNION { ?d :SYS ?e . } }",
+        ).take_all()
+        assert len(out) == 3
+
+    def test_three_way_union_and_values(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?e WHERE { { ?d :OP ?e . } UNION { ?d :UNIT ?e . } "
+            "UNION { ?d :SYS ?e . } VALUES ?d { :d2 } }",
+        ).take_all()
+        assert sorted((r["d"], r["e"]) for r in out) == [
+            ("d2", "row"),
+            ("d2", "spark"),
+        ]
+
+    def test_minus_is_anti_join(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d ?s WHERE { ?d :SYS ?s . MINUS { ?d :OP ?o . } }",
+        ).take_all()
+        assert [(r["d"], r["s"]) for r in out] == [("d2", "spark")]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # branches bind different variables
+            "SELECT ?d WHERE { { ?d :OP ?e . } UNION { ?d :UNIT ?u . } }",
+            # bare group without UNION
+            "SELECT ?d WHERE { { ?d :OP ?e . } }",
+            # mixing UNION with a top-level pattern
+            "SELECT ?d WHERE { { ?d :OP ?e . } UNION { ?d :UNIT ?e . } ?d :SYS ?s . }",
+            # OPTIONAL alongside UNION
+            "SELECT ?d WHERE { { ?d :OP ?e . } UNION { ?d :UNIT ?e . } OPTIONAL { ?d :SYS ?s . } }",
+        ],
+    )
+    def test_bad_union_raises(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
