@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_describe": q.q_kg_sparql_describe,
         "kg_sparql_values": q.q_kg_sparql_values,
         "kg_sparql_union": q.q_kg_sparql_union,
+        "kg_sparql_filter": q.q_kg_sparql_filter,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -590,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_describe": q.sql_kg_sparql_describe(),
         "kg_sparql_values": q.sql_kg_sparql_values(),
         "kg_sparql_union": q.sql_kg_sparql_union(),
+        "kg_sparql_filter": q.sql_kg_sparql_filter(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

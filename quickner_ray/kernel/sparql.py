@@ -48,9 +48,9 @@ class SparqlError(ValueError):
 
 _TOKEN = re.compile(
     r"""\s*(?:
-        (?P<punct>[{}.()])
+        (?P<punct>[{}.(),])
       | (?P<str>"(?:[^"\\]|\\.)*")
-      | (?P<word>[^\s{}."()]+)
+      | (?P<word>[^\s{}."(),]+)
     )""",
     re.VERBOSE,
 )
@@ -265,6 +265,7 @@ def parse_select(query: str) -> dict:
     not_exists: list[tuple] = []
     values: list[tuple[str, list[str]]] = []
     unions: list[list[tuple]] = []
+    filters: list[tuple[str, str, str]] = []
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -308,6 +309,7 @@ def parse_select(query: str) -> dict:
                 "not_exists": not_exists,
                 "values": values,
                 "unions": unions,
+                "filters": filters,
                 "group_by": group_by,
                 "order_by": order_by,
                 "limit": limit,
@@ -367,7 +369,49 @@ def parse_select(query: str) -> dict:
                 grp, i = _parse_group(toks, i + 3)
                 not_exists.extend(grp)
                 continue
-            raise SparqlError("only FILTER NOT EXISTS { ... } is supported")
+            if i + 1 < len(toks) and toks[i + 1].upper() == "REGEX":
+                # FILTER regex(?v, "pattern")
+                j = i + 2
+                if (
+                    j + 4 >= len(toks)
+                    or toks[j] != "("
+                    or not toks[j + 1].startswith("?")
+                    or toks[j + 2] != ","
+                    or not toks[j + 3].startswith('"')
+                    or toks[j + 4] != ")"
+                ):
+                    raise SparqlError(
+                        'FILTER regex needs (?var, "pattern")'
+                    )
+                filters.append(("regex", toks[j + 1][1:], _term(toks[j + 3])))
+                i = j + 5
+                continue
+            if i + 1 < len(toks) and toks[i + 1] == "(":
+                # FILTER ( ?v = const ) / FILTER ( ?v != const )
+                j = i + 2
+                if (
+                    j + 3 >= len(toks)
+                    or not toks[j].startswith("?")
+                    or toks[j + 1] not in ("=", "!=")
+                    or toks[j + 3] != ")"
+                ):
+                    raise SparqlError(
+                        "FILTER needs ( ?var = const ) or ( ?var != const )"
+                    )
+                const = _term(toks[j + 2])
+                if const.startswith("?"):
+                    raise SparqlError(
+                        "FILTER comparisons take a constant right side"
+                    )
+                filters.append(
+                    ("eq" if toks[j + 1] == "=" else "ne", toks[j][1:], const)
+                )
+                i = j + 4
+                continue
+            raise SparqlError(
+                "only FILTER NOT EXISTS { }, FILTER regex(?v, \"p\") and "
+                "FILTER ( ?v =/!= const ) are supported"
+            )
         if t == ".":
             if len(cur) != 3:
                 raise SparqlError(f"pattern needs 3 terms, got {cur!r}")
@@ -541,6 +585,21 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             ),
             batch_format="pyarrow",
         )
+    for op, var, rhs in sel.get("filters", ()):
+        if var not in bound:
+            raise SparqlError(f"FILTER of unbound variable: ?{var}")
+
+        def f(b: pa.Table, o=op, v=var, r=rhs) -> pa.Table:
+            col = b.column(v)
+            if o == "regex":
+                mask = pc.match_substring_regex(col, r)
+            elif o == "eq":
+                mask = pc.equal(col, pa.scalar(r))
+            else:
+                mask = pc.invert(pc.equal(col, pa.scalar(r)))
+            return b.filter(mask)
+
+        out = out.map_batches(f, batch_format="pyarrow")
     return out, bound
 
 

@@ -4006,6 +4006,36 @@ def sql_kg_sparql_union() -> str:
     )
 
 
+def q_kg_sparql_filter(sf_dir: str):
+    """SPARQL FILTER expressions in query text: SYSTEM-mentioning docs
+    whose doc id starts with '1' and whose system entity is NOT the
+    'stream' one — regex + inequality filters as vectorized Arrow masks
+    over the binding stream (kernel/sparql._bindings)."""
+    from ..kernel.sparql import run_select
+    from ..stages.canonicalize import entity_id
+
+    stream = entity_id("stream", "SYSTEM")
+    return run_select(
+        q_triples(sf_dir),
+        f'SELECT ?d ?s WHERE {{ ?d :SYSTEM ?s . '
+        f'FILTER regex(?d, "^1") FILTER ( ?s != :{stream} ) }}',
+    )
+
+
+def sql_kg_sparql_filter() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    stream = entity_id("stream", "SYSTEM")
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        f"SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        f"FROM acc WHERE plabel = 'SYSTEM'\n"
+        f"  AND regexp_matches(CAST(doc_id AS VARCHAR), '^1')\n"
+        f"  AND eid <> '{stream}'"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -435,3 +435,53 @@ class TestUnionAndMinus:
     def test_bad_union_raises(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFilterExpressions:
+    def _ds(self):
+        return rd.from_arrow(T)
+
+    def test_filter_regex(self):
+        out = run_select(
+            self._ds(),
+            'SELECT ?d ?e WHERE { ?d :OP ?e . FILTER regex(?e, "^s") }',
+        ).take_all()
+        assert [(r["d"], r["e"]) for r in out] == [("d3", "sort")]
+
+    def test_filter_eq_and_ne(self):
+        eq = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s = :spark ) }",
+        ).take_all()
+        assert sorted(r["d"] for r in eq) == ["d1", "d2"]
+        ne = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s != :spark ) }",
+        ).take_all()
+        assert [r["d"] for r in ne] == ["d3"]
+
+    def test_filter_quoted_rhs_and_stacking(self):
+        out = run_select(
+            self._ds(),
+            'SELECT ?d ?s WHERE { ?d :SYS ?s . '
+            'FILTER regex(?s, "k$") FILTER ( ?d != "d2" ) }',
+        ).take_all()
+        assert sorted((r["d"], r["s"]) for r in out) == [
+            ("d1", "spark"),
+            ("d3", "flink"),
+        ]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER regex(?s) }",
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s < :a ) }",
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s = ?d ) }",
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER regex(?x, \"a\") }",
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER bound(?s) }",
+        ],
+    )
+    def test_bad_filters_raise(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
