@@ -137,6 +137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
+        "rdfs_types": q.q_rdfs_types,
+        "rdfs_lifted_counts": q.q_rdfs_lifted_counts,
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
         "host_reachability": q.q_host_reachability,
         "host_cheapest_route": q.q_host_cheapest_route,
@@ -577,6 +579,8 @@ def oracle_sql() -> dict[str, str]:
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
+        "rdfs_types": q.sql_rdfs_types(),
+        "rdfs_lifted_counts": q.sql_rdfs_lifted_counts(),
         "kmv_entity_overlap": q.sql_kmv_entity_overlap(),
         "host_reachability": q.sql_host_reachability(),
         "host_cheapest_route": q.sql_host_cheapest_route(),

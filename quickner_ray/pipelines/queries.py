@@ -3580,6 +3580,129 @@ def sql_kg_negation_bgp() -> str:
     )
 
 
+def _kg_ontology():
+    """The deterministic mini-ontology over the KG's predicate vocabulary
+    (the gazetteer labels): a 3-level property hierarchy and a 3-level
+    class hierarchy with domain/range typing — enough structure to
+    exercise every RDFS rule (rdfs2/3/7/9 + transitivity) while staying
+    driver-side tiny, the scale contract of stages/rdfs.py."""
+    from ..stages.rdfs import RdfsSchema
+
+    preds = ("OPERATOR", "SYSTEM", "UNIT", "ENTITY", "CONCEPT", "PHRASE")
+    return RdfsSchema(
+        sub_class_of=(
+            ("OperatorTerm", "TechTerm"),
+            ("SystemTerm", "TechTerm"),
+            ("UnitTerm", "MeasureTerm"),
+            ("TechTerm", "Term"),
+            ("MeasureTerm", "Term"),
+            ("BizTerm", "Term"),
+            ("AbstractTerm", "Term"),
+            ("PhraseTerm", "Term"),
+        ),
+        sub_property_of=(
+            ("OPERATOR", "MENTIONS_COMPONENT"),
+            ("SYSTEM", "MENTIONS_COMPONENT"),
+            ("MENTIONS_COMPONENT", "MENTIONS"),
+            ("UNIT", "MENTIONS_MEASURE"),
+            ("MENTIONS_MEASURE", "MENTIONS"),
+            ("ENTITY", "MENTIONS"),
+            ("CONCEPT", "MENTIONS"),
+            ("PHRASE", "MENTIONS"),
+        ),
+        domain=tuple((p, "Document") for p in preds),
+        range=(
+            ("OPERATOR", "OperatorTerm"),
+            ("SYSTEM", "SystemTerm"),
+            ("UNIT", "UnitTerm"),
+            ("ENTITY", "BizTerm"),
+            ("CONCEPT", "AbstractTerm"),
+            ("PHRASE", "PhraseTerm"),
+        ),
+    )
+
+
+def _sql_values(pairs, cols: str) -> str:
+    rows = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    return f"({cols}) AS (VALUES {rows})"
+
+
+def q_rdfs_types(sf_dir: str):
+    """RDFS type entailment over the extracted KG (stages/rdfs.py): every
+    DISTINCT (node, rdf_type) the mini-ontology implies — rdfs2 types the
+    doc subjects via domain, rdfs3 types the entity objects via range,
+    rdfs9 propagates each inferred type up the transitive subClassOf
+    hierarchy. Schema closures fold driver-side into vectorized mask arms;
+    the instance pass is zero-shuffle; one bounded groupby dedups."""
+    from ..stages.rdfs import entailed_types
+
+    return entailed_types(q_triples(sf_dir), _kg_ontology())
+
+
+def sql_rdfs_types() -> str:
+    """Independent oracle: the closure is computed by a RECURSIVE CTE over
+    the DIRECT schema edges (the engine closes them in Python), so the two
+    sides only agree if the transitive semantics match."""
+    from .ner_oracle import sql_match_ctes
+
+    ont = _kg_ontology()
+    return (
+        f"WITH RECURSIVE {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel AS pred, eid AS obj FROM acc),\n"
+        f"sc{_sql_values(ont.sub_class_of, 'cls, sup')},\n"
+        "scc(cls, sup) AS (SELECT cls, sup FROM sc UNION\n"
+        "  SELECT r.cls, s.sup FROM scc r JOIN sc s ON r.sup = s.cls),\n"
+        f"dom{_sql_values(ont.domain, 'pred, cls')},\n"
+        f"rng{_sql_values(ont.range, 'pred, cls')},\n"
+        "direct_types AS (\n"
+        "  SELECT t.subj AS node, d.cls AS rdf_type FROM tri t"
+        " JOIN dom d ON t.pred = d.pred\n"
+        "  UNION ALL SELECT t.obj, r.cls FROM tri t"
+        " JOIN rng r ON t.pred = r.pred)\n"
+        "SELECT DISTINCT node, rdf_type FROM (\n"
+        "  SELECT node, rdf_type FROM direct_types\n"
+        "  UNION ALL SELECT dt.node, s.sup FROM direct_types dt"
+        " JOIN scc s ON dt.rdf_type = s.cls)"
+    )
+
+
+def q_rdfs_lifted_counts(sf_dir: str):
+    """RDFS rdfs7 predicate lifting (stages/rdfs.lift_predicates): each
+    triple entails one copy per transitive superproperty of its predicate;
+    output = DISTINCT entailed triples counted per predicate — the KG's
+    schema-level predicate profile after entailment."""
+    from ray.data.aggregate import Count
+
+    from ..stages.rdfs import lift_predicates
+
+    return (
+        lift_predicates(q_triples(sf_dir), _kg_ontology())
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_triples"))
+    )
+
+
+def sql_rdfs_lifted_counts() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    ont = _kg_ontology()
+    return (
+        f"WITH RECURSIVE {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel AS pred, eid AS obj FROM acc),\n"
+        f"sp{_sql_values(ont.sub_property_of, 'pred, sup')},\n"
+        "spc(pred, sup) AS (SELECT pred, sup FROM sp UNION\n"
+        "  SELECT r.pred, s.sup FROM spc r JOIN sp s ON r.sup = s.pred),\n"
+        "lifted AS (\n"
+        "  SELECT subj, pred, obj FROM tri\n"
+        "  UNION SELECT t.subj, c.sup AS pred, t.obj FROM tri t"
+        " JOIN spc c ON t.pred = c.pred)\n"
+        "SELECT pred, CAST(count(*) AS BIGINT) AS n_triples"
+        " FROM lifted GROUP BY pred"
+    )
+
+
 def q_kmv_entity_overlap(sf_dir: str):
     """KMV-sketch set-intersection estimate (Beyer et al. 2007) between
     two KG doc sets: A = docs mentioning the SYSTEM entity 'spark', B =
