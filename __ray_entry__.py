@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
+        "kg_shape_violations": q.q_kg_shape_violations,
         "rdfs_types": q.q_rdfs_types,
         "rdfs_lifted_counts": q.q_rdfs_lifted_counts,
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
@@ -579,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
+        "kg_shape_violations": q.sql_kg_shape_violations(),
         "rdfs_types": q.sql_rdfs_types(),
         "rdfs_lifted_counts": q.sql_rdfs_lifted_counts(),
         "kmv_entity_overlap": q.sql_kmv_entity_overlap(),

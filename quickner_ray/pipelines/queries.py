@@ -3703,6 +3703,64 @@ def sql_rdfs_lifted_counts() -> str:
     )
 
 
+def _kg_shapes():
+    from ..stages.canonicalize import entity_id
+    from ..stages.shapes import ShapeConstraint
+
+    allowed_units = tuple(
+        entity_id(n, "UNIT")
+        for n, lbl in DEFAULT_GAZETTEER
+        if lbl == "UNIT" and n != "part"
+    )
+    return [
+        ShapeConstraint("operator_max3", "OPERATOR", max_count=3),
+        ShapeConstraint("unit_required", "UNIT", min_count=1),
+        ShapeConstraint("unit_closed", "UNIT", allowed_objects=allowed_units),
+    ]
+
+
+def q_kg_shape_violations(sf_dir: str):
+    """SHACL-lite validation of the extracted KG (stages/shapes.py):
+    sh:maxCount (a doc may mention at most 3 distinct OPERATOR entities),
+    sh:minCount (every doc with any mention must mention a UNIT) and
+    sh:in (UNIT objects come from a closed set excluding 'part') evaluated
+    in one distributed pass — distinct-edge-bounded count shuffles, an
+    anti-join membership test for minCount, zero-shuffle is_in masks for
+    the closed set. Output: DISTINCT (constraint_id, subj) violations."""
+    from ..stages.shapes import shape_violations
+
+    return shape_violations(q_triples(sf_dir), _kg_shapes())
+
+
+def sql_kg_shape_violations() -> str:
+    from ..stages.canonicalize import entity_id
+    from .ner_oracle import sql_match_ctes
+
+    allowed = ", ".join(
+        f"'{entity_id(n, 'UNIT')}'"
+        for n, lbl in DEFAULT_GAZETTEER
+        if lbl == "UNIT" and n != "part"
+    )
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "tri AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,"
+        " plabel AS pred, eid AS obj FROM acc),\n"
+        "counts AS (SELECT subj, pred, count(*) AS n_objs FROM tri"
+        " GROUP BY subj, pred)\n"
+        "SELECT DISTINCT constraint_id, subj FROM (\n"
+        "  SELECT 'operator_max3' AS constraint_id, subj FROM counts\n"
+        "    WHERE pred = 'OPERATOR' AND n_objs > 3\n"
+        "  UNION ALL\n"
+        "  SELECT 'unit_required', s.subj FROM"
+        " (SELECT DISTINCT subj FROM tri) s\n"
+        "    WHERE NOT EXISTS (SELECT 1 FROM counts c WHERE"
+        " c.subj = s.subj AND c.pred = 'UNIT' AND c.n_objs >= 1)\n"
+        "  UNION ALL\n"
+        f"  SELECT 'unit_closed', subj FROM tri WHERE pred = 'UNIT'"
+        f" AND obj NOT IN ({allowed}))"
+    )
+
+
 def q_kmv_entity_overlap(sf_dir: str):
     """KMV-sketch set-intersection estimate (Beyer et al. 2007) between
     two KG doc sets: A = docs mentioning the SYSTEM entity 'spark', B =
