@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_values": q.q_kg_sparql_values,
         "kg_sparql_union": q.q_kg_sparql_union,
         "kg_sparql_filter": q.q_kg_sparql_filter,
+        "kg_sparql_having": q.q_kg_sparql_having,
+        "kg_sparql_slice": q.q_kg_sparql_slice,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -598,6 +600,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_values": q.sql_kg_sparql_values(),
         "kg_sparql_union": q.sql_kg_sparql_union(),
         "kg_sparql_filter": q.sql_kg_sparql_filter(),
+        "kg_sparql_having": q.sql_kg_sparql_having(),
+        "kg_sparql_slice": q.sql_kg_sparql_slice(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

@@ -15,9 +15,12 @@ Supported: variables (``?name``), prefixed constants (``:value`` — the
 leading colon marks an IRI-ish constant, stripped to its local part),
 quoted string constants, triple patterns terminated by ``.``, any number
 of OPTIONAL { ... } and FILTER NOT EXISTS { ... } groups (each holding
-one or more patterns), comments (``#`` to end of line), and SELECT
-projection with ``*`` or an explicit variable list. DISTINCT is implied
-(bgp_match returns distinct bindings — stated in its contract).
+one or more patterns), comments (``#`` to end of line), SELECT
+projection with ``*`` or an explicit variable list, COUNT aggregates
+with GROUP BY / HAVING, FILTER expressions (regex, string =/!=, numeric
+< > <= >=), ORDER BY / LIMIT / OFFSET paging, UNION, MINUS and VALUES.
+DISTINCT is implied (bgp_match returns distinct bindings — stated in
+its contract).
 
 Deliberately NOT a full grammar: no UNION/GRAPH/SERVICE/BIND, no literal
 datatypes — parity target is the engine underneath, and unsupported
@@ -276,7 +279,9 @@ def parse_select(query: str) -> dict:
                     f"unterminated pattern before '}}': {cur!r} (missing '.')"
                 )
             i += 1
-            group_by, order_by, limit = _parse_modifiers(toks, i)
+            group_by, order_by, limit, having, offset = _parse_modifiers(
+                toks, i
+            )
             if unions:
                 if patterns:
                     raise SparqlError(
@@ -291,6 +296,13 @@ def parse_select(query: str) -> dict:
                 raise SparqlError("WHERE has no required patterns")
             if aggs and not group_by:
                 raise SparqlError("aggregates need GROUP BY")
+            if having and not group_by:
+                raise SparqlError("HAVING needs GROUP BY")
+            if offset and not order_by:
+                raise SparqlError(
+                    "OFFSET without ORDER BY is non-deterministic; add a "
+                    "sort key"
+                )
             if group_by:
                 if not aggs:
                     raise SparqlError("GROUP BY needs an aggregate in SELECT")
@@ -311,8 +323,10 @@ def parse_select(query: str) -> dict:
                 "unions": unions,
                 "filters": filters,
                 "group_by": group_by,
+                "having": having,
                 "order_by": order_by,
                 "limit": limit,
+                "offset": offset,
             }
         if up == "VALUES" and not cur:
             i += 1
@@ -387,30 +401,45 @@ def parse_select(query: str) -> dict:
                 i = j + 5
                 continue
             if i + 1 < len(toks) and toks[i + 1] == "(":
-                # FILTER ( ?v = const ) / FILTER ( ?v != const )
+                # FILTER ( ?v = const ) / ( ?v != const ) — string compare;
+                # FILTER ( ?v < n ) / > / <= / >= — numeric compare (the
+                # binding is cast to float64; a non-numeric binding value
+                # fails the cast loudly rather than comparing garbage)
                 j = i + 2
+                _num_ops = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}
                 if (
                     j + 3 >= len(toks)
                     or not toks[j].startswith("?")
-                    or toks[j + 1] not in ("=", "!=")
+                    or toks[j + 1] not in ("=", "!=", *_num_ops)
                     or toks[j + 3] != ")"
                 ):
                     raise SparqlError(
-                        "FILTER needs ( ?var = const ) or ( ?var != const )"
+                        "FILTER needs ( ?var <op> const ) with <op> one of "
+                        "= != < > <= >="
                     )
-                const = _term(toks[j + 2])
-                if const.startswith("?"):
-                    raise SparqlError(
-                        "FILTER comparisons take a constant right side"
+                op_tok = toks[j + 1]
+                if op_tok in _num_ops:
+                    try:
+                        float(toks[j + 2])
+                    except ValueError:
+                        raise SparqlError(
+                            f"numeric FILTER needs a number, got {toks[j+2]!r}"
+                        ) from None
+                    filters.append((_num_ops[op_tok], toks[j][1:], toks[j + 2]))
+                else:
+                    const = _term(toks[j + 2])
+                    if const.startswith("?"):
+                        raise SparqlError(
+                            "FILTER comparisons take a constant right side"
+                        )
+                    filters.append(
+                        ("eq" if op_tok == "=" else "ne", toks[j][1:], const)
                     )
-                filters.append(
-                    ("eq" if toks[j + 1] == "=" else "ne", toks[j][1:], const)
-                )
                 i = j + 4
                 continue
             raise SparqlError(
                 "only FILTER NOT EXISTS { }, FILTER regex(?v, \"p\") and "
-                "FILTER ( ?v =/!= const ) are supported"
+                "FILTER ( ?v <op> const ) are supported"
             )
         if t == ".":
             if len(cur) != 3:
@@ -427,13 +456,19 @@ def parse_select(query: str) -> dict:
     raise SparqlError("unterminated WHERE group")
 
 
+_HAVING_OPS = ("=", "!=", "<", ">", "<=", ">=")
+
+
 def _parse_modifiers(
     toks: list[str], i: int
-) -> tuple[list[str], list[tuple[str, bool]], int | None]:
-    """Trailing GROUP BY / ORDER BY / LIMIT clauses after the WHERE group."""
+) -> tuple[list[str], list[tuple[str, bool]], int | None, list[dict], int]:
+    """Trailing GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET clauses
+    after the WHERE group."""
     group_by: list[str] = []
     order_by: list[tuple[str, bool]] = []
     limit: int | None = None
+    having: list[dict] = []
+    offset = 0
 
     def var_at(j: int) -> str:
         if j >= len(toks) or not toks[j].startswith("?") or len(toks[j]) < 2:
@@ -472,14 +507,60 @@ def _parse_modifiers(
                     break
             if not got:
                 raise SparqlError("ORDER BY needs at least one sort key")
+        elif up == "HAVING":
+            # HAVING ( COUNT ( [DISTINCT] ?v ) <op> <int> ) — SPARQL 1.1
+            # group filter, restricted to the COUNT aggregate the SELECT
+            # layer supports
+            j = i + 1
+            if j >= len(toks) or toks[j] != "(":
+                raise SparqlError("expected '(' after HAVING")
+            j += 1
+            if j >= len(toks) or toks[j].upper() != "COUNT":
+                raise SparqlError("HAVING supports COUNT aggregates only")
+            j += 1
+            if j >= len(toks) or toks[j] != "(":
+                raise SparqlError("expected '(' after COUNT in HAVING")
+            j += 1
+            distinct = False
+            if j < len(toks) and toks[j].upper() == "DISTINCT":
+                distinct = True
+                j += 1
+            if j >= len(toks) or not toks[j].startswith("?") or len(toks[j]) < 2:
+                raise SparqlError("COUNT in HAVING needs a ?variable")
+            var = toks[j][1:]
+            j += 1
+            if j >= len(toks) or toks[j] != ")":
+                raise SparqlError("unterminated COUNT in HAVING")
+            j += 1
+            if (
+                j + 2 >= len(toks)
+                or toks[j] not in _HAVING_OPS
+                or toks[j + 2] != ")"
+            ):
+                raise SparqlError(
+                    "HAVING needs ( COUNT(?v) <op> <int> ) with <op> one of "
+                    + " ".join(_HAVING_OPS)
+                )
+            if not toks[j + 1].lstrip("-").isdigit():
+                raise SparqlError("HAVING compares against an integer")
+            having.append(
+                {"var": var, "distinct": distinct, "op": toks[j],
+                 "n": int(toks[j + 1])}
+            )
+            i = j + 3
         elif up == "LIMIT":
             if i + 1 >= len(toks) or not toks[i + 1].isdigit():
                 raise SparqlError("LIMIT needs a non-negative integer")
             limit = int(toks[i + 1])
             i += 2
+        elif up == "OFFSET":
+            if i + 1 >= len(toks) or not toks[i + 1].isdigit():
+                raise SparqlError("OFFSET needs a non-negative integer")
+            offset = int(toks[i + 1])
+            i += 2
         else:
             raise SparqlError(f"trailing tokens after '}}': {toks[i:]!r}")
-    return group_by, order_by, limit
+    return group_by, order_by, limit, having, offset
 
 
 def run_select(triples, query: str, **bgp_kwargs):
@@ -488,15 +569,47 @@ def run_select(triples, query: str, **bgp_kwargs):
     narrowing projection)."""
     from ray.data.aggregate import Count
 
+    import pyarrow.compute as pc
+
     q = parse_select(query)
     out, bound = _bindings(triples, q, **bgp_kwargs)
 
     if q["group_by"]:
+        # HAVING filters reuse a matching SELECT aggregate; otherwise a
+        # hidden one is computed alongside and dropped after the filter
+        orig_aliases = [a["alias"] for a in q["aggs"]]
+        hidden: list[str] = []
+        for k, h in enumerate(q["having"]):
+            match = next(
+                (a for a in q["aggs"]
+                 if a["var"] == h["var"] and a["distinct"] == h["distinct"]),
+                None,
+            )
+            if match is None:
+                alias = f"_having{k}"
+                q["aggs"].append(
+                    {"fn": "count", "var": h["var"],
+                     "distinct": h["distinct"], "alias": alias}
+                )
+                hidden.append(alias)
+                h["_alias"] = alias
+            else:
+                h["_alias"] = match["alias"]
         out = _aggregate(out, q, bound)
+        ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+               ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal}
+        for h in q["having"]:
+            out = out.map_batches(
+                lambda b, a=h["_alias"], o=ops[h["op"]], n=h["n"]: b.filter(
+                    o(b.column(a), pa.scalar(n))
+                ),
+                batch_format="pyarrow",
+            )
+        if hidden:
+            out = out.drop_columns(hidden)
         final_cols = list(
             dict.fromkeys(
-                [*(q["project"] or sorted(q["group_by"])),
-                 *[a["alias"] for a in q["aggs"]]]
+                [*(q["project"] or sorted(q["group_by"])), *orig_aliases]
             )
         )
     elif q["project"] is not None:
@@ -525,6 +638,11 @@ def run_select(triples, query: str, **bgp_kwargs):
             [v for v, _ in q["order_by"]],
             descending=[d for _, d in q["order_by"]],
         )
+    if q["offset"]:
+        # OFFSET skips the first n rows of the sorted stream (parse
+        # refuses OFFSET without ORDER BY); split_at_indices preserves
+        # the global sort order
+        out = out.split_at_indices([q["offset"]])[1]
     if q["limit"] is not None:
         out = out.limit(q["limit"])
     return out
@@ -595,8 +713,16 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
                 mask = pc.match_substring_regex(col, r)
             elif o == "eq":
                 mask = pc.equal(col, pa.scalar(r))
-            else:
+            elif o == "ne":
                 mask = pc.invert(pc.equal(col, pa.scalar(r)))
+            else:  # numeric: lt / gt / le / ge (cast fails loudly on
+                # non-numeric binding values — garbage never compares)
+                num = pc.cast(col, pa.float64())
+                rv = pa.scalar(float(r), type=pa.float64())
+                mask = {
+                    "lt": pc.less, "gt": pc.greater,
+                    "le": pc.less_equal, "ge": pc.greater_equal,
+                }[o](num, rv)
             return b.filter(mask)
 
         out = out.map_batches(f, batch_format="pyarrow")
@@ -623,7 +749,13 @@ def run_construct(triples, query: str, **bgp_kwargs):
         raise SparqlError("expected WHERE after the CONSTRUCT template")
     # reuse the SELECT * machinery for the WHERE group + its validation
     sel = parse_select("SELECT * WHERE " + " ".join(toks[i + 1:]))
-    if sel["group_by"] or sel["order_by"] or sel["limit"] is not None:
+    if (
+        sel["group_by"]
+        or sel["order_by"]
+        or sel["limit"] is not None
+        or sel["having"]
+        or sel["offset"]
+    ):
         raise SparqlError("CONSTRUCT takes no solution modifiers")
     bindings, bound = _bindings(triples, sel, **bgp_kwargs)
     for p in templates:

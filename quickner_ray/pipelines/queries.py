@@ -4217,6 +4217,60 @@ def sql_kg_sparql_filter() -> str:
     )
 
 
+def q_kg_sparql_having(sf_dir: str):
+    """SPARQL 1.1 HAVING in query text: docs co-mentioning MORE THAN TWO
+    distinct OPERATOR entities, with the count projected. The group
+    filter reuses the SELECT aggregate's column — one vectorized mask
+    pass after the bounded groupby (kernel/sparql.run_select)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d (COUNT(?o) AS ?n_ops) WHERE { ?d :OPERATOR ?o . } "
+        "GROUP BY ?d HAVING ( COUNT ( ?o ) > 2 )",
+    )
+
+
+def sql_kg_sparql_having() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "b AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS o\n"
+        "      FROM acc WHERE plabel = 'OPERATOR')\n"
+        "SELECT d, CAST(count(*) AS BIGINT) AS n_ops FROM b\n"
+        "GROUP BY d HAVING count(*) > 2"
+    )
+
+
+def q_kg_sparql_slice(sf_dir: str):
+    """SPARQL numeric FILTER + ORDER BY + OFFSET/LIMIT paging in query
+    text: SYSTEM bindings for docs whose id is numerically < 3000,
+    sorted on both variables (a unique key, so the page is
+    deterministic), skipping the first 10 rows and keeping 40. OFFSET
+    rides split_at_indices over the sorted stream; the parser refuses
+    OFFSET without ORDER BY."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d ?s WHERE { ?d :SYSTEM ?s . FILTER ( ?d < 3000 ) } "
+        "ORDER BY ?d ?s LIMIT 40 OFFSET 10",
+    )
+
+
+def sql_kg_sparql_slice() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "b AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        "      FROM acc WHERE plabel = 'SYSTEM'\n"
+        "        AND CAST(doc_id AS DOUBLE) < 3000)\n"
+        "SELECT d, s FROM b ORDER BY d, s LIMIT 40 OFFSET 10"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

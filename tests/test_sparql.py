@@ -485,3 +485,83 @@ class TestFilterExpressions:
     def test_bad_filters_raise(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHavingOffsetNumeric:
+    def _ds(self):
+        # numeric-string subjects for the numeric FILTER arm
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": ["1", "1", "1", "2", "2", "10", "10"],
+                    "pred": ["OP", "OP", "OP", "OP", "SYS", "OP", "OP"],
+                    "obj": ["a", "b", "c", "a", "spark", "a", "b"],
+                }
+            )
+        )
+
+    def test_having_reuses_select_aggregate(self):
+        out = run_select(
+            self._ds(),
+            "SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d :OP ?o . } "
+            "GROUP BY ?d HAVING ( COUNT ( ?o ) >= 2 )",
+        ).take_all()
+        assert {r["d"]: r["n"] for r in out} == {"1": 3, "10": 2}
+
+    def test_having_hidden_aggregate(self):
+        # the HAVING aggregate (DISTINCT) is absent from SELECT: computed
+        # hidden, filtered on, then dropped from the output
+        out = run_select(
+            self._ds(),
+            "SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d :OP ?o . } "
+            "GROUP BY ?d HAVING ( COUNT ( DISTINCT ?o ) < 3 )",
+        ).take_all()
+        assert {r["d"]: r["n"] for r in out} == {"2": 1, "10": 2}
+        assert set(out[0].keys()) == {"d", "n"}
+
+    def test_numeric_filter_casts(self):
+        # lexicographically "10" < "2"; numerically it is not
+        out = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :OP ?o . FILTER ( ?d <= 2 ) }",
+        ).take_all()
+        assert sorted(r["d"] for r in out) == ["1", "2"]
+        out = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :OP ?o . FILTER ( ?d > 5 ) }",
+        ).take_all()
+        assert [r["d"] for r in out] == ["10"]
+
+    def test_offset_pages_the_sorted_stream(self):
+        q = "SELECT ?d ?o WHERE { ?d :OP ?o . } ORDER BY ?d ?o"
+        full = [(r["d"], r["o"]) for r in run_select(self._ds(), q).take_all()]
+        page = [
+            (r["d"], r["o"])
+            for r in run_select(
+                self._ds(), q + " LIMIT 3 OFFSET 2"
+            ).take_all()
+        ]
+        assert page == full[2:5]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # OFFSET without ORDER BY
+            "SELECT ?d WHERE { ?d :OP ?o . } OFFSET 2",
+            # HAVING without GROUP BY
+            "SELECT ?d WHERE { ?d :OP ?o . } HAVING ( COUNT ( ?o ) > 1 )",
+            # non-integer comparisons
+            "SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d :OP ?o . } "
+            "GROUP BY ?d HAVING ( COUNT ( ?o ) > x )",
+            "SELECT ?d WHERE { ?d :OP ?o . } ORDER BY ?d OFFSET x",
+            # numeric FILTER against a non-number
+            "SELECT ?d WHERE { ?d :OP ?o . FILTER ( ?d < :abc ) }",
+            # HAVING non-COUNT
+            "SELECT ?d (COUNT(?o) AS ?n) WHERE { ?d :OP ?o . } "
+            "GROUP BY ?d HAVING ( SUM ( ?o ) > 1 )",
+        ],
+    )
+    def test_bad_modifiers_raise(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
