@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fact_churn_stats": _tkg("q_fact_churn_stats"),
         "triple_pattern_match": q.q_triple_pattern_match,
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
+        "triple_pattern_match_planned": q.q_triple_pattern_match_planned,
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
         "kg_shape_violations": q.q_kg_shape_violations,
@@ -580,6 +581,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_churn_stats": tkg.sql_fact_churn_stats(),
         "triple_pattern_match": q.sql_triple_pattern_match(),
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
+        "triple_pattern_match_planned": q.sql_triple_pattern_match_planned(),
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
         "kg_shape_violations": q.sql_kg_shape_violations(),

@@ -3483,6 +3483,34 @@ def sql_triple_pattern_match_indexed() -> str:
     return sql_triple_pattern_match()
 
 
+def q_triple_pattern_match_planned(sf_dir: str):
+    """The same BGP as `triple_pattern_match`, but the patterns are given
+    in the WORST order (the unbounded UNIT and OPERATOR scans first, the
+    selective spark-constant pattern last) and the engine reorders them
+    itself: ``plan="cardinality"`` measures every pattern's exact match
+    count in ONE shared scan and folds smallest-first
+    (stages/bgp.plan_patterns) — cost-based join ordering, the planner
+    step a 10^12-triple BGP needs. Must answer identically to the
+    hand-ordered evaluation (same oracle)."""
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        q_triples(sf_dir),
+        [
+            ("?doc", "UNIT", "?unit"),
+            ("?doc", "OPERATOR", "?op"),
+            ("?doc", "SYSTEM", spark),
+        ],
+        plan="cardinality",
+    )
+
+
+def sql_triple_pattern_match_planned() -> str:
+    return sql_triple_pattern_match()
+
+
 def sql_triple_pattern_match() -> str:
     from ..stages.canonicalize import entity_id
     from .ner_oracle import sql_match_ctes

@@ -26,9 +26,12 @@ Execution shape (idiomatic Ray Data, no driver loops):
   ``SELECT DISTINCT`` semantics, so the DuckDB oracle hash-matches).
 
 Selectivity note: put the most selective pattern first — the fold joins
-against its (small) bindings. At store scale, feed patterns from the
-permutation-index ``lookup`` (sinks/triplestore.py) instead of the full
-stream so each pattern reads only admitting fragments.
+against its (small) bindings — or pass ``plan="cardinality"`` to let the
+engine measure every pattern's exact match count in one shared scan and
+fold smallest-first itself (``plan_patterns``). At store scale, feed
+patterns from the permutation-index ``lookup`` (sinks/triplestore.py)
+instead of the full stream so each pattern reads only admitting
+fragments.
 
 No counterpart in the reference (file:line n/a — quickner has no query
 layer); this is the KG-consumption step a construction pipeline feeds.
@@ -83,6 +86,102 @@ def _pattern_ds(triples, pattern, cols: tuple[str, str, str]):
     return triples.map_batches(f, batch_format="pyarrow"), [n for n, _ in out_vars]
 
 
+def _pattern_vars(pattern) -> set[str]:
+    return {t[1:] for t in pattern if isinstance(t, str) and _is_var(t)}
+
+
+def pattern_counts(
+    triples, patterns, *, cols: tuple[str, str, str]
+) -> list[int]:
+    """Exact per-pattern match cardinalities in ONE shared scan: every
+    pattern's constant/repeated-variable mask is evaluated per batch
+    (vectorized), the per-batch counts are a #patterns-bounded partial
+    table, and a tiny groupby-sum finishes. Cost: one extra pass over the
+    stream — trivially cheaper than folding joins in a bad order."""
+    from ray.data.aggregate import Sum
+
+    specs = []
+    for p in patterns:
+        consts: list[tuple[str, str]] = []
+        seen: dict[str, str] = {}
+        eq_pairs: list[tuple[str, str]] = []
+        for term, col in zip(p, cols):
+            if _is_var(term):
+                name = term[1:]
+                if name in seen:
+                    eq_pairs.append((seen[name], col))
+                else:
+                    seen[name] = col
+            else:
+                consts.append((term, col))
+        specs.append((consts, eq_pairs))
+
+    def f(b: pa.Table) -> pa.Table:
+        ns = []
+        for consts, eq_pairs in specs:
+            mask = None
+            for term, col in consts:
+                m = pc.equal(b.column(col), pa.scalar(term))
+                mask = m if mask is None else pc.and_(mask, m)
+            for ca, cb in eq_pairs:
+                m = pc.equal(b.column(ca), b.column(cb))
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is None:
+                ns.append(b.num_rows)
+            else:
+                ns.append(int(pc.sum(mask).as_py() or 0))
+        return pa.table(
+            {
+                "i": pa.array(range(len(specs)), type=pa.int64()),
+                "n": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        triples.map_batches(f, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    out = [0] * len(specs)
+    for r in agg.take_all():  # #patterns rows — driver-side by design
+        out[r["i"]] = r["n"]
+    return out
+
+
+def plan_patterns(triples, patterns, *, cols=("subj", "pred", "obj")):
+    """Cardinality-based join ordering: measure every pattern's exact
+    match count (one shared scan), then greedily fold smallest-first
+    under the connectivity constraint (each next pattern must share a
+    variable with the already-bound set — the same rule bgp_match
+    enforces). Returns the reordered pattern list. Path patterns (tuple
+    predicate) are not countable in the shared scan and are refused."""
+    if any(isinstance(p[1], tuple) for p in patterns):
+        raise ValueError("plan_patterns does not support path patterns")
+    if len(patterns) <= 1:
+        return list(patterns)
+    counts = pattern_counts(triples, patterns, cols=tuple(cols))
+    remaining = list(range(len(patterns)))
+    # seed: globally smallest pattern
+    first = min(remaining, key=lambda i: (counts[i], i))
+    order = [first]
+    remaining.remove(first)
+    bound = _pattern_vars(patterns[first])
+    while remaining:
+        connected = [
+            i for i in remaining if bound & _pattern_vars(patterns[i])
+        ]
+        if not connected:
+            raise ValueError(
+                "disconnected BGP: no shared variable with remaining "
+                f"patterns (bound={sorted(bound)})"
+            )
+        nxt = min(connected, key=lambda i: (counts[i], i))
+        order.append(nxt)
+        remaining.remove(nxt)
+        bound |= _pattern_vars(patterns[nxt])
+    return [patterns[i] for i in order]
+
+
 def bgp_match(
     triples,
     patterns,
@@ -95,6 +194,7 @@ def bgp_match(
     pattern_source=None,
     optional=(),
     not_exists=(),
+    plan: str = "given",
 ):
     """Match every pattern conjunctively; return DISTINCT variable
     bindings as a Dataset with one column per variable.
@@ -118,8 +218,14 @@ def bgp_match(
 
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
+    if plan not in ("given", "cardinality"):
+        raise ValueError(f"unknown plan {plan!r}")
     nparts = num_partitions or max(32, _default_buckets() // 4)
     cols = (subj_col, pred_col, obj_col)
+    if plan == "cardinality":
+        # exact leaf cardinalities from one shared scan pick the fold
+        # order (smallest bindings first); answers are order-independent
+        patterns = plan_patterns(triples, patterns, cols=cols)
 
     def compile_one(p):
         if isinstance(p[1], tuple):  # property-path predicate (paths.eval_path

@@ -327,3 +327,85 @@ def test_bgp_engines_agree(ray_session, tiny_triples):
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+class TestCardinalityPlanning:
+    def _tri(self):
+        import ray.data as rd
+
+        # pred A: 12 rows (unselective), pred B: 4, constant-obj C: 1
+        rows = (
+            [("d%d" % i, "A", "a%d" % (i % 3)) for i in range(12)]
+            + [("d%d" % i, "B", "b") for i in range(4)]
+            + [("d0", "C", "target"), ("d1", "C", "other")]
+        )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows]),
+                    "pred": pa.array([r[1] for r in rows]),
+                    "obj": pa.array([r[2] for r in rows]),
+                }
+            )
+        )
+
+    PATTERNS = [
+        ("?d", "A", "?x"),          # count 12
+        ("?d", "B", "?y"),          # count 4
+        ("?d", "C", "target"),      # count 1 (constant obj)
+    ]
+
+    def test_plan_orders_smallest_first(self, ray_session):
+        from quickner_ray.stages.bgp import plan_patterns
+
+        got = plan_patterns(self._tri(), self.PATTERNS)
+        assert got == [self.PATTERNS[2], self.PATTERNS[1], self.PATTERNS[0]]
+
+    def test_planned_equals_given(self, ray_session):
+        a = _pdf(bgp_match(self._tri(), self.PATTERNS))
+        b = _pdf(bgp_match(self._tri(), self.PATTERNS, plan="cardinality"))
+        assert a.equals(b)
+        assert len(a) == 1  # only d0 satisfies all three
+
+    def test_connectivity_respected_over_count(self, ray_session):
+        import ray.data as rd
+
+        from quickner_ray.stages.bgp import plan_patterns
+
+        # after the count-1 seed binds {a, b}, the count-2 pattern only
+        # connects through ?c — the planner must take the CONNECTED
+        # count-5 pattern first, then the smaller one
+        rows = (
+            [("s", "P", "t")]
+            + [("s", "R", "w%d" % i) for i in range(5)]
+            + [("w0", "T", "y0"), ("w1", "T", "y1")]
+        )
+        tri = rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows]),
+                    "pred": pa.array([r[1] for r in rows]),
+                    "obj": pa.array([r[2] for r in rows]),
+                }
+            )
+        )
+        pats = [
+            ("?a", "P", "?b"),  # count 1 — seed
+            ("?c", "T", "?y"),  # count 2 but disconnected from {a, b}
+            ("?a", "R", "?c"),  # count 5, connected
+        ]
+        got = plan_patterns(tri, pats)
+        assert got == [pats[0], pats[2], pats[1]]
+        # a truly disconnected pair must refuse, exactly like bgp_match
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            plan_patterns(tri, pats[:2])
+
+    def test_plan_refuses_paths(self, ray_session):
+        from quickner_ray.stages.bgp import plan_patterns
+
+        with pytest.raises(ValueError):
+            plan_patterns(
+                self._tri(), [("?a", ("pred", "A"), "?b"), ("?a", "B", "?c")]
+            )
