@@ -16,9 +16,11 @@ leading colon marks an IRI-ish constant, stripped to its local part),
 quoted string constants, triple patterns terminated by ``.``, any number
 of OPTIONAL { ... } and FILTER NOT EXISTS { ... } groups (each holding
 one or more patterns), comments (``#`` to end of line), SELECT
-projection with ``*`` or an explicit variable list, COUNT aggregates
-with GROUP BY / HAVING, FILTER expressions (regex, string =/!=, numeric
-< > <= >=), ORDER BY / LIMIT / OFFSET paging, UNION, MINUS and VALUES.
+projection with ``*`` or an explicit variable list, the SPARQL 1.1
+aggregate set COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT (with DISTINCT
+and ``; SEPARATOR=``) under GROUP BY / HAVING, FILTER expressions
+(regex, string =/!=, numeric < > <= >=), ORDER BY / LIMIT / OFFSET
+paging, UNION, MINUS and VALUES.
 DISTINCT is implied (bgp_match returns distinct bindings — stated in
 its contract).
 
@@ -198,23 +200,57 @@ def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
     raise SparqlError("unterminated '{' group")
 
 
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
+
+
 def _parse_agg(toks: list[str], i: int) -> tuple[dict, int]:
-    """Parse '( COUNT ( [DISTINCT] ?v ) AS ?alias )' from toks[i] == '('."""
+    """Parse '( FN ( [DISTINCT] ?v [; SEPARATOR= "s"] ) AS ?alias )' from
+    toks[i] == '(' — FN one of COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT.
+    Determinism contract (the engine is oracle-checked value-exact, so
+    SPARQL's implementation-defined choices are pinned): SAMPLE is the
+    MINIMUM value; GROUP_CONCAT joins in ascending sorted order; SUM/AVG
+    cast bindings to int64 and fail loudly on non-integer values (AVG is
+    the float64 quotient of two exact integers)."""
     j = i + 1
-    if j >= len(toks) or toks[j].upper() != "COUNT":
-        raise SparqlError("only COUNT aggregates are supported")
+    fn = toks[j].upper() if j < len(toks) else ""
+    if fn not in _AGG_FNS:
+        raise SparqlError(
+            f"unsupported aggregate {toks[j:j + 1]!r}; one of {_AGG_FNS}"
+        )
     j += 1
     if j >= len(toks) or toks[j] != "(":
-        raise SparqlError("expected '(' after COUNT")
+        raise SparqlError(f"expected '(' after {fn}")
     j += 1
     distinct = False
     if j < len(toks) and toks[j].upper() == "DISTINCT":
         distinct = True
         j += 1
     if j >= len(toks) or not toks[j].startswith("?") or len(toks[j]) < 2:
-        raise SparqlError("COUNT needs a ?variable")
+        raise SparqlError(f"{fn} needs a ?variable")
     var = toks[j][1:]
     j += 1
+    sep = ","
+    if j < len(toks) and toks[j].startswith(";"):
+        if fn != "GROUP_CONCAT":
+            raise SparqlError(f"SEPARATOR is only valid in GROUP_CONCAT")
+        # tokenizer shapes: '; SEPARATOR= "x"' / ';SEPARATOR = "x"' ...
+        key = toks[j][1:]
+        j += 1
+        if not key and j < len(toks):
+            key = toks[j]
+            j += 1
+        if key.endswith("="):
+            key = key[:-1]
+        elif j < len(toks) and toks[j] == "=":
+            j += 1
+        else:
+            raise SparqlError("expected '=' after SEPARATOR")
+        if key.upper() != "SEPARATOR":
+            raise SparqlError(f"expected SEPARATOR, got {key!r}")
+        if j >= len(toks) or not toks[j].startswith('"'):
+            raise SparqlError('SEPARATOR takes a quoted string')
+        sep = _term(toks[j])
+        j += 1
     if j + 2 >= len(toks) or toks[j] != ")" or toks[j + 1].upper() != "AS":
         raise SparqlError("expected ') AS ?alias' in aggregate")
     alias_tok = toks[j + 2]
@@ -223,8 +259,8 @@ def _parse_agg(toks: list[str], i: int) -> tuple[dict, int]:
     j += 3
     if j >= len(toks) or toks[j] != ")":
         raise SparqlError("unterminated aggregate projection")
-    return {"fn": "count", "var": var, "distinct": distinct,
-            "alias": alias_tok[1:]}, j + 1
+    return {"fn": fn.lower(), "var": var, "distinct": distinct,
+            "alias": alias_tok[1:], "sep": sep}, j + 1
 
 
 def parse_select(query: str) -> dict:
@@ -582,13 +618,14 @@ def run_select(triples, query: str, **bgp_kwargs):
         for k, h in enumerate(q["having"]):
             match = next(
                 (a for a in q["aggs"]
-                 if a["var"] == h["var"] and a["distinct"] == h["distinct"]),
+                 if a["fn"] == "count" and a["var"] == h["var"]
+                 and a["distinct"] == h["distinct"]),
                 None,
             )
             if match is None:
                 alias = f"_having{k}"
                 q["aggs"].append(
-                    {"fn": "count", "var": h["var"],
+                    {"fn": "count", "var": h["var"], "sep": ",",
                      "distinct": h["distinct"], "alias": alias}
                 )
                 hidden.append(alias)
@@ -837,13 +874,123 @@ def run_ask(triples, query: str, **bgp_kwargs):
     )
 
 
-def _aggregate(bindings, q: dict, bound: list[str]):
-    """GROUP BY + COUNT aggregates over distinct bindings. Each aggregate
-    is one bounded groupby (COUNT(?v) counts solutions in the group;
-    COUNT(DISTINCT ?v) pair-dedups first); multiple aggregates fold with
-    a bucketed hash join on the group key."""
-    from ray.data.aggregate import Count
+def _agg_type(agg: dict) -> "pa.DataType":
+    if agg["fn"] in ("count", "sum"):
+        return pa.int64()
+    if agg["fn"] == "avg":
+        return pa.float64()
+    return pa.string()
 
+
+def _agg_one(bindings, keys: list[str], agg: dict):
+    """One aggregate -> Dataset(keys..., alias). Scale shape: a per-batch
+    Arrow hash partial first (bounded to #groups rows per block), then ONE
+    bounded groupby finish — Ray's Min/Max/Sum combine the partials for
+    the mergeable functions; GROUP_CONCAT (not partial-mergeable in sorted
+    order) finishes with map_groups over list partials that still carry
+    each value exactly once."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    fn, var, alias = agg["fn"], agg["var"], agg["alias"]
+    src = bindings
+    if agg["distinct"] and var not in keys and fn in (
+        "count", "sum", "avg", "group_concat"
+    ):
+        # pair-dedup: one bounded groupby on (keys, var)
+        src = (
+            bindings.select_columns([*keys, var])
+            .groupby([*keys, var])
+            .aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"])
+        )
+    if fn == "count":
+        if agg["distinct"] and var not in keys:
+            return src.groupby(keys).aggregate(Count(alias_name=alias))
+        # COUNT(?v) == solutions per group (bindings are distinct);
+        # COUNT(DISTINCT key-var) degenerates to the same thing
+        return bindings.groupby(keys).aggregate(Count(alias_name=alias))
+
+    if fn in ("min", "max", "sample"):  # SAMPLE pinned to MIN (docstring)
+        arrow_fn = "max" if fn == "max" else "min"
+
+        def partial(b: pa.Table, af=arrow_fn) -> pa.Table:
+            g = b.select([*keys, var]).group_by(keys).aggregate([(var, af)])
+            return g.rename_columns([*keys, alias])
+
+        agged = src.map_batches(partial, batch_format="pyarrow")
+        ray_agg = Max(alias, alias_name=alias) if fn == "max" else Min(
+            alias, alias_name=alias
+        )
+        return agged.groupby(keys).aggregate(ray_agg)
+
+    if fn in ("sum", "avg"):
+
+        def partial(b: pa.Table) -> pa.Table:
+            # int64 cast fails loudly on non-integer bindings — SUM/AVG
+            # never silently aggregate garbage (see _parse_agg contract)
+            t = pa.table(
+                {
+                    **{k: b.column(k) for k in keys},
+                    "_v": pc.cast(b.column(var), pa.int64()),
+                }
+            )
+            g = t.group_by(keys).aggregate([("_v", "sum"), ("_v", "count")])
+            return g.rename_columns([*keys, "_s", "_c"])
+
+        agged = src.map_batches(partial, batch_format="pyarrow").groupby(
+            keys
+        ).aggregate(Sum("_s", alias_name="_s"), Sum("_c", alias_name="_c"))
+        if fn == "sum":
+            def finish(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {**{k: b.column(k) for k in keys},
+                     alias: pc.cast(b.column("_s"), pa.int64())}
+                )
+        else:  # avg == float64 quotient of two exact integers
+            def finish(b: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        **{k: b.column(k) for k in keys},
+                        alias: pc.divide(
+                            pc.cast(b.column("_s"), pa.float64()),
+                            pc.cast(b.column("_c"), pa.float64()),
+                        ),
+                    }
+                )
+        return agged.map_batches(finish, batch_format="pyarrow")
+
+    assert fn == "group_concat", fn
+    sep = agg["sep"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.select([*keys, var]).group_by(keys).aggregate([(var, "list")])
+        return g.rename_columns([*keys, "_vs"])
+
+    def finish(t: pa.Table, s=sep) -> pa.Table:
+        flat: list[str] = []
+        for chunk in t.column("_vs").to_pylist():
+            flat.extend(chunk)
+        flat.sort()  # ascending-order join: the pinned determinism rule
+        return pa.table(
+            {
+                **{k: pa.array([t.column(k)[0].as_py()]) for k in keys},
+                alias: pa.array([s.join(flat)], type=pa.string()),
+            }
+        )
+
+    return (
+        src.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def _aggregate(bindings, q: dict, bound: list[str]):
+    """GROUP BY aggregates over distinct bindings (COUNT/SUM/MIN/MAX/AVG/
+    SAMPLE/GROUP_CONCAT — each one partial-combined per batch then one
+    bounded groupby, see _agg_one); multiple aggregates fold with a
+    bucketed hash join on the group key."""
     from ..stages.bgp import _default_buckets
     from ..stages.hashjoin import bucketed_join
 
@@ -852,44 +999,33 @@ def _aggregate(bindings, q: dict, bound: list[str]):
     if missing:
         raise SparqlError(f"GROUP BY of unbound variables: {missing}")
     seen_aliases = set(keys)
+    types: dict[str, "pa.DataType"] = {}
     out = None
     for agg in q["aggs"]:
         var, alias = agg["var"], agg["alias"]
         if var not in bound:
-            raise SparqlError(f"COUNT of unbound variable: ?{var}")
+            raise SparqlError(
+                f"{agg['fn'].upper()} of unbound variable: ?{var}"
+            )
         if alias in seen_aliases:
             raise SparqlError(f"duplicate result name ?{alias}")
         seen_aliases.add(alias)
-        if agg["distinct"] and var not in keys:
-            pairs = (
-                bindings.select_columns([*keys, var])
-                .groupby([*keys, var])
-                .aggregate(Count(alias_name="_n"))
-                .drop_columns(["_n"])
-            )
-            one = pairs.groupby(keys).aggregate(Count(alias_name=alias))
-        else:  # COUNT(?v) == solutions per group (bindings are distinct);
-            # COUNT(DISTINCT key-var) degenerates to the same thing
-            one = bindings.groupby(keys).aggregate(Count(alias_name=alias))
+        one = _agg_one(bindings, keys, agg)
         if out is None:
             out = one
         else:
-            import pyarrow as _pa
-
-            prev = {c: _pa.string() for c in keys}
-            prev.update(
-                {a["alias"]: _pa.int64() for a in q["aggs"]
-                 if a["alias"] in seen_aliases and a["alias"] != alias}
-            )
+            prev = {c: pa.string() for c in keys}
+            prev.update(types)
             out = bucketed_join(
                 out,
                 one,
                 on=tuple(keys),
                 n_buckets=max(8, _default_buckets() // 16),
                 left_types=prev,
-                right_types={**{c: _pa.string() for c in keys},
-                             alias: _pa.int64()},
+                right_types={**{c: pa.string() for c in keys},
+                             alias: _agg_type(agg)},
             )
+        types[alias] = _agg_type(agg)
     cols = [*(q["project"] or keys), *[a["alias"] for a in q["aggs"]]]
     # drop group keys not projected (SPARQL allows grouping by an
     # unprojected var); re-dedup is unnecessary — group keys are unique

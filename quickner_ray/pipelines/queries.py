@@ -4299,6 +4299,46 @@ def sql_kg_sparql_slice() -> str:
     )
 
 
+def q_kg_sparql_rollup(sf_dir: str):
+    """The full SPARQL 1.1 aggregate set in one query-text rollup: per
+    SYSTEM entity, COUNT / MIN / MAX / SUM / AVG / SAMPLE /
+    GROUP_CONCAT over the mentioning doc ids (doc ids are numeric
+    strings, so SUM/AVG exercise the exact-int64 cast path and AVG the
+    float64-quotient-of-exact-ints contract). Each aggregate is one
+    partial-combined bounded groupby; the alias columns fold with
+    bucketed hash joins on the entity key (kernel/sparql._agg_one).
+    Determinism pins that make this value-oracle-able: SAMPLE == MIN,
+    GROUP_CONCAT joins ascending-sorted."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?s (COUNT(?d) AS ?n_docs) (MIN(?d) AS ?first_doc) "
+        "(MAX(?d) AS ?last_doc) (SUM(?d) AS ?sum_doc) "
+        "(AVG(?d) AS ?avg_doc) (SAMPLE(?d) AS ?pick_doc) "
+        '(GROUP_CONCAT(?d ; SEPARATOR= "|") AS ?docs) '
+        "WHERE { ?d :SYSTEM ?s . } GROUP BY ?s",
+    )
+
+
+def sql_kg_sparql_rollup() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "b AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        "      FROM acc WHERE plabel = 'SYSTEM')\n"
+        "SELECT s, CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "       min(d) AS first_doc, max(d) AS last_doc,\n"
+        "       CAST(sum(CAST(d AS BIGINT)) AS BIGINT) AS sum_doc,\n"
+        "       CAST(sum(CAST(d AS BIGINT)) AS DOUBLE) / count(*)\n"
+        "         AS avg_doc,\n"
+        "       min(d) AS pick_doc,\n"
+        "       string_agg(d, '|' ORDER BY d) AS docs\n"
+        "FROM b GROUP BY s"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

@@ -239,7 +239,7 @@ class TestAggregationAndModifiers:
         [
             "SELECT (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",  # no GROUP BY
             "SELECT ?o (COUNT(?d) AS ?n) WHERE { ?d :SYS ?o . ?d :OP ?x . } GROUP BY ?x",  # non-grouped var
-            "SELECT (SUM(?d) AS ?n) WHERE { ?d :SYS ?s . } GROUP BY ?s",  # SUM
+            "SELECT (MEDIAN(?d) AS ?n) WHERE { ?d :SYS ?s . } GROUP BY ?s",
             "SELECT ?s WHERE { ?d :SYS ?s . } LIMIT many",  # bad limit
             "SELECT ?s WHERE { ?d :SYS ?s . } ORDER BY",  # empty order
             "SELECT * WHERE { ?d :SYS ?s . } GROUP BY ?s",  # * grouped
@@ -565,3 +565,108 @@ class TestHavingOffsetNumeric:
     def test_bad_modifiers_raise(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad).take_all()
+
+
+NUM = pa.table(
+    {
+        "subj": ["d1", "d1", "d2", "d2", "d3", "d4"],
+        "pred": ["SYS", "N", "SYS", "N", "SYS", "N"],
+        "obj": ["spark", "10", "spark", "4", "flink", "7"],
+    }
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestAggregateSet:
+    """SPARQL 1.1 aggregates beyond COUNT: MIN/MAX/SUM/AVG/SAMPLE/
+    GROUP_CONCAT with the pinned determinism contract (SAMPLE == MIN,
+    GROUP_CONCAT sorted ascending, SUM/AVG int64-exact)."""
+
+    def _ds(self, t=T):
+        return rd.from_arrow(t)
+
+    def test_parse_full_set_and_separator(self):
+        q = parse_select(
+            "SELECT ?s (SUM(DISTINCT ?n) AS ?sm) "
+            '(GROUP_CONCAT(?o ; SEPARATOR= "|") AS ?cat) '
+            "WHERE { ?d :SYS ?s . ?d :N ?n . ?d :OP ?o . } GROUP BY ?s"
+        )
+        assert q["aggs"][0] == {
+            "fn": "sum", "var": "n", "distinct": True, "alias": "sm",
+            "sep": ",",
+        }
+        assert q["aggs"][1]["fn"] == "group_concat"
+        assert q["aggs"][1]["sep"] == "|"
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT (MEDIAN(?o) AS ?m) WHERE { ?d :OP ?o . } GROUP BY ?d",
+            # SEPARATOR outside GROUP_CONCAT
+            'SELECT (SUM(?o ; SEPARATOR= ",") AS ?m) '
+            "WHERE { ?d :OP ?o . } GROUP BY ?d",
+            # unquoted separator
+            "SELECT (GROUP_CONCAT(?o ; SEPARATOR= x) AS ?m) "
+            "WHERE { ?d :OP ?o . } GROUP BY ?d",
+        ],
+    )
+    def test_parse_rejects(self, bad):
+        with pytest.raises(SparqlError):
+            parse_select(bad)
+
+    def test_min_max_sample_concat(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?s (MIN(?d) AS ?mn) (MAX(?d) AS ?mx) "
+            "(SAMPLE(?d) AS ?sp) (GROUP_CONCAT(?d) AS ?cat) "
+            "WHERE { ?d :SYS ?s . } GROUP BY ?s ORDER BY ?s",
+        ).take_all()
+        assert rows == [
+            {"s": "flink", "mn": "d3", "mx": "d3", "sp": "d3", "cat": "d3"},
+            {"s": "spark", "mn": "d1", "mx": "d2", "sp": "d1",
+             "cat": "d1,d2"},
+        ]
+
+    def test_sum_avg_exact(self):
+        rows = run_select(
+            self._ds(NUM),
+            "SELECT ?s (SUM(?n) AS ?sm) (AVG(?n) AS ?av) "
+            "WHERE { ?d :SYS ?s . ?d :N ?n . } GROUP BY ?s",
+        ).take_all()
+        by = {r["s"]: r for r in rows}
+        assert by["spark"]["sm"] == 14 and by["spark"]["av"] == 7.0
+        assert set(by) == {"spark"}  # d3/flink has no :N; d4 has no :SYS
+
+    def test_sum_distinct_and_concat_distinct(self):
+        # two docs share n=5: DISTINCT collapses it once
+        t = pa.table(
+            {
+                "subj": ["a", "a", "b", "b"],
+                "pred": ["SYS", "N", "SYS", "N"],
+                "obj": ["s", "5", "s", "5"],
+            }
+        )
+        rows = run_select(
+            self._ds(t),
+            "SELECT ?s (SUM(?n) AS ?all) (SUM(DISTINCT ?n) AS ?ds) "
+            "(GROUP_CONCAT(DISTINCT ?n) AS ?cat) "
+            "WHERE { ?d :SYS ?s . ?d :N ?n . } GROUP BY ?s",
+        ).take_all()
+        assert rows == [{"s": "s", "all": 10, "ds": 5, "cat": "5"}]
+
+    def test_sum_non_integer_fails_loudly(self):
+        with pytest.raises(Exception):
+            run_select(
+                self._ds(),
+                "SELECT ?s (SUM(?d) AS ?sm) WHERE { ?d :SYS ?s . } "
+                "GROUP BY ?s",
+            ).take_all()
+
+    def test_group_concat_custom_separator_and_having(self):
+        rows = run_select(
+            self._ds(),
+            'SELECT ?s (GROUP_CONCAT(?d ; SEPARATOR= "|") AS ?cat) '
+            "WHERE { ?d :SYS ?s . } GROUP BY ?s "
+            "HAVING ( COUNT ( ?d ) > 1 )",
+        ).take_all()
+        assert rows == [{"s": "spark", "cat": "d1|d2"}]
