@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_having": q.q_kg_sparql_having,
         "kg_sparql_slice": q.q_kg_sparql_slice,
         "kg_sparql_rollup": q.q_kg_sparql_rollup,
+        "kg_sparql_bind": q.q_kg_sparql_bind,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -606,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_having": q.sql_kg_sparql_having(),
         "kg_sparql_slice": q.sql_kg_sparql_slice(),
         "kg_sparql_rollup": q.sql_kg_sparql_rollup(),
+        "kg_sparql_bind": q.sql_kg_sparql_bind(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

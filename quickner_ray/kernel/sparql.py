@@ -19,12 +19,14 @@ one or more patterns), comments (``#`` to end of line), SELECT
 projection with ``*`` or an explicit variable list, the SPARQL 1.1
 aggregate set COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT (with DISTINCT
 and ``; SEPARATOR=``) under GROUP BY / HAVING, FILTER expressions
-(regex, string =/!=, numeric < > <= >=), ORDER BY / LIMIT / OFFSET
-paging, UNION, MINUS and VALUES.
+(comparisons = != < > <= >=, regex/strStarts/strEnds/contains, && || !
+and parentheses, over variables, constants and the value functions),
+BIND with STRLEN/UCASE/LCASE/CONCAT/SUBSTR value expressions, ORDER BY
+/ LIMIT / OFFSET paging, UNION, MINUS and VALUES.
 DISTINCT is implied (bgp_match returns distinct bindings — stated in
 its contract).
 
-Deliberately NOT a full grammar: no UNION/GRAPH/SERVICE/BIND, no literal
+Deliberately NOT a full grammar: no GRAPH/SERVICE/subqueries, no literal
 datatypes — parity target is the engine underneath, and unsupported
 syntax raises ``SparqlError`` loudly rather than mis-parsing. Pure
 string processing: no Ray, no reference counterpart (quickner has no
@@ -202,6 +204,244 @@ def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
 
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT")
 
+_VFNS = ("STRLEN", "UCASE", "LCASE", "CONCAT", "SUBSTR")
+_BFNS = ("REGEX", "STRSTARTS", "STRENDS", "CONTAINS")
+_CMP_OPS = ("=", "!=", "<", ">", "<=", ">=")
+
+
+def _expect(toks: list[str], i: int, tok: str) -> int:
+    if i >= len(toks) or toks[i] != tok:
+        got = toks[i] if i < len(toks) else "<end>"
+        raise SparqlError(f"expected {tok!r}, got {got!r}")
+    return i + 1
+
+
+def _parse_vexpr(toks: list[str], i: int) -> tuple[tuple, int]:
+    """Value expression -> AST tuple. Grammar: ?var | :const | "lit" |
+    number | STRLEN(v) | UCASE(v) | LCASE(v) | CONCAT(v, v, ...) |
+    SUBSTR(v, start[, len]) (1-based, like SPARQL)."""
+    if i >= len(toks):
+        raise SparqlError("expected a value expression, got end of query")
+    t = toks[i]
+    up = t.upper()
+    if up in _VFNS:
+        i = _expect(toks, i + 1, "(")
+        if up in ("STRLEN", "UCASE", "LCASE"):
+            inner, i = _parse_vexpr(toks, i)
+            i = _expect(toks, i, ")")
+            return (up.lower(), inner), i
+        if up == "CONCAT":
+            args = []
+            a, i = _parse_vexpr(toks, i)
+            args.append(a)
+            while i < len(toks) and toks[i] == ",":
+                a, i = _parse_vexpr(toks, i + 1)
+                args.append(a)
+            i = _expect(toks, i, ")")
+            return ("concat", tuple(args)), i
+        # SUBSTR(v, start[, len])
+        inner, i = _parse_vexpr(toks, i)
+        i = _expect(toks, i, ",")
+        if i >= len(toks) or not toks[i].isdigit() or int(toks[i]) < 1:
+            raise SparqlError("SUBSTR start must be a positive integer")
+        start = int(toks[i])
+        i += 1
+        length = None
+        if i < len(toks) and toks[i] == ",":
+            i += 1
+            if i >= len(toks) or not toks[i].isdigit():
+                raise SparqlError("SUBSTR length must be an integer")
+            length = int(toks[i])
+            i += 1
+        i = _expect(toks, i, ")")
+        return ("substr", inner, start, length), i
+    if t.startswith("?"):
+        if len(t) == 1:
+            raise SparqlError("bare '?' is not a variable")
+        return ("var", t[1:]), i + 1
+    if t.startswith(":") or t.startswith('"'):
+        return ("lit", _term(t)), i + 1
+    try:
+        return ("num", float(t)), i + 1
+    except ValueError:
+        raise SparqlError(f"bad value expression at {t!r}") from None
+
+
+def _parse_bexpr(toks: list[str], i: int) -> tuple[tuple, int]:
+    """Boolean FILTER expression: || over && over ! over primaries;
+    primaries are parenthesized expressions, the boolean functions
+    regex/strStarts/strEnds/contains(v, v), or comparisons
+    ``vexpr <op> vexpr`` (= != string-compare, < > <= >= numeric with a
+    loud cast — unless either side is statically numeric, e.g. STRLEN,
+    which makes = and != numeric too)."""
+    a, i = _parse_band(toks, i)
+    while i < len(toks) and toks[i] == "||":
+        b, i = _parse_band(toks, i + 1)
+        a = ("or", a, b)
+    return a, i
+
+
+def _parse_band(toks: list[str], i: int) -> tuple[tuple, int]:
+    a, i = _parse_bunary(toks, i)
+    while i < len(toks) and toks[i] == "&&":
+        b, i = _parse_bunary(toks, i + 1)
+        a = ("and", a, b)
+    return a, i
+
+
+def _parse_bunary(toks: list[str], i: int) -> tuple[tuple, int]:
+    if i < len(toks) and toks[i] == "!":
+        a, i = _parse_bunary(toks, i + 1)
+        return ("not", a), i
+    return _parse_bprimary(toks, i)
+
+
+def _parse_bprimary(toks: list[str], i: int) -> tuple[tuple, int]:
+    if i >= len(toks):
+        raise SparqlError("expected a FILTER expression, got end of query")
+    if toks[i] == "(":
+        a, i = _parse_bexpr(toks, i + 1)
+        return a, _expect(toks, i, ")")
+    if toks[i].upper() in _BFNS:
+        fn = toks[i].upper().lower()
+        i = _expect(toks, i + 1, "(")
+        v, i = _parse_vexpr(toks, i)
+        i = _expect(toks, i, ",")
+        p, i = _parse_vexpr(toks, i)
+        i = _expect(toks, i, ")")
+        if _ast_vars(p):
+            raise SparqlError(f"{fn} pattern must be a constant")
+        return ("fn", fn, v, p), i
+    l, i = _parse_vexpr(toks, i)
+    if i >= len(toks) or toks[i] not in _CMP_OPS:
+        got = toks[i] if i < len(toks) else "<end>"
+        raise SparqlError(
+            f"expected comparison operator, got {got!r} (supported FILTERs: "
+            f"comparisons, {'/'.join(_BFNS)}, && || ! and parentheses)"
+        )
+    op = toks[i]
+    r, i = _parse_vexpr(toks, i + 1)
+    if op in ("<", ">", "<=", ">=") or "num" in (
+        _vexpr_kind(l), _vexpr_kind(r)
+    ):
+        # numeric comparison: literal sides must parse as numbers NOW —
+        # fail at parse time, not mid-stream
+        for side in (l, r):
+            if side[0] == "lit":
+                try:
+                    float(side[1])
+                except ValueError:
+                    raise SparqlError(
+                        f"numeric FILTER needs a number, got {side[1]!r}"
+                    ) from None
+    return ("cmp", op, l, r), i
+
+
+def _ast_vars(ast) -> set[str]:
+    if not isinstance(ast, tuple):
+        return set()
+    if ast[0] == "var":
+        return {ast[1]}
+    out: set[str] = set()
+    for part in ast[1:]:
+        if isinstance(part, tuple):
+            out |= _ast_vars(part)
+        elif isinstance(part, (list,)):
+            for p in part:
+                out |= _ast_vars(p)
+    return out
+
+
+def _vexpr_kind(ast) -> str:
+    """Static type of a value expression: 'num' or 'str'."""
+    return "num" if ast[0] in ("num", "strlen") else "str"
+
+
+def _eval_vexpr(ast, b: "pa.Table"):
+    """Value expression AST -> pa array (or scalar for all-literal
+    expressions), evaluated with vectorized Arrow kernels only."""
+    import pyarrow.compute as pc
+
+    k = ast[0]
+    if k == "var":
+        return b.column(ast[1])
+    if k == "lit":
+        return pa.scalar(ast[1], type=pa.string())
+    if k == "num":
+        return pa.scalar(ast[1], type=pa.float64())
+    if k == "strlen":
+        return pc.cast(pc.utf8_length(_eval_vexpr(ast[1], b)), pa.int64())
+    if k == "ucase":
+        return pc.utf8_upper(_eval_vexpr(ast[1], b))
+    if k == "lcase":
+        return pc.utf8_lower(_eval_vexpr(ast[1], b))
+    if k == "concat":
+        parts = [_eval_vexpr(a, b) for a in ast[1]]
+        # broadcast pure-literal parts; binary_join_element_wise wants
+        # equal-length arrays (scalars are accepted in recent Arrow, but
+        # normalize for safety)
+        n = b.num_rows
+        arrs = [
+            p if isinstance(p, (pa.Array, pa.ChunkedArray))
+            else pa.array([p.as_py()] * n, type=pa.string())
+            for p in parts
+        ]
+        return pc.binary_join_element_wise(*arrs, "")
+    assert k == "substr", k
+    v = _eval_vexpr(ast[1], b)
+    start = ast[2] - 1  # SPARQL is 1-based
+    stop = None if ast[3] is None else start + ast[3]
+    return pc.utf8_slice_codeunits(v, start, stop)
+
+
+def _eval_bexpr(ast, b: "pa.Table"):
+    """Boolean FILTER AST -> boolean mask array."""
+    import pyarrow.compute as pc
+
+    k = ast[0]
+    if k == "or":
+        return pc.or_(_eval_bexpr(ast[1], b), _eval_bexpr(ast[2], b))
+    if k == "and":
+        return pc.and_(_eval_bexpr(ast[1], b), _eval_bexpr(ast[2], b))
+    if k == "not":
+        return pc.invert(_eval_bexpr(ast[1], b))
+    if k == "fn":
+        _, fn, v, p = ast
+        col = _eval_vexpr(v, b)
+        pat = _eval_vexpr(p, b)
+        if not isinstance(pat, pa.Scalar):
+            raise SparqlError(f"{fn} pattern must be a constant")
+        pat = pat.as_py()
+        if fn == "regex":
+            return pc.match_substring_regex(col, pat)
+        if fn == "strstarts":
+            return pc.starts_with(col, pattern=pat)
+        if fn == "strends":
+            return pc.ends_with(col, pattern=pat)
+        return pc.match_substring(col, pat)
+    assert k == "cmp", k
+    _, op, l, r = ast
+    lv, rv = _eval_vexpr(l, b), _eval_vexpr(r, b)
+    numeric = (
+        _vexpr_kind(l) == "num"
+        or _vexpr_kind(r) == "num"
+        or op in ("<", ">", "<=", ">=")
+    )
+    if numeric:
+        # loud cast: a non-numeric binding value raises instead of
+        # comparing garbage (same contract as the legacy numeric FILTER)
+        def as_num(x):
+            if isinstance(x, pa.Scalar):
+                if pa.types.is_string(x.type):
+                    return pa.scalar(float(x.as_py()), type=pa.float64())
+                return pc.cast(x, pa.float64())
+            return pc.cast(x, pa.float64())
+
+        lv, rv = as_num(lv), as_num(rv)
+    ops = {"=": pc.equal, "!=": pc.not_equal, "<": pc.less,
+           ">": pc.greater, "<=": pc.less_equal, ">=": pc.greater_equal}
+    return ops[op](lv, rv)
+
 
 def _parse_agg(toks: list[str], i: int) -> tuple[dict, int]:
     """Parse '( FN ( [DISTINCT] ?v [; SEPARATOR= "s"] ) AS ?alias )' from
@@ -304,7 +544,8 @@ def parse_select(query: str) -> dict:
     not_exists: list[tuple] = []
     values: list[tuple[str, list[str]]] = []
     unions: list[list[tuple]] = []
-    filters: list[tuple[str, str, str]] = []
+    filters: list[tuple] = []  # boolean-expression ASTs (_parse_bexpr)
+    binds: list[tuple[str, tuple]] = []  # (target var, vexpr AST)
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -358,6 +599,7 @@ def parse_select(query: str) -> dict:
                 "values": values,
                 "unions": unions,
                 "filters": filters,
+                "binds": binds,
                 "group_by": group_by,
                 "having": having,
                 "order_by": order_by,
@@ -419,64 +661,23 @@ def parse_select(query: str) -> dict:
                 grp, i = _parse_group(toks, i + 3)
                 not_exists.extend(grp)
                 continue
-            if i + 1 < len(toks) and toks[i + 1].upper() == "REGEX":
-                # FILTER regex(?v, "pattern")
-                j = i + 2
-                if (
-                    j + 4 >= len(toks)
-                    or toks[j] != "("
-                    or not toks[j + 1].startswith("?")
-                    or toks[j + 2] != ","
-                    or not toks[j + 3].startswith('"')
-                    or toks[j + 4] != ")"
-                ):
-                    raise SparqlError(
-                        'FILTER regex needs (?var, "pattern")'
-                    )
-                filters.append(("regex", toks[j + 1][1:], _term(toks[j + 3])))
-                i = j + 5
-                continue
-            if i + 1 < len(toks) and toks[i + 1] == "(":
-                # FILTER ( ?v = const ) / ( ?v != const ) — string compare;
-                # FILTER ( ?v < n ) / > / <= / >= — numeric compare (the
-                # binding is cast to float64; a non-numeric binding value
-                # fails the cast loudly rather than comparing garbage)
-                j = i + 2
-                _num_ops = {"<": "lt", ">": "gt", "<=": "le", ">=": "ge"}
-                if (
-                    j + 3 >= len(toks)
-                    or not toks[j].startswith("?")
-                    or toks[j + 1] not in ("=", "!=", *_num_ops)
-                    or toks[j + 3] != ")"
-                ):
-                    raise SparqlError(
-                        "FILTER needs ( ?var <op> const ) with <op> one of "
-                        "= != < > <= >="
-                    )
-                op_tok = toks[j + 1]
-                if op_tok in _num_ops:
-                    try:
-                        float(toks[j + 2])
-                    except ValueError:
-                        raise SparqlError(
-                            f"numeric FILTER needs a number, got {toks[j+2]!r}"
-                        ) from None
-                    filters.append((_num_ops[op_tok], toks[j][1:], toks[j + 2]))
-                else:
-                    const = _term(toks[j + 2])
-                    if const.startswith("?"):
-                        raise SparqlError(
-                            "FILTER comparisons take a constant right side"
-                        )
-                    filters.append(
-                        ("eq" if op_tok == "=" else "ne", toks[j][1:], const)
-                    )
-                i = j + 4
-                continue
-            raise SparqlError(
-                "only FILTER NOT EXISTS { }, FILTER regex(?v, \"p\") and "
-                "FILTER ( ?v <op> const ) are supported"
-            )
+            ast, i = _parse_bexpr(toks, i + 1)
+            filters.append(ast)
+            continue
+        if up == "BIND" and not cur:
+            i = _expect(toks, i + 1, "(")
+            ast, i = _parse_vexpr(toks, i)
+            if i >= len(toks) or toks[i].upper() != "AS":
+                raise SparqlError("expected AS in BIND")
+            i += 1
+            if i >= len(toks) or not toks[i].startswith("?") or len(toks[i]) < 2:
+                raise SparqlError("BIND target must be a ?variable")
+            name = toks[i][1:]
+            i = _expect(toks, i + 1, ")")
+            if any(n == name for n, _ in binds):
+                raise SparqlError(f"duplicate BIND target ?{name}")
+            binds.append((name, ast))
+            continue
         if t == ".":
             if len(cur) != 3:
                 raise SparqlError(f"pattern needs 3 terms, got {cur!r}")
@@ -740,29 +941,34 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             ),
             batch_format="pyarrow",
         )
-    for op, var, rhs in sel.get("filters", ()):
-        if var not in bound:
-            raise SparqlError(f"FILTER of unbound variable: ?{var}")
+    for name, ast in sel.get("binds", ()):
+        missing = [v for v in sorted(_ast_vars(ast)) if v not in bound]
+        if missing:
+            raise SparqlError(f"BIND uses unbound variables: {missing}")
+        if name in bound:
+            raise SparqlError(f"BIND target ?{name} is already bound")
 
-        def f(b: pa.Table, o=op, v=var, r=rhs) -> pa.Table:
-            col = b.column(v)
-            if o == "regex":
-                mask = pc.match_substring_regex(col, r)
-            elif o == "eq":
-                mask = pc.equal(col, pa.scalar(r))
-            elif o == "ne":
-                mask = pc.invert(pc.equal(col, pa.scalar(r)))
-            else:  # numeric: lt / gt / le / ge (cast fails loudly on
-                # non-numeric binding values — garbage never compares)
-                num = pc.cast(col, pa.float64())
-                rv = pa.scalar(float(r), type=pa.float64())
-                mask = {
-                    "lt": pc.less, "gt": pc.greater,
-                    "le": pc.less_equal, "ge": pc.greater_equal,
-                }[o](num, rv)
-            return b.filter(mask)
+        def add(b: pa.Table, n=name, a=ast) -> pa.Table:
+            v = _eval_vexpr(a, b)
+            if isinstance(v, pa.Scalar):  # all-literal expression
+                v = pa.array([v.as_py()] * b.num_rows)
+            if not pa.types.is_string(v.type):
+                # the binding model is string terms (RDF-style): numeric
+                # results (STRLEN) join/group/compare as rendered strings;
+                # numeric FILTERs cast them back exactly
+                v = pc.cast(v, pa.string())
+            return b.append_column(n, v)
 
-        out = out.map_batches(f, batch_format="pyarrow")
+        out = out.map_batches(add, batch_format="pyarrow")
+        bound = [*bound, name]
+    for ast in sel.get("filters", ()):
+        missing = [v for v in sorted(_ast_vars(ast)) if v not in bound]
+        if missing:
+            raise SparqlError(f"FILTER of unbound variables: {missing}")
+        out = out.map_batches(
+            lambda b, a=ast: b.filter(_eval_bexpr(a, b)),
+            batch_format="pyarrow",
+        )
     return out, bound
 
 

@@ -4339,6 +4339,34 @@ def sql_kg_sparql_rollup() -> str:
     )
 
 
+def q_kg_sparql_bind(sf_dir: str):
+    """BIND value expressions + the FILTER expression grammar in query
+    text: a CONCAT-derived tag column plus a boolean-combinator filter
+    (strStarts || numeric STRLEN comparison). BIND is one zero-shuffle
+    append_column pass over the binding stream; the filter one vectorized
+    mask pass (kernel/sparql._eval_vexpr/_eval_bexpr)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        'SELECT ?d ?s ?tag WHERE { ?d :SYSTEM ?s . '
+        'BIND ( CONCAT(?s, "@", ?d) AS ?tag ) '
+        'FILTER ( strStarts(?d, "1") || STRLEN(?d) <= 3 ) }',
+    )
+
+
+def sql_kg_sparql_bind() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "b AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        "      FROM acc WHERE plabel = 'SYSTEM')\n"
+        "SELECT d, s, s || '@' || d AS tag FROM b\n"
+        "WHERE d LIKE '1%' OR length(d) <= 3"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct

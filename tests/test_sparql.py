@@ -477,7 +477,7 @@ class TestFilterExpressions:
         [
             "SELECT ?d WHERE { ?d :SYS ?s . FILTER regex(?s) }",
             "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s < :a ) }",
-            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s = ?d ) }",
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER ( ?s = ) }",
             "SELECT ?d WHERE { ?d :SYS ?s . FILTER regex(?x, \"a\") }",
             "SELECT ?d WHERE { ?d :SYS ?s . FILTER bound(?s) }",
         ],
@@ -670,3 +670,108 @@ class TestAggregateSet:
             "HAVING ( COUNT ( ?d ) > 1 )",
         ).take_all()
         assert rows == [{"s": "spark", "cat": "d1|d2"}]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestBindAndExpressionFilters:
+    """BIND value expressions and the FILTER expression grammar
+    (boolean && || !, string functions, numeric casts)."""
+
+    def _ds(self, t=T):
+        return rd.from_arrow(t)
+
+    def test_bind_concat_and_strlen(self):
+        rows = run_select(
+            self._ds(),
+            'SELECT ?d ?tag ?len WHERE { ?d :SYS ?s . '
+            'BIND ( CONCAT(?s, "-", ?d) AS ?tag ) '
+            "BIND ( STRLEN(?s) AS ?len ) } ORDER BY ?d",
+        ).take_all()
+        assert rows == [
+            {"d": "d1", "tag": "spark-d1", "len": "5"},
+            {"d": "d2", "tag": "spark-d2", "len": "5"},
+            {"d": "d3", "tag": "flink-d3", "len": "5"},
+        ]
+
+    def test_bind_ucase_lcase_substr(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?u ?c WHERE { ?d :SYS ?s . "
+            "BIND ( UCASE(?s) AS ?u ) BIND ( SUBSTR(?s, 2, 3) AS ?c ) }",
+        ).take_all()
+        assert sorted((r["u"], r["c"]) for r in rows) == [
+            ("FLINK", "lin"), ("SPARK", "par"),
+        ]
+
+    def test_filter_on_bind_var_numeric(self):
+        # STRLEN bind is a numeric string; numeric FILTER casts it back
+        rows = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :SYS ?s . ?d :OP ?o . "
+            "BIND ( STRLEN(?o) AS ?len ) FILTER ( ?len >= 4 ) }",
+        ).take_all()
+        assert sorted(r["d"] for r in rows) == ["d1", "d3"]
+
+    def test_filter_boolean_combinators(self):
+        q = ("SELECT ?d WHERE { ?d :SYS ?s . "
+             "FILTER ( ?s = :spark || ?d = :d3 ) }")
+        assert sorted(
+            r["d"] for r in run_select(self._ds(), q).take_all()
+        ) == ["d1", "d2", "d3"]
+        q = ("SELECT ?d WHERE { ?d :SYS ?s . "
+             "FILTER ( ?s = :spark && ! ( ?d = :d1 ) ) }")
+        assert [r["d"] for r in run_select(self._ds(), q).take_all()] == ["d2"]
+
+    def test_filter_string_functions(self):
+        q = 'SELECT ?d WHERE { ?d :SYS ?s . FILTER strStarts(?s, "sp") }'
+        assert sorted(
+            r["d"] for r in run_select(self._ds(), q).take_all()
+        ) == ["d1", "d2"]
+        q = 'SELECT ?d WHERE { ?d :SYS ?s . FILTER strEnds(?s, "ink") }'
+        assert [r["d"] for r in run_select(self._ds(), q).take_all()] == ["d3"]
+        q = ('SELECT ?d WHERE { ?d :SYS ?s . '
+             'FILTER ( contains(?s, "lin") || STRLEN(?d) > 99 ) }')
+        assert [r["d"] for r in run_select(self._ds(), q).take_all()] == ["d3"]
+
+    def test_filter_var_to_var_compare(self):
+        t = pa.table(
+            {
+                "subj": ["x", "x", "y", "y"],
+                "pred": ["A", "B", "A", "B"],
+                "obj": ["1", "1", "1", "2"],
+            }
+        )
+        q = "SELECT ?d WHERE { ?d :A ?a . ?d :B ?b . FILTER ( ?a = ?b ) }"
+        assert [r["d"] for r in run_select(self._ds(t), q).take_all()] == ["x"]
+
+    def test_bind_then_group_by(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?L (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . "
+            "BIND ( UCASE(?s) AS ?L ) } GROUP BY ?L",
+        ).take_all()
+        assert {r["L"]: r["n"] for r in rows} == {"SPARK": 2, "FLINK": 1}
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # BIND of an unbound source variable
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( UCASE(?x) AS ?u ) }",
+            # BIND target already bound
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( UCASE(?s) AS ?s ) }",
+            # duplicate BIND target
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( UCASE(?s) AS ?u ) "
+            "BIND ( LCASE(?s) AS ?u ) }",
+            # missing AS
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( UCASE(?s) ?u ) }",
+            # SUBSTR with 0 start (SPARQL is 1-based)
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( SUBSTR(?s, 0) AS ?u ) }",
+            # unknown value function
+            "SELECT ?d WHERE { ?d :SYS ?s . BIND ( TRIM(?s) AS ?u ) }",
+            # regex pattern must be constant
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER regex(?s, ?d) }",
+        ],
+    )
+    def test_bad_bind_and_filters_raise(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
