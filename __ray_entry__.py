@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_pattern_match": q.q_triple_pattern_match,
         "triple_pattern_match_indexed": q.q_triple_pattern_match_indexed,
         "triple_pattern_match_planned": q.q_triple_pattern_match_planned,
+        "triple_pattern_match_stats": q.q_triple_pattern_match_stats,
         "kg_optional_bgp": q.q_kg_optional_bgp,
         "kg_negation_bgp": q.q_kg_negation_bgp,
         "kg_shape_violations": q.q_kg_shape_violations,
@@ -584,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_pattern_match": q.sql_triple_pattern_match(),
         "triple_pattern_match_indexed": q.sql_triple_pattern_match_indexed(),
         "triple_pattern_match_planned": q.sql_triple_pattern_match_planned(),
+        "triple_pattern_match_stats": q.sql_triple_pattern_match_stats(),
         "kg_optional_bgp": q.sql_kg_optional_bgp(),
         "kg_negation_bgp": q.sql_kg_negation_bgp(),
         "kg_shape_violations": q.sql_kg_shape_violations(),

@@ -3363,7 +3363,10 @@ def _pos_triple_store(sf_dir: str) -> str:
     ).hexdigest()[:12]
     key = f"{os.path.basename(os.path.normpath(sf_dir))}-{fp}"
     store = f"/tmp/quickner_ray_tstore_{key}"
-    if not os.path.exists(os.path.join(store, "pos", "_DONE")):
+    if not (
+        os.path.exists(os.path.join(store, "pos", "_DONE"))
+        and os.path.exists(os.path.join(store, "stats", "_DONE"))
+    ):
         write_triple_store(q_triples(sf_dir), store, perms=["pos"])
     return store
 
@@ -3508,6 +3511,37 @@ def q_triple_pattern_match_planned(sf_dir: str):
 
 
 def sql_triple_pattern_match_planned() -> str:
+    return sql_triple_pattern_match()
+
+
+def q_triple_pattern_match_stats(sf_dir: str):
+    """The same worst-ordered BGP as `..._planned`, but the join order
+    comes from the PERMUTATION STORE'S PER-PREDICATE SYNOPSIS
+    (sinks/triplestore.read_store_stats -> stages/bgp
+    plan_patterns_stats) — zero scans to plan — and each pattern reads
+    only POS-index fragments admitting its predicate. Plan + prune from
+    footer-sized metadata: the serving shape for a 10^12-triple store.
+    Must answer identically to the stream evaluation (same oracle)."""
+    from ..sinks.triplestore import lookup, read_store_stats
+    from ..stages.bgp import bgp_match
+    from ..stages.canonicalize import entity_id
+
+    store = _pos_triple_store(sf_dir)
+    spark = entity_id("spark", "SYSTEM")
+    return bgp_match(
+        None,
+        [
+            ("?doc", "UNIT", "?unit"),
+            ("?doc", "OPERATOR", "?op"),
+            ("?doc", "SYSTEM", spark),
+        ],
+        plan="stats",
+        stats=read_store_stats(store),
+        pattern_source=lambda pat: lookup(store, "pred", pat[1]),
+    )
+
+
+def sql_triple_pattern_match_stats() -> str:
     return sql_triple_pattern_match()
 
 

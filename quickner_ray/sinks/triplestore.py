@@ -79,7 +79,100 @@ def write_triple_store(
         os.rename(tmp, d)
         with open(done, "w") as f:
             f.write("ok")
+    _write_store_stats(dt, out_dir)
     return out_dir
+
+
+def _write_store_stats(dt, out_dir: str) -> None:
+    """Per-predicate planning synopsis under ``out_dir``/stats: one row
+    per predicate with its distinct-triple count and distinct subject /
+    object counts — the classic RDF aggregated-index statistics a
+    cost-based BGP planner orders joins with (stages/bgp
+    plan_patterns_stats), answered from a #predicates-row parquet
+    instead of any scan. Built once at store-build time: the per-pred
+    counts are one bounded groupby; the distinct-pair counts pre-dedup
+    per batch before their (pred, key) shuffle. Crash-safe like the
+    permutation writes (temp dir + atomic rename). Deltas applied later
+    drift the synopsis — acceptable for planning (the numbers price join
+    orders, they never answer queries); compact_store refreshes it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    d = os.path.join(out_dir, "stats")
+    if os.path.exists(os.path.join(d, "_DONE")):
+        return
+
+    n = {
+        r["pred"]: r["n"]
+        for r in dt.groupby("pred")
+        .aggregate(Count(alias_name="n"))
+        .take_all()  # #predicates rows — driver-side by design
+    }
+
+    def distinct_per_pred(col: str) -> dict[str, int]:
+        pairs = (
+            dt.select_columns(["pred", col])
+            .map_batches(  # batch-local pre-dedup cuts the shuffle volume
+                lambda b: b.group_by(["pred", col]).aggregate([]),
+                batch_format="pyarrow",
+            )
+            .groupby(["pred", col])
+            .aggregate(Count(alias_name="_n"))
+        )
+        per = pairs.map_batches(
+            lambda b: b.group_by("pred").aggregate([("pred", "count")]),
+            batch_format="pyarrow",
+        ).groupby("pred").aggregate(Sum("pred_count", alias_name="nd"))
+        return {r["pred"]: r["nd"] for r in per.take_all()}
+
+    ns, no = distinct_per_pred("subj"), distinct_per_pred("obj")
+    preds = sorted(n)
+    table = pa.table(
+        {
+            "pred": pa.array(preds, type=pa.string()),
+            "n": pa.array([n[p] for p in preds], type=pa.int64()),
+            "n_subj": pa.array([ns.get(p, 0) for p in preds], type=pa.int64()),
+            "n_obj": pa.array([no.get(p, 0) for p in preds], type=pa.int64()),
+        }
+    )
+    tmp = d + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "stats.parquet"))
+    os.rename(tmp, d)
+    with open(os.path.join(d, "_DONE"), "w") as f:
+        f.write("ok")
+
+
+def read_store_stats(store_dir: str) -> dict:
+    """Load the planning synopsis: {'preds': {pred: (n, n_subj, n_obj)},
+    'total': (N, NS, NO)}. Totals are the per-predicate sums — N is
+    exact; NS/NO are upper bounds on the global distinct counts (a
+    subject can appear under several predicates), which is the safe
+    direction for the selectivity estimates they feed (they only price
+    unbound-predicate patterns)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(store_dir, "stats", "stats.parquet"))
+    preds = {
+        t.column("pred")[i].as_py(): (
+            t.column("n")[i].as_py(),
+            t.column("n_subj")[i].as_py(),
+            t.column("n_obj")[i].as_py(),
+        )
+        for i in range(t.num_rows)
+    }
+    total = (
+        sum(v[0] for v in preds.values()),
+        sum(v[1] for v in preds.values()),
+        sum(v[2] for v in preds.values()),
+    )
+    return {"preds": preds, "total": total}
 
 
 def _delta_dirs(perm_dir: str) -> list[str]:
@@ -223,6 +316,18 @@ def compact_store(
         shutil.rmtree(old)
         with open(os.path.join(d, "_DONE"), "w") as f:
             f.write("ok")
+    if any(folded.values()) and os.path.isdir(os.path.join(store_dir, "stats")):
+        # refresh the planning synopsis from the compacted base (deltas
+        # drifted it); any compacted perm serves — contents are identical
+        import ray.data as _rd
+
+        done = next(n for n, k in folded.items() if k)
+        marker = os.path.join(store_dir, "stats", "_DONE")
+        if os.path.exists(marker):
+            os.remove(marker)
+        _write_store_stats(
+            _rd.read_parquet(os.path.join(store_dir, done)), store_dir
+        )
     return folded
 
 

@@ -148,18 +148,10 @@ def pattern_counts(
     return out
 
 
-def plan_patterns(triples, patterns, *, cols=("subj", "pred", "obj")):
-    """Cardinality-based join ordering: measure every pattern's exact
-    match count (one shared scan), then greedily fold smallest-first
-    under the connectivity constraint (each next pattern must share a
-    variable with the already-bound set — the same rule bgp_match
-    enforces). Returns the reordered pattern list. Path patterns (tuple
-    predicate) are not countable in the shared scan and are refused."""
-    if any(isinstance(p[1], tuple) for p in patterns):
-        raise ValueError("plan_patterns does not support path patterns")
-    if len(patterns) <= 1:
-        return list(patterns)
-    counts = pattern_counts(triples, patterns, cols=tuple(cols))
+def _greedy_fold(patterns, counts):
+    """Shared planner core: greedily fold smallest-count-first under the
+    connectivity constraint (each next pattern must share a variable
+    with the already-bound set — the same rule bgp_match enforces)."""
     remaining = list(range(len(patterns)))
     # seed: globally smallest pattern
     first = min(remaining, key=lambda i: (counts[i], i))
@@ -182,6 +174,58 @@ def plan_patterns(triples, patterns, *, cols=("subj", "pred", "obj")):
     return [patterns[i] for i in order]
 
 
+def plan_patterns(triples, patterns, *, cols=("subj", "pred", "obj")):
+    """Cardinality-based join ordering: measure every pattern's exact
+    match count (one shared scan), then fold via _greedy_fold. Returns
+    the reordered pattern list. Path patterns (tuple predicate) are not
+    countable in the shared scan and are refused."""
+    if any(isinstance(p[1], tuple) for p in patterns):
+        raise ValueError("plan_patterns does not support path patterns")
+    if len(patterns) <= 1:
+        return list(patterns)
+    return _greedy_fold(
+        patterns, pattern_counts(triples, patterns, cols=tuple(cols))
+    )
+
+
+def estimate_pattern_counts(stats: dict, patterns) -> list[float]:
+    """Selectivity estimates from the triple store's per-predicate
+    synopsis (sinks/triplestore.read_store_stats) — NO scan, no Ray:
+    a bound predicate prices at its distinct-triple count; each bound
+    endpoint divides by the predicate's distinct count on that position
+    (uniformity assumption, the System-R rule); an unbound predicate
+    prices at the store totals. Estimates order joins, they never answer
+    queries — a skewed key mis-prices the order, not the result."""
+    preds, total = stats["preds"], stats["total"]
+    out: list[float] = []
+    for p in patterns:
+        if isinstance(p[1], tuple):
+            raise ValueError(
+                "estimate_pattern_counts does not support path patterns"
+            )
+        s, pr, o = p
+        if _is_var(pr):
+            n, n_subj, n_obj = total
+        else:
+            n, n_subj, n_obj = preds.get(pr, (0, 1, 1))
+        est = float(n)
+        if not _is_var(s):
+            est /= max(n_subj, 1)
+        if not _is_var(o):
+            est /= max(n_obj, 1)
+        out.append(est)
+    return out
+
+
+def plan_patterns_stats(stats: dict, patterns):
+    """Join ordering from the store synopsis alone — the planner a
+    10^12-triple BGP needs (the exact-count path scans once; this
+    answers from a #predicates-row table)."""
+    if len(patterns) <= 1:
+        return list(patterns)
+    return _greedy_fold(patterns, estimate_pattern_counts(stats, patterns))
+
+
 def bgp_match(
     triples,
     patterns,
@@ -195,6 +239,7 @@ def bgp_match(
     optional=(),
     not_exists=(),
     plan: str = "given",
+    stats: dict | None = None,
 ):
     """Match every pattern conjunctively; return DISTINCT variable
     bindings as a Dataset with one column per variable.
@@ -218,7 +263,7 @@ def bgp_match(
 
     if not patterns:
         raise ValueError("bgp_match needs at least one pattern")
-    if plan not in ("given", "cardinality"):
+    if plan not in ("given", "cardinality", "stats"):
         raise ValueError(f"unknown plan {plan!r}")
     nparts = num_partitions or max(32, _default_buckets() // 4)
     cols = (subj_col, pred_col, obj_col)
@@ -226,6 +271,12 @@ def bgp_match(
         # exact leaf cardinalities from one shared scan pick the fold
         # order (smallest bindings first); answers are order-independent
         patterns = plan_patterns(triples, patterns, cols=cols)
+    elif plan == "stats":
+        # synopsis-estimated cardinalities — zero scans, the right
+        # planner when evaluating against the permutation store
+        if stats is None:
+            raise ValueError('plan="stats" needs the stats= synopsis')
+        patterns = plan_patterns_stats(stats, patterns)
 
     def compile_one(p):
         if isinstance(p[1], tuple):  # property-path predicate (paths.eval_path

@@ -164,3 +164,113 @@ class TestIncrementalMaintenance:
         assert [(r["subj"], r["obj"], r["n_mentions"]) for r in rows] == [
             ("a", "x", 2)
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestStoreStats:
+    """Per-predicate planning synopsis: exact counts, read-back shape,
+    and the compaction refresh."""
+
+    def test_stats_match_brute_force(self, tmp_path):
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store, perms=["pos"])
+        from quickner_ray.sinks.triplestore import read_store_stats
+
+        stats = read_store_stats(store)
+        # brute force over the distinct triple set
+        import collections
+
+        dt = set(zip(t.column("subj").to_pylist(),
+                     t.column("pred").to_pylist(),
+                     t.column("obj").to_pylist()))
+        n = collections.Counter(p for _, p, _ in dt)
+        ns = {p: len({s for s, q, _ in dt if q == p}) for p in n}
+        no = {p: len({o for _, q, o in dt if q == p}) for p in n}
+        assert stats["preds"] == {p: (n[p], ns[p], no[p]) for p in n}
+        assert stats["total"][0] == len(dt)
+
+    def test_stats_plan_orders_smallest_first(self, ray_session):
+        from quickner_ray.stages.bgp import (
+            estimate_pattern_counts,
+            plan_patterns_stats,
+        )
+
+        stats = {
+            "preds": {"BIG": (1000, 100, 200), "SMALL": (10, 10, 5)},
+            "total": (1010, 110, 205),
+        }
+        pats = [
+            ("?d", "BIG", "?x"),        # 1000
+            ("?d", "SMALL", "?y"),      # 10
+            ("?d", "BIG", "konst"),     # 1000/200 = 5
+            ("?d", "?p", "?z"),         # 1010 (unbound predicate)
+        ]
+        est = estimate_pattern_counts(stats, pats)
+        assert est == [1000.0, 10.0, 5.0, 1010.0]
+        got = plan_patterns_stats(stats, pats)
+        assert got == [pats[2], pats[1], pats[0], pats[3]]
+        # absent predicate estimates to zero and seeds first
+        assert plan_patterns_stats(
+            stats, [("?d", "BIG", "?x"), ("?d", "NOPE", "?x")]
+        )[0] == ("?d", "NOPE", "?x")
+
+    def test_stats_refresh_on_compaction(self, tmp_path):
+        from quickner_ray.sinks.triplestore import (
+            apply_triple_delta,
+            compact_store,
+            read_store_stats,
+        )
+
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store, perms=["pos"])
+        before = read_store_stats(store)
+        delta = pa.table(
+            {
+                "subj": pa.array(["newdoc"] * 3, pa.string()),
+                "pred": pa.array(["PNEW"] * 3, pa.string()),
+                "obj": pa.array(["e1", "e2", "e3"], pa.string()),
+            }
+        )
+        apply_triple_delta(store, rd.from_arrow(delta), perms=["pos"])
+        # deltas drift the synopsis (documented): unchanged until compaction
+        assert read_store_stats(store) == before
+        compact_store(store, perms=["pos"])
+        after = read_store_stats(store)
+        assert after["preds"]["PNEW"] == (3, 1, 3)
+        assert after["total"][0] == before["total"][0] + 3
+
+    def test_bgp_stats_plan_equals_given(self, ray_session, tmp_path):
+        from quickner_ray.sinks.triplestore import (
+            lookup,
+            read_store_stats,
+        )
+        from quickner_ray.stages.bgp import bgp_match
+
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store, perms=["pos"])
+        pats = [("?d", "P00", "?x"), ("?d", "P01", "?y")]
+        a = (
+            bgp_match(rd.from_arrow(t), pats)
+            .to_pandas().sort_values(["d", "x", "y"]).reset_index(drop=True)
+        )
+        b = (
+            bgp_match(
+                None,
+                list(reversed(pats)),
+                plan="stats",
+                stats=read_store_stats(store),
+                pattern_source=lambda p: lookup(store, "pred", p[1]),
+            )
+            .to_pandas()[["d", "x", "y"]]
+            .sort_values(["d", "x", "y"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_stats_plan_requires_stats(self, ray_session):
+        from quickner_ray.stages.bgp import bgp_match
+
+        with pytest.raises(ValueError, match="stats"):
+            bgp_match(None, [("?a", "P", "?b")], plan="stats")
