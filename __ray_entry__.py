@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_slice": q.q_kg_sparql_slice,
         "kg_sparql_rollup": q.q_kg_sparql_rollup,
         "kg_sparql_bind": q.q_kg_sparql_bind,
+        "kg_owl_inverse": q.q_kg_owl_inverse,
+        "kg_functional_violations": q.q_kg_functional_violations,
+        "kg_ifp_signals": q.q_kg_ifp_signals,
         "kg_construct_comention": q.q_kg_construct_comention,
         "kg_pair_negatives": q.q_kg_pair_negatives,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
@@ -610,6 +613,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_slice": q.sql_kg_sparql_slice(),
         "kg_sparql_rollup": q.sql_kg_sparql_rollup(),
         "kg_sparql_bind": q.sql_kg_sparql_bind(),
+        "kg_owl_inverse": q.sql_kg_owl_inverse(),
+        "kg_functional_violations": q.sql_kg_functional_violations(),
+        "kg_ifp_signals": q.sql_kg_ifp_signals(),
         "kg_construct_comention": q.sql_kg_construct_comention(),
         "kg_pair_negatives": q.sql_kg_pair_negatives(),
         "kg_pred_cardinality": q.sql_kg_pred_cardinality(),

@@ -4401,6 +4401,85 @@ def sql_kg_sparql_bind() -> str:
     )
 
 
+def q_kg_owl_inverse(sf_dir: str):
+    """OWL-lite axiom materialization over the constructed KG:
+    ``MENTIONS_SYSTEM owl:inverseOf SYSTEM_OF`` — every (doc, SYSTEM,
+    entity) triple also materializes (entity, SYSTEM_OF, doc), alongside
+    the original stream, globally DISTINCT. One zero-shuffle arm pass +
+    one bounded dedup groupby (stages/owl.materialize_property_axioms)."""
+    from ..stages.owl import OwlSchema, materialize_property_axioms
+
+    return materialize_property_axioms(
+        q_triples(sf_dir), OwlSchema(inverse_of=(("SYSTEM", "SYSTEM_OF"),))
+    )
+
+
+def sql_kg_owl_inverse() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "t AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS subj,\n"
+        "             plabel AS pred, eid AS obj FROM acc)\n"
+        "SELECT DISTINCT subj, pred, obj FROM (\n"
+        "  SELECT subj, pred, obj FROM t\n"
+        "  UNION ALL\n"
+        "  SELECT obj AS subj, 'SYSTEM_OF' AS pred, subj AS obj FROM t\n"
+        "  WHERE pred = 'SYSTEM')"
+    )
+
+
+def q_kg_functional_violations(sf_dir: str):
+    """owl:FunctionalProperty integrity over the KG: declaring SYSTEM
+    functional (one system entity per doc), report every doc that
+    violates it with its distinct-object count — the KG-quality gate a
+    construction pipeline runs before serving. In-batch pre-dedup + two
+    bounded groupbys (stages/owl.functional_violations)."""
+    from ..stages.owl import OwlSchema, functional_violations
+
+    return functional_violations(
+        q_triples(sf_dir), OwlSchema(functional=("SYSTEM",))
+    )
+
+
+def sql_kg_functional_violations() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT CAST(doc_id AS VARCHAR) AS subj, 'SYSTEM' AS pred,\n"
+        "       CAST(count(DISTINCT eid) AS BIGINT) AS n_objects\n"
+        "FROM acc WHERE plabel = 'SYSTEM'\n"
+        "GROUP BY doc_id HAVING count(DISTINCT eid) > 1"
+    )
+
+
+def q_kg_ifp_signals(sf_dir: str):
+    """owl:InverseFunctionalProperty merge signals: declaring OPERATOR
+    inverse-functional (an operator entity identifies its doc), every
+    OPERATOR entity mentioned by MORE than one doc is an
+    entity-resolution merge candidate set (obj, pred, n_subjects).
+    Linear — the quadratic sameAs pair emission stays behind
+    stages/owl.ifp_sameas_pairs's cap."""
+    from ..stages.owl import OwlSchema, ifp_merge_signals
+
+    return ifp_merge_signals(
+        q_triples(sf_dir), OwlSchema(inverse_functional=("OPERATOR",))
+    )
+
+
+def sql_kg_ifp_signals() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT eid AS obj, 'OPERATOR' AS pred,\n"
+        "       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_subjects\n"
+        "FROM acc WHERE plabel = 'OPERATOR'\n"
+        "GROUP BY eid HAVING count(DISTINCT doc_id) > 1"
+    )
+
+
 def q_kg_system_profile(sf_dir: str):
     """SPARQL-style aggregation over BGP bindings (GROUP BY after the
     graph pattern): for each SYSTEM entity, the number of distinct
