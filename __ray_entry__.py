@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_slice": q.q_kg_sparql_slice,
         "kg_sparql_rollup": q.q_kg_sparql_rollup,
         "kg_sparql_bind": q.q_kg_sparql_bind,
+        "kg_sparql_global": q.q_kg_sparql_global,
         "kg_owl_inverse": q.q_kg_owl_inverse,
         "kg_functional_violations": q.q_kg_functional_violations,
         "kg_ifp_signals": q.q_kg_ifp_signals,
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_slice": q.sql_kg_sparql_slice(),
         "kg_sparql_rollup": q.sql_kg_sparql_rollup(),
         "kg_sparql_bind": q.sql_kg_sparql_bind(),
+        "kg_sparql_global": q.sql_kg_sparql_global(),
         "kg_owl_inverse": q.sql_kg_owl_inverse(),
         "kg_functional_violations": q.sql_kg_functional_violations(),
         "kg_ifp_signals": q.sql_kg_ifp_signals(),

@@ -571,8 +571,10 @@ def parse_select(query: str) -> dict:
                     )
             elif not patterns:
                 raise SparqlError("WHERE has no required patterns")
-            if aggs and not group_by:
-                raise SparqlError("aggregates need GROUP BY")
+            if aggs and not group_by and project:
+                raise SparqlError(
+                    "non-aggregate SELECT variables need GROUP BY"
+                )
             if having and not group_by:
                 raise SparqlError("HAVING needs GROUP BY")
             if offset and not order_by:
@@ -811,7 +813,12 @@ def run_select(triples, query: str, **bgp_kwargs):
     q = parse_select(query)
     out, bound = _bindings(triples, q, **bgp_kwargs)
 
-    if q["group_by"]:
+    if q["aggs"] and not q["group_by"]:
+        # implicit single group (SPARQL 1.1: aggregates without GROUP BY
+        # aggregate the whole solution set into one row)
+        out = _aggregate_global(out, q, bound)
+        final_cols = [a["alias"] for a in q["aggs"]]
+    elif q["group_by"]:
         # HAVING filters reuse a matching SELECT aggregate; otherwise a
         # hidden one is computed alongside and dropped after the filter
         orig_aliases = [a["alias"] for a in q["aggs"]]
@@ -1190,6 +1197,71 @@ def _agg_one(bindings, keys: list[str], agg: dict):
         .groupby(keys)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def _aggregate_global(bindings, q: dict, bound: list[str]):
+    """Implicit single-group aggregation: every aggregate reduces the
+    whole (distinct) solution set to one scalar; the result is a one-row
+    Dataset. Mergeable functions partial-combine per batch then finish
+    with ONE global Dataset.aggregate (a bounded tree-reduce, no key
+    shuffle); GROUP_CONCAT's values ARE the output row, so collecting
+    them driver-side is the result size, not a materialization. Empty
+    solution sets pin to COUNT/SUM = 0, AVG = 0.0, strings = ''."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    mat = bindings.materialize()  # each aggregate consumes the same set
+    cols: dict[str, pa.Array] = {}
+    seen: set[str] = set()
+    for agg in q["aggs"]:
+        fn, var, alias = agg["fn"], agg["var"], agg["alias"]
+        if var not in bound:
+            raise SparqlError(f"{fn.upper()} of unbound variable: ?{var}")
+        if alias in seen:
+            raise SparqlError(f"duplicate result name ?{alias}")
+        seen.add(alias)
+        src = mat
+        if agg["distinct"] and fn in ("count", "sum", "avg", "group_concat"):
+            src = (
+                mat.select_columns([var])
+                .groupby([var])
+                .aggregate(Count(alias_name="_n"))
+                .drop_columns(["_n"])
+            )
+        if fn == "count":
+            n = src.count() if agg["distinct"] else mat.count()
+            cols[alias] = pa.array([n], type=pa.int64())
+        elif fn in ("min", "max", "sample"):
+            ray_agg = Max(var, alias_name="v") if fn == "max" else Min(
+                var, alias_name="v"
+            )
+            res = src.select_columns([var]).aggregate(ray_agg)
+            v = (res or {}).get("v")
+            cols[alias] = pa.array(
+                [v if v is not None else ""], type=pa.string()
+            )
+        elif fn in ("sum", "avg"):
+            def to_int(b: pa.Table, v=var) -> pa.Table:
+                return pa.table({"_v": pc.cast(b.column(v), pa.int64())})
+
+            res = src.select_columns([var]).map_batches(
+                to_int, batch_format="pyarrow"
+            ).aggregate(Sum("_v", alias_name="s"), Count(alias_name="c"))
+            s = (res or {}).get("s") or 0
+            c = (res or {}).get("c") or 0
+            if fn == "sum":
+                cols[alias] = pa.array([int(s)], type=pa.int64())
+            else:
+                cols[alias] = pa.array(
+                    [float(s) / c if c else 0.0], type=pa.float64()
+                )
+        else:  # group_concat: the values are the one-row output itself
+            vals = sorted(
+                r[var] for r in src.select_columns([var]).take_all()
+            )
+            cols[alias] = pa.array([agg["sep"].join(vals)], type=pa.string())
+    return rd.from_arrow(pa.table(cols))
 
 
 def _aggregate(bindings, q: dict, bound: list[str]):

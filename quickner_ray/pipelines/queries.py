@@ -4401,6 +4401,38 @@ def sql_kg_sparql_bind() -> str:
     )
 
 
+def q_kg_sparql_global(sf_dir: str):
+    """Implicit single-group SPARQL aggregation (no GROUP BY): whole-KG
+    statistics in one query-text call — solution count, distinct docs,
+    distinct entities, lexicographic first entity — over the fully
+    unbound pattern ``?d ?p ?e``. Each aggregate partial-combines per
+    batch and finishes with one global tree-reduce; the result is a
+    single row (kernel/sparql._aggregate_global)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT (COUNT(?d) AS ?n_sol) (COUNT(DISTINCT ?d) AS ?n_docs) "
+        "(COUNT(DISTINCT ?e) AS ?n_entities) (MIN(?e) AS ?first_entity) "
+        "WHERE { ?d ?p ?e . }",
+    )
+
+
+def sql_kg_sparql_global() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "t AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d,\n"
+        "             plabel AS p, eid AS e FROM acc)\n"
+        "SELECT CAST(count(*) AS BIGINT) AS n_sol,\n"
+        "       CAST(count(DISTINCT d) AS BIGINT) AS n_docs,\n"
+        "       CAST(count(DISTINCT e) AS BIGINT) AS n_entities,\n"
+        "       min(e) AS first_entity\n"
+        "FROM t"
+    )
+
+
 def q_kg_owl_inverse(sf_dir: str):
     """OWL-lite axiom materialization over the constructed KG:
     ``MENTIONS_SYSTEM owl:inverseOf SYSTEM_OF`` — every (doc, SYSTEM,

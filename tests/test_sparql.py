@@ -237,7 +237,8 @@ class TestAggregationAndModifiers:
     @pytest.mark.parametrize(
         "bad",
         [
-            "SELECT (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",  # no GROUP BY
+            # non-aggregate var mixed with an aggregate needs GROUP BY
+            "SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",
             "SELECT ?o (COUNT(?d) AS ?n) WHERE { ?d :SYS ?o . ?d :OP ?x . } GROUP BY ?x",  # non-grouped var
             "SELECT (MEDIAN(?d) AS ?n) WHERE { ?d :SYS ?s . } GROUP BY ?s",
             "SELECT ?s WHERE { ?d :SYS ?s . } LIMIT many",  # bad limit
@@ -775,3 +776,44 @@ class TestBindAndExpressionFilters:
     def test_bad_bind_and_filters_raise(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestImplicitGroupAggregates:
+    """SPARQL 1.1 aggregates WITHOUT GROUP BY: the whole solution set is
+    one implicit group -> one-row result."""
+
+    def _ds(self, t=T):
+        return rd.from_arrow(t)
+
+    def test_global_count_min_max(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT (COUNT(?d) AS ?n) (COUNT(DISTINCT ?s) AS ?ns) "
+            "(MIN(?s) AS ?mn) (MAX(?s) AS ?mx) "
+            "WHERE { ?d :SYS ?s . }",
+        ).take_all()
+        assert rows == [{"n": 3, "ns": 2, "mn": "flink", "mx": "spark"}]
+
+    def test_global_sum_avg_concat(self):
+        rows = run_select(
+            self._ds(NUM),
+            "SELECT (SUM(?n) AS ?sm) (AVG(?n) AS ?av) "
+            "(GROUP_CONCAT(?n) AS ?cat) WHERE { ?d :N ?n . }",
+        ).take_all()
+        assert rows == [{"sm": 21, "av": 7.0, "cat": "10,4,7"}]
+
+    def test_empty_solutions_pin_defaults(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT (COUNT(?z) AS ?n) (MIN(?z) AS ?mn) (SUM(?z) AS ?sm) "
+            "(AVG(?z) AS ?av) WHERE { ?d :NOPE ?z . }",
+        ).take_all()
+        assert rows == [{"n": 0, "mn": "", "sm": 0, "av": 0.0}]
+
+    def test_mixed_projection_still_needs_group_by(self):
+        with pytest.raises(SparqlError, match="GROUP BY"):
+            run_select(
+                self._ds(),
+                "SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",
+            )
