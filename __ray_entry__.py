@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_rollup": q.q_kg_sparql_rollup,
         "kg_sparql_bind": q.q_kg_sparql_bind,
         "kg_sparql_global": q.q_kg_sparql_global,
+        "kg_graph_bgp": q.q_kg_graph_bgp,
+        "kg_graph_scoped": q.q_kg_graph_scoped,
         "kg_owl_inverse": q.q_kg_owl_inverse,
         "kg_functional_violations": q.q_kg_functional_violations,
         "kg_ifp_signals": q.q_kg_ifp_signals,
@@ -615,6 +617,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_rollup": q.sql_kg_sparql_rollup(),
         "kg_sparql_bind": q.sql_kg_sparql_bind(),
         "kg_sparql_global": q.sql_kg_sparql_global(),
+        "kg_graph_bgp": q.sql_kg_graph_bgp(),
+        "kg_graph_scoped": q.sql_kg_graph_scoped(),
         "kg_owl_inverse": q.sql_kg_owl_inverse(),
         "kg_functional_violations": q.sql_kg_functional_violations(),
         "kg_ifp_signals": q.sql_kg_ifp_signals(),

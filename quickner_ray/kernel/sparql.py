@@ -22,11 +22,14 @@ and ``; SEPARATOR=``) under GROUP BY / HAVING, FILTER expressions
 (comparisons = != < > <= >=, regex/strStarts/strEnds/contains, && || !
 and parentheses, over variables, constants and the value functions),
 BIND with STRLEN/UCASE/LCASE/CONCAT/SUBSTR value expressions, ORDER BY
-/ LIMIT / OFFSET paging, UNION, MINUS and VALUES.
+/ LIMIT / OFFSET paging, UNION, MINUS, VALUES, and GRAPH groups over
+quad streams (``GRAPH ?g { ... }`` binds, ``GRAPH :name { ... }``
+restricts; ungrouped patterns match any graph — the
+union-default-graph configuration).
 DISTINCT is implied (bgp_match returns distinct bindings — stated in
 its contract).
 
-Deliberately NOT a full grammar: no GRAPH/SERVICE/subqueries, no literal
+Deliberately NOT a full grammar: no SERVICE/subqueries, no literal
 datatypes — parity target is the engine underneath, and unsupported
 syntax raises ``SparqlError`` loudly rather than mis-parsing. Pure
 string processing: no Ray, no reference counterpart (quickner has no
@@ -653,6 +656,31 @@ def parse_select(query: str) -> dict:
         if up == "OPTIONAL" and not cur:
             grp, i = _parse_group(toks, i + 1)
             optional.extend(grp)
+            continue
+        if up == "GRAPH" and not cur:
+            # GRAPH ?g { ... } binds each inner pattern's graph term;
+            # GRAPH :name { ... } restricts it. Inner patterns become
+            # 4-term (quad) patterns — the stream must carry a graph
+            # column (bgp_match's graph_col). Ungrouped patterns match
+            # any graph (union default graph).
+            i += 1
+            if i >= len(toks):
+                raise SparqlError("GRAPH needs a ?variable or constant")
+            gtok = toks[i]
+            if gtok.startswith("?"):
+                if len(gtok) == 1:
+                    raise SparqlError("bare '?' is not a variable")
+                g = gtok
+            else:
+                g = _term(gtok)
+            i += 1
+            grp, i = _parse_group(toks, i)
+            for p in grp:
+                if isinstance(p[1], tuple):
+                    raise SparqlError(
+                        "path patterns cannot be GRAPH-scoped"
+                    )
+                patterns.append((*p, g))
             continue
         if up == "FILTER" and not cur:
             if (

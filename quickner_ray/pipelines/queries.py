@@ -4434,6 +4434,92 @@ def sql_kg_sparql_bind() -> str:
     )
 
 
+def quads_dataset(sf_dir: str):
+    """Mention triples widened to QUADS: graph = the mention document's
+    ``source`` (the named-graph provenance model — each upstream feed its
+    own graph). The doc->source map is read column-pruned and broadcast
+    ONCE via ray.put (plasma, zero-copy per batch); the graph column is
+    one vectorized index_in/take append. At open-web scale the graph
+    label rides the extraction row itself (it is a source-table column,
+    like warc metadata) — the broadcast here stands in because the
+    annotated cache predates the quad model."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+    ref = ray.put(
+        (
+            t.column("doc_id").cast(pa.string()).combine_chunks(),
+            t.column("source").combine_chunks(),
+        )
+    )
+
+    def add(b: pa.Table, r=ref) -> pa.Table:
+        ids, srcs = ray.get(r)
+        idx = pc.index_in(b.column("subj"), value_set=ids)
+        return b.append_column("graph", pc.take(srcs, idx))
+
+    return q_triples(sf_dir).map_batches(add, batch_format="pyarrow")
+
+
+def q_kg_graph_bgp(sf_dir: str):
+    """Named-graph SPARQL over the quad stream: per provenance graph
+    (document source), the distinct docs mentioning a SYSTEM entity —
+    ``GRAPH ?g { ... }`` binds the graph term as a 4th pattern column and
+    the aggregation groups on it. Quad patterns ride the same vectorized
+    mask/join machinery as triples (stages/bgp 4-term patterns)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        quads_dataset(sf_dir),
+        "SELECT ?g (COUNT(DISTINCT ?d) AS ?n_docs) WHERE { "
+        "GRAPH ?g { ?d :SYSTEM ?s . } } GROUP BY ?g",
+    )
+
+
+def sql_kg_graph_bgp() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT d.source AS g,\n"
+        "       CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs\n"
+        "FROM acc a JOIN documents d ON a.doc_id = d.doc_id\n"
+        "WHERE a.plabel = 'SYSTEM' GROUP BY d.source"
+    )
+
+
+def q_kg_graph_scoped(sf_dir: str):
+    """Constant-graph restriction: the SYSTEM x OPERATOR co-mention BGP
+    evaluated INSIDE one provenance graph (``GRAPH :src3 { ... }``) —
+    both patterns carry the graph constant, so the vectorized masks drop
+    every other source before the join."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        quads_dataset(sf_dir),
+        "SELECT ?d ?s ?op WHERE { GRAPH :src3 { "
+        "?d :SYSTEM ?s . ?d :OPERATOR ?op . } }",
+    )
+
+
+def sql_kg_graph_scoped() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT DISTINCT CAST(s.doc_id AS VARCHAR) AS d, s.eid AS s,\n"
+        "       o.eid AS op\n"
+        "FROM acc s JOIN acc o ON s.doc_id = o.doc_id\n"
+        "JOIN documents dd ON s.doc_id = dd.doc_id\n"
+        "WHERE s.plabel = 'SYSTEM' AND o.plabel = 'OPERATOR'\n"
+        "  AND dd.source = 'src3'"
+    )
+
+
 def q_kg_sparql_global(sf_dir: str):
     """Implicit single-group SPARQL aggregation (no GROUP BY): whole-KG
     statistics in one query-text call — solution count, distinct docs,

@@ -148,3 +148,76 @@ def read_ntriples(paths, **read_text_kwargs):
 
     ds = rd.read_text(paths, file_extensions=["nt"], **read_text_kwargs)
     return ds.map_batches(parse_ntriples_batch, batch_format="pyarrow")
+
+
+_NQ_LINE_RE = (
+    r"^<(?P<s>[^ >]*)> <(?P<p>[^ >]*)> "
+    r'(?:"(?P<o>(?:[^"\\]|\\.)*)"|<(?P<oi>[^ >]*)>)'
+    r"(?:\^\^<[^ >]*>|@[A-Za-z0-9-]+)?"
+    r"(?: <(?P<g>[^ >]*)>)? \.\s*$"
+)
+
+
+def parse_nquads_batch(b: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """(text) line batch -> (subj, pred, obj, obj_is_iri, graph) quad
+    batch. The graph term is optional per line (N-Quads 1.1: a quad
+    without a graph label is a default-graph statement) — absent graphs
+    surface as ``''`` (empty string, never null, matching the engine's
+    null-free binding model)."""
+    empty = pa.table(
+        {
+            "subj": pa.array([], type=pa.string()),
+            "pred": pa.array([], type=pa.string()),
+            "obj": pa.array([], type=pa.string()),
+            "obj_is_iri": pa.array([], type=pa.bool_()),
+            "graph": pa.array([], type=pa.string()),
+        }
+    )
+    if b.num_rows == 0:
+        return empty
+    lines = b.column(text_col)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lines = pc.cast(lines, pa.string())
+    m = pc.extract_regex(lines, _NQ_LINE_RE)
+    ok = pc.is_valid(m)
+    if not pc.all(ok).as_py():
+        bad = lines.filter(pc.invert(ok))
+        real = [
+            v
+            for v in bad.to_pylist()
+            if v is not None and v.strip() and not v.lstrip().startswith("#")
+        ]
+        if real:
+            raise ValueError(f"malformed N-Quads line: {real[0]!r}")
+        m = m.filter(ok)
+    s = pc.struct_field(m, "s")
+    p = pc.struct_field(m, "p")
+    o_lit = pc.struct_field(m, "o")
+    o_iri = pc.struct_field(m, "oi")
+    g = pc.fill_null(pc.struct_field(m, "g"), "")
+    is_iri = pc.not_equal(pc.fill_null(o_iri, ""), "")
+    obj = pc.if_else(
+        is_iri,
+        _decode_iri(pc.fill_null(o_iri, ""), strip_seg="doc"),
+        _unescape_literal(pc.fill_null(o_lit, "")),
+    )
+    return pa.table(
+        {
+            "subj": _decode_iri(s, strip_seg="doc"),
+            "pred": _decode_iri(p, strip_seg="pred"),
+            "obj": obj,
+            "obj_is_iri": is_iri,
+            "graph": _decode_iri(g, strip_seg="graph"),
+        }
+    )
+
+
+def read_nquads(paths, **read_text_kwargs):
+    """Directory / file list of ``.nq`` shards -> Dataset(subj, pred,
+    obj, obj_is_iri, graph). Same streaming shape as read_ntriples; plain
+    ``.nt`` content parses too (every graph ``''``)."""
+    import ray.data as rd
+
+    ds = rd.read_text(paths, file_extensions=["nq", "nt"], **read_text_kwargs)
+    return ds.map_batches(parse_nquads_batch, batch_format="pyarrow")

@@ -90,9 +90,7 @@ def _pattern_vars(pattern) -> set[str]:
     return {t[1:] for t in pattern if isinstance(t, str) and _is_var(t)}
 
 
-def pattern_counts(
-    triples, patterns, *, cols: tuple[str, str, str]
-) -> list[int]:
+def pattern_counts(triples, patterns, *, cols: tuple) -> list[int]:
     """Exact per-pattern match cardinalities in ONE shared scan: every
     pattern's constant/repeated-variable mask is evaluated per batch
     (vectorized), the per-batch counts are a #patterns-bounded partial
@@ -203,7 +201,8 @@ def estimate_pattern_counts(stats: dict, patterns) -> list[float]:
             raise ValueError(
                 "estimate_pattern_counts does not support path patterns"
             )
-        s, pr, o = p
+        s, pr, o = p[0], p[1], p[2]  # a 4th (graph) term never tightens
+        # the estimate: the synopsis has no per-graph counts (safe upper)
         if _is_var(pr):
             n, n_subj, n_obj = total
         else:
@@ -240,6 +239,7 @@ def bgp_match(
     not_exists=(),
     plan: str = "given",
     stats: dict | None = None,
+    graph_col: str = "graph",
 ):
     """Match every pattern conjunctively; return DISTINCT variable
     bindings as a Dataset with one column per variable.
@@ -265,8 +265,16 @@ def bgp_match(
         raise ValueError("bgp_match needs at least one pattern")
     if plan not in ("given", "cardinality", "stats"):
         raise ValueError(f"unknown plan {plan!r}")
+    for p in (*patterns, *optional, *not_exists):
+        if len(p) not in (3, 4):
+            raise ValueError(f"pattern needs 3 or 4 terms, got {p!r}")
+        if len(p) == 4 and isinstance(p[1], tuple):
+            raise ValueError(f"path patterns cannot be graph-scoped: {p!r}")
     nparts = num_partitions or max(32, _default_buckets() // 4)
-    cols = (subj_col, pred_col, obj_col)
+    # quad patterns (4 terms) zip their 4th term against graph_col — a
+    # 3-term pattern over a quad stream matches ANY graph (the
+    # union-default-graph configuration; GRAPH scoping restricts/binds)
+    cols = (subj_col, pred_col, obj_col, graph_col)
     if plan == "cardinality":
         # exact leaf cardinalities from one shared scan pick the fold
         # order (smallest bindings first); answers are order-independent

@@ -409,3 +409,56 @@ class TestCardinalityPlanning:
             plan_patterns(
                 self._tri(), [("?a", ("pred", "A"), "?b"), ("?a", "B", "?c")]
             )
+
+
+class TestQuadPatterns:
+    """4-term (graph-scoped) patterns over quad streams."""
+
+    def _quads(self):
+        import ray.data as rd
+
+        rows = [
+            ("d1", "SYS", "spark", "g1"),
+            ("d1", "OP", "join", "g1"),
+            ("d2", "SYS", "spark", "g2"),
+            ("d2", "OP", "sort", "g2"),
+            ("d3", "SYS", "flink", "g1"),
+        ]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows]),
+                    "pred": pa.array([r[1] for r in rows]),
+                    "obj": pa.array([r[2] for r in rows]),
+                    "graph": pa.array([r[3] for r in rows]),
+                }
+            )
+        )
+
+    def test_graph_constant_restricts(self, ray_session):
+        out = bgp_match(
+            self._quads(), [("?d", "SYS", "spark", "g1")]
+        ).take_all()
+        assert [r["d"] for r in out] == ["d1"]
+
+    def test_graph_variable_binds(self, ray_session):
+        out = bgp_match(self._quads(), [("?d", "SYS", "spark", "?g")])
+        got = sorted((r["d"], r["g"]) for r in out.take_all())
+        assert got == [("d1", "g1"), ("d2", "g2")]
+
+    def test_mixed_triple_and_quad_patterns(self, ray_session):
+        # 3-term pattern matches any graph; quad pattern scopes + binds
+        out = bgp_match(
+            self._quads(),
+            [("?d", "SYS", "spark", "?g"), ("?d", "OP", "?o")],
+        )
+        got = sorted((r["d"], r["g"], r["o"]) for r in out.take_all())
+        assert got == [("d1", "g1", "join"), ("d2", "g2", "sort")]
+
+    def test_bad_pattern_lengths_raise(self, ray_session):
+        with pytest.raises(ValueError, match="3 or 4"):
+            bgp_match(self._quads(), [("?d", "SYS")])
+        with pytest.raises(ValueError, match="graph-scoped"):
+            bgp_match(
+                self._quads(), [("?d", ("pred", "SYS"), "?x", "g1")]
+            )

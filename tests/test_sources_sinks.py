@@ -458,3 +458,71 @@ class TestNTriplesReader:
         p.write_text("<urn:x> <urn:p> no-object-here\n", encoding="utf-8")
         with _pytest.raises(Exception):
             read_ntriples(str(p)).materialize()
+
+
+class TestNQuadsReader:
+    def test_quads_and_default_graph_lines(self, ray_session, tmp_path):
+        from quickner_ray.sources.ntriples import read_nquads
+
+        p = tmp_path / "dump.nq"
+        p.write_text(
+            "# comment\n"
+            '<http://ex.org/a> <http://ex.org/p> "v" <http://ex.org/g1> .\n'
+            "<http://ex.org/a> <http://ex.org/q> <http://ex.org/b> "
+            "<http://ex.org/g2> .\n"
+            '<http://ex.org/c> <http://ex.org/p> "w" .\n'  # default graph
+            '<urn:quickner:doc:7> <urn:quickner:pred:OP> "x" '
+            "<urn:quickner:graph:src9> .\n",
+            encoding="utf-8",
+        )
+        df = read_nquads(str(p)).to_pandas()
+        rows = {
+            (r.subj, r.pred, r.obj, r.obj_is_iri, r.graph)
+            for r in df.itertuples()
+        }
+        assert rows == {
+            ("http://ex.org/a", "http://ex.org/p", "v", False,
+             "http://ex.org/g1"),
+            ("http://ex.org/a", "http://ex.org/q", "http://ex.org/b", True,
+             "http://ex.org/g2"),
+            ("http://ex.org/c", "http://ex.org/p", "w", False, ""),
+            ("7", "OP", "x", False, "src9"),
+        }
+
+    def test_nt_content_parses_as_default_graph(self, ray_session, tmp_path):
+        from quickner_ray.sources.ntriples import read_nquads
+
+        p = tmp_path / "plain.nt"
+        p.write_text('<urn:x> <urn:p> "v" .\n', encoding="utf-8")
+        df = read_nquads(str(p)).to_pandas()
+        assert list(df.graph) == [""]
+
+    def test_quads_feed_graph_scoped_bgp(self, ray_session, tmp_path):
+        from quickner_ray.kernel.sparql import run_select
+        from quickner_ray.sources.ntriples import read_nquads
+
+        p = tmp_path / "kg.nq"
+        p.write_text(
+            '<urn:d1> <urn:quickner:pred:SYS> "spark" <urn:g1> .\n'
+            '<urn:d2> <urn:quickner:pred:SYS> "spark" <urn:g2> .\n'
+            '<urn:d3> <urn:quickner:pred:SYS> "flink" <urn:g1> .\n',
+            encoding="utf-8",
+        )
+        rows = run_select(
+            read_nquads(str(p)),
+            'SELECT ?d ?g WHERE { GRAPH ?g { ?d :SYS "spark" . } }',
+        ).take_all()
+        assert sorted((r["d"], r["g"]) for r in rows) == [
+            ("urn:d1", "urn:g1"), ("urn:d2", "urn:g2"),
+        ]
+
+    def test_malformed_quad_raises(self, ray_session, tmp_path):
+        import pytest as _pytest
+
+        from quickner_ray.sources.ntriples import read_nquads
+
+        p = tmp_path / "bad.nq"
+        p.write_text("<urn:x> <urn:p> <urn:o> <urn:g> extra .\n",
+                     encoding="utf-8")
+        with _pytest.raises(Exception):
+            read_nquads(str(p)).materialize()

@@ -817,3 +817,58 @@ class TestImplicitGroupAggregates:
                 self._ds(),
                 "SELECT ?s (COUNT(?d) AS ?n) WHERE { ?d :SYS ?s . }",
             )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestGraphGroups:
+    """GRAPH ?g / GRAPH :name over quad streams."""
+
+    def _quads(self):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": ["d1", "d1", "d2", "d2", "d3"],
+                    "pred": ["SYS", "OP", "SYS", "OP", "SYS"],
+                    "obj": ["spark", "join", "spark", "sort", "flink"],
+                    "graph": ["g1", "g1", "g2", "g2", "g1"],
+                }
+            )
+        )
+
+    def test_graph_variable_binds_and_groups(self):
+        rows = run_select(
+            self._quads(),
+            "SELECT ?g (COUNT(?d) AS ?n) WHERE { "
+            "GRAPH ?g { ?d :SYS ?s . } } GROUP BY ?g",
+        ).take_all()
+        assert {r["g"]: r["n"] for r in rows} == {"g1": 2, "g2": 1}
+
+    def test_graph_constant_restricts(self):
+        rows = run_select(
+            self._quads(),
+            "SELECT ?d ?o WHERE { GRAPH :g2 { ?d :SYS :spark . } "
+            "?d :OP ?o . }",
+        ).take_all()
+        assert [(r["d"], r["o"]) for r in rows] == [("d2", "sort")]
+
+    def test_parse_shape(self):
+        q = parse_select(
+            "SELECT ?d WHERE { GRAPH ?g { ?d :A ?x . ?d :B ?y . } }"
+        )
+        assert q["patterns"] == [
+            ("?d", "A", "?x", "?g"), ("?d", "B", "?y", "?g"),
+        ]
+        q = parse_select('SELECT ?d WHERE { GRAPH :g9 { ?d :A ?x . } }')
+        assert q["patterns"] == [("?d", "A", "?x", "g9")]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT ?d WHERE { GRAPH { ?d :A ?x . } }",
+            "SELECT ?d WHERE { GRAPH ?g ?d :A ?x . }",
+            "SELECT ?d WHERE { GRAPH ?g { ?d :A+2 ?x . } }",  # path inside
+        ],
+    )
+    def test_bad_graph_raises(self, bad):
+        with pytest.raises(SparqlError):
+            parse_select(bad)
