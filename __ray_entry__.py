@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_bind": q.q_kg_sparql_bind,
         "kg_sparql_global": q.q_kg_sparql_global,
         "kg_graph_bgp": q.q_kg_graph_bgp,
+        "kg_sparql_served": q.q_kg_sparql_served,
+        "kg_describe_served": q.q_kg_describe_served,
         "kg_graph_scoped": q.q_kg_graph_scoped,
         "kg_owl_inverse": q.q_kg_owl_inverse,
         "kg_functional_violations": q.q_kg_functional_violations,
@@ -618,6 +620,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_bind": q.sql_kg_sparql_bind(),
         "kg_sparql_global": q.sql_kg_sparql_global(),
         "kg_graph_bgp": q.sql_kg_graph_bgp(),
+        "kg_sparql_served": q.sql_kg_sparql_served(),
+        "kg_describe_served": q.sql_kg_describe_served(),
         "kg_graph_scoped": q.sql_kg_graph_scoped(),
         "kg_owl_inverse": q.sql_kg_owl_inverse(),
         "kg_functional_violations": q.sql_kg_functional_violations(),

@@ -3371,6 +3371,22 @@ def _pos_triple_store(sf_dir: str) -> str:
     return store
 
 
+def _full_triple_store(sf_dir: str) -> str:
+    """All three permutations + synopsis in the same cached store dir as
+    _pos_triple_store (finished permutations skip on re-run, so the POS
+    build is shared, not repeated)."""
+    from ..sinks.triplestore import write_triple_store
+
+    store = _pos_triple_store(sf_dir)  # ensures dir + pos + stats
+    need = [
+        p for p in ("spo", "osp")
+        if not os.path.exists(os.path.join(store, p, "_DONE"))
+    ]
+    if need:
+        write_triple_store(q_triples(sf_dir), store, perms=need)
+    return store
+
+
 def q_triple_store_lookup(sf_dir: str, pred: str = "OPERATOR"):
     """Triple-store materialize + point lookup: distinct (s,p,o) triples
     written as the three permutation indexes (sinks/triplestore.py —
@@ -4518,6 +4534,52 @@ def sql_kg_graph_scoped() -> str:
         "WHERE s.plabel = 'SYSTEM' AND o.plabel = 'OPERATOR'\n"
         "  AND dd.source = 'src3'"
     )
+
+
+def q_kg_sparql_served(sf_dir: str):
+    """The kg_sparql_select query TEXT served from the permutation store
+    (quickner_ray.serving.sparql_select): bound-predicate patterns read
+    via POS-index lookups, the fold order comes from the store synopsis
+    (plan='stats', zero scans to plan) — the deployed-endpoint
+    composition, answer-identical to the stream evaluation (same
+    oracle)."""
+    from ..serving import sparql_select
+    from ..stages.canonicalize import entity_id
+
+    store = _full_triple_store(sf_dir)
+    spark = entity_id("spark", "SYSTEM")
+    return sparql_select(
+        store,
+        f"""
+        SELECT ?doc ?op ?u WHERE {{
+          ?doc :SYSTEM :{spark} .
+          ?doc :OPERATOR ?op .
+          OPTIONAL {{ ?doc :UNIT ?u . }}
+          FILTER NOT EXISTS {{ ?doc :PHRASE ?ph . }}
+        }}
+        """,
+    )
+
+
+def sql_kg_sparql_served() -> str:
+    return sql_kg_sparql_select()
+
+
+def q_kg_describe_served(sf_dir: str):
+    """DESCRIBE served from the store: two point lookups (SPO for the
+    subject side, OSP for the object side — each reads only admitting
+    fragments) instead of the stream scan run_describe performs. Same
+    oracle as kg_sparql_describe."""
+    from ..serving import sparql_describe
+    from ..stages.canonicalize import entity_id
+
+    store = _full_triple_store(sf_dir)
+    spark = entity_id("spark", "SYSTEM")
+    return sparql_describe(store, f"DESCRIBE :{spark}")
+
+
+def sql_kg_describe_served() -> str:
+    return sql_kg_sparql_describe()
 
 
 def q_kg_sparql_global(sf_dir: str):

@@ -1,0 +1,127 @@
+"""SPARQL serving over the permutation triple store.
+
+The glue between the query front-end (kernel/sparql.py) and the on-disk
+store (sinks/triplestore.py) — what a deployed KG endpoint runs:
+
+- every bound-predicate pattern reads via the POS-index ``lookup``
+  (only fragments whose row-group stats admit the predicate),
+- join order comes from the store's per-predicate synopsis
+  (``plan="stats"`` — zero scans to plan),
+- variable-predicate and property-path patterns fall back to streaming
+  the SPO base (rare in served workloads; still index-resident, still
+  column-pruned),
+- DESCRIBE unions the SPO and OSP point lookups instead of scanning.
+
+Everything returns lazy Datasets; nothing driver-materializes.
+No reference counterpart (file:line n/a — quickner has no query layer).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = [
+    "sparql_ask",
+    "sparql_construct",
+    "sparql_describe",
+    "sparql_select",
+]
+
+
+def _base(store_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(store_dir, "spo"))
+
+
+def _kwargs(store_dir: str, parsed_has_paths: bool) -> dict:
+    from .sinks.triplestore import lookup, read_store_stats
+
+    def source(pat):
+        pred = pat[1]
+        if isinstance(pred, tuple) or (
+            isinstance(pred, str) and pred.startswith("?")
+        ):
+            return _base(store_dir)  # unbound predicate: stream the base
+        return lookup(store_dir, "pred", pred)
+
+    kw: dict = {"pattern_source": source}
+    if not parsed_has_paths:
+        kw["plan"] = "stats"
+        kw["stats"] = read_store_stats(store_dir)
+    return kw
+
+
+def _has_paths(query: str) -> bool:
+    from .kernel.sparql import SparqlError, parse_select
+
+    try:
+        q = parse_select(query)
+    except SparqlError:
+        return True  # non-SELECT verbs: let the caller's verb parse it;
+        # skip stats planning (safe either way — planning is an ordering)
+    return any(
+        isinstance(p[1], tuple)
+        for p in (*q["patterns"], *q["optional"], *q["not_exists"],
+                  *[pp for grp in q["unions"] for pp in grp])
+    )
+
+
+def sparql_select(store_dir: str, query: str, **overrides):
+    """Serve a SPARQL SELECT from the store. Property paths evaluate
+    against the SPO base (bgp_match routes path steps through
+    ``triples``), so the base Dataset rides along as the stream."""
+    from .kernel.sparql import run_select
+
+    kw = _kwargs(store_dir, _has_paths(query))
+    kw.update(overrides)
+    return run_select(_base(store_dir), query, **kw)
+
+
+def sparql_ask(store_dir: str, query: str, **overrides):
+    from .kernel.sparql import run_ask
+
+    kw = _kwargs(store_dir, True)  # ASK groups are small; skip planning
+    kw.update(overrides)
+    return run_ask(_base(store_dir), query, **kw)
+
+
+def sparql_construct(store_dir: str, query: str, **overrides):
+    from .kernel.sparql import run_construct
+
+    kw = _kwargs(store_dir, True)
+    kw.update(overrides)
+    return run_construct(_base(store_dir), query, **kw)
+
+
+def sparql_describe(store_dir: str, query: str):
+    """DESCRIBE :term from the store: the SPO lookup (term as subject)
+    unioned with the OSP lookup (term as object) — two point reads, no
+    scan — then one bounded dedup groupby."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from .kernel.sparql import SparqlError, _term, _tokens
+    from .sinks.triplestore import lookup
+
+    toks = list(_tokens(query))
+    if len(toks) != 2 or toks[0].upper() != "DESCRIBE":
+        raise SparqlError("DESCRIBE takes exactly one term")
+    term = _term(toks[1])
+    if term.startswith("?"):
+        raise SparqlError("DESCRIBE needs a constant term, not a variable")
+    both = lookup(store_dir, "subj", term).union(
+        lookup(store_dir, "obj", term)
+    )
+    return (
+        both.map_batches(
+            lambda b: pa.table(
+                {"subj": b.column("subj"), "pred": b.column("pred"),
+                 "obj": b.column("obj")}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )

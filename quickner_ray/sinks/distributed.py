@@ -233,3 +233,66 @@ def write_ntriples_dataset(
         return pa.table({"path": [path], "rows": pa.array([n], type=pa.int64())})
 
     return triples_ds.map_batches(dump, batch_format="pyarrow")
+
+
+def write_nquads_dataset(
+    quads_ds,
+    out_dir: str,
+    *,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    graph_col: str = "graph",
+):
+    """KG quads Dataset -> directory of W3C N-Quads 1.1 parts:
+    ``<..doc:S> <..pred:P> "O" <..graph:G> .`` — rows whose graph is
+    ``''`` (the default graph) emit the 3-term N-Triples form, per the
+    N-Quads grammar. Same pure-Arrow line assembly and content-derived
+    idempotent part naming as write_ntriples_dataset; round-trips through
+    sources/ntriples.read_nquads."""
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def dump(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return _EMPTY_MANIFEST
+        subj = _nt_iri_seg(b.column(subj_col).combine_chunks())
+        pred = _nt_iri_seg(b.column(pred_col).combine_chunks())
+        obj = _nt_escape(
+            pc.cast(b.column(obj_col).combine_chunks(), pa.string())
+        )
+        graph = pc.cast(b.column(graph_col).combine_chunks(), pa.string())
+        gseg = _nt_iri_seg(graph)
+        n = b.num_rows
+        lt = pa.array([f"<{_NT_BASE}:doc:"] * n, type=pa.string())
+        mid = pa.array([f"> <{_NT_BASE}:pred:"] * n, type=pa.string())
+        oq = pa.array(['> "'] * n, type=pa.string())
+        # default-graph rows close after the literal; named rows carry
+        # the graph IRI (vectorized if_else over the two tails)
+        named_tail = pc.binary_join_element_wise(
+            pa.array(['" <' + f"{_NT_BASE}:graph:"] * n, type=pa.string()),
+            gseg,
+            pa.array(["> ."] * n, type=pa.string()),
+            "",
+        )
+        tail = pc.if_else(
+            pc.equal(graph, pa.scalar("")),
+            pa.array(['" .'] * n, type=pa.string()),
+            named_tail,
+        )
+        lines = pc.binary_join_element_wise(
+            lt, subj, mid, pred, oq, obj, tail, ""
+        )
+        payload = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+        key = hashlib.md5(payload).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{key}.nq")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table(
+            {"path": [path], "rows": pa.array([n], type=pa.int64())}
+        )
+
+    return quads_ds.map_batches(dump, batch_format="pyarrow")

@@ -526,3 +526,36 @@ class TestNQuadsReader:
                      encoding="utf-8")
         with _pytest.raises(Exception):
             read_nquads(str(p)).materialize()
+
+
+class TestNQuadsWriter:
+    def test_round_trip_with_default_graph(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from quickner_ray.sinks.distributed import write_nquads_dataset
+        from quickner_ray.sources.ntriples import read_nquads
+
+        tab = pa.table(
+            {
+                "subj": ["d1", "d2", "d 3"],
+                "pred": ["ORG", "mentions", "PL"],
+                "obj": ["plain", 'q"uote\\back\nnl', "汉字"],
+                "graph": ["srcA", "", "src B"],  # '' = default graph
+            }
+        )
+        out = str(tmp_path / "nq_rt")
+        write_nquads_dataset(rd.from_arrow(tab), out).take_all()
+        back = read_nquads(out).to_pandas()
+        got = {
+            (r.subj, r.pred, r.obj, r.graph) for r in back.itertuples()
+        }
+        want = set(
+            zip(
+                tab.column("subj").to_pylist(),
+                tab.column("pred").to_pylist(),
+                tab.column("obj").to_pylist(),
+                tab.column("graph").to_pylist(),
+            )
+        )
+        assert got == want
