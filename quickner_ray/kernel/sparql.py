@@ -29,7 +29,11 @@ union-default-graph configuration).
 DISTINCT is implied (bgp_match returns distinct bindings — stated in
 its contract).
 
-Deliberately NOT a full grammar: no SERVICE/subqueries, no literal
+Subqueries (``{ SELECT ... }`` inside WHERE) evaluate independently and
+join the outer group on shared variables, their results re-entering the
+binding model as string terms.
+
+Deliberately NOT a full grammar: no SERVICE/federation, no literal
 datatypes — parity target is the engine underneath, and unsupported
 syntax raises ``SparqlError`` loudly rather than mis-parsing. Pure
 string processing: no Ray, no reference counterpart (quickner has no
@@ -506,6 +510,44 @@ def _parse_agg(toks: list[str], i: int) -> tuple[dict, int]:
             "alias": alias_tok[1:], "sep": sep}, j + 1
 
 
+def _select_out_vars(sel: dict) -> list[str]:
+    """The column names a parsed SELECT evaluates to — statically, so a
+    subquery's joinable variables are known without executing it."""
+    aliases = [a["alias"] for a in sel["aggs"]]
+    if sel["aggs"] and not sel["group_by"]:
+        return aliases
+    if sel["group_by"]:
+        return list(
+            dict.fromkeys(
+                [*(sel["project"] or sorted(sel["group_by"])), *aliases]
+            )
+        )
+    if sel["project"] is not None:
+        return list(sel["project"])
+    vs: list[str] = []
+    for p in (*sel["patterns"], *sel["optional"]):
+        for t in p:
+            if isinstance(t, str) and t.startswith("?") and t[1:] not in vs:
+                vs.append(t[1:])
+    for grp in sel["unions"]:
+        for p in grp:
+            for t in p:
+                if (
+                    isinstance(t, str)
+                    and t.startswith("?")
+                    and t[1:] not in vs
+                ):
+                    vs.append(t[1:])
+    for sub in sel["subqueries"]:
+        for v in sub["vars"]:
+            if v not in vs:
+                vs.append(v)
+    for n, _ in sel["binds"]:
+        if n not in vs:
+            vs.append(n)
+    return sorted(vs)
+
+
 def parse_select(query: str) -> dict:
     """SPARQL SELECT text -> {'project': [vars] | None, 'aggs': [...],
     'patterns': [...], 'optional': [...], 'not_exists': [...],
@@ -549,6 +591,7 @@ def parse_select(query: str) -> dict:
     unions: list[list[tuple]] = []
     filters: list[tuple] = []  # boolean-expression ASTs (_parse_bexpr)
     binds: list[tuple[str, tuple]] = []  # (target var, vexpr AST)
+    subqueries: list[dict] = []  # {'text': str, 'vars': [out vars]}
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -572,7 +615,7 @@ def parse_select(query: str) -> dict:
                         "OPTIONAL/NOT EXISTS/MINUS are not supported "
                         "alongside UNION"
                     )
-            elif not patterns:
+            elif not patterns and not subqueries:
                 raise SparqlError("WHERE has no required patterns")
             if aggs and not group_by and project:
                 raise SparqlError(
@@ -605,6 +648,7 @@ def parse_select(query: str) -> dict:
                 "unions": unions,
                 "filters": filters,
                 "binds": binds,
+                "subqueries": subqueries,
                 "group_by": group_by,
                 "having": having,
                 "order_by": order_by,
@@ -633,6 +677,29 @@ def parse_select(query: str) -> dict:
                 raise SparqlError("VALUES needs at least one constant")
             values.append((var, consts))
             i += 1
+            continue
+        if (
+            t == "{"
+            and not cur
+            and i + 1 < len(toks)
+            and toks[i + 1].upper() == "SELECT"
+        ):
+            # subquery: '{ SELECT ... }' — evaluated independently, its
+            # projected bindings join the outer group on shared variables
+            # (results re-enter the binding model as string terms)
+            depth, j = 1, i + 1
+            while j < len(toks) and depth:
+                if toks[j] == "{":
+                    depth += 1
+                elif toks[j] == "}":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise SparqlError("unterminated subquery")
+            text = " ".join(toks[i + 1:j - 1])
+            sub = parse_select(text)  # fail HERE, not mid-stream
+            subqueries.append({"text": text, "vars": _select_out_vars(sub)})
+            i = j
             continue
         if t == "{" and not cur and not patterns and not unions:
             # '{ groupA } UNION { groupB } [UNION ...]' — branch bindings
@@ -958,7 +1025,7 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             .aggregate(Count(alias_name="_n"))
             .drop_columns(["_n"])
         )
-    else:
+    elif sel["patterns"]:
         bound = group_vars([*sel["patterns"], *sel["optional"]])
         out = bgp_match(
             triples,
@@ -967,6 +1034,50 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             not_exists=tuple(sel["not_exists"]),
             **bgp_kwargs,
         )
+    else:  # subquery-only WHERE: the first subquery is the base
+        if sel["optional"] or sel["not_exists"]:
+            raise SparqlError(
+                "OPTIONAL / FILTER NOT EXISTS need required patterns"
+            )
+        out, bound = None, []
+
+    for sq in sel.get("subqueries", ()):
+        from ..stages.bgp import _default_buckets
+        from ..stages.hashjoin import bucketed_join
+
+        sub_out = run_select(triples, sq["text"], **bgp_kwargs).map_batches(
+            # subquery results re-enter the binding model as string terms
+            # (aggregate columns cast; joins/filters stay uniform)
+            lambda b: pa.table(
+                {
+                    c: (
+                        b.column(c)
+                        if pa.types.is_string(b.column(c).type)
+                        else pc.cast(b.column(c), pa.string())
+                    )
+                    for c in b.column_names
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        if out is None:
+            out, bound = sub_out, list(sq["vars"])
+            continue
+        shared = sorted(set(bound) & set(sq["vars"]))
+        if not shared:
+            raise SparqlError(
+                f"subquery shares no variable with the group "
+                f"(bound={sorted(bound)}, subquery={sq['vars']})"
+            )
+        out = bucketed_join(
+            out,
+            sub_out,
+            on=tuple(shared),
+            n_buckets=max(8, _default_buckets() // 16),
+            left_types={v: pa.string() for v in bound},
+            right_types={v: pa.string() for v in sq["vars"]},
+        )
+        bound = [*bound, *[v for v in sq["vars"] if v not in bound]]
     for var, consts in sel.get("values", ()):
         if var not in bound:
             raise SparqlError(f"VALUES of unbound variable: ?{var}")

@@ -4582,6 +4582,37 @@ def sql_kg_describe_served() -> str:
     return sql_kg_sparql_describe()
 
 
+def q_kg_sparql_subquery(sf_dir: str):
+    """SPARQL 1.1 subquery in query text: the inner SELECT computes each
+    SYSTEM entity's distinct-doc mention count independently (one bounded
+    groupby), re-enters the binding model as string terms, joins the
+    outer mention pattern on the shared ?s, and a numeric FILTER keeps
+    widely-mentioned systems — the aggregate-then-join shape SPARQL can
+    only express with a subquery."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d ?s ?n WHERE { ?d :SYSTEM ?s . "
+        "{ SELECT ?s (COUNT(DISTINCT ?x) AS ?n) "
+        "WHERE { ?x :SYSTEM ?s . } GROUP BY ?s } "
+        "FILTER ( ?n >= 100 ) }",
+    )
+
+
+def sql_kg_sparql_subquery() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "b AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS s\n"
+        "      FROM acc WHERE plabel = 'SYSTEM'),\n"
+        "c AS (SELECT s, CAST(count(*) AS VARCHAR) AS n FROM b GROUP BY s)\n"
+        "SELECT b.d, b.s, c.n FROM b JOIN c USING (s)\n"
+        "WHERE CAST(c.n AS BIGINT) >= 100"
+    )
+
+
 def q_kg_sparql_global(sf_dir: str):
     """Implicit single-group SPARQL aggregation (no GROUP BY): whole-KG
     statistics in one query-text call — solution count, distinct docs,

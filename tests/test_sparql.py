@@ -872,3 +872,80 @@ class TestGraphGroups:
     def test_bad_graph_raises(self, bad):
         with pytest.raises(SparqlError):
             parse_select(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSubqueries:
+    """{ SELECT ... } inside WHERE: independent evaluation, joined to the
+    outer group on shared variables, results as string terms."""
+
+    def _ds(self, t=T):
+        return rd.from_arrow(t)
+
+    def test_aggregate_subquery_joins_outer(self):
+        # docs of systems that are mentioned by >= 2 docs
+        t = pa.table(
+            {
+                "subj": ["d1", "d2", "d3", "d1", "d3"],
+                "pred": ["SYS", "SYS", "SYS", "OP", "OP"],
+                "obj": ["spark", "spark", "flink", "join", "sort"],
+            }
+        )
+        rows = run_select(
+            self._ds(t),
+            "SELECT ?d ?s ?n WHERE { ?d :SYS ?s . "
+            "{ SELECT ?s (COUNT(?x) AS ?n) WHERE { ?x :SYS ?s . } "
+            "GROUP BY ?s } }",
+        ).take_all()
+        got = sorted((r["d"], r["s"], r["n"]) for r in rows)
+        # aggregate column re-enters as a string term
+        assert got == [
+            ("d1", "spark", "2"), ("d2", "spark", "2"),
+            ("d3", "flink", "1"),
+        ]
+
+    def test_subquery_only_where(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?s ?n WHERE { { SELECT ?s (COUNT(?d) AS ?n) "
+            "WHERE { ?d :SYS ?s . } GROUP BY ?s } }",
+        ).take_all()
+        assert sorted((r["s"], r["n"]) for r in rows) == [
+            ("flink", "1"), ("spark", "2"),
+        ]
+
+    def test_filter_on_subquery_column(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?d WHERE { ?d :SYS ?s . "
+            "{ SELECT ?s (COUNT(?x) AS ?n) WHERE { ?x :SYS ?s . } "
+            "GROUP BY ?s } FILTER ( ?n >= 2 ) }",
+        ).take_all()
+        assert sorted(r["d"] for r in rows) == ["d1", "d2"]
+
+    def test_select_star_subquery(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?d ?o WHERE { ?d :OP ?o . "
+            "{ SELECT * WHERE { ?d :SYS :spark . } } }",
+        ).take_all()
+        assert [(r["d"], r["o"]) for r in rows] == [("d1", "join")]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # no shared variable
+            "SELECT ?d WHERE { ?d :OP ?o . "
+            "{ SELECT ?z WHERE { ?z :SYS ?w . } } }",
+            # unterminated subquery
+            "SELECT ?d WHERE { ?d :OP ?o . { SELECT ?d WHERE { ?d :SYS ?s . }",
+            # inner syntax error surfaces at parse time
+            "SELECT ?d WHERE { ?d :OP ?o . { SELECT WHERE { ?d :SYS ?s . } } }",
+            # OPTIONAL with subquery-only WHERE
+            "SELECT ?s WHERE { { SELECT ?s WHERE { ?d :SYS ?s . } } "
+            "OPTIONAL { ?s :X ?y . } }",
+        ],
+    )
+    def test_bad_subqueries_raise(self, bad):
+        with pytest.raises(SparqlError):
+            run_select(self._ds(), bad).take_all()
