@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_bind": q.q_kg_sparql_bind,
         "kg_sparql_global": q.q_kg_sparql_global,
         "kg_sparql_subquery": q.q_kg_sparql_subquery,
+        "kg_sparql_exists": q.q_kg_sparql_exists,
         "kg_graph_bgp": q.q_kg_graph_bgp,
         "kg_sparql_served": q.q_kg_sparql_served,
         "kg_describe_served": q.q_kg_describe_served,
@@ -621,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_bind": q.sql_kg_sparql_bind(),
         "kg_sparql_global": q.sql_kg_sparql_global(),
         "kg_sparql_subquery": q.sql_kg_sparql_subquery(),
+        "kg_sparql_exists": q.sql_kg_sparql_exists(),
         "kg_graph_bgp": q.sql_kg_graph_bgp(),
         "kg_sparql_served": q.sql_kg_sparql_served(),
         "kg_describe_served": q.sql_kg_describe_served(),

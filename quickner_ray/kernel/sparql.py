@@ -586,6 +586,7 @@ def parse_select(query: str) -> dict:
 
     patterns: list[tuple] = []
     optional: list[tuple] = []
+    exists_pats: list[tuple] = []
     not_exists: list[tuple] = []
     values: list[tuple[str, list[str]]] = []
     unions: list[list[tuple]] = []
@@ -610,10 +611,10 @@ def parse_select(query: str) -> dict:
                     raise SparqlError(
                         "UNION groups cannot mix with top-level patterns"
                     )
-                if optional or not_exists:
+                if optional or not_exists or exists_pats:
                     raise SparqlError(
-                        "OPTIONAL/NOT EXISTS/MINUS are not supported "
-                        "alongside UNION"
+                        "OPTIONAL/EXISTS/NOT EXISTS/MINUS are not "
+                        "supported alongside UNION"
                     )
             elif not patterns and not subqueries:
                 raise SparqlError("WHERE has no required patterns")
@@ -643,6 +644,7 @@ def parse_select(query: str) -> dict:
                 "aggs": aggs,
                 "patterns": patterns,
                 "optional": optional,
+                "exists": exists_pats,
                 "not_exists": not_exists,
                 "values": values,
                 "unions": unions,
@@ -757,6 +759,10 @@ def parse_select(query: str) -> dict:
             ):
                 grp, i = _parse_group(toks, i + 3)
                 not_exists.extend(grp)
+                continue
+            if i + 1 < len(toks) and toks[i + 1].upper() == "EXISTS":
+                grp, i = _parse_group(toks, i + 2)
+                exists_pats.extend(grp)
                 continue
             ast, i = _parse_bexpr(toks, i + 1)
             filters.append(ast)
@@ -1031,13 +1037,14 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             triples,
             sel["patterns"],
             optional=tuple(sel["optional"]),
+            exists=tuple(sel.get("exists", ())),
             not_exists=tuple(sel["not_exists"]),
             **bgp_kwargs,
         )
     else:  # subquery-only WHERE: the first subquery is the base
-        if sel["optional"] or sel["not_exists"]:
+        if sel["optional"] or sel["not_exists"] or sel.get("exists"):
             raise SparqlError(
-                "OPTIONAL / FILTER NOT EXISTS need required patterns"
+                "OPTIONAL / FILTER [NOT] EXISTS need required patterns"
             )
         out, bound = None, []
 

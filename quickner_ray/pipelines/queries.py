@@ -4613,6 +4613,32 @@ def sql_kg_sparql_subquery() -> str:
     )
 
 
+def q_kg_sparql_exists(sf_dir: str):
+    """SPARQL FILTER EXISTS in query text: SYSTEM bindings kept only for
+    docs that ALSO mention a UNIT entity — one bucketed left-SEMI join on
+    the shared doc variable (the positive twin of the NOT EXISTS
+    anti-join); the UNIT variable never joins the output."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d ?s WHERE { ?d :SYSTEM ?s . "
+        "FILTER EXISTS { ?d :UNIT ?u . } }",
+    )
+
+
+def sql_kg_sparql_exists() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT DISTINCT CAST(s.doc_id AS VARCHAR) AS d, s.eid AS s\n"
+        "FROM acc s WHERE s.plabel = 'SYSTEM'\n"
+        "  AND EXISTS (SELECT 1 FROM acc u\n"
+        "              WHERE u.doc_id = s.doc_id AND u.plabel = 'UNIT')"
+    )
+
+
 def q_kg_sparql_global(sf_dir: str):
     """Implicit single-group SPARQL aggregation (no GROUP BY): whole-KG
     statistics in one query-text call — solution count, distinct docs,

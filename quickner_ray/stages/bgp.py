@@ -236,6 +236,7 @@ def bgp_match(
     engine: str = "bucket",
     pattern_source=None,
     optional=(),
+    exists=(),
     not_exists=(),
     plan: str = "given",
     stats: dict | None = None,
@@ -256,6 +257,10 @@ def bgp_match(
     not null, so downstream groupbys and the driver's value-hash compare
     stay null-free; '' cannot collide because entity ids are non-empty).
 
+    ``exists``: SPARQL FILTER EXISTS patterns — each semi-joins the
+    bindings on its shared variables, keeping only bindings WITH a
+    match; its variables never join the output.
+
     ``not_exists``: SPARQL FILTER NOT EXISTS patterns — each anti-joins
     the bindings on its shared variables, keeping only bindings with NO
     match; its variables never join the output."""
@@ -265,7 +270,7 @@ def bgp_match(
         raise ValueError("bgp_match needs at least one pattern")
     if plan not in ("given", "cardinality", "stats"):
         raise ValueError(f"unknown plan {plan!r}")
-    for p in (*patterns, *optional, *not_exists):
+    for p in (*patterns, *optional, *exists, *not_exists):
         if len(p) not in (3, 4):
             raise ValueError(f"pattern needs 3 or 4 terms, got {p!r}")
         if len(p) == 4 and isinstance(p[1], tuple):
@@ -353,7 +358,11 @@ def bgp_match(
             )
         bound |= set(nxt_vars)
 
-    for side_type, group in (("left outer", optional), ("left anti", not_exists)):
+    for side_type, group in (
+        ("left outer", optional),
+        ("left semi", exists),  # FILTER EXISTS: keep bindings WITH a match
+        ("left anti", not_exists),
+    ):
         for p in group:
             nxt, nxt_vars = compile_one(p)
             shared = tuple(sorted(bound & set(nxt_vars)))

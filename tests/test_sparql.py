@@ -949,3 +949,56 @@ class TestSubqueries:
     def test_bad_subqueries_raise(self, bad):
         with pytest.raises(SparqlError):
             run_select(self._ds(), bad).take_all()
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestFilterExists:
+    """FILTER EXISTS { }: positive semi-join on shared variables."""
+
+    def _ds(self, t=T):
+        return rd.from_arrow(t)
+
+    def test_exists_keeps_matching_bindings(self):
+        rows = run_select(
+            self._ds(),
+            "SELECT ?d ?s WHERE { ?d :SYS ?s . "
+            "FILTER EXISTS { ?d :OP ?o . } }",
+        ).take_all()
+        assert sorted((r["d"], r["s"]) for r in rows) == [
+            ("d1", "spark"), ("d3", "flink"),
+        ]
+
+    def test_exists_vars_never_join_output(self):
+        q = parse_select(
+            "SELECT ?d WHERE { ?d :SYS ?s . FILTER EXISTS { ?d :OP ?o . } }"
+        )
+        assert q["exists"] == [("?d", "OP", "?o")]
+        rows = run_select(
+            self._ds(),
+            "SELECT * WHERE { ?d :SYS ?s . FILTER EXISTS { ?d :OP ?o . } }",
+        ).take_all()
+        assert set(rows[0].keys()) == {"d", "s"}  # no ?o column
+
+    def test_exists_and_not_exists_stack(self):
+        t = pa.table(
+            {
+                "subj": ["d1", "d1", "d2", "d2", "d3"],
+                "pred": ["A", "B", "A", "C", "A"],
+                "obj": ["x", "y", "x", "z", "x"],
+            }
+        )
+        rows = run_select(
+            self._ds(t),
+            "SELECT ?d WHERE { ?d :A :x . "
+            "FILTER EXISTS { ?d :B ?b . } "
+            "FILTER NOT EXISTS { ?d :C ?c . } }",
+        ).take_all()
+        assert [r["d"] for r in rows] == ["d1"]
+
+    def test_exists_needs_required_patterns(self):
+        with pytest.raises(SparqlError):
+            run_select(
+                self._ds(),
+                "SELECT ?s WHERE { { SELECT ?s WHERE { ?d :SYS ?s . } } "
+                "FILTER EXISTS { ?s :X ?y . } }",
+            )
