@@ -38,11 +38,15 @@ def _kwargs(store_dir: str, parsed_has_paths: bool) -> dict:
     from .sinks.triplestore import lookup, read_store_stats
 
     def source(pat):
-        pred = pat[1]
+        s, pred, o = pat[0], pat[1], pat[2]
         if isinstance(pred, tuple) or (
             isinstance(pred, str) and pred.startswith("?")
         ):
             return _base(store_dir)  # unbound predicate: stream the base
+        if not s.startswith("?"):  # (subj, pred) prefix: SPO two-key prune
+            return lookup(store_dir, "subj", s, second=pred)
+        if not o.startswith("?"):  # (pred, obj) prefix: POS two-key prune
+            return lookup(store_dir, "pred", pred, second=o)
         return lookup(store_dir, "pred", pred)
 
     kw: dict = {"pattern_source": source}

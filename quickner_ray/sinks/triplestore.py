@@ -185,21 +185,31 @@ def _delta_dirs(perm_dir: str) -> list[str]:
     )
 
 
-def lookup(store_dir: str, position: str, value):
+def lookup(store_dir: str, position: str, value, *, second=None):
     """Point lookup by leading key: position in {'subj','pred','obj'}.
     Reads ONLY the fragments/row groups whose min/max statistics admit
     ``value`` (pyarrow predicate pushdown over the sorted layout — delta
     partitions are range-sorted too, so they prune the same way). When
     delta partitions exist, a (s,p,o) key may be split across base +
     deltas: the filtered (small) result is re-aggregated and retracted
-    keys (support folded to <= 0) are dropped."""
+    keys (support folded to <= 0) are dropped.
+
+    ``second`` (optional): a bound value for the permutation's SECOND
+    sort key (spo->pred, pos->obj, osp->subj) — two-key prefix pruning:
+    within the leading key's run the layout is sorted by the second key
+    too, so row-group stats prune on BOTH (the composite-lookup path a
+    (pred, obj)-bound pattern serves from)."""
     import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     perm = {"subj": "spo", "pred": "pos", "obj": "osp"}[position]
     d = os.path.join(store_dir, perm)
-    ds = rd.read_parquet(d, filter=(pc.field(position) == value))
+    flt = pc.field(position) == value
+    if second is not None:
+        second_col = PERMS[perm][1]
+        flt = flt & (pc.field(second_col) == second)
+    ds = rd.read_parquet(d, filter=flt)
     if not _delta_dirs(d):
         return ds
     out = ds.groupby(["subj", "pred", "obj"]).aggregate(

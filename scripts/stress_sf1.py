@@ -141,6 +141,14 @@ def main() -> None:
         "kg_path_affinity": q.q_kg_path_affinity,
         "kg_pred_cardinality": q.q_kg_pred_cardinality,
         "kmv_entity_overlap": q.q_kmv_entity_overlap,
+        # round-3 continuation wave: store-synopsis planning + serving,
+        # full aggregate rollup, named graphs, subqueries, OWL layer
+        "triple_pattern_match_stats": q.q_triple_pattern_match_stats,
+        "kg_sparql_rollup": q.q_kg_sparql_rollup,
+        "kg_sparql_served": q.q_kg_sparql_served,
+        "kg_sparql_subquery": q.q_kg_sparql_subquery,
+        "kg_graph_bgp": q.q_kg_graph_bgp,
+        "kg_owl_inverse": q.q_kg_owl_inverse,
     }
     rows: dict = {}
     for name, fn in family.items():

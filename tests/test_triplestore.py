@@ -274,3 +274,77 @@ class TestStoreStats:
 
         with pytest.raises(ValueError, match="stats"):
             bgp_match(None, [("?a", "P", "?b")], plan="stats")
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestCompositeLookup:
+    def test_two_key_lookup_matches_filtered_scan(self, tmp_path):
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store)
+        # (pred, obj) on POS
+        got = sorted(
+            (r["subj"], r["pred"], r["obj"])
+            for r in lookup(store, "pred", "P03", second="e21").take_all()
+        )
+        want = sorted(
+            {
+                (s, p, o)
+                for s, p, o in zip(
+                    t.column("subj").to_pylist(),
+                    t.column("pred").to_pylist(),
+                    t.column("obj").to_pylist(),
+                )
+                if p == "P03" and o == "e21"
+            }
+        )
+        assert got == want and len(got) > 0
+        # (subj, pred) on SPO
+        got = sorted(
+            (r["pred"], r["obj"])
+            for r in lookup(store, "subj", "doc5", second="P07").take_all()
+        )
+        assert got == [("P07", f"e{(5 * 7 + 7) % 50}")]
+
+    def test_two_key_lookup_sees_deltas(self, tmp_path):
+        from quickner_ray.sinks.triplestore import apply_triple_delta
+
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store, perms=["pos"])
+        delta = pa.table(
+            {
+                "subj": pa.array(["nd1", "nd2"], pa.string()),
+                "pred": pa.array(["P03", "P03"], pa.string()),
+                "obj": pa.array(["e21", "zzz"], pa.string()),
+            }
+        )
+        apply_triple_delta(store, rd.from_arrow(delta), perms=["pos"])
+        got = {
+            r["subj"]
+            for r in lookup(store, "pred", "P03", second="e21").take_all()
+        }
+        assert "nd1" in got and "nd2" not in got
+
+    def test_serving_uses_composite_path(self, tmp_path):
+        from quickner_ray.serving import sparql_select
+
+        t = _triples_table()
+        store = str(tmp_path / "store")
+        write_triple_store(rd.from_arrow(t), store)
+        rows = sparql_select(
+            store,
+            'SELECT ?d WHERE { ?d :P03 :e21 . ?d :P05 ?x . }',
+        ).take_all()
+        want = sorted(
+            {
+                s
+                for s, p, o in zip(
+                    t.column("subj").to_pylist(),
+                    t.column("pred").to_pylist(),
+                    t.column("obj").to_pylist(),
+                )
+                if p == "P03" and o == "e21"
+            }
+        )
+        assert sorted(r["d"] for r in rows) == want
