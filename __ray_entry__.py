@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_global": q.q_kg_sparql_global,
         "kg_sparql_subquery": q.q_kg_sparql_subquery,
         "kg_sparql_exists": q.q_kg_sparql_exists,
+        "kg_sparql_star": q.q_kg_sparql_star,
+        "kg_sparql_negpath": q.q_kg_sparql_negpath,
         "kg_graph_bgp": q.q_kg_graph_bgp,
         "kg_sparql_served": q.q_kg_sparql_served,
         "kg_describe_served": q.q_kg_describe_served,
@@ -229,11 +231,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triples": q.q_triples,
         "triple_store_lookup": q.q_triple_store_lookup,
         "triple_store_lookup_delta": q.q_triple_store_lookup_delta,
+        "triple_store_update": q.q_triple_store_update,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
         "entity_cooccurrence": q.q_entity_cooccurrence,
         "entity_pagerank": q.q_entity_pagerank,
+        "entity_ppr": q.q_entity_ppr,
         "entity_jaccard": q.q_entity_jaccard,
         "entity_resource_alloc": q.q_entity_resource_alloc,
         "entity_triangles": q.q_entity_triangles,
@@ -489,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "triples": sql_triples(DEFAULT_GAZETTEER),
         "triple_store_lookup": q.sql_triple_store_lookup(),
         "triple_store_lookup_delta": q.sql_triple_store_lookup_delta(),
+        "triple_store_update": q.sql_triple_store_update(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("
@@ -510,6 +515,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_postings": sql_entity_postings(DEFAULT_GAZETTEER),
         "entity_cooccurrence": sql_entity_cooccurrence(DEFAULT_GAZETTEER),
         "entity_pagerank": sql_entity_pagerank(DEFAULT_GAZETTEER),
+        "entity_ppr": q.sql_entity_ppr_oracle(),
         "entity_jaccard": sql_neighborhood_jaccard(DEFAULT_GAZETTEER),
         "entity_resource_alloc": sql_resource_allocation(DEFAULT_GAZETTEER),
         "entity_triangles": sql_entity_triangles(DEFAULT_GAZETTEER),
@@ -623,6 +629,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_global": q.sql_kg_sparql_global(),
         "kg_sparql_subquery": q.sql_kg_sparql_subquery(),
         "kg_sparql_exists": q.sql_kg_sparql_exists(),
+        "kg_sparql_star": q.sql_kg_sparql_star(),
+        "kg_sparql_negpath": q.sql_kg_sparql_negpath(),
         "kg_graph_bgp": q.sql_kg_graph_bgp(),
         "kg_sparql_served": q.sql_kg_sparql_served(),
         "kg_describe_served": q.sql_kg_describe_served(),

@@ -49,6 +49,7 @@ import pyarrow as pa
 __all__ = [
     "SparqlError",
     "parse_select",
+    "parse_update",
     "run_ask",
     "run_construct",
     "run_describe",
@@ -98,57 +99,135 @@ def _tokens(text: str):
             yield tok
 
 
-PLUS_DEFAULT_HOPS = 6  # SPARQL '+' is unbounded; the engine hop-bounds it
+PLUS_DEFAULT_HOPS = 6  # SPARQL '+'/'*' are unbounded; the engine hop-bounds
 
-_STEP = re.compile(r"^(\^?):([^\^/|+{}]+)(\+(\d*))?$")
+_PATH_STOP = set("^/|+*?()!{}")  # chars that end a :name inside a path
 
 
 def parse_path(tok: str):
     """Predicate-position path expression -> stages/paths.eval_path tuple.
 
-    Grammar (whitespace-free, one token): alternation ``a|b`` (lowest),
-    sequence ``a/b``, and per step an optional leading ``^`` (inverse)
-    and optional trailing ``+`` (closure, hop-bounded at
-    PLUS_DEFAULT_HOPS) or ``+H`` with an explicit hop bound (SPARQL 1.1
-    dropped {n,m}; the engine's closure is hop-bounded by design, so the
-    bound is part of the syntax). No parentheses — compose in the engine
-    API when precedence needs overriding."""
+    Grammar (whitespace-free, one token; recursive descent, SPARQL 1.1
+    precedence):
 
-    def step(s: str):
-        m = _STEP.match(s)
-        if not m:
-            raise SparqlError(f"bad path step {s!r}")
-        inv, name, suffix, hops = m.groups()
-        e = ("pred", name)
+        alt     := seq ('|' seq)*                       lowest
+        seq     := unary ('/' unary)*
+        unary   := '^'? primary postfix?
+        primary := ':'name | '(' alt ')'
+                 | '!' ':'name | '!(' ':'name ('|' ':'name)* ')'
+        postfix := '+' H? | '*' H? | '?'
+
+    ``+``/``*`` closures are hop-bounded at PLUS_DEFAULT_HOPS unless an
+    explicit ``H`` digit bound follows (SPARQL 1.1 dropped {n,m}; the
+    engine's closure is hop-bounded by design, so the bound is part of
+    the syntax). ``!`` negated sets take forward predicate names only.
+    ``^`` binds tighter than a postfix (``^:p+`` closes the inverse
+    step, matching the pre-parenthesis grammar this replaces)."""
+    s = tok
+    pos = 0
+
+    def peek() -> str:
+        return s[pos] if pos < len(s) else ""
+
+    def expect(c: str):
+        nonlocal pos
+        if peek() != c:
+            raise SparqlError(f"expected {c!r} at {pos} in path {tok!r}")
+        pos += 1
+
+    def name() -> str:
+        nonlocal pos
+        expect(":")
+        start = pos
+        while pos < len(s) and s[pos] not in _PATH_STOP:
+            pos += 1
+        if pos == start:
+            raise SparqlError(f"empty predicate name at {start} in {tok!r}")
+        return s[start:pos]
+
+    def hop_bound(op: str) -> int:
+        nonlocal pos
+        start = pos
+        while pos < len(s) and s[pos].isdigit():
+            pos += 1
+        if pos == start:
+            return PLUS_DEFAULT_HOPS
+        h = int(s[start:pos])
+        if h < 1:
+            raise SparqlError(f"path bound must be >= 1 after {op!r} in {tok!r}")
+        return h
+
+    def primary():
+        nonlocal pos
+        c = peek()
+        if c == "(":
+            pos += 1
+            e = alt()
+            expect(")")
+            return e
+        if c == "!":
+            pos += 1
+            if peek() == "(":
+                pos += 1
+                labels = [name()]
+                while peek() == "|":
+                    pos += 1
+                    labels.append(name())
+                expect(")")
+                return ("neg", tuple(labels))
+            return ("neg", (name(),))
+        if c == ":":
+            return ("pred", name())
+        raise SparqlError(f"bad path primary at {pos} in {tok!r}")
+
+    def unary():
+        nonlocal pos
+        inv = peek() == "^"
+        if inv:
+            pos += 1
+        e = primary()
         if inv:
             e = ("inv", e)
-        if suffix:
-            h = int(hops) if hops else PLUS_DEFAULT_HOPS
-            if h < 1:
-                raise SparqlError(f"path bound must be >= 1 in {s!r}")
-            e = ("plus", e, h)
+        c = peek()
+        if c == "+":
+            pos += 1
+            e = ("plus", e, hop_bound("+"))
+        elif c == "*":
+            pos += 1
+            e = ("star", e, hop_bound("*"))
+        elif c == "?":
+            pos += 1
+            e = ("opt", e)
         return e
 
-    def seq(s: str):
-        parts = s.split("/")
-        if any(not p for p in parts):
-            raise SparqlError(f"empty sequence step in {s!r}")
-        e = step(parts[-1])
-        for p in reversed(parts[:-1]):
-            e = ("seq", step(p), e)
+    def seq():
+        e = unary()
+        while peek() == "/":
+            nonlocal_advance()
+            e = ("seq", e, unary())
         return e
 
-    alts = tok.split("|")
-    if any(not a for a in alts):
-        raise SparqlError(f"empty alternation branch in {tok!r}")
-    e = seq(alts[-1])
-    for a in reversed(alts[:-1]):
-        e = ("alt", seq(a), e)
+    def nonlocal_advance():
+        nonlocal pos
+        pos += 1
+
+    def alt():
+        e = seq()
+        while peek() == "|":
+            nonlocal_advance()
+            e = ("alt", e, seq())
+        return e
+
+    e = alt()
+    if pos != len(s):
+        raise SparqlError(f"trailing {s[pos:]!r} in path {tok!r}")
     return e
 
 
 def _is_path_token(tok: str) -> bool:
-    return tok.startswith((":", "^")) and any(c in tok for c in "/|^+")
+    if tok.startswith(("!", "(")):
+        return True
+    return tok.startswith((":", "^")) and any(c in tok for c in "/|^+*?(")
 
 
 def _term(tok: str) -> str:
@@ -179,6 +258,45 @@ def _pattern(cur: list[str]) -> tuple:
     return (_term(s), _term(p), _term(o))
 
 
+_PATH_POSTFIX = re.compile(r"[+*?]\d*")
+
+
+def _path_starts_at(toks: list[str], i: int, cur: list[str]) -> bool:
+    """True when toks[i] begins a parenthesized/negated path in the
+    PREDICATE position (subject already collected). The tokenizer splits
+    '(' / ')' off as punctuation, so '(:A/:B)*2' arrives as four tokens
+    that must be re-joined before parse_path sees them."""
+    if len(cur) != 1:
+        return False
+    t = toks[i]
+    return t == "(" or (t == "!" and i + 1 < len(toks) and toks[i + 1] == "(")
+
+
+def _join_path_tokens(toks: list[str], i: int) -> tuple[str, int]:
+    """Re-join a tokenizer-split path starting at toks[i] ('(' or '!')
+    through its balanced close paren, plus one optional postfix token
+    ('+H' / '*H' / '?'); paths are whitespace-free by grammar, so plain
+    concatenation reconstructs the original text. Returns (token, next_i)."""
+    parts: list[str] = []
+    depth = 0
+    while i < len(toks):
+        t = toks[i]
+        parts.append(t)
+        i += 1
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+            if depth == 0:
+                if i < len(toks) and _PATH_POSTFIX.fullmatch(toks[i]):
+                    parts.append(toks[i])
+                    i += 1
+                return "".join(parts), i
+        elif depth == 0 and t != "!":
+            break
+    raise SparqlError(f"unbalanced '(' in path near {' '.join(parts)!r}")
+
+
 def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
     """Parse '{ pattern . pattern . ... }' starting at toks[i] == '{'."""
     if i >= len(toks) or toks[i] != "{":
@@ -201,6 +319,10 @@ def _parse_group(toks: list[str], i: int) -> tuple[list[tuple], int]:
             cur = []
         elif t == "{":
             raise SparqlError("nested groups are not supported here")
+        elif _path_starts_at(toks, i, cur):
+            tok, i = _join_path_tokens(toks, i)
+            cur.append(tok)
+            continue
         else:
             cur.append(t)
             if len(cur) > 3:
@@ -788,6 +910,10 @@ def parse_select(query: str) -> dict:
             cur = []
         elif t == "{":
             raise SparqlError("bare nested groups are not supported")
+        elif _path_starts_at(toks, i, cur):
+            tok, i = _join_path_tokens(toks, i)
+            cur.append(tok)
+            continue
         else:
             cur.append(t)
             if len(cur) > 3:
@@ -1454,3 +1580,60 @@ def _aggregate(bindings, q: dict, bound: list[str]):
     # drop group keys not projected (SPARQL allows grouping by an
     # unprojected var); re-dedup is unnecessary — group keys are unique
     return out.select_columns(list(dict.fromkeys(cols)))
+
+
+def parse_update(text: str) -> list[tuple[str, list[tuple[str, str, str]]]]:
+    """SPARQL 1.1 Update, ground-data subset: a ';'-separated sequence of
+    ``INSERT DATA { triples }`` / ``DELETE DATA { triples }`` operations
+    (constants only — the pattern-template verbs INSERT/DELETE WHERE are
+    out of scope). Returns [(verb, [(s, p, o), ...]), ...] in operation
+    order; sequence semantics (a later INSERT revives a DELETEd triple,
+    a later DELETE removes a just-INSERTed one) are the executor's
+    contract (serving.sparql_update)."""
+    toks = list(_tokens(text))
+    i = 0
+    ops: list[tuple[str, list[tuple[str, str, str]]]] = []
+    while i < len(toks):
+        if toks[i] == ";":
+            i += 1
+            continue
+        verb = toks[i].upper()
+        if verb not in ("INSERT", "DELETE"):
+            raise SparqlError(f"expected INSERT or DELETE, got {toks[i]!r}")
+        i += 1
+        if i >= len(toks) or toks[i].upper() != "DATA":
+            raise SparqlError(f"{verb} supports only {verb} DATA here")
+        i += 1
+        if i >= len(toks) or toks[i] != "{":
+            raise SparqlError("expected '{' after DATA")
+        i += 1
+        triples: list[tuple[str, str, str]] = []
+        cur: list[str] = []
+        while i < len(toks) and toks[i] != "}":
+            t = toks[i]
+            if t == ".":
+                if len(cur) != 3:
+                    raise SparqlError(f"triple needs 3 terms, got {cur!r}")
+                triples.append((cur[0], cur[1], cur[2]))
+                cur = []
+            else:
+                term = _term(t)
+                if term.startswith("?"):
+                    raise SparqlError(
+                        f"DATA blocks take ground terms, not variables: {t!r}"
+                    )
+                cur.append(term)
+                if len(cur) > 3:
+                    raise SparqlError(f"triple has more than 3 terms: {cur!r}")
+            i += 1
+        if i >= len(toks):
+            raise SparqlError("unterminated '{' in DATA block")
+        if cur:
+            if len(cur) != 3:
+                raise SparqlError(f"triple needs 3 terms, got {cur!r}")
+            triples.append((cur[0], cur[1], cur[2]))
+        i += 1  # past '}'
+        ops.append(("insert" if verb == "INSERT" else "delete", triples))
+    if not ops:
+        raise SparqlError("empty update request")
+    return ops

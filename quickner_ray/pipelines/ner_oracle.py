@@ -227,6 +227,53 @@ def sql_entity_pagerank(
     return sql
 
 
+def sql_entity_ppr(
+    entities: list[tuple[str, str]],
+    seeds: list[str],
+    table: str = "documents",
+    *,
+    cap: int = 64,
+    n_iters: int = 3,
+) -> str:
+    """Oracle for ``q_entity_ppr``: (entity_id, ppr_score) — integer
+    fixed-point Personalized PageRank over the entity co-occurrence
+    graph, iterations unrolled as CTEs. Identical op-for-op to
+    :func:`sql_entity_pagerank` except the restart: s0 holds PR_SCALE
+    only at the ``seeds`` and the per-iteration damping base is
+    seed-conditional (0 elsewhere) — mirrors
+    stages/graph_cc.personalized_pagerank."""
+    pr_scale = 10**12
+    base = (15 * pr_scale) // 100
+    seed_in = ", ".join("'" + s.replace("'", "''") + "'" for s in sorted(set(seeds)))
+    sql = (
+        f"WITH {sql_match_ctes(entities, table)},\n"
+        f"de AS (SELECT DISTINCT doc_id, eid FROM acc),\n"
+        f"dcap AS (SELECT doc_id, eid FROM de QUALIFY\n"
+        f"  row_number() OVER (PARTITION BY doc_id ORDER BY eid) <= {cap}),\n"
+        f"e AS (SELECT DISTINCT a.eid AS ea, b.eid AS eb\n"
+        f"      FROM dcap a JOIN dcap b ON a.doc_id = b.doc_id AND a.eid < b.eid),\n"
+        f"und AS MATERIALIZED (SELECT ea AS s, eb AS d FROM e\n"
+        f"  UNION ALL SELECT eb, ea FROM e),\n"
+        f"deg AS MATERIALIZED (SELECT s AS node, count(*) AS deg FROM und GROUP BY s),\n"
+        f"nodes AS MATERIALIZED (SELECT DISTINCT eid AS node FROM acc),\n"
+        f"s0 AS (SELECT node, CAST(CASE WHEN node IN ({seed_in})\n"
+        f"  THEN {pr_scale} ELSE 0 END AS BIGINT) AS sc FROM nodes)"
+    )
+    for i in range(n_iters):
+        sql += (
+            f",\ns{i + 1} AS (\n"
+            f"  SELECT n.node,\n"
+            f"    CAST((CASE WHEN n.node IN ({seed_in}) THEN {base} ELSE 0 END)\n"
+            f"      + (85 * COALESCE(x.inc, 0)) // 100 AS BIGINT) AS sc\n"
+            f"  FROM nodes n LEFT JOIN (\n"
+            f"    SELECT u.d AS node, SUM(p.sc // g.deg) AS inc\n"
+            f"    FROM und u JOIN s{i} p ON p.node = u.s JOIN deg g ON g.node = u.s\n"
+            f"    GROUP BY u.d) x ON x.node = n.node)"
+        )
+    sql += f"\nSELECT node AS entity_id, sc AS ppr_score FROM s{n_iters}"
+    return sql
+
+
 def sql_entity_triangles(
     entities: list[tuple[str, str]],
     table: str = "documents",

@@ -3451,6 +3451,64 @@ def sql_triple_store_lookup_delta(pred: str = "OPERATOR") -> str:
     return sql_triple_store_lookup(pred)
 
 
+def q_triple_store_update(sf_dir: str, pred: str = "OPERATOR"):
+    """SPARQL 1.1 Update executed against the permutation store
+    (serving.sparql_update -> kernel/sparql.parse_update): ONE request
+    mixing a DELETE DATA of a store-present triple (the lexicographically
+    first (subj, obj) under ``pred``; its retraction amount comes from a
+    pruned point lookup against the pre-update store), an INSERT that a
+    later DELETE in the same request voids (sequence semantics), and two
+    surviving INSERTs. The whole request lands as ONE LSM delta
+    generation (|delta| work, no rebuild); the POS lookup then reads
+    base + delta, re-aggregates split keys, drops the retracted victim
+    (support folded to 0), and must answer the full-corpus oracle minus
+    the victim plus the surviving inserts. Idempotent per store: the
+    update applies once (guarded on the delta roster), so cached re-runs
+    re-read, never re-apply."""
+    from ..serving import sparql_update
+    from ..sinks.triplestore import _delta_dirs, lookup, write_triple_store
+
+    store = f"/tmp/quickner_ray_tstore_upd_{_corpus_cache_key(sf_dir, 'v1')}"
+    need = [
+        p for p in ("spo", "pos")
+        if not os.path.exists(os.path.join(store, p, "_DONE"))
+    ]
+    if need:
+        write_triple_store(q_triples(sf_dir), store, perms=need)
+    if not _delta_dirs(os.path.join(store, "pos")):
+        victim = (
+            lookup(store, "pred", pred).sort(["subj", "obj"]).limit(1).take(1)[0]
+        )
+        req = (
+            f'DELETE DATA {{ "{victim["subj"]}" :{pred} "{victim["obj"]}" }} ;\n'
+            f'INSERT DATA {{ "upd:d1" :{pred} "upd:voided" .\n'
+            f'               "upd:d1" :{pred} "upd:kept" }} ;\n'
+            f'DELETE DATA {{ "upd:d1" :{pred} "upd:voided" }} ;\n'
+            f'INSERT DATA {{ "upd:d2" :{pred} "upd:kept" }}'
+        )
+        sparql_update(store, req, perms=["spo", "pos"])
+    return lookup(store, "pred", pred)
+
+
+def sql_triple_store_update(pred: str = "OPERATOR") -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"base AS (SELECT CAST(doc_id AS VARCHAR) AS subj, plabel AS pred,\n"
+        f"         eid AS obj, CAST(count(*) AS BIGINT) AS n_mentions\n"
+        f"         FROM acc WHERE plabel = '{pred}' GROUP BY 1, 2, 3),\n"
+        f"victim AS (SELECT subj, obj FROM base ORDER BY subj, obj LIMIT 1)\n"
+        f"SELECT b.* FROM base b WHERE NOT EXISTS (\n"
+        f"  SELECT 1 FROM victim v WHERE v.subj = b.subj AND v.obj = b.obj)\n"
+        f"UNION ALL\n"
+        f"SELECT * FROM (VALUES\n"
+        f"  ('upd:d1', '{pred}', 'upd:kept', CAST(1 AS BIGINT)),\n"
+        f"  ('upd:d2', '{pred}', 'upd:kept', CAST(1 AS BIGINT)))\n"
+        f"  t(subj, pred, obj, n_mentions)"
+    )
+
+
 def q_triple_pattern_match(sf_dir: str):
     """SPARQL-style BGP conjunctive query over the extracted KG: bindings
     (?doc, ?op, ?unit) such that ?doc mentions the SYSTEM entity 'spark'
@@ -4128,6 +4186,73 @@ def sql_kg_sparql_path() -> str:
         f"oth AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS x\n"
         f"        FROM acc WHERE plabel IN ('OPERATOR', 'UNIT'))\n"
         f"SELECT DISTINCT s, x FROM sys JOIN oth USING (d)"
+    )
+
+
+def q_kg_sparql_star(sf_dir: str):
+    """SPARQL 1.1 zero-or-more property path with grouping parens,
+    written in query text: ``?a (^:SYSTEM/:SYSTEM)*2 ?b`` — entities
+    within two co-mention hops of each other on the SYSTEM layer, PLUS
+    the zero-length identity over every graph term (SPARQL's ``*``
+    relates each term to itself). The parser re-joins the
+    tokenizer-split parens, compiles to the ("star", seq, 2) algebra
+    node, and eval_path unions the hop-bounded closure with one
+    zero-shuffle identity projection pass (stages/paths.py)."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?a ?b WHERE { ?a (^:SYSTEM/:SYSTEM)*2 ?b . }",
+    )
+
+
+def sql_kg_sparql_star() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"sys AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS e\n"
+        f"        FROM acc WHERE plabel = 'SYSTEM'),\n"
+        f"s1 AS (SELECT DISTINCT a.e AS src, b.e AS dst\n"
+        f"       FROM sys a JOIN sys b ON a.d = b.d),\n"
+        f"s2 AS (SELECT DISTINCT x.src, y.dst\n"
+        f"       FROM s1 x JOIN s1 y ON x.dst = y.src),\n"
+        f"univ AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS n FROM acc\n"
+        f"         UNION SELECT DISTINCT eid FROM acc)\n"
+        f"SELECT DISTINCT a, b FROM (\n"
+        f"  SELECT n AS a, n AS b FROM univ\n"
+        f"  UNION ALL SELECT src, dst FROM s1\n"
+        f"  UNION ALL SELECT src, dst FROM s2)"
+    )
+
+
+def q_kg_sparql_negpath(sf_dir: str):
+    """SPARQL 1.1 negated property set under a zero-or-one postfix,
+    written in query text: ``?d (!(:SYSTEM|:OPERATOR))? ?x`` — every
+    (doc, entity) edge whose predicate is NOT one of the named labels
+    (one vectorized complement filter; the step shape no per-predicate
+    index can serve, so it scans the stream by design), unioned with
+    the zero-length identity over every graph term."""
+    from ..kernel.sparql import run_select
+
+    return run_select(
+        q_triples(sf_dir),
+        "SELECT ?d ?x WHERE { ?d (!(:SYSTEM|:OPERATOR))? ?x . }",
+    )
+
+
+def sql_kg_sparql_negpath() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"neg AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS d, eid AS x\n"
+        f"        FROM acc WHERE plabel NOT IN ('SYSTEM', 'OPERATOR')),\n"
+        f"univ AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS n FROM acc\n"
+        f"         UNION SELECT DISTINCT eid FROM acc)\n"
+        f"SELECT DISTINCT d, x FROM (\n"
+        f"  SELECT n AS d, n AS x FROM univ\n"
+        f"  UNION ALL SELECT d, x FROM neg)"
     )
 
 
@@ -5441,6 +5566,58 @@ def q_entity_pagerank(sf_dir: str):
         {"entity_id": "node", "pr_score": "pr_score"},
         {"entity_id": pa.string()},
     )
+
+
+def _ppr_seeds() -> list[str]:
+    """Seed entity ids for the personalized-PageRank contract query —
+    a 2-entity query set (one SYSTEM, one OPERATOR), query-bounded like a
+    SPARQL VALUES block."""
+    from ..stages.canonicalize import entity_id
+
+    return [entity_id("spark", "SYSTEM"), entity_id("scan", "OPERATOR")]
+
+
+def q_entity_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart) from a 2-seed
+    query set over the entity co-occurrence graph — "how related is every
+    canonical entity to THESE entities", the serving primitive behind
+    related-entity panels. Same integer fixed-point rules as
+    `entity_pagerank` (bit-deterministic, hash-comparable against the
+    unrolled SQL oracle ner_oracle.sql_entity_ppr); the 0.15 restart mass
+    lands only on the seeds, so entities outside the seeds' 3-hop
+    neighborhood score exactly 0. Seeds ship inside task closures
+    (query-bounded, never shuffled); the shuffle profile is identical to
+    `entity_pagerank`."""
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.graph_cc import (
+        _project_t,
+        cooccurrence_pairs,
+        personalized_pagerank,
+    )
+
+    ann = annotated_documents_cached(sf_dir)
+    edges = cooccurrence_pairs(ann, annotated=True)
+    nodes = canonical_entities(_explode_ann(ann))
+    pr = personalized_pagerank(
+        edges,
+        nodes=nodes,
+        seeds=_ppr_seeds(),
+        src_col="entity_a",
+        dst_col="entity_b",
+        node_col="entity_id",
+        node_type=pa.string(),
+    )
+    return _project_t(
+        pr,
+        {"entity_id": "node", "ppr_score": "ppr_score"},
+        {"entity_id": pa.string()},
+    )
+
+
+def sql_entity_ppr_oracle() -> str:
+    from .ner_oracle import sql_entity_ppr
+
+    return sql_entity_ppr(DEFAULT_GAZETTEER, _ppr_seeds())
 
 
 def q_relation_candidates(sf_dir: str):

@@ -25,6 +25,7 @@ __all__ = [
     "sparql_construct",
     "sparql_describe",
     "sparql_select",
+    "sparql_update",
 ]
 
 
@@ -129,3 +130,80 @@ def sparql_describe(store_dir: str, query: str):
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
+
+
+def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) -> int:
+    """Execute a SPARQL UPDATE (INSERT DATA / DELETE DATA sequence,
+    kernel/sparql.parse_update) against the permutation store as ONE
+    LSM delta generation (sinks/triplestore.apply_triple_delta — |delta|
+    work, no rebuild; compact_store folds it later).
+
+    Sequence semantics within the request: per triple key, a DELETE
+    retracts the store's CURRENT support and voids any earlier INSERT in
+    the same request; INSERTs after the last DELETE add support. The
+    retraction amounts come from point lookups against the pre-update
+    store — the delete set is bounded by the request text, so these are
+    a handful of pruned index reads, never a scan. Lookups prefer the
+    SPO permutation (subject keys are fine-grained; a POS fallback would
+    read a whole predicate run).
+
+    Returns the number of (s, p, o) keys the applied delta touched
+    (0 = no-op request; nothing is written). Idempotency is the
+    caller's contract, as with apply_triple_delta: re-running the same
+    request re-applies it (INSERT support doubles), so guard with
+    ``_delta_dirs`` where exactly-once matters.
+    No reference counterpart (n/a — quickner has no query layer)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .kernel.sparql import parse_update
+    from .sinks.triplestore import PERMS, apply_triple_delta, lookup
+
+    ops = parse_update(text)
+    if perms is None:
+        perms = [
+            p for p in PERMS
+            if os.path.exists(os.path.join(store_dir, p, "_DONE"))
+        ]
+    if not perms:
+        raise FileNotFoundError(f"no completed permutation under {store_dir}")
+
+    # fold the op sequence: triple -> [retract_store_support, n_inserts]
+    pending: dict[tuple[str, str, str], list] = {}
+    for verb, triples in ops:
+        for t in triples:
+            st = pending.setdefault(t, [False, 0])
+            if verb == "insert":
+                st[1] += 1
+            else:
+                st[0] = True
+                st[1] = 0
+
+    retract = [t for t, st in pending.items() if st[0]]
+    store_n: dict[tuple[str, str, str], int] = {}
+    if retract:
+        by_perm = {"spo": ("subj", 0), "pos": ("pred", 1), "osp": ("obj", 2)}
+        perm = next((p for p in ("spo", "osp", "pos") if p in perms), perms[0])
+        position, idx = by_perm[perm]
+        for key in sorted({t[idx] for t in retract}):
+            for r in lookup(store_dir, position, key).take_all():
+                store_n[(r["subj"], r["pred"], r["obj"])] = r["n_mentions"]
+
+    keys, deltas = [], []
+    for t, (retr, ins) in pending.items():
+        n = ins - (store_n.get(t, 0) if retr else 0)
+        if n != 0:
+            keys.append(t)
+            deltas.append(n)
+    if not keys:
+        return 0
+    tab = pa.table(
+        {
+            "subj": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "obj": pa.array([k[2] for k in keys], type=pa.string()),
+            "n_mentions": pa.array(deltas, type=pa.int64()),
+        }
+    )
+    apply_triple_delta(store_dir, rd.from_arrow(tab), perms=perms, distinct=True)
+    return len(keys)

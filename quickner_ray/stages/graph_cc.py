@@ -331,6 +331,213 @@ def pagerank(
     return _project_t(scores, {"node": "node", "pr_score": "score"}, ntypes)
 
 
+def personalized_pagerank(
+    edges,
+    *,
+    nodes,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    node_type: "pa.DataType | None" = None,
+    n_iters: int = 3,
+    num_partitions: int = 8,
+    driver_cap: int | None = None,
+):
+    """Integer fixed-point Personalized PageRank (random walk with
+    restart) over an undirected simple graph: Dataset(node, ppr_score)
+    after ``n_iters`` iterations with damping 0.85, where the 0.15
+    restart mass lands ONLY on the ``seeds`` set — the classic
+    entity-relatedness score ("how close is every node to THESE
+    nodes"). Identical integer rules to :func:`pagerank`
+    (contribution ``score // deg``, damping ``(85 * inc) // 100``),
+    so every iteration is bit-deterministic and the unrolled SQL
+    oracle (ner_oracle.sql_entity_ppr) compares value-exact; the only
+    deltas are the seed-conditional restart base and the s0 vector
+    (PR_SCALE at seeds, 0 elsewhere). Nodes unreachable from a seed
+    within ``n_iters`` hops score exactly 0.
+
+    ``seeds`` is a small Python list (query-bounded, like a SPARQL
+    VALUES block): it ships inside task closures, never shuffles.
+    Size-gated like ``pagerank``: below ``driver_cap`` the power
+    iteration runs driver-side over numpy code arrays; above, the
+    per-iteration join/aggregate rounds run with only the
+    (node, score) frontier materialized.
+    Reference anchor: n/a — no graph analytics in quickner; public
+    grounding: Jeh & Widom 2003 (personalized PageRank), Tong et al.
+    2006 (random walk with restart)."""
+    from ray.data.aggregate import Count, Sum
+
+    if not seeds:
+        raise ValueError("personalized_pagerank requires >= 1 seed")
+    nt = node_type if node_type is not None else pa.int64()
+    ntypes = {"src": nt, "dst": nt, "node": nt, "jnode": nt, "inode": nt}
+    cap = DRIVER_CAP if driver_cap is None else driver_cap
+    seed_arr = pa.array(sorted(set(seeds)), type=nt)
+
+    fwd = _project_t(edges, {"src": src_col, "dst": dst_col}, ntypes)
+    rev = _project_t(edges, {"src": dst_col, "dst": src_col}, ntypes)
+    und = fwd.union(rev).repartition(num_partitions).materialize()
+
+    universe0 = _project_t(nodes, {"node": node_col}, ntypes)
+    if und.count() <= 2 * cap:
+        return _broadcast_ppr(universe0, und.take_all(), seed_arr, nt, n_iters)
+
+    deg = _project_t(
+        und.groupby("src").aggregate(Count(alias_name="deg")),
+        {"node": "src", "deg": "deg"},
+        ntypes,
+    ).repartition(num_partitions).materialize()
+
+    universe = universe0.materialize()
+    base = (15 * PR_SCALE) // 100
+
+    def seed_base(col: "pa.Array") -> "pa.Array":
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.is_in(col, value_set=seed_arr)
+        return pc.if_else(m, pa.scalar(base, type=pa.int64()),
+                          pa.scalar(0, type=pa.int64()))
+
+    def with_score(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        col = b.column("node")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.is_in(col, value_set=seed_arr)
+        s0 = pc.if_else(m, pa.scalar(PR_SCALE, type=pa.int64()),
+                        pa.scalar(0, type=pa.int64()))
+        return b.append_column("score", s0)
+
+    scores = universe.map_batches(with_score, batch_format="pyarrow").materialize()
+
+    def contrib(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"dst": pa.array([], type=nt), "c": pa.array([], type=pa.int64())}
+            )
+        s = b.column("score").to_numpy(zero_copy_only=False)
+        d = b.column("deg").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"dst": b.column("dst"), "c": pa.array(s // d, type=pa.int64())}
+        )
+
+    def damp(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if b.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], type=nt), "score": pa.array([], type=pa.int64())}
+            )
+        inc_np = b.column("inc").fill_null(0).to_numpy(zero_copy_only=False)
+        sb = seed_base(b.column("node")).to_numpy(zero_copy_only=False)
+        score = sb + (85 * inc_np) // 100
+        return pa.table(
+            {"node": b.column("node"), "score": pa.array(score, type=pa.int64())}
+        )
+
+    for _ in range(n_iters):
+        sd = scores.join(
+            deg, "inner", num_partitions=num_partitions,
+            on=("node",), right_on=("node",),
+        )
+        # repartition is load-bearing — see pagerank
+        j = und.join(
+            _project_t(
+                sd, {"jnode": "node", "score": "score", "deg": "deg"}, ntypes
+            ).repartition(num_partitions),
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+            right_on=("jnode",),
+        )
+        inc = (
+            j.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="inc"))
+        )
+        inc = _project_t(inc, {"inode": "dst", "inc": "inc"}, ntypes).repartition(
+            num_partitions
+        )
+        nxt = universe.join(
+            inc, "left_outer", num_partitions=num_partitions,
+            on=("node",), right_on=("inode",),
+        )
+        scores = nxt.map_batches(damp, batch_format="pyarrow").repartition(
+            num_partitions
+        ).materialize()
+    return _project_t(scores, {"node": "node", "ppr_score": "score"}, ntypes)
+
+
+def _broadcast_ppr(universe, und_rows, seed_arr, nt, n_iters: int):
+    """Small-graph Personalized-PageRank path (see _broadcast_pagerank):
+    vocab covers edge endpoints PLUS seeds (an edgeless seed still holds
+    its restart base); everything else scores exactly 0, so the
+    broadcast map fill_null is 0, not the base."""
+    import numpy as np
+    import ray
+
+    base = (15 * PR_SCALE) // 100
+    seed_list = seed_arr.to_pylist()
+    s = np.asarray([r["src"] for r in und_rows])
+    d = np.asarray([r["dst"] for r in und_rows])
+    vocab, codes = np.unique(
+        np.concatenate([s, d, np.asarray(seed_list)])
+        if len(und_rows)
+        else np.asarray(seed_list),
+        return_inverse=True,
+    )
+    n = len(vocab)
+    seed_mask = np.isin(vocab, np.asarray(seed_list))
+    score = np.where(seed_mask, PR_SCALE, 0).astype(np.int64)
+    if len(und_rows):
+        sc, dc = codes[: len(s)], codes[len(s) : len(s) + len(d)]
+        deg = np.bincount(sc, minlength=n)
+        safe_deg = np.maximum(deg, 1)  # endpoints always have deg >= 1
+        for _ in range(n_iters):
+            inc = np.zeros(n, dtype=np.int64)
+            np.add.at(inc, dc, score[sc] // safe_deg[sc])
+            score = seed_mask * base + (85 * inc) // 100
+    else:
+        score = (seed_mask * base).astype(np.int64)
+    payload = (pa.array(vocab.tolist(), type=nt), pa.array(score, type=pa.int64()))
+    ref = ray.put(payload)
+
+    def relabel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "node": pa.array([], type=nt),
+                    "ppr_score": pa.array([], type=pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        k, v = ray.get(ref)
+        nodes = b.column("node")
+        if isinstance(nodes, pa.ChunkedArray):
+            nodes = nodes.combine_chunks()
+        idx = pc.index_in(nodes, value_set=k)
+        return pa.table(
+            {
+                "node": nodes,
+                "ppr_score": pc.take(v, idx).fill_null(0),
+            }
+        )
+
+    return universe.map_batches(relabel, batch_format="pyarrow")
+
+
 WEDGE_CAP = 256  # per-node out-neighbor cap for wedge generation
 
 

@@ -9,11 +9,21 @@ expressions over predicates. This module evaluates a small path algebra
     ("seq", a, b)      a / b   — composition
     ("alt", a, b)      a | b   — alternation
     ("plus", e, H)     e{1,H}  — transitive closure, hop-bounded
+    ("neg", labels)    !(a|b)  — negated property set (any OTHER predicate)
+    ("opt", e)         e?      — zero-or-one (identity over the node universe)
+    ("star", e, H)     e{0,H}  — zero-or-more, hop-bounded
 
-to the DISTINCT (src, dst) endpoint pairs. Hop-bounding ``+`` keeps the
-operator honest at scale AND gives it an exact recursive-CTE oracle (an
-unbounded closure over a cyclic web graph has no terminating
+to the DISTINCT (src, dst) endpoint pairs. Hop-bounding ``+``/``*`` keeps
+the operator honest at scale AND gives it an exact recursive-CTE oracle
+(an unbounded closure over a cyclic web graph has no terminating
 path-enumeration SQL); SPARQL engines bound or BFS it the same way.
+Zero-length arms (``?``/``*``) follow SPARQL 1.1 semantics: the empty
+path relates every graph term to itself, so they union in the identity
+pairs over the node universe (distinct subjects + objects of the triple
+stream — one zero-shuffle projection pass; the final global distinct
+dedupes it against the closure). Negated sets are the one step shape a
+per-predicate index CANNOT serve (the match set is the complement), so
+they always scan the stream even under ``pred_source``.
 
 Execution shape (idiomatic Ray Data, no driver-side row loops):
 - a predicate step is ONE vectorized filter+project over the triples
@@ -73,6 +83,41 @@ def _step(triples, label: str, subj_col: str, pred_col: str, obj_col: str):
         return _local_distinct(
             pa.table({"src": t.column(subj_col), "dst": t.column(obj_col)})
         )
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def _neg_step(triples, labels, subj_col: str, pred_col: str, obj_col: str):
+    """Negated property set !(l1|l2|...): every (subj, obj) pair whose
+    predicate is NOT in ``labels`` — one vectorized complement filter."""
+    vset = pa.array(sorted(set(labels)), type=pa.string())
+
+    def f(b: pa.Table) -> pa.Table:
+        p = b.column(pred_col)
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        t = b.filter(pc.invert(pc.is_in(p, value_set=vset)))
+        return _local_distinct(
+            pa.table({"src": t.column(subj_col), "dst": t.column(obj_col)})
+        )
+
+    return triples.map_batches(f, batch_format="pyarrow")
+
+
+def _identity_pairs(triples, subj_col: str, obj_col: str):
+    """(node, node) for every term of the graph — the SPARQL zero-length
+    path. Batch-local distinct only; the caller's global distinct (or the
+    closure union) dedupes across batches."""
+
+    def f(b: pa.Table) -> pa.Table:
+        nodes = pa.concat_tables(
+            [
+                pa.table({"n": b.column(subj_col).cast(pa.string())}),
+                pa.table({"n": b.column(obj_col).cast(pa.string())}),
+            ]
+        )
+        u = nodes.group_by(["n"]).aggregate([])
+        return pa.table({"src": u.column("n"), "dst": u.column("n")})
 
     return triples.map_batches(f, batch_format="pyarrow")
 
@@ -355,6 +400,15 @@ def eval_path(
         if op == "plus":
             closed = min_hops_closure(ev(e[1]), max_hops=e[2], n_buckets=nb)
             return closed.drop_columns(["min_hops"])
+        if op == "neg":
+            return _neg_step(triples, e[1], subj_col, pred_col, obj_col)
+        if op == "opt":
+            return ev(e[1]).union(_identity_pairs(triples, subj_col, obj_col))
+        if op == "star":
+            closed = min_hops_closure(ev(e[1]), max_hops=e[2], n_buckets=nb)
+            return closed.drop_columns(["min_hops"]).union(
+                _identity_pairs(triples, subj_col, obj_col)
+            )
         raise ValueError(f"unknown path op {e!r}")
 
     return _distinct_pairs(ev(expr), nb)
