@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_aliases": q.q_anchor_aliases,
         "canonical_urls": q.q_canonical_urls,
         "url_dedup": q.q_url_dedup,
+        "skew_join": q.q_skew_join,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -651,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_aliases": q.sql_anchor_aliases(),
         "canonical_urls": q.sql_canonical_urls(),
         "url_dedup": q.sql_url_dedup(),
+        "skew_join": q.sql_skew_join(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

@@ -7389,3 +7389,68 @@ def sql_url_dedup() -> str:
         f"  CAST(count(*) AS BIGINT) AS n_dupes\n"
         f"FROM c GROUP BY canon_url"
     )
+
+
+def q_skew_join(sf_dir: str):
+    """Skew-aware hybrid join (stages/skewjoin.py): events carry a
+    deterministically SKEWED key (every user_id divisible by 3 collapses
+    onto key 7 — one key owns ~36% of all rows, the north-rule hot-entity
+    shape), joined to customer names on that key. Misra-Gries detection
+    routes key 7 through the broadcast path (zero shuffle for the hot
+    third of the stream) while the ~100 cold keys take the md5-bucketed
+    hash join. The threshold scales with the input (n/10) so the same
+    query exercises both paths at every sf."""
+    import pyarrow.parquet as pq_
+
+    from ..stages.skewjoin import skew_join
+
+    n_events = pq_.read_metadata(
+        os.path.join(sf_dir, "events.parquet")
+    ).num_rows
+
+    def derive(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").combine_chunks()
+        # user_id % 3 == 0 -> 7 else user_id (u - 3*(u//3); user_id >= 0)
+        rem = pc.subtract(uid, pc.multiply(pc.divide(uid, 3), 3))
+        key = pc.if_else(pc.equal(rem, 0), pa.scalar(7, type=pa.int64()), uid)
+        return pa.table({"skkey": key, "event_id": b.column("event_id")})
+
+    left = _events(sf_dir, columns=["event_id", "user_id"]).map_batches(
+        derive, batch_format="pyarrow"
+    )
+
+    def dim(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").combine_chunks()
+        keep = pc.less(k, pa.scalar(150, type=pa.int64()))
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "skkey": t.column("c_custkey").combine_chunks(),
+                "cust_name": t.column("c_name").combine_chunks(),
+            }
+        )
+
+    import ray.data as rd
+
+    right = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(dim, batch_format="pyarrow")
+    return skew_join(
+        left,
+        right,
+        on="skkey",
+        hot_threshold=max(64, n_events // 10),
+        left_types={"skkey": pa.int64(), "event_id": pa.int64()},
+        right_types={"skkey": pa.int64(), "cust_name": pa.string()},
+    )
+
+
+def sql_skew_join() -> str:
+    return (
+        "SELECT CASE WHEN user_id % 3 = 0 THEN 7 ELSE user_id END AS skkey,\n"
+        "  event_id, c_name AS cust_name\n"
+        "FROM events\n"
+        "JOIN customer ON c_custkey =\n"
+        "  CASE WHEN user_id % 3 = 0 THEN 7 ELSE user_id END\n"
+        "WHERE c_custkey < 150"
+    )
