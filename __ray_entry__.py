@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonical_urls": q.q_canonical_urls,
         "url_dedup": q.q_url_dedup,
         "skew_join": q.q_skew_join,
+        "pq_codes": q.q_pq_codes,
+        "pq_topk": q.q_pq_topk,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -653,6 +655,8 @@ def oracle_sql() -> dict[str, str]:
         "canonical_urls": q.sql_canonical_urls(),
         "url_dedup": q.sql_url_dedup(),
         "skew_join": q.sql_skew_join(),
+        "pq_codes": q.sql_pq_codes_q(),
+        "pq_topk": q.sql_pq_topk_q(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

@@ -7454,3 +7454,45 @@ def sql_skew_join() -> str:
         "  CASE WHEN user_id % 3 = 0 THEN 7 ELSE user_id END\n"
         "WHERE c_custkey < 150"
     )
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization encode (stages/pq.py): each 64-dim embedding
+    compressed to 4 subspace cell ids against the SEEDED codebooks (the
+    oracle config — trained codebooks are the tests-pinned path).
+    Zero-shuffle map_batches; codebooks broadcast once."""
+    import ray.data as rd
+
+    from ..stages.pq import pq_codebooks, pq_encode
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return pq_encode(ds, pq_codebooks())
+
+
+def sql_pq_codes_q() -> str:
+    from ..stages.pq import sql_pq_codes
+
+    return sql_pq_codes()
+
+
+def q_pq_topk(sf_dir: str):
+    """ADC top-k search over the PQ-coded corpus: per-batch LUT gather +
+    k-bounded local top-k combiner, one k-row global sort. Bit-exact
+    float oracle (dimension-order accumulation on both engines)."""
+    import ray.data as rd
+
+    from ..stages.pq import pq_codebooks, pq_encode, pq_query_vector, pq_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    cbs = pq_codebooks()
+    return pq_topk(pq_encode(ds, cbs), cbs, pq_query_vector())
+
+
+def sql_pq_topk_q() -> str:
+    from ..stages.pq import sql_pq_topk
+
+    return sql_pq_topk()
