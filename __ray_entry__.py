@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_join": q.q_skew_join,
         "pq_codes": q.q_pq_codes,
         "pq_topk": q.q_pq_topk,
+        "kg_sameas_rewrite": q.q_kg_sameas_rewrite,
+        "host_scc": q.q_host_scc,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -657,6 +659,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": q.sql_skew_join(),
         "pq_codes": q.sql_pq_codes_q(),
         "pq_topk": q.sql_pq_topk_q(),
+        "kg_sameas_rewrite": q.sql_kg_sameas_rewrite(),
+        "host_scc": q.sql_host_scc(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

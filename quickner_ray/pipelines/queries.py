@@ -7496,3 +7496,208 @@ def sql_pq_topk_q() -> str:
     from ..stages.pq import sql_pq_topk
 
     return sql_pq_topk()
+
+
+def q_kg_sameas_rewrite(sf_dir: str):
+    """owl:sameAs dereferencing applied to the triple stream: every
+    mention's object is rewritten to its identity cluster's REPRESENTATIVE
+    surface (lexicographic min inside the q_entity_sameas multi-key
+    closure), then the rewritten (subj, pred, obj_canon) triples are
+    re-aggregated — the KG-consolidation step that makes "u.s." /
+    "u s" / "us" one node. The surface->representative map is
+    gazetteer-bounded: collected once driver-side, broadcast via ray.put,
+    applied per batch with pc.index_in/take; the only exchange is the
+    final combiner-preceded 3-key groupby."""
+    import ray
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..stages.canonicalize import canonical_entities
+    from ..stages.collect import collect_blocks
+
+    surf = (
+        canonical_entities(mentions_dataset(sf_dir))
+        .select_columns(["surface_norm"])
+        .groupby("surface_norm")
+        .aggregate(Count(alias_name="_c"))
+    )
+    comp = sameas_components(surf)
+    rep = comp.groupby("sameas_component").aggregate(
+        Min("surface_norm", alias_name="rep")
+    )
+    comp_tab = collect_blocks(
+        comp,
+        "surface_norm",
+        pa.table(
+            {
+                "surface_norm": pa.array([], type=pa.string()),
+                "sameas_component": pa.array([], type=pa.int64()),
+            }
+        ),
+    )
+    rep_tab = collect_blocks(
+        rep,
+        "rep",
+        pa.table(
+            {
+                "sameas_component": pa.array([], type=pa.int64()),
+                "rep": pa.array([], type=pa.string()),
+            }
+        ),
+    )
+    # surface -> representative, one bounded driver join
+    idx = pc.index_in(
+        comp_tab.column("sameas_component"), value_set=rep_tab.column("sameas_component").combine_chunks()
+    )
+    surf_arr = comp_tab.column("surface_norm").combine_chunks()
+    rep_arr = rep_tab.column("rep").combine_chunks().take(idx)
+    map_ref = ray.put((surf_arr, rep_arr))
+
+    m = mentions_dataset(sf_dir)
+
+    def rewrite(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "subj": pa.array([], type=pa.string()),
+                "pred": pa.array([], type=pa.string()),
+                "obj_canon": pa.array([], type=pa.string()),
+                "n_mentions": pa.array([], type=pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        sa, ra = ray.get(map_ref)
+        sn = b.column("surface_norm")
+        if isinstance(sn, pa.ChunkedArray):
+            sn = sn.combine_chunks()
+        obj = ra.take(pc.index_in(sn, value_set=sa))
+        t = pa.table(
+            {
+                "subj": b.column("doc_id").cast(pa.string()),
+                "pred": b.column("label"),
+                "obj_canon": obj,
+            }
+        )
+        # per-batch partial counts bound the shuffle to distinct triples/batch
+        g = t.group_by(["subj", "pred", "obj_canon"]).aggregate(
+            [("obj_canon", "count")]
+        )
+        return pa.table(
+            {
+                "subj": g.column("subj"),
+                "pred": g.column("pred"),
+                "obj_canon": g.column("obj_canon"),
+                "n_mentions": g.column("obj_canon_count").cast(pa.int64()),
+            }
+        )
+
+    return (
+        m.map_batches(rewrite, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj_canon"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+    )
+
+
+def _sql_sameas_chain() -> str:
+    """Shared CTE chain: acc -> distinct surfaces -> multi-key blocking
+    edges -> transitive reach -> (surface_norm, c) component map."""
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"{sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"ce AS (SELECT pname AS surface_norm FROM acc GROUP BY pname),\n"
+        f"n AS (SELECT surface_norm, {SIGNED_WRAP} AS sid,\n"
+        f"  regexp_replace(surface_norm, '[^a-z0-9]', '', 'g') AS k1,\n"
+        f"  regexp_extract(surface_norm, '^[^ ]+') AS k2 FROM ce),\n"
+        f"e1 AS (SELECT n.sid AS src, m.msid AS dst FROM n JOIN\n"
+        f"  (SELECT k1, min(sid) AS msid FROM n GROUP BY k1) m ON m.k1 = n.k1),\n"
+        f"e2 AS (SELECT n.sid AS src, m.msid AS dst FROM n JOIN\n"
+        f"  (SELECT k2, min(sid) AS msid FROM n GROUP BY k2) m ON m.k2 = n.k2),\n"
+        f"edges0 AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),\n"
+        f"edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),\n"
+        f"reach(node, lab) AS (\n"
+        f"  SELECT sid, sid FROM n\n"
+        f"  UNION\n"
+        f"  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),\n"
+        f"comp AS (SELECT n.surface_norm, CAST(min(r.lab) AS BIGINT) AS c\n"
+        f"  FROM n JOIN reach r ON r.node = n.sid GROUP BY n.surface_norm)"
+    )
+
+
+def sql_kg_sameas_rewrite() -> str:
+    return (
+        f"WITH RECURSIVE {_sql_sameas_chain()},\n"
+        f"rep AS (SELECT c, min(surface_norm) AS rep FROM comp GROUP BY c),\n"
+        f"map AS (SELECT comp.surface_norm, rep.rep FROM comp\n"
+        f"  JOIN rep ON rep.c = comp.c)\n"
+        f"SELECT CAST(doc_id AS VARCHAR) AS subj, plabel AS pred,\n"
+        f"  map.rep AS obj_canon, count(*) AS n_mentions\n"
+        f"FROM acc JOIN map ON map.surface_norm = acc.pname\n"
+        f"GROUP BY 1, 2, 3"
+    )
+
+
+def q_host_scc(sf_dir: str):
+    """Web-graph STRONGLY connected components over the parsed directed
+    cross-host link graph (stages/scc.py: size-gated Tarjan / FW-BW
+    coloring; the directed counterpart of q_host_components — the
+    "bowtie core" structure of a crawl). scc = min member host bucket,
+    value-exact against the mutual-reachability recursive-CTE oracle."""
+    from ..stages.linkgraph import host_link_graph
+    from ..stages.scc import strongly_connected_components
+
+    edges = host_link_graph(_linked_pages(sf_dir))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64())}
+            )
+        sb = pc.extract_regex(b.column("src_host"), r"host(?P<b>[0-9]+)")
+        db = pc.extract_regex(b.column("dst_host"), r"host(?P<b>[0-9]+)")
+        return pa.table(
+            {
+                "src": pc.struct_field(sb, "b").cast(pa.int64()),
+                "dst": pc.struct_field(db, "b").cast(pa.int64()),
+            }
+        )
+
+    out = strongly_connected_components(
+        edges.map_batches(to_buckets, batch_format="pyarrow")
+    )
+
+    def back_to_hosts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], type=pa.string()),
+                 "scc": pa.array([], type=pa.int64())}
+            )
+        hosts = pc.binary_join_element_wise(
+            pa.array(["host"] * b.num_rows),
+            b.column("node").cast(pa.string()),
+            pa.array([".example.com"] * b.num_rows),
+            "",
+        )
+        return pa.table({"host": hosts, "scc": b.column("scc")})
+
+    return out.map_batches(back_to_hosts, batch_format="pyarrow")
+
+
+def sql_host_scc() -> str:
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t),\n"
+        f"e AS (SELECT DISTINCT sb, db FROM l WHERE sb <> db),\n"
+        f"nodes AS (SELECT DISTINCT sb AS x FROM e\n"
+        f"  UNION SELECT DISTINCT db FROM e),\n"
+        f"reach(a, b) AS (\n"
+        f"  SELECT x, x FROM nodes\n"
+        f"  UNION\n"
+        f"  SELECT r.a, e.db FROM reach r JOIN e ON e.sb = r.b)\n"
+        f"SELECT 'host' || CAST(r1.a AS VARCHAR) || '.example.com' AS host,\n"
+        f"       CAST(min(r1.b) AS BIGINT) AS scc\n"
+        f"FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a\n"
+        f"GROUP BY r1.a"
+    )
