@@ -715,6 +715,7 @@ def parse_select(query: str) -> dict:
     filters: list[tuple] = []  # boolean-expression ASTs (_parse_bexpr)
     binds: list[tuple[str, tuple]] = []  # (target var, vexpr AST)
     subqueries: list[dict] = []  # {'text': str, 'vars': [out vars]}
+    services: list[dict] = []  # {'endpoint': str, 'patterns': [...]}
     cur: list[str] = []
     while i < len(toks):
         t = toks[i]
@@ -740,6 +741,8 @@ def parse_select(query: str) -> dict:
                     )
             elif not patterns and not subqueries:
                 raise SparqlError("WHERE has no required patterns")
+            if services and unions:
+                raise SparqlError("SERVICE cannot mix with UNION groups")
             if aggs and not group_by and project:
                 raise SparqlError(
                     "non-aggregate SELECT variables need GROUP BY"
@@ -773,6 +776,7 @@ def parse_select(query: str) -> dict:
                 "filters": filters,
                 "binds": binds,
                 "subqueries": subqueries,
+                "services": services,
                 "group_by": group_by,
                 "having": having,
                 "order_by": order_by,
@@ -872,6 +876,28 @@ def parse_select(query: str) -> dict:
                         "path patterns cannot be GRAPH-scoped"
                     )
                 patterns.append((*p, g))
+            continue
+        if up == "SERVICE" and not cur:
+            # SPARQL 1.1 federation: SERVICE :endpoint { patterns } —
+            # the inner group is evaluated against the endpoint's OWN
+            # triples source (run_select's ``service_sources`` mapping)
+            # and its bindings join the outer group on shared variables.
+            i += 1
+            if i >= len(toks):
+                raise SparqlError("SERVICE needs an endpoint name")
+            ep = _term(toks[i])
+            if ep.startswith("?"):
+                raise SparqlError(
+                    "variable SERVICE endpoints are not supported"
+                )
+            i += 1
+            grp, i = _parse_group(toks, i)
+            for p in grp:
+                if isinstance(p[1], tuple):
+                    raise SparqlError(
+                        "path patterns cannot be SERVICE-scoped"
+                    )
+            services.append({"endpoint": ep, "patterns": grp})
             continue
         if up == "FILTER" and not cur:
             if (
@@ -1130,6 +1156,9 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
 
     from ..stages.bgp import bgp_match
 
+    # federation sources are OURS to consume, not bgp_match kwargs
+    service_sources: dict = bgp_kwargs.pop("service_sources", {})
+
     def group_vars(pats) -> list[str]:
         vs: list[str] = []
         for p in pats:
@@ -1178,7 +1207,12 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
         from ..stages.bgp import _default_buckets
         from ..stages.hashjoin import bucketed_join
 
-        sub_out = run_select(triples, sq["text"], **bgp_kwargs).map_batches(
+        sub_out = run_select(
+            triples,
+            sq["text"],
+            **bgp_kwargs,
+            **({"service_sources": service_sources} if service_sources else {}),
+        ).map_batches(
             # subquery results re-enter the binding model as string terms
             # (aggregate columns cast; joins/filters stay uniform)
             lambda b: pa.table(
@@ -1211,6 +1245,37 @@ def _bindings(triples, sel: dict, **bgp_kwargs):
             right_types={v: pa.string() for v in sq["vars"]},
         )
         bound = [*bound, *[v for v in sq["vars"] if v not in bound]]
+    for svc in sel.get("services", ()):
+        from ..stages.bgp import _default_buckets
+        from ..stages.hashjoin import bucketed_join
+
+        if svc["endpoint"] not in service_sources:
+            raise SparqlError(
+                f"no service_sources entry for SERVICE {svc['endpoint']} "
+                f"(have: {sorted(service_sources)})"
+            )
+        # the endpoint evaluates its group over its OWN triples — none of
+        # the local stream's pattern_source/stats kwargs apply there
+        svars = sorted(group_vars(svc["patterns"]))
+        sub_out = bgp_match(service_sources[svc["endpoint"]], svc["patterns"])
+        if out is None:
+            out, bound = sub_out, list(svars)
+            continue
+        shared = sorted(set(bound) & set(svars))
+        if not shared:
+            raise SparqlError(
+                f"SERVICE group shares no variable with the outer group "
+                f"(bound={sorted(bound)}, service={svars})"
+            )
+        out = bucketed_join(
+            out,
+            sub_out,
+            on=tuple(shared),
+            n_buckets=max(8, _default_buckets() // 16),
+            left_types={v: pa.string() for v in bound},
+            right_types={v: pa.string() for v in svars},
+        )
+        bound = [*bound, *[v for v in svars if v not in bound]]
     for var, consts in sel.get("values", ()):
         if var not in bound:
             raise SparqlError(f"VALUES of unbound variable: ?{var}")

@@ -7701,3 +7701,56 @@ def sql_host_scc() -> str:
         f"FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a\n"
         f"GROUP BY r1.a"
     )
+
+
+def _triples_half(sf_dir: str, parity: int):
+    """Triples of one crawl half (subj doc_id parity) — the two federated
+    'endpoints' of q_kg_sparql_service."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        ids = pc.cast(b.column("subj"), pa.int64())
+        rem = pc.subtract(ids, pc.multiply(pc.divide(ids, 2), 2))
+        return b.filter(pc.equal(rem, pa.scalar(parity, type=pa.int64())))
+
+    return q_triples(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+
+def q_kg_sparql_service(sf_dir: str):
+    """SPARQL 1.1 federation (SERVICE): the even-doc crawl partition is
+    the local endpoint, the odd-doc partition the remote one; for every
+    SYSTEM entity, count the cross-partition (local doc, remote doc)
+    co-mention pairs. The SERVICE group is evaluated against the remote
+    triples source only (kernel/sparql.py service_sources) and its
+    bindings join the outer group on the shared ?e via the bucketed hash
+    join — the same machinery a two-store federated endpoint uses
+    (serving.sparql_select(..., service_sources={...}))."""
+    from ..kernel.sparql import run_select
+
+    query = """
+      SELECT ?e (COUNT(?doc) AS ?n) WHERE {
+        ?doc :SYSTEM ?e .
+        SERVICE :odd { ?rdoc :SYSTEM ?e . }
+      } GROUP BY ?e
+    """
+    return run_select(
+        _triples_half(sf_dir, 0),
+        query,
+        service_sources={"odd": _triples_half(sf_dir, 1)},
+    )
+
+
+def sql_kg_sparql_service() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        f"b AS (SELECT DISTINCT s.eid AS e,\n"
+        f"    CAST(s.doc_id AS VARCHAR) AS doc,\n"
+        f"    CAST(o.doc_id AS VARCHAR) AS rdoc\n"
+        f"  FROM acc s JOIN acc o ON s.eid = o.eid\n"
+        f"  WHERE s.plabel = 'SYSTEM' AND o.plabel = 'SYSTEM'\n"
+        f"    AND s.doc_id % 2 = 0 AND o.doc_id % 2 = 1)\n"
+        f"SELECT e, count(*) AS n FROM b GROUP BY e"
+    )

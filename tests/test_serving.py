@@ -84,3 +84,44 @@ class TestServing:
             (r["d"], r["s"]) for r in run_select(base, q).take_all()
         )
         assert served == stream and len(served) == 2
+
+
+@pytest.fixture()
+def remote_store(ray_session, tmp_path_factory):
+    rows = [
+        ("r1", "SYS", "spark"), ("r2", "SYS", "flink"),
+        ("r3", "SYS", "flink"),
+    ]
+    t = pa.table(
+        {
+            "subj": pa.array([r[0] for r in rows], pa.string()),
+            "pred": pa.array([r[1] for r in rows], pa.string()),
+            "obj": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("remote") / "store")
+    write_triple_store(rd.from_arrow(t), d)
+    return d
+
+
+class TestFederatedServing:
+    def test_select_with_service_over_second_store(self, store, remote_store):
+        import os
+
+        rows = sparql_select(
+            store,
+            "SELECT ?e ?d ?r WHERE { ?d :SYS ?e . "
+            "SERVICE :rem { ?r :SYS ?e . } }",
+            service_sources={
+                "rem": rd.read_parquet(os.path.join(remote_store, "spo"))
+            },
+        ).take_all()
+        got = sorted((r["e"], r["d"], r["r"]) for r in rows)
+        assert got == sorted(
+            [
+                ("spark", "d1", "r1"),
+                ("spark", "d2", "r1"),
+                ("flink", "d3", "r2"),
+                ("flink", "d3", "r3"),
+            ]
+        )

@@ -1002,3 +1002,82 @@ class TestFilterExists:
                 "SELECT ?s WHERE { { SELECT ?s WHERE { ?d :SYS ?s . } } "
                 "FILTER EXISTS { ?s :X ?y . } }",
             )
+
+
+REMOTE_T = pa.table(
+    {
+        "subj": ["r1", "r2", "r3", "r4"],
+        "pred": ["SYS", "SYS", "SYS", "OP"],
+        "obj": ["spark", "spark", "flink", "join"],
+    }
+)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestService:
+    def _local(self):
+        return rd.from_arrow(T)
+
+    def _remote(self):
+        return rd.from_arrow(REMOTE_T)
+
+    def test_parse_service(self):
+        q = parse_select(
+            "SELECT ?e WHERE { ?d :SYS ?e . SERVICE :rem { ?r :SYS ?e . } }"
+        )
+        assert q["services"] == [
+            {"endpoint": "rem", "patterns": [("?r", "SYS", "?e")]}
+        ]
+
+    def test_service_joins_on_shared_var(self):
+        out = run_select(
+            self._local(),
+            "SELECT ?e ?d ?r WHERE { ?d :SYS ?e . "
+            "SERVICE :rem { ?r :SYS ?e . } }",
+            service_sources={"rem": self._remote()},
+        ).take_all()
+        got = sorted((r["e"], r["d"], r["r"]) for r in out)
+        assert got == sorted(
+            [
+                ("spark", "d1", "r1"),
+                ("spark", "d1", "r2"),
+                ("spark", "d2", "r1"),
+                ("spark", "d2", "r2"),
+                ("flink", "d3", "r3"),
+            ]
+        )
+
+    def test_service_with_aggregate(self):
+        out = run_select(
+            self._local(),
+            "SELECT ?e (COUNT(?d) AS ?n) WHERE { ?d :SYS ?e . "
+            "SERVICE :rem { ?r :SYS ?e . } } GROUP BY ?e",
+            service_sources={"rem": self._remote()},
+        ).take_all()
+        assert sorted((r["e"], r["n"]) for r in out) == [
+            ("flink", 1),
+            ("spark", 4),
+        ]
+
+    def test_missing_service_source_raises(self):
+        with pytest.raises(SparqlError, match="service_sources"):
+            run_select(
+                self._local(),
+                "SELECT ?e WHERE { ?d :SYS ?e . SERVICE :x { ?r :SYS ?e . } }",
+                service_sources={"rem": self._remote()},
+            )
+
+    def test_no_shared_variable_raises(self):
+        with pytest.raises(SparqlError, match="shares no variable"):
+            run_select(
+                self._local(),
+                "SELECT ?d WHERE { ?d :SYS :spark . "
+                "SERVICE :rem { ?r :OP ?o . } }",
+                service_sources={"rem": self._remote()},
+            )
+
+    def test_variable_endpoint_rejected(self):
+        with pytest.raises(SparqlError, match="endpoint"):
+            parse_select(
+                "SELECT ?d WHERE { ?d :SYS ?e . SERVICE ?ep { ?r :SYS ?e . } }"
+            )
