@@ -192,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas_rewrite": q.q_kg_sameas_rewrite,
         "host_scc": q.q_host_scc,
         "kg_sparql_service": q.q_kg_sparql_service,
+        "textrank_summaries": q.q_textrank_summaries,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -663,6 +664,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas_rewrite": q.sql_kg_sameas_rewrite(),
         "host_scc": q.sql_host_scc(),
         "kg_sparql_service": q.sql_kg_sparql_service(),
+        "textrank_summaries": q.sql_textrank_summaries(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

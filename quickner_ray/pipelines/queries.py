@@ -7754,3 +7754,19 @@ def sql_kg_sparql_service() -> str:
         f"    AND s.doc_id % 2 = 0 AND o.doc_id % 2 = 1)\n"
         f"SELECT e, count(*) AS n FROM b GROUP BY e"
     )
+
+
+def q_textrank_summaries(sf_dir: str):
+    """TextRank extractive summarization (stages/textrank.py): the
+    top-ranked sentence per document by the exact-integer damped walk on
+    the shared-word sentence graph. Document-local, ONE zero-shuffle
+    map_batches pass; oracle is the fully unrolled fixed-point SQL."""
+    from ..stages.textrank import textrank_top_sentences
+
+    return textrank_top_sentences(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+def sql_textrank_summaries() -> str:
+    from ..stages.textrank import sql_textrank
+
+    return sql_textrank()
