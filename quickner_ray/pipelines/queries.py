@@ -7770,3 +7770,77 @@ def sql_textrank_summaries() -> str:
     from ..stages.textrank import sql_textrank
 
     return sql_textrank()
+
+
+def q_host_centrality(sf_dir: str):
+    """Harmonic closeness centrality over the sparse web host graph
+    (stages/centrality.py): a deterministic 4-seed panel of BFS sweeps,
+    hop-bounded at 3, exact-integer SCALE//d contributions — the
+    sampled-closeness shape that replaces O(n) sweeps at web scale.
+    Runs on the doc_id % 23 == 0 subgraph so distances spread."""
+    from ..stages.centrality import harmonic_centrality
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir, mod=PATH_DOC_MOD))
+
+    def to_buckets(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64())}
+            )
+        sb = pc.extract_regex(b.column("src_host"), r"host(?P<b>[0-9]+)")
+        db = pc.extract_regex(b.column("dst_host"), r"host(?P<b>[0-9]+)")
+        return pa.table(
+            {
+                "src": pc.struct_field(sb, "b").cast(pa.int64()),
+                "dst": pc.struct_field(db, "b").cast(pa.int64()),
+            }
+        )
+
+    out = harmonic_centrality(
+        edges.map_batches(to_buckets, batch_format="pyarrow")
+    )
+
+    def back_to_hosts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {"host": pa.array([], type=pa.string()),
+                 "centrality": pa.array([], type=pa.int64())}
+            )
+        hosts = pc.binary_join_element_wise(
+            pa.array(["host"] * b.num_rows),
+            b.column("node").cast(pa.string()),
+            pa.array([".example.com"] * b.num_rows),
+            "",
+        )
+        return pa.table({"host": hosts, "centrality": b.column("centrality")})
+
+    return out.map_batches(back_to_hosts, batch_format="pyarrow")
+
+
+def sql_host_centrality() -> str:
+    from ..stages.centrality import CENT_SCALE
+
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t\n"
+        f"  WHERE doc_id % {PATH_DOC_MOD} = 0),\n"
+        f"e0 AS (SELECT DISTINCT sb, db FROM l WHERE sb <> db),\n"
+        f"e AS (SELECT sb AS src, db AS dst FROM e0\n"
+        f"  UNION SELECT db, sb FROM e0),\n"
+        f"nodes AS (SELECT DISTINCT src AS n FROM e),\n"
+        f"seeds AS (SELECT n AS s FROM nodes ORDER BY n LIMIT 4),\n"
+        f"r(s, n, d) AS (\n"
+        f"  SELECT s, s, 0 FROM seeds\n"
+        f"  UNION\n"
+        f"  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.n\n"
+        f"  WHERE r.d < 3),\n"
+        f"md AS (SELECT s, n, min(d) AS d FROM r GROUP BY s, n)\n"
+        f"SELECT 'host' || CAST(n AS VARCHAR) || '.example.com' AS host,\n"
+        f"  CAST(SUM(CASE WHEN d > 0 THEN {CENT_SCALE} // d ELSE 0 END)\n"
+        f"    AS BIGINT) AS centrality\n"
+        f"FROM md GROUP BY n"
+    )
