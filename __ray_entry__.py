@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_service": q.q_kg_sparql_service,
         "textrank_summaries": q.q_textrank_summaries,
         "host_centrality": q.q_host_centrality,
+        "turtle_ingest": q.q_turtle_ingest,
         "user_event_stats": q.q_user_event_stats,
         "events_last_order": q.q_events_last_order,
         "event_value_quantiles": q.q_event_value_quantiles,
@@ -667,6 +668,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_service": q.sql_kg_sparql_service(),
         "textrank_summaries": q.sql_textrank_summaries(),
         "host_centrality": q.sql_host_centrality(),
+        "turtle_ingest": q.sql_turtle_ingest(),
         "user_event_stats": ev.sql_user_stats(),
         "events_last_order": _sql_asof(),
         "event_value_quantiles": ev.sql_grouped_quantiles(),

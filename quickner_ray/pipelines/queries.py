@@ -7844,3 +7844,77 @@ def sql_host_centrality() -> str:
         f"    AS BIGINT) AS centrality\n"
         f"FROM md GROUP BY n"
     )
+
+
+def _ttl_shards(sf_dir: str) -> str:
+    """Deterministic Turtle fixture: one .ttl shard per 1000 docs, each
+    doc a prefixed multi-predicate statement (';' and ',' continuations,
+    @prefix scoping — the constructs the reader must honor). Content is
+    pure doc_id arithmetic so the oracle regenerates it in SQL. Cached in
+    /tmp keyed on the documents fingerprint (crash-safe: temp dir +
+    atomic rename, done-marker OUTSIDE the shard dir so read_binary_files
+    never sees it)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.md5(
+        f"{os.path.realpath(src)}:{st.st_size}:{st.st_mtime_ns}:ttl1".encode()
+    ).hexdigest()[:12]
+    d = f"/tmp/quickner_ray_ttl_{fp}"
+    done = d + ".done"
+    if os.path.exists(done) and os.path.isdir(d):
+        return d
+    n = pq_.read_metadata(src).num_rows
+    tmp = d + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for lo in range(0, n, 1000):
+        lines = ["@prefix : <urn:q:> .", "@prefix ex: <http://ex.org/> ."]
+        for did in range(lo, min(lo + 1000, n)):
+            lines.append(
+                f":doc{did} ex:links_to :host{did % LINK_HOST_BUCKETS} ;"
+                f' ex:snap "s{did % 5}" .'
+            )
+        with open(os.path.join(tmp, f"part-{lo // 1000:05d}.ttl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    shutil.rmtree(d, ignore_errors=True)
+    os.rename(tmp, d)
+    with open(done, "w") as f:
+        f.write("ok")
+    return d
+
+
+def q_turtle_ingest(sf_dir: str):
+    """Turtle RDF ingest (sources/turtle.py): parse the prefixed .ttl
+    shard fixture (one parse task per shard file) and aggregate link
+    counts per target host IRI — (obj, n_links). Per-batch partials
+    bound the groupby to hosts/batch."""
+    from ray.data.aggregate import Count
+
+    from ..sources.turtle import read_turtle
+
+    ds = read_turtle(_ttl_shards(sf_dir))
+
+    def links(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(b.column("pred"), pa.scalar("http://ex.org/links_to"))
+        ).select(["obj"])
+
+    return (
+        ds.map_batches(links, batch_format="pyarrow")
+        .groupby("obj")
+        .aggregate(Count(alias_name="n_links"))
+    )
+
+
+def sql_turtle_ingest() -> str:
+    return (
+        f"SELECT 'urn:q:host' || CAST(doc_id % {LINK_HOST_BUCKETS} AS VARCHAR)\n"
+        f"    AS obj,\n"
+        f"  count(*) AS n_links\n"
+        f"FROM documents GROUP BY 1"
+    )
