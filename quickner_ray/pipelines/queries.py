@@ -7720,17 +7720,21 @@ def _triples_half(sf_dir: str, parity: int):
 def q_kg_sparql_service(sf_dir: str):
     """SPARQL 1.1 federation (SERVICE): the even-doc crawl partition is
     the local endpoint, the odd-doc partition the remote one; for every
-    SYSTEM entity, count the cross-partition (local doc, remote doc)
-    co-mention pairs. The SERVICE group is evaluated against the remote
-    triples source only (kernel/sparql.py service_sources) and its
-    bindings join the outer group on the shared ?e via the bucketed hash
-    join — the same machinery a two-store federated endpoint uses
+    SYSTEM entity seen locally, count its REMOTE mention docs. The local
+    side is pre-aggregated to distinct entities by a subquery (the
+    gazetteer-bounded side) BEFORE the federation join, so the exchange
+    is linear in remote mentions — the naive doc-x-doc pair count is
+    quadratic in corpus size for hot entities and was measured spilling
+    at sf1. The SERVICE group evaluates against the remote triples source
+    only (kernel/sparql.py service_sources) and its bindings join the
+    outer group on the shared ?e via the bucketed hash join — the same
+    machinery a two-store federated endpoint uses
     (serving.sparql_select(..., service_sources={...}))."""
     from ..kernel.sparql import run_select
 
     query = """
-      SELECT ?e (COUNT(?doc) AS ?n) WHERE {
-        ?doc :SYSTEM ?e .
+      SELECT ?e (COUNT(?rdoc) AS ?n) WHERE {
+        { SELECT ?e WHERE { ?ld :SYSTEM ?e . } }
         SERVICE :odd { ?rdoc :SYSTEM ?e . }
       } GROUP BY ?e
     """
@@ -7746,12 +7750,12 @@ def sql_kg_sparql_service() -> str:
 
     return (
         f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
-        f"b AS (SELECT DISTINCT s.eid AS e,\n"
-        f"    CAST(s.doc_id AS VARCHAR) AS doc,\n"
+        f"b AS (SELECT DISTINCT o.eid AS e,\n"
         f"    CAST(o.doc_id AS VARCHAR) AS rdoc\n"
-        f"  FROM acc s JOIN acc o ON s.eid = o.eid\n"
-        f"  WHERE s.plabel = 'SYSTEM' AND o.plabel = 'SYSTEM'\n"
-        f"    AND s.doc_id % 2 = 0 AND o.doc_id % 2 = 1)\n"
+        f"  FROM acc o\n"
+        f"  WHERE o.plabel = 'SYSTEM' AND o.doc_id % 2 = 1\n"
+        f"    AND EXISTS (SELECT 1 FROM acc s WHERE s.plabel = 'SYSTEM'\n"
+        f"      AND s.eid = o.eid AND s.doc_id % 2 = 0))\n"
         f"SELECT e, count(*) AS n FROM b GROUP BY e"
     )
 

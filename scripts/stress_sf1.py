@@ -150,6 +150,22 @@ def main() -> None:
         "kg_graph_bgp": q.q_kg_graph_bgp,
         "kg_owl_inverse": q.q_kg_owl_inverse,
     }
+    new_wave = {
+        # round-3 final wave: skew join, PQ ANN, sameAs rewrite, SCC,
+        # SPARQL federation, TextRank, centrality, Turtle ingest
+        "skew_join": q.q_skew_join,
+        "pq_codes": q.q_pq_codes,
+        "pq_topk": q.q_pq_topk,
+        "kg_sameas_rewrite": q.q_kg_sameas_rewrite,
+        "host_scc": q.q_host_scc,
+        "kg_sparql_service": q.q_kg_sparql_service,
+        "textrank_summaries": q.q_textrank_summaries,
+        "host_centrality": q.q_host_centrality,
+        "turtle_ingest": q.q_turtle_ingest,
+    }
+    family.update(new_wave)
+    if "--new-only" in sys.argv:
+        family = new_wave
     rows: dict = {}
     for name, fn in family.items():
         t0 = time.perf_counter()
