@@ -98,8 +98,10 @@ class TestPathAlgebra:
         assert sorted(calls) == ["OP", "SYS"]
 
     def test_unknown_op_raises(self):
+        # NB: "star" became a real op in the SPARQL star/negation wave;
+        # use a genuinely unknown tag
         with pytest.raises(ValueError, match="unknown path op"):
-            eval_path(_triples(T), ("star", ("pred", "SYS")))
+            eval_path(_triples(T), ("question", ("pred", "SYS")))
 
 
 @pytest.mark.usefixtures("ray_session")
