@@ -1604,18 +1604,23 @@ def _aggregate_global(bindings, q: dict, bound: list[str]):
 def _aggregate(bindings, q: dict, bound: list[str]):
     """GROUP BY aggregates over distinct bindings (COUNT/SUM/MIN/MAX/AVG/
     SAMPLE/GROUP_CONCAT — each one partial-combined per batch then one
-    bounded groupby, see _agg_one); multiple aggregates fold with a
-    bucketed hash join on the group key."""
-    from ..stages.bgp import _default_buckets
-    from ..stages.hashjoin import bucketed_join
-
+    bounded groupby, see _agg_one); multiple aggregates fold with ONE
+    bounded groupby-max over typed-null-padded branch unions."""
     keys = sorted(q["group_by"])  # canonical key order, like bgp output
     missing = [c for c in keys if c not in bound]
     if missing:
         raise SparqlError(f"GROUP BY of unbound variables: {missing}")
+    if len(q["aggs"]) > 1:
+        # each _agg_one consumes the binding stream; without this, Ray
+        # re-executes the WHOLE upstream (NER + BGP fold) once PER
+        # aggregate — measured 7x pipeline cost on the 7-aggregate
+        # rollup. The binding stream is projection-pruned to the group +
+        # aggregate vars, so materializing it is solution-set-sized, not
+        # corpus-sized (and spills, never OOMs).
+        bindings = bindings.materialize()
     seen_aliases = set(keys)
     types: dict[str, "pa.DataType"] = {}
-    out = None
+    branches: list[tuple[str, object]] = []
     for agg in q["aggs"]:
         var, alias = agg["var"], agg["alias"]
         if var not in bound:
@@ -1625,22 +1630,48 @@ def _aggregate(bindings, q: dict, bound: list[str]):
         if alias in seen_aliases:
             raise SparqlError(f"duplicate result name ?{alias}")
         seen_aliases.add(alias)
-        one = _agg_one(bindings, keys, agg)
-        if out is None:
-            out = one
-        else:
-            prev = {c: pa.string() for c in keys}
-            prev.update(types)
-            out = bucketed_join(
-                out,
-                one,
-                on=tuple(keys),
-                n_buckets=max(8, _default_buckets() // 16),
-                left_types=prev,
-                right_types={**{c: pa.string() for c in keys},
-                             alias: _agg_type(agg)},
-            )
+        branches.append((alias, _agg_one(bindings, keys, agg)))
         types[alias] = _agg_type(agg)
+    if len(branches) == 1:
+        out = branches[0][1]
+    else:
+        # fold the per-aggregate (keys, alias) branches with ONE bounded
+        # groupby-max over a typed-null-padded union instead of a CHAIN
+        # of bucketed joins: each (group, alias) cell is non-null in
+        # exactly one branch, so max-ignore-nulls reassembles the row.
+        # The join chain cost one all-to-all PER aggregate (measured 7x
+        # fixed exchange cost on the 7-aggregate rollup); this is one.
+        aliases = [a for a, _ in branches]
+        order = [*keys, *aliases]
+
+        def pad(one_alias):
+            def f(b: pa.Table) -> pa.Table:
+                if b.num_rows == 0:
+                    cols = {k: pa.array([], type=pa.string()) for k in keys}
+                    cols.update(
+                        {a2: pa.array([], type=types[a2]) for a2 in aliases}
+                    )
+                    return pa.table({c: cols[c] for c in order})
+                cols = {k: b.column(k) for k in keys}
+                for a2 in aliases:
+                    cols[a2] = (
+                        b.column(a2)
+                        if a2 == one_alias
+                        else pa.nulls(b.num_rows, type=types[a2])
+                    )
+                return pa.table({c: cols[c] for c in order})
+
+            return f
+
+        from ray.data.aggregate import Max
+
+        u = None
+        for a2, one in branches:
+            p = one.map_batches(pad(a2), batch_format="pyarrow")
+            u = p if u is None else u.union(p)
+        out = u.groupby(keys).aggregate(
+            *[Max(a2, alias_name=a2) for a2 in aliases]
+        )
     cols = [*(q["project"] or keys), *[a["alias"] for a in q["aggs"]]]
     # drop group keys not projected (SPARQL allows grouping by an
     # unprojected var); re-dedup is unnecessary — group keys are unique
