@@ -212,7 +212,7 @@ def bench_once(
 ) -> dict:
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
     try:
         if headline_only:  # --scaling worker: CC-density corpus
             head = run_headline(
@@ -296,7 +296,7 @@ def bench_multilingual(sf_dir: str, num_cpus: int) -> dict:
     is a kernel comparison, not the CPU-scaling criterion."""
     import ray
 
-    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False, log_to_driver=False)
     try:
         out = {}
         # interleave A,M,A,M: on this host the FIRST full-size job after

@@ -2045,31 +2045,37 @@ def q_nation_rich_counts(sf_dir: str):
                 pa.int64()
             )
             keep = pc.greater(cents, pa.scalar(RICH_BAL, type=pa.int64()))
-            return pa.Table.from_pydict({key: b.column(key).filter(keep)})
+            return pa.Table.from_pydict(
+                {"nationkey": b.column(key).filter(keep).cast(pa.int64())}
+            )
 
         return (
             ds.map_batches(f, batch_format="pyarrow")
-            .groupby(key)
+            .groupby("nationkey")
             .aggregate(Count(alias_name=out))
-            # hash aggregates can emit schema-less empty blocks that crash
-            # the downstream acero join — normalize the layout first
-            .repartition(4)
         )
 
     cust = big_side("customer", "c_nationkey", "c_acctbal", "n_rich_cust")
     supp = big_side("supplier", "s_nationkey", "s_acctbal", "n_rich_supp")
-    joined = cust.join(
+    # bucketed full outer (stages/hashjoin.py): with explicit types a side
+    # that filters COMPLETELY empty at tiny sf still joins correctly —
+    # Ray's Dataset.join crashed on the schema-less empty side (KeyError
+    # on the right key) because no block carried the schema
+    from ..stages.hashjoin import bucketed_join
+
+    joined = bucketed_join(
+        cust,
         supp,
-        "full_outer",
-        num_partitions=4,
-        on=("c_nationkey",),
-        right_on=("s_nationkey",),
+        on=("nationkey",),
+        n_buckets=4,
+        join_type="full outer",
+        left_types={"nationkey": pa.int64(), "n_rich_cust": pa.int64()},
+        right_types={"nationkey": pa.int64(), "n_rich_supp": pa.int64()},
     )
 
     def finish(b: pa.Table) -> pa.Table:
-        # Ray's full_outer join already coalesces the key pair into the
-        # left-side column name
-        nk = b.column("c_nationkey").combine_chunks().cast(pa.int64())
+        # acero full outer coalesces the key columns into one
+        nk = b.column("nationkey").combine_chunks().cast(pa.int64())
         zero = pa.scalar(0, type=pa.int64())
         return pa.Table.from_pydict(
             {

@@ -61,7 +61,9 @@ def bucketed_join(
     two sides must be disjoint. ``join_type``: "inner", "left outer",
     "left semi", "left anti" (Arrow Acero names). Semi/anti emit the
     left columns only."""
-    if join_type not in ("inner", "left outer", "left semi", "left anti"):
+    if join_type not in (
+        "inner", "left outer", "left semi", "left anti", "full outer"
+    ):
         raise ValueError(f"unsupported join_type {join_type!r}")
 
     def sdict(ds, types):
@@ -76,7 +78,14 @@ def bucketed_join(
     # result for every join type; empty right -> left unchanged for
     # outer/anti, empty-with-left-schema for inner/semi (the right-side
     # pad columns are unknowable and omitted from the empty result).
-    if lsch is None:
+    if lsch is None or (rsch is None and join_type == "full outer"):
+        if join_type == "full outer":
+            # can't synthesize the absent side's null pad columns without
+            # its schema; callers pass explicit types for full outer
+            raise ValueError(
+                "full outer join with an empty schema-less side needs "
+                "explicit left_types/right_types"
+            )
         return left
     if rsch is None:
         return left if join_type in ("left outer", "left anti") else left.limit(0)
