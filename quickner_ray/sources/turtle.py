@@ -32,13 +32,19 @@ import re
 
 import pyarrow as pa
 
+# ``^^`` is its own token (so ``"v"^^<iri>`` yields str + dtype + iri) and
+# the word group consumes the run AFTER each internal dot — decimal literals
+# ("1.5"), dotted local names ("ex:foo.bar") and dotted IRIs inside datatype
+# tags all stay one token, while a statement-terminating "." (dot followed by
+# whitespace/EOF/punct) still tokenizes as punct.
 _TOKEN_RE = re.compile(
     r"""
     (?P<comment>\#[^\n]*)
   | (?P<str>"(?:[^"\\]|\\.)*")
   | (?P<iri><[^>\s]*>)
+  | (?P<dtype>\^\^)
   | (?P<punct>[;,.\[\]()])
-  | (?P<word>[^\s;,.\[\]()]+(?:\.(?=[^\s;,.\[\]()]))*)
+  | (?P<word>[^\s;,.\[\]()^]+(?:\.[^\s;,.\[\]()^]+)*)
     """,
     re.VERBOSE,
 )
@@ -136,10 +142,15 @@ def parse_turtle(text: str) -> list[tuple[str, str, str]]:
                 # string token followed by a word token starting @ / ^^
                 obj = term(tok)
                 i += 1
-                if i < n and tok.startswith('"') and (
-                    toks[i].startswith("@") or toks[i].startswith("^^")
-                ):
-                    i += 1
+                if i < n and tok.startswith('"'):
+                    if toks[i] == "^^":
+                        # datatype tag: skip '^^' plus the IRI/prefixed name
+                        i += 1
+                        if i >= n:
+                            raise TurtleError("dangling '^^' datatype tag")
+                        i += 1
+                    elif toks[i].startswith("@"):
+                        i += 1
                 out.append((subj, pred, obj))
                 if i < n and toks[i] == ",":
                     i += 1

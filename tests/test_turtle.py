@@ -50,6 +50,36 @@ class TestParser:
             ("http://ex.org/a", "http://ex.org/r", "42"),
         ]
 
+    def test_dotted_tokens(self):
+        # decimal literals, dotted local names and dotted datatype IRIs are
+        # single tokens (ADVICE r3: the old tokenizer split at internal dots)
+        got = parse_turtle(
+            "@prefix ex: <http://ex.org/> .\n"
+            "ex:a ex:score 1.5 .\n"
+            "ex:a ex:see ex:foo.bar .\n"
+            'ex:a ex:v "3.4"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+            'ex:a ex:w "v"^^<http://www.w3.org/2001/XMLSchema#string> .\n'
+        )
+        assert got == [
+            ("http://ex.org/a", "http://ex.org/score", "1.5"),
+            ("http://ex.org/a", "http://ex.org/see", "http://ex.org/foo.bar"),
+            ("http://ex.org/a", "http://ex.org/v", "3.4"),
+            ("http://ex.org/a", "http://ex.org/w", "v"),
+        ]
+
+    def test_trailing_dot_still_terminates(self):
+        # 'ex:foo.' / '1.5.' with no space before the terminator: the final
+        # dot must tokenize as punct, not be swallowed into the word
+        got = parse_turtle(
+            "@prefix ex: <http://ex.org/> .\n"
+            "ex:a ex:n 1.5.\n"
+            "ex:a ex:see ex:foo.\n"
+        )
+        assert got == [
+            ("http://ex.org/a", "http://ex.org/n", "1.5"),
+            ("http://ex.org/a", "http://ex.org/see", "http://ex.org/foo"),
+        ]
+
     @pytest.mark.parametrize(
         "bad",
         [
@@ -57,6 +87,7 @@ class TestParser:
             "@prefix : <u:> .\n:a :b ( :c ) .",  # collection
             ":a :b :c .",  # undeclared prefix
             "@prefix : <u:> .\n:a :b :c",  # missing '.'
+            '@prefix : <u:> .\n:a :b "v"^^',  # dangling datatype tag
         ],
     )
     def test_rejects(self, bad):
