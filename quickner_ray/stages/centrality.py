@@ -43,23 +43,30 @@ def harmonic_centrality(
     """Directed edge Dataset -> Dataset(node, centrality): integer harmonic
     closeness from the ``seeds_k`` smallest node ids, hop-bounded."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
-    from .collect import collect_blocks
     from .graph_cc import _project, bfs_distances
 
     raw = _project(edges, {"src": src_col, "dst": dst_col}).materialize()
-    # seed panel: the seeds_k smallest distinct endpoint ids (bounded
-    # collect — a per-batch min-k combiner would bound it further at
-    # >32-bit universes; endpoints here are host buckets)
+    # seed panel: the seeds_k smallest DISTINCT endpoint ids via a per-batch
+    # unique-min-k combiner -> driver reduce over <= seeds_k * num_blocks
+    # rows. Within-batch np.unique is load-bearing: each of the k global
+    # smallest distinct ids has < k distinct ids below it in whichever batch
+    # it appears, so it survives the partial; raw min-k (with duplicates)
+    # could crowd a distinct id out. Bounded at any node-universe size — no
+    # distinct-universe shuffle, no data-sized driver collect (ADVICE r3).
     ends = _project(raw, {"node": "src"}).union(_project(raw, {"node": "dst"}))
-    uniq = collect_blocks(
-        ends.groupby("node").aggregate(Min("node", alias_name="_l")),
-        "node",
-        pa.table({"node": pa.array([], type=pa.int64())}),
-    )
-    node_ids = np.sort(uniq.column("node").to_numpy(zero_copy_only=False))
-    seeds = node_ids[:seeds_k].tolist()
+
+    def _uniq_min_k(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        )[:seeds_k]
+        return pa.table({"node": pa.array(ids, type=pa.int64())})
+
+    partials = ends.map_batches(_uniq_min_k, batch_format="pyarrow").take_all()
+    seeds = np.unique(np.array([r["node"] for r in partials], dtype=np.int64))[
+        :seeds_k
+    ].tolist()
 
     tagged = None
     for s in seeds:

@@ -125,8 +125,14 @@ def strongly_connected_components(
 
     raw = _project(edges, {"src": src_col, "dst": dst_col}).materialize()
     n_edges = raw.count()
+    # gate on BOTH collects the driver path performs: a sparse edge list over
+    # a huge node universe (isolated nodes are exactly why ``nodes`` exists)
+    # must not take_all the universe (VERDICT r3). The distributed path
+    # handles isolated nodes streaming: colorless singletons are roots and
+    # are assigned in their first FW-BW round.
+    n_nodes = nodes.count() if nodes is not None else 0
 
-    if n_edges <= driver_cap:
+    if n_edges <= driver_cap and n_nodes <= driver_cap:
         node_ids = (
             [r[node_col] for r in nodes.select_columns([node_col]).take_all()]
             if nodes is not None

@@ -52,10 +52,21 @@ def _chunk(col):
 
 def _mg_key_partial(b: pa.Table, key_col: str, k: int) -> pa.Table:
     """Per-batch Misra-Gries summary of the key column: exact counts,
-    trimmed by the (k+1)-th largest so at most k rows leave the batch."""
+    trimmed by the (k+1)-th largest so at most k rows leave the batch.
+
+    The ``b`` column carries the batch's TRUE row count on the first emitted
+    row (zero elsewhere) so the driver can validate the MG completeness
+    bound against the real dataset size n, not just surviving-candidate mass
+    (ADVICE r3). When trimming would leave no survivors (uniform batch), the
+    top-1 key is emitted with w=0 purely to carry the count — a zero-weight
+    candidate never distorts the MG weights."""
     col = _chunk(b.column(key_col))
     empty = pa.table(
-        {"k": pa.array([], type=col.type), "w": pa.array([], type=pa.int64())}
+        {
+            "k": pa.array([], type=col.type),
+            "w": pa.array([], type=pa.int64()),
+            "b": pa.array([], type=pa.int64()),
+        }
     )
     if len(col) == 0:
         return empty
@@ -64,10 +75,16 @@ def _mg_key_partial(b: pa.Table, key_col: str, k: int) -> pa.Table:
     tf = np.bincount(codes, minlength=len(enc.dictionary))
     thresh = np.partition(tf, -(k + 1))[-(k + 1)] if len(tf) > k else 0
     keep = np.nonzero(tf > thresh)[0]
+    if len(keep) == 0:
+        keep = np.array([int(np.argmax(tf))], dtype=np.int64)
+        thresh = tf[keep[0]]  # w = 0 for the count-carrier row
+    bcount = np.zeros(len(keep), dtype=np.int64)
+    bcount[0] = len(col)
     return pa.table(
         {
             "k": enc.dictionary.take(pa.array(keep)),
             "w": pa.array(tf[keep] - thresh, type=pa.int64()),
+            "b": pa.array(bcount, type=pa.int64()),
         }
     )
 
@@ -103,7 +120,8 @@ def hot_keys(ds, key_col: str, hot_threshold: int, *, mg_k: int = DEFAULT_MG_K):
 
     Requires hot_threshold > n/(mg_k+1) for completeness (MG guarantees
     every key above n/(k+1) survives the candidate sweep); the threshold
-    is checked against the observed total and raised loudly if too low.
+    is checked against the TRUE dataset size n (carried through the MG
+    pass) and raised loudly if too low.
     Returns a (possibly empty) pyarrow Array of the key column's type.
     """
     import ray
@@ -116,15 +134,27 @@ def hot_keys(ds, key_col: str, hot_threshold: int, *, mg_k: int = DEFAULT_MG_K):
             lambda b: _mg_key_partial(b, key_col, mg_k), batch_format="pyarrow"
         )
         .groupby("k")
-        .aggregate(Sum("w", alias_name="w"))
+        .aggregate(Sum("w", alias_name="w"), Sum("b", alias_name="b"))
     )
     cand_tab = collect_blocks(
         mg,
         "k",
-        pa.table({"k": pa.array([], type=pa.null()), "w": pa.array([], type=pa.int64())}),
+        pa.table(
+            {
+                "k": pa.array([], type=pa.null()),
+                "w": pa.array([], type=pa.int64()),
+                "b": pa.array([], type=pa.int64()),
+            }
+        ),
     )
     if cand_tab.num_rows == 0:
         return pa.array([], type=pa.null())
+    n_total = pc.sum(cand_tab.column("b")).as_py() or 0
+    if n_total and hot_threshold * (mg_k + 1) <= n_total:
+        raise ValueError(
+            f"hot_threshold={hot_threshold} is below the MG completeness "
+            f"bound n/(k+1)={n_total}/{mg_k + 1}: raise the threshold or mg_k"
+        )
     cand = _chunk(cand_tab.column("k"))
     cand_ref = ray.put(cand)
     exact = (
@@ -140,12 +170,6 @@ def hot_keys(ds, key_col: str, hot_threshold: int, *, mg_k: int = DEFAULT_MG_K):
         "k",
         pa.table({"k": pa.array([], type=cand.type), "n": pa.array([], type=pa.int64())}),
     )
-    total = pc.sum(tab.column("n")).as_py() or 0
-    if total and hot_threshold * (mg_k + 1) <= total:
-        raise ValueError(
-            f"hot_threshold={hot_threshold} is below the MG completeness "
-            f"bound n/(k+1)={total}/{mg_k + 1}: raise the threshold or mg_k"
-        )
     keep = tab.filter(pc.greater_equal(tab.column("n"), hot_threshold))
     return _chunk(keep.column("k"))
 

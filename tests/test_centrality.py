@@ -60,3 +60,29 @@ def test_matches_brute_force(ray_session, name):
     out = harmonic_centrality(_ds(pairs)).take_all()
     got = sorted((r["node"], r["centrality"]) for r in out)
     assert got == _brute(pairs)
+
+
+def test_seed_collect_is_k_bounded(ray_session, monkeypatch):
+    """The seed-panel driver collect must be <= seeds_k rows per input block
+    (per-batch unique-min-k combiner), never the distinct node universe."""
+    import ray.data
+
+    pairs = [(i, i + 1) for i in range(200)]  # 201 distinct nodes
+    parts = 4
+    seeds_k = 3
+    collected: list[int] = []
+    orig = ray.data.Dataset.take_all
+
+    def spy(self, *a, **kw):
+        rows = orig(self, *a, **kw)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(ray.data.Dataset, "take_all", spy)
+    out = harmonic_centrality(_ds(pairs, parts=parts), seeds_k=seeds_k).take_all()
+    # first spied take_all is the seed-partial collect; the union of the two
+    # endpoint projections yields <= 2*parts blocks of <= seeds_k rows each
+    assert collected, "seed collect not observed"
+    assert collected[0] <= seeds_k * 2 * parts, collected
+    got = sorted((r["node"], r["centrality"]) for r in out)
+    assert got == _brute(pairs, seeds_k=seeds_k)

@@ -70,3 +70,22 @@ def test_scc_isolated_nodes_universe(ray_session):
     )
     got = sorted((r["node"], r["scc"]) for r in out.take_all())
     assert got == [(1, 1), (2, 1), (3, 3), (4, 4)]
+
+
+def test_scc_sparse_edges_huge_node_universe_goes_distributed(ray_session):
+    """Edge count under the cap but node universe over it: the Tarjan gate
+    must NOT take_all the universe — the distributed FW-BW path runs and
+    isolated nodes come back as streamed singletons (VERDICT r3)."""
+    import ray.data as rd
+
+    pairs = [(1, 2), (2, 1), (3, 4)]
+    universe = list(range(1, 41))
+    nodes = rd.from_arrow(
+        pa.table({"node": pa.array(universe, type=pa.int64())})
+    ).repartition(4)
+    out = strongly_connected_components(
+        _edges_ds(pairs), nodes=nodes, driver_cap=10, num_partitions=4
+    )
+    got = sorted((r["node"], r["scc"]) for r in out.take_all())
+    want = [(1, 1), (2, 1)] + [(n, n) for n in universe if n not in (1, 2)]
+    assert got == sorted(want)

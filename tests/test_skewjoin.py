@@ -89,6 +89,21 @@ def test_hot_threshold_below_mg_bound_raises(ray_session):
         hot_keys(_left(ray_session), "k", 2, mg_k=4)
 
 
+def test_mg_bound_checked_against_true_n(ray_session):
+    """Uniform distinct keys: surviving-candidate mass is tiny, so a check
+    against candidate mass passes silently — the bound must be validated
+    against the true dataset size n (ADVICE r3)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(range(1000), type=pa.int64())})
+    ).repartition(5)
+    with pytest.raises(ValueError, match="completeness"):
+        hot_keys(ds, "k", 3, mg_k=4)
+    # a threshold satisfying the bound still works and finds nothing hot
+    assert hot_keys(ds, "k", 500, mg_k=4).to_pylist() == []
+
+
 def test_hot_right_cap_raises(ray_session):
     import ray.data as rd
 
