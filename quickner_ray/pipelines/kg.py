@@ -326,7 +326,20 @@ def run_kg(
         if not shard_complete(out_dir, "mentions", 0, inputs=[ann_dir, *roster], fingerprint=fp):
             t0 = time.perf_counter()
             reset_shard_dir(mentions_dir)
-            ann = rd.read_parquet(ann_dir)
+            # prune to what explode_mentions consumes — the annotated dir
+            # also carries n_mentions and any passthrough columns, which
+            # must not ride the mention explode (VERDICT r3)
+            import pyarrow.dataset as _pads
+
+            _avail = set(_pads.dataset(ann_dir, format="parquet").schema.names)
+            _need = [
+                c
+                for c in dict.fromkeys(
+                    (cfg.subj_col, "doc_id", "url", "lang", "text", "label")
+                )
+                if c in _avail
+            ]
+            ann = rd.read_parquet(ann_dir, columns=_need)
             mentions = ann.map_batches(
                 lambda b: explode_mentions(b, subj_col=cfg.subj_col),
                 batch_format="pyarrow",

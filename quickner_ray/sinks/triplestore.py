@@ -298,7 +298,7 @@ def compact_store(
         if not deltas:
             continue
         merged = (
-            rd.read_parquet(d)
+            rd.read_parquet(d, columns=["subj", "pred", "obj", "n_mentions"])
             .groupby(["subj", "pred", "obj"])
             .aggregate(Sum("n_mentions", alias_name="n_mentions"))
         )
@@ -336,7 +336,10 @@ def compact_store(
         if os.path.exists(marker):
             os.remove(marker)
         _write_store_stats(
-            _rd.read_parquet(os.path.join(store_dir, done)), store_dir
+            _rd.read_parquet(
+                os.path.join(store_dir, done), columns=["subj", "pred", "obj"]
+            ),
+            store_dir,
         )
     return folded
 
