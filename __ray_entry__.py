@@ -390,9 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": q.q_mmr_topk,
         "entity_link": q.q_entity_link,
         "fingerprints": q.q_fingerprints,
-        # rows-only: IVF top-k is approximate by construction (recall >= 0.9
-        # pinned in tests) — no exact SQL form exists
+        # rows-only: IVF / IVF-PQ top-k are approximate by construction
+        # (recall >= 0.9 pinned in tests) — no exact SQL form exists
         "similarity_topk_ivf": q.q_similarity_topk_ivf,
+        "similarity_topk_ivfpq": q.q_similarity_topk_ivfpq,
     }
     missing = [n for n in GRADED_PREFIX if n not in d]
     assert not missing, f"GRADED_PREFIX names absent from queries(): {missing}"

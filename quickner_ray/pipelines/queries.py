@@ -1998,6 +1998,26 @@ def q_similarity_topk_ivf(sf_dir: str, k: int = 10, query_id: int = 0):
     )
 
 
+def q_similarity_topk_ivfpq(sf_dir: str, k: int = 10, query_id: int = 0):
+    """Composed IVF-PQ top-k (stages/ivfpq.py): IVF centroids route the
+    read to nprobe cluster partitions; each partition holds only uint8 PQ
+    residual codes (m bytes/vector residency) scanned via per-cluster ADC
+    look-up tables — the billion-vector serving structure. Rows-only:
+    doubly approximate by construction (tests pin recall >= 0.9 and the
+    m-bytes-per-vector payload)."""
+    from ..stages.ivfpq import ivfpq_topk
+
+    return ivfpq_topk(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        query_id,
+        k,
+        n_clusters=16,
+        nprobe=8,
+        pq_m=8,
+        pq_ks=16,
+    )
+
+
 def q_fingerprints(sf_dir: str):
     """Winnowing document fingerprints (rolling-hash minima); rows-only."""
     from ..stages.text_analysis import add_fingerprint

@@ -1,0 +1,279 @@
+"""Composed IVF-PQ index: IVF routing over PQ-compressed residual codes.
+
+IVF (stages/similarity.py) routes *reads* — a query touches only
+``nprobe``/``n_clusters`` of the corpus; PQ (stages/pq.py) compresses
+*residency* — a vector lives as ``m`` uint8 codes instead of dim×4 bytes.
+This module composes them into the actual billion-vector serving
+structure (Jegou, Douze, Schmid, TPAMI 2011 §IV: IVFADC):
+
+* **Build** (one streaming pass each):
+  1. coarse centroids = deterministic spherical k-means on unit vectors
+     (sample-head or full-corpus streaming trainer, similarity.py);
+  2. PQ codebooks trained per-subspace on RESIDUALS ``x_unit − c(x)``
+     (the residual distribution is much tighter than the raw one, so the
+     same ``m × ks`` budget buys far more resolution);
+  3. encode = one broadcast map_batches: assign cluster, subtract the
+     centroid, PQ-encode the residual, emit ``(vec_id, code_0..m-1)`` as
+     **uint8** columns, written partitioned BY CLUSTER. The index payload
+     is m bytes per vector (pinned by test) — raw embeddings never enter
+     the index.
+* **Query**: pick ``nprobe`` clusters by centroid cosine; build ONE
+  (m × ks) ADC look-up table PER PROBED CLUSTER from
+  ``q_unit − c`` vs the shared codebooks; scan only those partitions'
+  code columns with a per-batch LUT gather + k-bounded local top-k
+  combiner; one k-row global sort. No all-to-all; unprobed partitions
+  never leave storage.
+
+Vectors are unit-normalized on both sides, so squared-L2 ADC ranks like
+cosine (``||q−x||² = 2 − 2·cos`` on the sphere); recall ≥ 0.9 vs brute
+force is pinned by tests the same way the plain-IVF path is.
+
+Reference: n/a — no counterpart (extension operator; composition asked
+for by VERDICT r3 item 4).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .pq import _sub_dists, pq_train
+from .similarity import (
+    _mat_from_list_col,
+    _unit,
+    fetch_vector,
+    train_centroids,
+    train_centroids_distributed,
+)
+
+DEFAULT_NPROBE = 8
+
+
+def _assign_unit(mat_unit: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    return (mat_unit @ cent.T).argmax(axis=1)
+
+
+def _residual_codes(
+    batch: pa.Table, cent: np.ndarray, cbs: np.ndarray, *, id_col: str, emb_col: str
+) -> pa.Table:
+    """(id, cluster_id, code_0..m-1 uint8): assign, subtract centroid,
+    PQ-encode the residual — the single encode pass."""
+    m, ks, dsub = cbs.shape
+    dim = m * dsub
+    mat = _unit(_mat_from_list_col(batch.column(emb_col), dim))
+    assign = _assign_unit(mat, cent)
+    res = mat - cent[assign]
+    cols = {
+        id_col: batch.column(id_col),
+        "cluster_id": pa.array(assign.astype(np.int64)),
+    }
+    for j in range(m):
+        codes = _sub_dists(res, cbs[j], j * dsub).argmin(axis=1)
+        cols[f"code_{j}"] = pa.array(codes.astype(np.uint8), type=pa.uint8())
+    return pa.table(cols)
+
+
+def build_ivfpq_index(
+    emb_path: str,
+    out_dir: str,
+    *,
+    n_clusters: int = 16,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    pq_iters: int = 5,
+    sample_size: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    train_on: str = "sample",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build the cluster-partitioned code index; returns (centroids,
+    codebooks). ``train_on`` picks the coarse-quantizer trainer exactly as
+    ``similarity.build_ivf_index`` does."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+
+    if pq_ks > 256:
+        raise ValueError(f"pq_ks={pq_ks} > 256 does not fit uint8 codes")
+
+    # ---- coarse centroids (same two trainers as the plain IVF index) -----
+    if train_on == "full":
+        full = rd.read_parquet(emb_path, columns=["embedding"])
+        cent = train_centroids_distributed(
+            full, n_clusters, sample_size=sample_size, seed=seed
+        )
+    else:
+        pf = pq_.ParquetFile(emb_path)
+        got, sample_batches = 0, []
+        for rb in pf.iter_batches(batch_size=1024, columns=["embedding"]):
+            sample_batches.append(rb)
+            got += rb.num_rows
+            if got >= sample_size:
+                break
+        sample = pa.Table.from_batches(sample_batches)
+        mat = _unit(_mat_from_list_col(sample.column("embedding")))
+        cent = train_centroids(mat[:sample_size], n_clusters, seed=seed)
+    dim = cent.shape[1]
+
+    # ---- PQ codebooks on residuals (streaming; pq_train shape) -----------
+    cent_ref = ray.put(cent)
+
+    def residuals(b: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _unit(_mat_from_list_col(b.column("embedding"), dim))
+        res = mat - c[_assign_unit(mat, c)]
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "embedding": pa.array(list(res)),
+            }
+        )
+
+    res_ds = rd.read_parquet(emb_path, columns=[id_col, "embedding"]).map_batches(
+        residuals, batch_format="pyarrow"
+    )
+    cbs = pq_train(
+        res_ds, m=pq_m, k=pq_ks, iters=pq_iters, id_col=id_col, dim=dim
+    )
+
+    # ---- encode pass: codes only, partitioned by cluster -----------------
+    cbs_ref = ray.put(cbs)
+
+    def encode(b: pa.Table) -> pa.Table:
+        return _residual_codes(
+            b, ray.get(cent_ref), ray.get(cbs_ref), id_col=id_col, emb_col="embedding"
+        )
+
+    ds = rd.read_parquet(emb_path, columns=[id_col, "embedding"])
+    ds.map_batches(encode, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["cluster_id"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    np.save(os.path.join(out_dir, "codebooks.npy"), cbs)
+    return cent, cbs
+
+
+def query_ivfpq_index(
+    index_dir: str,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = DEFAULT_NPROBE,
+    id_col: str = "vec_id",
+):
+    """ADC top-k over the probed clusters only -> Dataset(vec_id,
+    adc_dist), ascending squared-L2 on the unit sphere (== descending
+    cosine). One (m × ks) LUT per probed cluster; per-batch local top-k
+    so <= k rows leave each batch; one k-bounded global sort."""
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    cbs = np.load(os.path.join(index_dir, "codebooks.npy"))
+    m, ks, dsub = cbs.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn > 0:
+        q = q / qn
+    probe = np.argsort(-(cent @ q))[:nprobe]
+
+    parts = []
+    for c in probe:
+        d = os.path.join(index_dir, f"cluster_id={c}")
+        if not os.path.isdir(d):
+            continue
+        files = [
+            os.path.join(d, f) for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        if not files:
+            continue
+        # LUT for this cluster: residual target is q − centroid
+        rq = (q - cent[c])[None, :]
+        lut = np.stack(
+            [_sub_dists(rq, cbs[j], j * dsub)[0] for j in range(m)]
+        )
+        lut_ref = ray.put(lut)
+
+        def local_topk(b: pa.Table, _ref=lut_ref) -> pa.Table:
+            t = ray.get(_ref)
+            n = b.num_rows
+            if n == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], type=pa.int64()),
+                        "adc_dist": pa.array([], type=pa.float64()),
+                    }
+                )
+            dist = np.zeros(n, dtype=np.float64)
+            for j in range(m):
+                cj = b.column(f"code_{j}").to_numpy(zero_copy_only=False)
+                dist += t[j][cj.astype(np.int64)]
+            ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ids, dist))[:k]
+            return pa.table(
+                {
+                    id_col: pa.array(ids[order]),
+                    "adc_dist": pa.array(dist[order]),
+                }
+            )
+
+        cols = [id_col] + [f"code_{j}" for j in range(m)]
+        parts.append(
+            rd.read_parquet(files, columns=cols).map_batches(
+                local_topk, batch_format="pyarrow"
+            )
+        )
+    if not parts:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "adc_dist": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.sort(["adc_dist", id_col]).limit(k)
+
+
+def ivfpq_topk(
+    emb_path: str,
+    query_id: int,
+    k: int = 10,
+    *,
+    n_clusters: int = 16,
+    nprobe: int = DEFAULT_NPROBE,
+    pq_m: int = 8,
+    pq_ks: int = 16,
+    index_dir: str | None = None,
+):
+    """End-to-end IVF-PQ query: build (or reuse) the index, then probe.
+    Index cached under a deterministic /tmp path keyed by input + params
+    (the ivf_topk pattern)."""
+    import hashlib
+
+    if index_dir is None:
+        key = hashlib.md5(
+            f"{os.path.abspath(emb_path)}:{n_clusters}:{pq_m}:{pq_ks}".encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/quickner_ivfpq/{key}"
+    if not os.path.exists(os.path.join(index_dir, "codebooks.npy")):
+        # crash-safe: build into a temp dir, atomic rename (the repo's
+        # cache pattern — a killed build never leaves a half-index behind)
+        import shutil
+
+        tmp = index_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        build_ivfpq_index(
+            emb_path, tmp, n_clusters=n_clusters, pq_m=pq_m, pq_ks=pq_ks
+        )
+        shutil.rmtree(index_dir, ignore_errors=True)
+        os.makedirs(os.path.dirname(index_dir), exist_ok=True)
+        os.rename(tmp, index_dir)
+    qvec = fetch_vector(emb_path, query_id)
+    return query_ivfpq_index(index_dir, qvec, k, nprobe=nprobe)
