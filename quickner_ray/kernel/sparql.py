@@ -50,10 +50,12 @@ __all__ = [
     "SparqlError",
     "parse_select",
     "parse_update",
+    "parse_update_request",
     "run_ask",
     "run_construct",
     "run_describe",
     "run_select",
+    "run_update_triples",
 ]
 
 
@@ -1733,3 +1735,152 @@ def parse_update(text: str) -> list[tuple[str, list[tuple[str, str, str]]]]:
     if not ops:
         raise SparqlError("empty update request")
     return ops
+
+
+def _check_modify_sel(sel: dict) -> None:
+    if (
+        sel["group_by"]
+        or sel["order_by"]
+        or sel["limit"] is not None
+        or sel["having"]
+        or sel["offset"]
+        or sel["aggs"]
+    ):
+        raise SparqlError("UPDATE WHERE takes no solution modifiers")
+
+
+def parse_update_request(text: str):
+    """SPARQL 1.1 Update request -> ``("data", ops)`` for the ground
+    INSERT DATA / DELETE DATA sequence (``parse_update``), or
+    ``("modify", {"delete": tpls, "insert": tpls, "select": sel})`` for
+    the pattern-template verbs:
+
+    - ``DELETE WHERE { bgp }`` — the group doubles as the delete
+      template (spec shorthand), so it must be a plain conjunctive BGP;
+    - ``DELETE { tpl } [INSERT { tpl }] WHERE { group }`` /
+      ``INSERT { tpl } WHERE { group }`` — templates are path-free
+      triple patterns over variables the WHERE binds; the WHERE group
+      accepts everything a CONSTRUCT WHERE does (FILTER/OPTIONAL/...),
+      just no solution modifiers.
+
+    ``sel`` is the ``parse_select`` dict for ``SELECT * WHERE ...`` —
+    the executor streams its bindings and instantiates the templates
+    (serving.sparql_update)."""
+    toks = list(_tokens(text))
+    if not toks:
+        raise SparqlError("empty update request")
+    if not any(t.upper() == "WHERE" for t in toks):
+        return ("data", parse_update(text))
+
+    # DELETE WHERE { bgp } shorthand: pattern group == delete template
+    if toks[0].upper() == "DELETE" and len(toks) > 1 and toks[1].upper() == "WHERE":
+        sel = parse_select("SELECT * WHERE " + " ".join(toks[2:]))
+        _check_modify_sel(sel)
+        extras = [
+            k
+            for k in (
+                "optional", "exists", "not_exists", "values", "unions",
+                "filters", "binds", "subqueries", "services",
+            )
+            if sel[k]
+        ]
+        if extras:
+            raise SparqlError(
+                f"DELETE WHERE is a plain-BGP shorthand; found {extras} — "
+                "use DELETE { template } WHERE { group } instead"
+            )
+        if any(isinstance(p[1], tuple) for p in sel["patterns"]):
+            raise SparqlError("DELETE WHERE cannot contain property paths")
+        return ("modify", {"delete": sel["patterns"], "insert": [], "select": sel})
+
+    i = 0
+    delete_tpls: list | None = None
+    insert_tpls: list | None = None
+    sel = None
+    while i < len(toks):
+        up = toks[i].upper()
+        if up == "DELETE":
+            if delete_tpls is not None or insert_tpls is not None:
+                raise SparqlError("DELETE template must come first, once")
+            delete_tpls, i = _parse_group(toks, i + 1)
+        elif up == "INSERT":
+            if insert_tpls is not None:
+                raise SparqlError("duplicate INSERT template")
+            if i + 1 < len(toks) and toks[i + 1].upper() == "DATA":
+                raise SparqlError(
+                    "INSERT DATA cannot mix with a WHERE clause; use "
+                    "INSERT { template } WHERE { group }"
+                )
+            insert_tpls, i = _parse_group(toks, i + 1)
+        elif up == "WHERE":
+            sel = parse_select("SELECT * WHERE " + " ".join(toks[i + 1 :]))
+            break
+        else:
+            raise SparqlError(f"expected DELETE/INSERT/WHERE, got {toks[i]!r}")
+    if sel is None:
+        raise SparqlError("expected WHERE after the update templates")
+    if not delete_tpls and not insert_tpls:
+        raise SparqlError("update needs a DELETE and/or INSERT template")
+    _check_modify_sel(sel)
+    for tpls in (delete_tpls or []), (insert_tpls or []):
+        if any(isinstance(p[1], tuple) for p in tpls):
+            raise SparqlError("update templates cannot contain paths")
+    return (
+        "modify",
+        {"delete": delete_tpls or [], "insert": insert_tpls or [], "select": sel},
+    )
+
+
+def _instantiate_templates(bindings, templates: list, bound: list[str]):
+    """Binding stream + path-free templates -> Dataset(subj, pred, obj) of
+    the DISTINCT instantiated triples (the CONSTRUCT shape: zero-shuffle
+    projection per template, batch-local dedup, one bounded groupby)."""
+    from ray.data.aggregate import Count
+
+    for p in templates:
+        for t in p:
+            if t.startswith("?") and t[1:] not in bound:
+                raise SparqlError(f"template uses unbound variable ?{t[1:]}")
+
+    def instantiate(b: pa.Table) -> pa.Table:
+        outs = []
+        for s, p, o in templates:
+            cols = {}
+            for name, term in (("subj", s), ("pred", p), ("obj", o)):
+                if term.startswith("?"):
+                    cols[name] = b.column(term[1:])
+                else:
+                    cols[name] = pa.array([term] * b.num_rows, type=pa.string())
+            outs.append(pa.table(cols))
+        t = pa.concat_tables(outs)
+        return t.group_by(t.column_names).aggregate([])
+
+    return (
+        bindings.map_batches(instantiate, batch_format="pyarrow")
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+
+def run_update_triples(triples, parsed: dict, **bgp_kwargs):
+    """Evaluate a parsed modify request against a triple stream ->
+    ``(delete_keys, insert_keys)`` — each a DISTINCT (subj, pred, obj)
+    Dataset or None when that template is absent. The caller owns what
+    deletion/insertion MEANS for its store (serving.sparql_update turns
+    these into one LSM delta generation)."""
+    sel = parsed["select"]
+    bindings, bound = _bindings(triples, sel, **bgp_kwargs)
+    if parsed["delete"] and parsed["insert"]:
+        bindings = bindings.materialize()  # both templates read the stream
+    dels = (
+        _instantiate_templates(bindings, parsed["delete"], bound)
+        if parsed["delete"]
+        else None
+    )
+    ins = (
+        _instantiate_templates(bindings, parsed["insert"], bound)
+        if parsed["insert"]
+        else None
+    )
+    return dels, ins

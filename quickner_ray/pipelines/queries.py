@@ -3535,6 +3535,68 @@ def sql_triple_store_update(pred: str = "OPERATOR") -> str:
     )
 
 
+def q_kg_sparql_update(sf_dir: str):
+    """Pattern-template SPARQL UPDATE round-trip over the LSM store
+    (serving.sparql_update -> kernel/sparql.parse_update_request): ONE
+    ``DELETE { ?d :OPERATOR ?o } INSERT { ?d :OP_RENAMED ?o } WHERE
+    { ?d :OPERATOR ?o }`` request renames a predicate. The WHERE bindings
+    stream from the served BGP engine; the delete keys join the SPO base
+    (bucketed hash join) to retract full current support; inserts add
+    support 1 per distinct key; everything lands as ONE delta generation.
+    The result unions the served SELECTs over BOTH predicates — the old
+    one must fold to zero rows (delete verified), the new one must equal
+    the distinct (doc, entity) OPERATOR pairs (insert verified). Applied
+    once per cached store (delta-roster guard), so re-runs re-read."""
+    from ..serving import sparql_select, sparql_update
+    from ..sinks.triplestore import _delta_dirs, write_triple_store
+
+    store = f"/tmp/quickner_ray_tstore_updw_{_corpus_cache_key(sf_dir, 'v1')}"
+    need = [
+        p for p in ("spo", "pos")
+        if not os.path.exists(os.path.join(store, p, "_DONE"))
+    ]
+    if need:
+        write_triple_store(q_triples(sf_dir), store, perms=need)
+    if not _delta_dirs(os.path.join(store, "spo")):
+        sparql_update(
+            store,
+            "DELETE { ?d :OPERATOR ?o . } INSERT { ?d :OP_RENAMED ?o . } "
+            "WHERE { ?d :OPERATOR ?o . }",
+            perms=["spo", "pos"],
+        )
+
+    def tag(pred):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "pred": pa.array([pred] * b.num_rows, type=pa.string()),
+                    "d": b.column("d"),
+                    "o": b.column("o"),
+                }
+            )
+
+        return f
+
+    old = sparql_select(
+        store, "SELECT ?d ?o WHERE { ?d :OPERATOR ?o . }"
+    ).map_batches(tag("OPERATOR"), batch_format="pyarrow")
+    new = sparql_select(
+        store, "SELECT ?d ?o WHERE { ?d :OP_RENAMED ?o . }"
+    ).map_batches(tag("OP_RENAMED"), batch_format="pyarrow")
+    return old.union(new)
+
+
+def sql_kg_sparql_update() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)}\n"
+        "SELECT 'OP_RENAMED' AS pred, CAST(doc_id AS VARCHAR) AS d,\n"
+        "       eid AS o\n"
+        "FROM acc WHERE plabel = 'OPERATOR' GROUP BY 1, 2, 3"
+    )
+
+
 def q_triple_pattern_match(sf_dir: str):
     """SPARQL-style BGP conjunctive query over the extracted KG: bindings
     (?doc, ?op, ?unit) such that ?doc mentions the SYSTEM entity 'spark'

@@ -133,19 +133,27 @@ def sparql_describe(store_dir: str, query: str):
 
 
 def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) -> int:
-    """Execute a SPARQL UPDATE (INSERT DATA / DELETE DATA sequence,
-    kernel/sparql.parse_update) against the permutation store as ONE
-    LSM delta generation (sinks/triplestore.apply_triple_delta — |delta|
-    work, no rebuild; compact_store folds it later).
+    """Execute a SPARQL UPDATE against the permutation store as ONE LSM
+    delta generation (sinks/triplestore.apply_triple_delta — |delta| work,
+    no rebuild; compact_store folds it later). Two request shapes
+    (kernel/sparql.parse_update_request):
 
-    Sequence semantics within the request: per triple key, a DELETE
-    retracts the store's CURRENT support and voids any earlier INSERT in
-    the same request; INSERTs after the last DELETE add support. The
-    retraction amounts come from point lookups against the pre-update
-    store — the delete set is bounded by the request text, so these are
-    a handful of pruned index reads, never a scan. Lookups prefer the
-    SPO permutation (subject keys are fine-grained; a POS fallback would
-    read a whole predicate run).
+    * **Ground data** — an ``INSERT DATA { ... }`` / ``DELETE DATA``
+      sequence. Per triple key, a DELETE retracts the store's CURRENT
+      support and voids any earlier INSERT in the same request; INSERTs
+      after the last DELETE add support. Retraction amounts come from
+      point lookups against the pre-update store — the delete set is
+      bounded by the request text, so these are a handful of pruned index
+      reads, never a scan.
+    * **Pattern templates** — ``DELETE WHERE { bgp }`` or
+      ``DELETE { tpl } [INSERT { tpl }] WHERE { group }``. The WHERE
+      bindings stream from the served BGP engine (synopsis-planned index
+      lookups, same as SELECT); templates instantiate as distinct-key
+      Datasets (CONSTRUCT shape). DELETE keys join the SPO base with the
+      bucketed hash join to fetch current support (the delete set can be
+      data-sized, so this stays a distributed exchange — no driver
+      materialization); INSERT keys add support 1 each. Both fold into
+      one groupby-summed delta.
 
     Returns the number of (s, p, o) keys the applied delta touched
     (0 = no-op request; nothing is written). Idempotency is the
@@ -156,10 +164,10 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     import pyarrow as pa
     import ray.data as rd
 
-    from .kernel.sparql import parse_update
+    from .kernel.sparql import parse_update_request
     from .sinks.triplestore import PERMS, apply_triple_delta, lookup
 
-    ops = parse_update(text)
+    kind, parsed = parse_update_request(text)
     if perms is None:
         perms = [
             p for p in PERMS
@@ -167,6 +175,10 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
         ]
     if not perms:
         raise FileNotFoundError(f"no completed permutation under {store_dir}")
+
+    if kind == "modify":
+        return _apply_modify(store_dir, parsed, perms)
+    ops = parsed
 
     # fold the op sequence: triple -> [retract_store_support, n_inserts]
     pending: dict[tuple[str, str, str], list] = {}
@@ -207,3 +219,92 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     )
     apply_triple_delta(store_dir, rd.from_arrow(tab), perms=perms, distinct=True)
     return len(keys)
+
+
+def _apply_modify(store_dir: str, parsed: dict, perms: list[str]) -> int:
+    """Pattern-template UPDATE executor: served WHERE bindings ->
+    distinct delete/insert key Datasets (kernel/sparql.run_update_triples)
+    -> ONE merged LSM delta.
+
+    DELETE semantics on the counted store: retract the key's CURRENT net
+    support — the delete keys join the SPO stream (base + delta runs) with
+    the bucketed hash join and every matched row is negated; the final
+    (s,p,o) groupby sums base+delta+request contributions, so a key whose
+    support is already 0 folds away. INSERT adds support 1 per distinct
+    instantiated triple (RDF set semantics on a counted store). The delete
+    set can be data-sized (DELETE WHERE { ?s ?p ?o }), so everything here
+    is an exchange over matched keys — nothing driver-materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .kernel.sparql import run_update_triples
+    from .sinks.triplestore import apply_triple_delta
+    from .stages.hashjoin import bucketed_join
+
+    sel = parsed["select"]
+    has_paths = any(
+        isinstance(p[1], tuple)
+        for p in (
+            *sel["patterns"], *sel["optional"], *sel["not_exists"],
+            *[pp for grp in sel["unions"] for pp in grp],
+        )
+    )
+    kw = _kwargs(store_dir, has_paths)
+    dels, ins = run_update_triples(_base(store_dir), parsed, **kw)
+
+    parts = []
+    if dels is not None:
+        matched = bucketed_join(
+            _base(store_dir),
+            dels,
+            on=("subj", "pred", "obj"),
+            n_buckets=16,
+            join_type="inner",
+        )
+
+        def negate(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "subj": b.column("subj"),
+                    "pred": b.column("pred"),
+                    "obj": b.column("obj"),
+                    "n_mentions": pc.negate_checked(
+                        b.column("n_mentions").cast(pa.int64())
+                    ),
+                }
+            )
+
+        parts.append(matched.map_batches(negate, batch_format="pyarrow"))
+    if ins is not None:
+
+        def plus_one(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "n_mentions", pa.array([1] * b.num_rows, type=pa.int64())
+            )
+
+        parts.append(ins.map_batches(plus_one, batch_format="pyarrow"))
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+    def nonzero_int64(b: pa.Table) -> pa.Table:
+        n = b.column("n_mentions")
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        n = n.cast(pa.int64())
+        b = b.set_column(b.column_names.index("n_mentions"), "n_mentions", n)
+        return b.filter(pc.not_equal(n, 0))  # keys whose support nets out
+
+    delta = (
+        merged.groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .map_batches(nonzero_int64, batch_format="pyarrow")
+        .materialize()
+    )
+    n = delta.count()
+    if n == 0:
+        return 0
+    apply_triple_delta(store_dir, delta, perms=perms, distinct=True)
+    return n

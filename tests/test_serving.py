@@ -86,6 +86,90 @@ class TestServing:
         assert served == stream and len(served) == 2
 
 
+class TestSparqlUpdate:
+    """SPARQL 1.1 Update over the LSM store: ground DATA forms plus the
+    pattern-template verbs (DELETE WHERE / DELETE..INSERT..WHERE)."""
+
+    def _spo(self, store, pred):
+        from quickner_ray.sinks.triplestore import lookup
+
+        return sorted(
+            (r["subj"], r["obj"], r["n_mentions"])
+            for r in lookup(store, "pred", pred).take_all()
+        )
+
+    def test_insert_and_delete_data(self, store):
+        from quickner_ray.serving import sparql_update
+
+        n = sparql_update(
+            store,
+            'INSERT DATA { "d9" :SYS "storm" } ;\n'
+            'DELETE DATA { "d3" :SYS "flink" }',
+        )
+        assert n == 2
+        assert self._spo(store, "SYS") == [
+            ("d1", "spark", 1), ("d2", "spark", 1), ("d9", "storm", 1),
+        ]
+
+    def test_delete_where_shorthand(self, store):
+        from quickner_ray.serving import sparql_update
+
+        n = sparql_update(store, "DELETE WHERE { ?d :SYS :spark . }")
+        assert n == 2  # d1 and d2 retracted
+        assert self._spo(store, "SYS") == [("d3", "flink", 1)]
+        # deleting again is a no-op (support already 0)
+        assert sparql_update(store, "DELETE WHERE { ?d :SYS :spark . }") == 0
+
+    def test_delete_insert_where_rename_predicate(self, store):
+        from quickner_ray.serving import sparql_update
+
+        n = sparql_update(
+            store,
+            "DELETE { ?d :OP ?o . } INSERT { ?d :OPERATION ?o . } "
+            "WHERE { ?d :OP ?o . }",
+        )
+        assert n == 4  # 2 retractions + 2 inserts
+        assert self._spo(store, "OP") == []
+        assert self._spo(store, "OPERATION") == [
+            ("d1", "join", 1), ("d3", "sort", 1),
+        ]
+
+    def test_insert_where_with_filter(self, store):
+        from quickner_ray.serving import sparql_update
+
+        n = sparql_update(
+            store,
+            'INSERT { ?d :FLAGGED "yes" . } WHERE { ?d :SYS ?s . '
+            'FILTER (?s = "flink") }',
+        )
+        assert n == 1
+        assert self._spo(store, "FLAGGED") == [("d3", "yes", 1)]
+
+    def test_modify_parse_errors(self, store):
+        from quickner_ray.kernel.sparql import SparqlError, parse_update_request
+        import pytest as _pytest
+
+        for bad in (
+            "DELETE WHERE { ?d :SYS ?s . FILTER (?s = \"x\") }",  # not plain BGP
+            "INSERT DATA { \"a\" :p \"b\" } WHERE { ?s ?p ?o . }",  # DATA+WHERE
+            "DELETE { ?d :SYS ?x . } WHERE { ?d :OP ?o . }",  # unbound var is
+            # caught at execution; parse side: missing WHERE
+        )[:2]:
+            with _pytest.raises(SparqlError):
+                parse_update_request(bad)
+        with _pytest.raises(SparqlError):
+            parse_update_request("DELETE { ?d :SYS ?s . }")  # no WHERE verb
+
+    def test_modify_unbound_template_var_raises(self, store):
+        from quickner_ray.kernel.sparql import SparqlError
+        from quickner_ray.serving import sparql_update
+
+        with pytest.raises(SparqlError, match="unbound"):
+            sparql_update(
+                store, "INSERT { ?d :X ?nope . } WHERE { ?d :SYS ?s . }"
+            )
+
+
 @pytest.fixture()
 def remote_store(ray_session, tmp_path_factory):
     rows = [
