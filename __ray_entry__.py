@@ -756,6 +756,14 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_priority": _sql_topk_orders(),
         "stratified_sample": _sql_strat_sample(),
         "source_mixture_sample": _sql_mix_sample(),
+        # BPE trainer/encoder: closed SQL via per-rank chained CTEs
+        # (stages/bpe.sql_bpe_merges docstring)
+        "bpe_merges": __import__(
+            "quickner_ray.stages.bpe", fromlist=["sql_bpe_merges"]
+        ).sql_bpe_merges(),
+        "bpe_encoded_counts": __import__(
+            "quickner_ray.stages.bpe", fromlist=["sql_bpe_encoded_counts"]
+        ).sql_bpe_encoded_counts(),
         "hll_user_registers": _sql_hll("user_id", "events"),
         "hll_users_by_type": _sql_hll_g("user_id", "event_type", "events"),
         "shard_assignments": q.sql_shard_assignments(),

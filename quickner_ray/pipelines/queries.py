@@ -2452,9 +2452,10 @@ def q_dup_shingle_stats(sf_dir: str):
 
 
 def q_bpe_merges(sf_dir: str):
-    """BPE tokenizer-merge training over the documents corpus (rows-only:
-    iterative re-tokenization has no closed SQL form; the algorithm is
-    pinned by tests against a brute-force reference)."""
+    """BPE tokenizer-merge training over the documents corpus. Value-exact
+    DuckDB oracle: the fixed-n_merges loop unrolls into per-rank chained
+    CTEs (stages/bpe.sql_bpe_merges — double-delimiter pair encoding makes
+    plain replace() reproduce the trainer's in-word scan)."""
     from ..stages.bpe import bpe_train
 
     return bpe_train(_docs(sf_dir, columns=["doc_id", "text"]))
@@ -2462,9 +2463,10 @@ def q_bpe_merges(sf_dir: str):
 
 def q_bpe_encoded_counts(sf_dir: str):
     """Train-then-apply BPE: learn the merge table (one vocab pass), then
-    tokenize every document with it — per-doc BPE token counts (rows-only:
-    iterative merges have no SQL form; exactness pinned by a whole-text
-    reference test, layout-invariance by a repartition test)."""
+    tokenize every document with it — per-doc BPE token counts. Value-exact
+    DuckDB oracle (stages/bpe.sql_bpe_encoded_counts): the final vocabulary
+    segmentation from the unrolled merge chain joins each document's token
+    stream."""
     from ..stages.bpe import bpe_encode
 
     return bpe_encode(_docs(sf_dir, columns=["doc_id", "text"]))

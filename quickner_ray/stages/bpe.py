@@ -16,9 +16,17 @@ Determinism: pair selection is (count DESC, left ASC, right ASC); symbol
 order inside a word is positional. Identical merges at any parallelism /
 block layout (pinned by tests against a brute-force reference).
 
-No SQL oracle is claimed — the merge loop is iterative re-tokenization,
-outside DuckDB's recursion-free reach — so the driver query is rows-only;
-the algorithm is pinned by unit tests instead.
+SQL oracle (``sql_bpe_merges`` / ``sql_bpe_encoded_counts``): the merge
+loop has a CLOSED form for a fixed ``n_merges`` — one chained CTE pair per
+rank. Words encode as chr(2)-double-delimited symbol strings
+(``␂␂a␂␂b␂␂``); adjacent pairs extract with one non-overlapping regex per
+boundary parity (the second parity strips the leading symbol first);
+the rank's winner is ``ORDER BY cnt DESC, l, r LIMIT 1``; applying a merge
+is ONE ``replace(s, ␂l␂␂r␂, ␂lr␂)`` — each match consumes one delimiter
+from each side's double boundary, so plain left-to-right non-overlapping
+``replace`` reproduces the trainer's in-word scan EXACTLY (runs like
+"aaaaa" group from the left on both engines; pinned by tests). Symbols are
+``[a-z0-9]`` runs, so chr(2) can never collide.
 
 No counterpart in the reference (SURVEY.md §2 has no tokenizer training);
 extension operator for the training-data pipeline set.
@@ -181,6 +189,101 @@ class BpeEncodeStage:
         return pa.table(
             {"doc_id": ids, "n_bpe_tokens": pa.array(counts, type=pa.int64())}
         )
+
+
+# --- closed-SQL oracle (chained per-rank CTEs; see module docstring) --------
+
+_PAIR_RE = r"\x02([^\x02]+)\x02\x02([^\x02]+)\x02"
+_STRIP_RE = r"^\x02\x02[^\x02]+"
+
+
+def _sql_bpe_chain(table: str, n_merges: int, min_count: int) -> str:
+    """WITH-clause body defining v0..v{n} (vocab with evolving symbol
+    strings) and m1..m{n} (per-rank winning merges). The final vocabulary
+    segmentation is ``v{n_merges}``."""
+    parts = [
+        # weighted vocab + initial char-level symbol encoding
+        f"v0 AS MATERIALIZED (SELECT word, tf,\n"
+        f"  chr(2) || chr(2) ||"
+        f" array_to_string(regexp_extract_all(word, '.'), chr(2) || chr(2))"
+        f" || chr(2) || chr(2) AS s\n"
+        f"  FROM (SELECT w AS word, CAST(count(*) AS BIGINT) AS tf\n"
+        f"        FROM (SELECT unnest(regexp_extract_all(lower(text),"
+        f" '[a-z0-9]+')) AS w FROM {table})\n"
+        f"        GROUP BY w) )"
+    ]
+    for k in range(1, n_merges + 1):
+        prev = f"v{k - 1}"
+        # adjacent pairs at both boundary parities, weighted by tf; the
+        # min_count prune applies to LEARNING only (encode still covers
+        # every word, matching bpe_encode's split)
+        src = f"(SELECT tf, s FROM {prev} WHERE tf >= {min_count})"
+        parts.append(
+            f"p{k} AS MATERIALIZED (\n"
+            f"  SELECT l, r, CAST(sum(tf) AS BIGINT) AS cnt FROM (\n"
+            f"    SELECT tf, regexp_extract(m, '{_PAIR_RE}', 1) AS l,\n"
+            f"               regexp_extract(m, '{_PAIR_RE}', 2) AS r\n"
+            f"    FROM (SELECT tf, unnest(regexp_extract_all(s,"
+            f" '{_PAIR_RE}')) AS m FROM {src} q)\n"
+            f"    UNION ALL\n"
+            f"    SELECT tf, regexp_extract(m, '{_PAIR_RE}', 1),\n"
+            f"               regexp_extract(m, '{_PAIR_RE}', 2)\n"
+            f"    FROM (SELECT tf, unnest(regexp_extract_all("
+            f"regexp_replace(s, '{_STRIP_RE}', ''), '{_PAIR_RE}')) AS m"
+            f" FROM {src} q2)\n"
+            f"  ) GROUP BY l, r)"
+        )
+        parts.append(
+            f"m{k} AS MATERIALIZED (SELECT l, r, cnt FROM p{k}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        # chr(3) fallback pattern can never match, so an exhausted vocab
+        # (empty m{k}) leaves s unchanged instead of nulling it
+        parts.append(
+            f"v{k} AS MATERIALIZED (SELECT word, tf, replace(s,\n"
+            f"  chr(2) || coalesce((SELECT l FROM m{k}), chr(3)) ||"
+            f" chr(2) || chr(2) || coalesce((SELECT r FROM m{k}), chr(3))"
+            f" || chr(2),\n"
+            f"  chr(2) || coalesce((SELECT l || r FROM m{k}), chr(3))"
+            f" || chr(2)) AS s FROM {prev})"
+        )
+    return ",\n".join(parts)
+
+
+def sql_bpe_merges(
+    table: str = "documents",
+    n_merges: int = DEFAULT_MERGES,
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> str:
+    """Oracle for ``bpe_train``: (rank, left, right, pair_count)."""
+    arms = "\nUNION ALL ".join(
+        f'SELECT {k} AS "rank", l AS "left", r AS "right",'
+        f" cnt AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return f"WITH {_sql_bpe_chain(table, n_merges, min_count)}\n{arms}"
+
+
+def sql_bpe_encoded_counts(
+    table: str = "documents",
+    n_merges: int = DEFAULT_MERGES,
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> str:
+    """Oracle for ``bpe_encode``: (doc_id, n_bpe_tokens) — the final
+    vocabulary segmentation (v{n}) joins each document's token stream;
+    a word's BPE token count is its delimiter count / 2 − 1."""
+    return (
+        f"WITH {_sql_bpe_chain(table, n_merges, min_count)},\n"
+        f"seg AS (SELECT word, CAST((length(s) -"
+        f" length(replace(s, chr(2), ''))) // 2 - 1 AS BIGINT) AS n"
+        f" FROM v{n_merges}),\n"
+        f"toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),"
+        f" '[a-z0-9]+')) AS w FROM {table}),\n"
+        f"cnt AS (SELECT t.doc_id, sum(seg.n) AS n FROM toks t"
+        f" JOIN seg ON seg.word = t.w GROUP BY t.doc_id)\n"
+        f"SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens\n"
+        f"FROM {table} d LEFT JOIN cnt c ON d.doc_id = c.doc_id"
+    )
 
 
 def bpe_encode(

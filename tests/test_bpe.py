@@ -49,6 +49,66 @@ def test_bpe_train_deterministic_across_layouts():
     assert a.iloc[0]["pair_count"] == 7
 
 
+class TestSqlOracle:
+    """The closed-SQL unrolled trainer must match learn_merges exactly —
+    including the in-word scan semantics on repeated-symbol runs, where a
+    naive single-delimiter replace() groups differently."""
+
+    def _run(self, texts, n_merges=6):
+        import duckdb
+
+        from quickner_ray.stages.bpe import sql_bpe_encoded_counts, sql_bpe_merges
+
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in enumerate(texts))
+            + ") t(doc_id, text)"
+        )
+        m = sorted(con.sql(sql_bpe_merges(n_merges=n_merges)).fetchall())
+        c = dict(con.sql(sql_bpe_encoded_counts(n_merges=n_merges)).fetchall())
+        return m, c
+
+    def _reference(self, texts, n_merges=6):
+        import re
+
+        from quickner_ray.stages.bpe import apply_merges, learn_merges
+
+        wc: dict = {}
+        doc_words = []
+        for t in texts:
+            ws = re.findall(r"[a-z0-9]+", t.lower())
+            doc_words.append(ws)
+            for w in ws:
+                wc[w] = wc.get(w, 0) + 1
+        merges = learn_merges(sorted(wc.items()), n_merges)
+        m2 = [(l, r) for l, r, _ in merges]
+        counts = {
+            i: sum(len(apply_merges(w, m2)) for w in ws)
+            for i, ws in enumerate(doc_words)
+        }
+        return (
+            sorted((k + 1, l, r, c) for k, (l, r, c) in enumerate(merges)),
+            counts,
+        )
+
+    @pytest.mark.parametrize(
+        "texts",
+        [
+            # odd/even repeated-symbol runs: left-grouping must match
+            ["aaaaa aaaa aaa", "aa aaaaa"],
+            ["the cat sat on the mat", "a hat the cat wore", "sat sat the"],
+            ["ababab abab ab", "ba ab abab"],
+            ["", "no1 alpha99 no1"],
+        ],
+    )
+    def test_matches_python_trainer(self, texts):
+        got_m, got_c = self._run(texts)
+        want_m, want_c = self._reference(texts)
+        assert got_m == want_m
+        assert got_c == want_c
+
+
 class TestBpeEncode:
     def test_apply_merges_roundtrip(self):
         from quickner_ray.stages.bpe import apply_merges, learn_merges
