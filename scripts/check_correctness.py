@@ -3,6 +3,11 @@ at a given sf and compare against oracle_sql() via DuckDB (row count, sorted
 column names, order-insensitive value equality). Usage:
 
     python scripts/check_correctness.py [sf_dir] [query_name ...]
+
+A full no-name sweep also writes SWEEP_MANIFEST.json at the repo root:
+per-query status + row count + an md5 over the canonicalized result values,
+so the next round's judge can diff builder-claimed green against an
+artifact instead of prose (VERDICT r3 item 9).
 """
 
 from __future__ import annotations
@@ -47,6 +52,17 @@ def main() -> int:
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     failures = 0
+    manifest: dict = {}
+
+    def value_md5(df: pd.DataFrame) -> str:
+        import hashlib
+
+        h = hashlib.md5()
+        for c in df.columns:
+            h.update(c.encode())
+            h.update("\x1f".join(df[c].astype(str).tolist()).encode())
+        return h.hexdigest()
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -56,6 +72,10 @@ def main() -> int:
         wall = time.perf_counter() - t0
         if name not in sqls:
             print(f"{name:28s} rows={len(df):7d}  (rows-only)  {wall:5.1f}s")
+            manifest[name] = {
+                "status": "rows-only", "rows": len(df),
+                "value_md5": value_md5(canon(df)), "seconds": round(wall, 2),
+            }
             continue
         odf = con.sql(sqls[name]).df()
         a, b = canon(df), canon(odf)
@@ -72,6 +92,10 @@ def main() -> int:
             )
         )
         status = "OK" if (ok_rows and ok_schema and ok_vals) else "FAIL"
+        manifest[name] = {
+            "status": status, "rows": len(a),
+            "value_md5": value_md5(a), "seconds": round(wall, 2),
+        }
         if status == "FAIL":
             failures += 1
             print(f"{name:28s} rows={len(a)}/{len(b)} schema={ok_schema} vals={ok_vals} FAIL")
@@ -83,6 +107,20 @@ def main() -> int:
         else:
             print(f"{name:28s} rows={len(a):7d}  OK  {wall:5.1f}s")
     ray.shutdown()
+    if not only:  # full sweep: persist the artifact manifest
+        import json
+
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(manifest),
+            "failures": failures,
+            "queries": manifest,
+        }
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SWEEP_MANIFEST.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        print("manifest:", path)
     print("failures:", failures)
     return 1 if failures else 0
 
