@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (recall >= 0.9 pinned in tests) — no exact SQL form exists
         "similarity_topk_ivf": q.q_similarity_topk_ivf,
         "similarity_topk_ivfpq": q.q_similarity_topk_ivfpq,
+        # seeded-config IVF-PQ: every constant literal-inlined -> value-exact
+        "similarity_topk_ivfpq_seeded": q.q_similarity_topk_ivfpq_seeded,
     }
     missing = [n for n in GRADED_PREFIX if n not in d]
     assert not missing, f"GRADED_PREFIX names absent from queries(): {missing}"
@@ -732,6 +734,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_join": q.sql_skew_join(),
         "pq_codes": q.sql_pq_codes_q(),
         "pq_topk": q.sql_pq_topk_q(),
+        "similarity_topk_ivfpq_seeded": q.sql_similarity_topk_ivfpq_seeded(),
         "kg_sameas_rewrite": q.sql_kg_sameas_rewrite(),
         "host_scc": q.sql_host_scc(),
         "kg_sparql_service": q.sql_kg_sparql_service(),

@@ -1998,6 +1998,24 @@ def q_similarity_topk_ivf(sf_dir: str, k: int = 10, query_id: int = 0):
     )
 
 
+def q_similarity_topk_ivfpq_seeded(sf_dir: str):
+    """Seeded-config composed IVF-PQ (stages/ivfpq.py seeded arm): the
+    probe set, centroids, codebooks and ADC LUTs are pure functions of
+    fixed seeds, every coefficient inlines into the DuckDB oracle as repr
+    literals, and both engines accumulate floats in dimension order — the
+    full routing + residual-encode + ADC pipeline verified VALUE-EXACT
+    (the trained arm stays the quality path, recall-pinned in tests)."""
+    from ..stages.ivfpq import ivfpq_topk_seeded
+
+    return ivfpq_topk_seeded(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def sql_similarity_topk_ivfpq_seeded() -> str:
+    from ..stages.ivfpq import sql_ivfpq_seeded
+
+    return sql_ivfpq_seeded()
+
+
 def q_similarity_topk_ivfpq(sf_dir: str, k: int = 10, query_id: int = 0):
     """Composed IVF-PQ top-k (stages/ivfpq.py): IVF centroids route the
     read to nprobe cluster partitions; each partition holds only uint8 PQ

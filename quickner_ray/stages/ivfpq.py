@@ -39,7 +39,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .pq import _sub_dists, pq_train
+from .pq import _sub_dists, pq_query_vector, pq_train
 from .similarity import (
     _mat_from_list_col,
     _unit,
@@ -277,3 +277,222 @@ def ivfpq_topk(
         os.rename(tmp, index_dir)
     qvec = fetch_vector(emb_path, query_id)
     return query_ivfpq_index(index_dir, qvec, k, nprobe=nprobe)
+
+# --- seeded oracle configuration (data-independent; closed-SQL) -------------
+#
+# Like stages/pq.py, the composed index keeps TWO codebook sources: the
+# TRAINED path above (residual k-means; quality path, rows-only + recall
+# tests) and this SEEDED path — centroids, codebooks, query and therefore
+# the probe set and ADC LUTs are all pure functions of fixed seeds, so every
+# coefficient inlines into DuckDB SQL as repr literals and the whole
+# composed routing + residual-encode + ADC pipeline is verified VALUE-EXACT
+# (dimension-order float accumulation on both engines; assignment ties ->
+# first max == row_number ORDER BY dot DESC, cid; encode ties -> first min
+# == ORDER BY dist, cell). The Ray side is a zero-shuffle scan (per-batch
+# assignment/encode/ADC + k-bounded local top-k) + one k-row global sort.
+
+IVFPQ_SEED = 1308
+SEEDED_C = 4
+SEEDED_NPROBE = 2
+SEEDED_M = 4
+SEEDED_KS = 8
+SEEDED_DIM = 64
+SEEDED_TOPK = 10
+
+
+def ivfpq_seeded_centroids(n_clusters=SEEDED_C, dim=SEEDED_DIM, seed=IVFPQ_SEED):
+    rng = np.random.default_rng(seed)
+    cent = rng.standard_normal((n_clusters, dim))
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def ivfpq_seeded_codebooks(m=SEEDED_M, k=SEEDED_KS, dim=SEEDED_DIM, seed=IVFPQ_SEED + 1):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dim // m)) * 0.5
+
+
+def _norm_dim_order(mat):
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for i in range(mat.shape[1]):
+        acc += mat[:, i] * mat[:, i]
+    return np.sqrt(acc)
+
+
+def _dots_dim_order(u, cent):
+    acc = np.zeros((u.shape[0], cent.shape[0]), dtype=np.float64)
+    for i in range(u.shape[1]):
+        acc += u[:, i : i + 1] * cent[:, i][None, :]
+    return acc
+
+
+def seeded_probe_and_luts(cent, cbs, q, nprobe=SEEDED_NPROBE):
+    qn = _norm_dim_order(q[None, :])[0]
+    qu = q / (qn if qn else 1.0)
+    qdots = _dots_dim_order(qu[None, :], cent)[0]
+    order = np.argsort(-qdots, kind="stable")[:nprobe]
+    m, ks, dsub = cbs.shape
+    luts = {}
+    for c in order:
+        rq = (qu - cent[c])[None, :]
+        luts[int(c)] = np.stack([_sub_dists(rq, cbs[j], j * dsub)[0] for j in range(m)])
+    return [int(c) for c in order], luts
+
+
+def seeded_scan_batch(b: pa.Table, cent, cbs, probe, luts, k) -> pa.Table:
+    m, ks, dsub = cbs.shape
+    dim = m * dsub
+    empty = pa.table(
+        {"vec_id": pa.array([], type=pa.int64()),
+         "adc_dist": pa.array([], type=pa.float64())}
+    )
+    if b.num_rows == 0:
+        return empty
+    mat = _mat_from_list_col(b.column("embedding"), dim)
+    nrm = _norm_dim_order(mat)
+    nrm = np.where(nrm == 0, 1.0, nrm)
+    u = mat / nrm[:, None]
+    assign = _dots_dim_order(u, cent).argmax(axis=1)
+    keep = np.isin(assign, probe)
+    ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+    if not len(ids):
+        return empty
+    u = u[keep]
+    assign = assign[keep]
+    res = u - cent[assign]
+    codes = np.zeros((len(ids), m), dtype=np.int64)
+    for j in range(m):
+        codes[:, j] = _sub_dists(res, cbs[j], j * dsub).argmin(axis=1)
+    dist = np.zeros(len(ids), dtype=np.float64)
+    for c in probe:
+        sel = assign == c
+        if not sel.any():
+            continue
+        d = np.zeros(int(sel.sum()), dtype=np.float64)
+        for j in range(m):
+            d += luts[c][j][codes[sel, j]]
+        dist[sel] = d
+    order = np.lexsort((ids, dist))[:k]
+    return pa.table(
+        {"vec_id": pa.array(ids[order]), "adc_dist": pa.array(dist[order])}
+    )
+
+
+def _lit(v):
+    return repr(float(v))
+
+
+def sql_ivfpq_seeded(table="embeddings", topk=SEEDED_TOPK):
+    cent = ivfpq_seeded_centroids()
+    cbs = ivfpq_seeded_codebooks()
+    q = pq_query_vector()
+    probe, luts = seeded_probe_and_luts(cent, cbs, q)
+    C, dim = cent.shape
+    m, ks, dsub = cbs.shape
+
+    cent_cols = ", ".join(f"c{i}" for i in range(dim))
+    cent_rows = ",\n".join(
+        f"    ({c}, {', '.join(_lit(v) for v in cent[c])})" for c in range(C)
+    )
+    cb_cols = ", ".join(f"b{i}" for i in range(dsub))
+    cb_rows = ",\n".join(
+        f"    ({j}, {cell}, {', '.join(_lit(v) for v in cbs[j, cell])})"
+        for j in range(m) for cell in range(ks)
+    )
+    lut_rows = ",\n".join(
+        f"    ({c}, {j}, {cell}, {_lit(luts[c][j][cell])})"
+        for c in probe for j in range(m) for cell in range(ks)
+    )
+    norm_expr = "\n      + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) * CAST(embedding[{i + 1}] AS DOUBLE))"
+        for i in range(dim)
+    )
+    dot_expr = "\n      + ".join(
+        f"(CAST(embedding[{i + 1}] AS DOUBLE) / nrm) * c{i}" for i in range(dim)
+    )
+
+    parts = [
+        f"cent(cid, {cent_cols}) AS (VALUES\n{cent_rows})",
+        f"cb(sub, cell, {cb_cols}) AS (VALUES\n{cb_rows})",
+        f"lut AS (SELECT cid, sub, cell, CAST(ld AS DOUBLE) AS ld FROM\n"
+        f"  (VALUES\n{lut_rows}) t(cid, sub, cell, ld))",
+        f"xn AS (SELECT vec_id, embedding,\n"
+        f"  CASE WHEN nrm0 = 0 THEN 1.0 ELSE nrm0 END AS nrm\n"
+        f"  FROM (SELECT vec_id, embedding, sqrt(\n      {norm_expr}) AS nrm0"
+        f" FROM {table}) t)",
+        f"dots AS (SELECT vec_id, cid,\n      {dot_expr}\n    AS dot\n"
+        f"  FROM xn CROSS JOIN cent)",
+        "asg AS (SELECT vec_id, cid FROM (\n"
+        "  SELECT vec_id, cid,\n"
+        "    row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid)"
+        " AS rn\n  FROM dots) t WHERE rn = 1)",
+    ]
+    adc_arms = []
+    for c in probe:
+        parts.append(
+            f"a{c} AS (SELECT x.vec_id, x.embedding, x.nrm FROM xn x\n"
+            f"  JOIN asg ON asg.vec_id = x.vec_id AND asg.cid = {c})"
+        )
+        for j in range(m):
+            terms = []
+            for i in range(dsub):
+                e = (
+                    f"((CAST(embedding[{j * dsub + i + 1}] AS DOUBLE) / nrm"
+                    f" - {_lit(cent[c, j * dsub + i])}) - b{i})"
+                )
+                terms.append(f"{e} * {e}")
+            expr = "\n        + ".join(terms)
+            parts.append(
+                f"d{c}_{j} AS (SELECT vec_id, cell,\n        {expr}\n"
+                f"      AS dist\n"
+                f"  FROM a{c} CROSS JOIN (SELECT cell, {cb_cols} FROM cb"
+                f" WHERE sub = {j}) cbj)"
+            )
+            parts.append(
+                f"k{c}_{j} AS (SELECT vec_id, cell FROM (\n"
+                f"  SELECT vec_id, cell,\n"
+                f"    row_number() OVER (PARTITION BY vec_id"
+                f" ORDER BY dist, cell) AS rn\n"
+                f"  FROM d{c}_{j}) t WHERE rn = 1)"
+            )
+        ksum = " + ".join(f"l{j}.ld" for j in range(m))
+        joins = "\n  ".join(
+            f"JOIN k{c}_{j} ON k{c}_{j}.vec_id = a{c}.vec_id\n"
+            f"  JOIN lut l{j} ON l{j}.cid = {c} AND l{j}.sub = {j}"
+            f" AND l{j}.cell = k{c}_{j}.cell"
+            for j in range(m)
+        )
+        parts.append(
+            f"adc{c} AS (SELECT a{c}.vec_id, {ksum} AS adc_dist\n"
+            f"  FROM a{c}\n  {joins})"
+        )
+        adc_arms.append(f"SELECT vec_id, adc_dist FROM adc{c}")
+    union = "\nUNION ALL ".join(adc_arms)
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, adc_dist FROM (\n"
+        f"{union}) u ORDER BY adc_dist, vec_id LIMIT {topk}"
+    )
+
+
+def ivfpq_topk_seeded(
+    emb_path: str, *, k: int = SEEDED_TOPK, id_col: str = "vec_id"
+):
+    """Distributed seeded-config IVF-PQ query: one zero-shuffle scan pass
+    (per-batch assignment -> probe filter -> residual encode -> ADC +
+    k-bounded local top-k) + one k-row global sort. Value-exact against
+    ``sql_ivfpq_seeded`` (all constants literal-inlined)."""
+    import ray
+    import ray.data as rd
+
+    cent = ivfpq_seeded_centroids()
+    cbs = ivfpq_seeded_codebooks()
+    probe, luts = seeded_probe_and_luts(cent, cbs, pq_query_vector())
+    ref = ray.put((cent, cbs, probe, luts))
+
+    def f(b: pa.Table) -> pa.Table:
+        c, cb, pr, lu = ray.get(ref)
+        return seeded_scan_batch(b, c, cb, pr, lu, k)
+
+    ds = rd.read_parquet(emb_path, columns=[id_col, "embedding"])
+    return ds.map_batches(f, batch_format="pyarrow").sort(
+        ["adc_dist", id_col]
+    ).limit(k)

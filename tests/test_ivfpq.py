@@ -78,6 +78,45 @@ class TestIVFPQ:
         }
         assert len(parts) <= 2
 
+    def test_seeded_arm_matches_sql_oracle(self, ray_session, tmp_path):
+        """The literal-inlined seeded config must be bit-exact against its
+        DuckDB oracle (routing + residual encode + ADC, dimension-order
+        accumulation), at any block layout."""
+        import duckdb
+
+        emb = str(tmp_path / "emb.parquet")
+        _write_embeddings(emb, n=200, dim=64)
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{emb}'")
+        want = con.sql(ivfpq.sql_ivfpq_seeded()).fetchall()
+        import ray.data as rd
+
+        got = [
+            (r["vec_id"], r["adc_dist"])
+            for r in ivfpq.ivfpq_topk_seeded(emb).take_all()
+        ]
+        assert got == want and len(got) == 10
+        # layout invariance of the per-batch scan kernel
+        cent = ivfpq.ivfpq_seeded_centroids()
+        cbs = ivfpq.ivfpq_seeded_codebooks()
+        from quickner_ray.stages.pq import pq_query_vector
+
+        probe, luts = ivfpq.seeded_probe_and_luts(cent, cbs, pq_query_vector())
+        tab = pq.read_table(emb)
+        one = ivfpq.seeded_scan_batch(tab, cent, cbs, probe, luts, 10)
+        chunks = [
+            ivfpq.seeded_scan_batch(tab.slice(s, 37), cent, cbs, probe, luts, 10)
+            for s in range(0, tab.num_rows, 37)
+        ]
+        allp = pa.concat_tables(chunks)
+        ids = allp.column("vec_id").to_numpy()
+        dist = allp.column("adc_dist").to_numpy()
+        order = np.lexsort((ids, dist))[:10]
+        assert list(zip(ids[order].tolist(), dist[order].tolist())) == [
+            (r["vec_id"], r["adc_dist"])
+            for r in pa.Table.to_pylist(one)
+        ] == want
+
     def test_end_to_end_cached(self, ray_session, tmp_path):
         emb = str(tmp_path / "emb.parquet")
         _write_embeddings(emb)
