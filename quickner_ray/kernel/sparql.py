@@ -67,6 +67,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<punct>[{}.(),])
       | (?P<str>"(?:[^"\\]|\\.)*")
+      | (?P<iri><[^>\s]+>)
       | (?P<word>[^\s{}."(),]+)
     )""",
     re.VERBOSE,
@@ -96,7 +97,10 @@ def _tokens(text: str):
                 raise SparqlError(f"cannot tokenize at: {text[pos:pos+30]!r}")
             return
         pos = m.end()
-        tok = m.group("punct") or m.group("str") or m.group("word")
+        tok = (
+            m.group("punct") or m.group("str") or m.group("iri")
+            or m.group("word")
+        )
         if tok:
             yield tok
 
@@ -1751,7 +1755,9 @@ def _check_modify_sel(sel: dict) -> None:
 
 def parse_update_request(text: str):
     """SPARQL 1.1 Update request -> ``("data", ops)`` for the ground
-    INSERT DATA / DELETE DATA sequence (``parse_update``), or
+    INSERT DATA / DELETE DATA sequence (``parse_update``),
+    ``("load", [paths])`` for a ``LOAD <iri>`` sequence (RDF document
+    ingest; the executor picks the reader by extension), or
     ``("modify", {"delete": tpls, "insert": tpls, "select": sel})`` for
     the pattern-template verbs:
 
@@ -1769,6 +1775,25 @@ def parse_update_request(text: str):
     toks = list(_tokens(text))
     if not toks:
         raise SparqlError("empty update request")
+    if toks[0].upper() == "LOAD":
+        # ';'-separated LOAD <iri> sequence; cannot mix with other verbs
+        paths: list[str] = []
+        i = 0
+        while i < len(toks):
+            if toks[i] == ";":
+                i += 1
+                continue
+            if toks[i].upper() != "LOAD":
+                raise SparqlError(
+                    "LOAD requests cannot mix with other update verbs"
+                )
+            if i + 1 >= len(toks) or not toks[i + 1].startswith("<"):
+                raise SparqlError("LOAD needs an <iri> document target")
+            paths.append(toks[i + 1][1:-1])
+            i += 2
+        if not paths:
+            raise SparqlError("empty LOAD request")
+        return ("load", paths)
     if not any(t.upper() == "WHERE" for t in toks):
         return ("data", parse_update(text))
 

@@ -8000,6 +8000,56 @@ def _ttl_shards(sf_dir: str) -> str:
     return d
 
 
+def q_kg_sparql_load(sf_dir: str):
+    """SPARQL UPDATE ``LOAD`` round-trip over the LSM store: the base
+    store holds only the fixture's ex:snap triples; ONE ``LOAD <dir>``
+    request stream-parses every .ttl shard (one parse task per file) and
+    merges BOTH predicates as one delta generation. Post-load, the POS
+    lookups must show ex:snap at support 2 (base + load — LOAD is
+    additive, like INSERT DATA) and ex:links_to at support 1; the oracle
+    regenerates both from doc_id arithmetic. Applied once per cached
+    store (delta-roster guard)."""
+    from ..serving import sparql_update
+    from ..sinks.triplestore import _delta_dirs, lookup, write_triple_store
+    from ..sources.turtle import read_turtle
+
+    shards = _ttl_shards(sf_dir)
+    store = f"/tmp/quickner_ray_tstore_load_{_corpus_cache_key(sf_dir, 'v1')}"
+    need = [
+        p for p in ("spo", "pos")
+        if not os.path.exists(os.path.join(store, p, "_DONE"))
+    ]
+    if need:
+        base = read_turtle(shards).map_batches(
+            lambda b: b.filter(
+                pc.equal(b.column("pred"), pa.scalar("http://ex.org/snap"))
+            ),
+            batch_format="pyarrow",
+        )
+        write_triple_store(base, store, perms=need)
+    if not _delta_dirs(os.path.join(store, "pos")):
+        sparql_update(store, f"LOAD <file://{shards}>", perms=["spo", "pos"])
+    return lookup(store, "pred", "http://ex.org/snap").union(
+        lookup(store, "pred", "http://ex.org/links_to")
+    )
+
+
+def sql_kg_sparql_load() -> str:
+    return (
+        "SELECT 'urn:q:doc' || CAST(doc_id AS VARCHAR) AS subj,\n"
+        "  'http://ex.org/snap' AS pred,\n"
+        "  's' || CAST(doc_id % 5 AS VARCHAR) AS obj,\n"
+        "  CAST(2 AS BIGINT) AS n_mentions\n"
+        "FROM documents\n"
+        "UNION ALL\n"
+        "SELECT 'urn:q:doc' || CAST(doc_id AS VARCHAR),\n"
+        "  'http://ex.org/links_to',\n"
+        f"  'urn:q:host' || CAST(doc_id % {LINK_HOST_BUCKETS} AS VARCHAR),\n"
+        "  CAST(1 AS BIGINT)\n"
+        "FROM documents"
+    )
+
+
 def q_turtle_ingest(sf_dir: str):
     """Turtle RDF ingest (sources/turtle.py): parse the prefixed .ttl
     shard fixture (one parse task per shard file) and aggregate link

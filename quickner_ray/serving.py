@@ -178,6 +178,8 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
 
     if kind == "modify":
         return _apply_modify(store_dir, parsed, perms)
+    if kind == "load":
+        return _apply_load(store_dir, parsed, perms)
     ops = parsed
 
     # fold the op sequence: triple -> [retract_store_support, n_inserts]
@@ -219,6 +221,51 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     )
     apply_triple_delta(store_dir, rd.from_arrow(tab), perms=perms, distinct=True)
     return len(keys)
+
+
+def _apply_load(store_dir: str, paths: list[str], perms: list[str]) -> int:
+    """``LOAD <iri>`` executor: stream-parse the RDF document(s) with the
+    format reader the extension selects (.ttl -> sources/turtle, .nt ->
+    sources/ntriples, .nq -> nquads with the graph column dropped; a
+    directory loads its shard files — one parse task per file), aggregate
+    occurrence counts per (s, p, o), and merge everything as ONE LSM delta
+    generation. LOAD is additive on the counted store: each occurrence in
+    the loaded document adds support 1, consistent with INSERT DATA.
+    Returns the number of distinct keys the delta touched."""
+    from .sinks.triplestore import apply_triple_delta, distinct_triples
+    from .sources.ntriples import read_nquads, read_ntriples
+    from .sources.turtle import read_turtle
+
+    def reader_for(p: str):
+        probe = p
+        if os.path.isdir(p):
+            names = sorted(
+                f for f in os.listdir(p)
+                if f.endswith((".ttl", ".nt", ".nq"))
+            )
+            if not names:
+                raise FileNotFoundError(f"LOAD <{p}>: no RDF files inside")
+            probe = names[0]
+        if probe.endswith(".ttl"):
+            return read_turtle
+        if probe.endswith(".nt"):
+            return read_ntriples
+        if probe.endswith(".nq"):
+            return read_nquads
+        raise ValueError(
+            f"LOAD <{p}>: unsupported extension (expected .ttl/.nt/.nq)"
+        )
+
+    ds = None
+    for p in paths:
+        local = p[7:] if p.startswith("file://") else p
+        part = reader_for(local)(local).select_columns(["subj", "pred", "obj"])
+        ds = part if ds is None else ds.union(part)
+    delta = distinct_triples(ds).materialize()
+    n = delta.count()
+    if n:
+        apply_triple_delta(store_dir, delta, perms=perms, distinct=True)
+    return n
 
 
 def _apply_modify(store_dir: str, parsed: dict, perms: list[str]) -> int:

@@ -160,6 +160,38 @@ class TestSparqlUpdate:
         with _pytest.raises(SparqlError):
             parse_update_request("DELETE { ?d :SYS ?s . }")  # no WHERE verb
 
+    def test_load_turtle_document(self, store, tmp_path):
+        from quickner_ray.serving import sparql_update
+
+        # the store fixture uses bare terms, so load bare-IRI N-Triples:
+        # d1/SYS/spark already has support 1 -> LOAD adds 1 more; the d9
+        # triple appears twice -> support 2 on a fresh key
+        nt = tmp_path / "extra.nt"
+        nt.write_text(
+            '<d1> <SYS> <spark> .\n'
+            '<d9> <SYS> <storm> .\n'
+            '<d9> <SYS> <storm> .\n'
+        )
+        n = sparql_update(store, f"LOAD <file://{nt}>")
+        assert n == 2  # two distinct keys touched
+        assert self._spo(store, "SYS") == [
+            ("d1", "spark", 2), ("d2", "spark", 1), ("d3", "flink", 1),
+            ("d9", "storm", 2),
+        ]
+
+    def test_load_mixing_and_errors(self, store, tmp_path):
+        from quickner_ray.kernel.sparql import SparqlError, parse_update_request
+        from quickner_ray.serving import sparql_update
+
+        with pytest.raises(SparqlError):
+            parse_update_request('LOAD <x.ttl> ; INSERT DATA { "a" :p "b" }')
+        with pytest.raises(SparqlError):
+            parse_update_request("LOAD")
+        bad = tmp_path / "x.bin"
+        bad.write_text("junk")
+        with pytest.raises(ValueError):
+            sparql_update(store, f"LOAD <{bad}>")
+
     def test_modify_unbound_template_var_raises(self, store):
         from quickner_ray.kernel.sparql import SparqlError
         from quickner_ray.serving import sparql_update
