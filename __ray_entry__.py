@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triple_store_update": q.q_triple_store_update,
         "kg_sparql_update": q.q_kg_sparql_update,
         "kg_sparql_load": q.q_kg_sparql_load,
+        "kg_sparql_clear": q.q_kg_sparql_clear,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
@@ -576,6 +577,7 @@ def oracle_sql() -> dict[str, str]:
         "triple_store_update": q.sql_triple_store_update(),
         "kg_sparql_update": q.sql_kg_sparql_update(),
         "kg_sparql_load": q.sql_kg_sparql_load(),
+        "kg_sparql_clear": q.sql_kg_sparql_clear(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("

@@ -1775,6 +1775,16 @@ def parse_update_request(text: str):
     toks = list(_tokens(text))
     if not toks:
         raise SparqlError("empty update request")
+    if toks[0].upper() == "CLEAR":
+        # CLEAR ALL / CLEAR DEFAULT — the store is single-graph, so both
+        # retract every triple; CLEAR GRAPH <iri> is rejected loudly
+        rest = [t.upper() for t in toks[1:]]
+        if rest in ([], ["ALL"], ["DEFAULT"]):
+            return ("clear", None)
+        raise SparqlError(
+            "CLEAR supports ALL/DEFAULT only (single-graph store); "
+            f"got {' '.join(toks[1:])!r}"
+        )
     if toks[0].upper() == "LOAD":
         # ';'-separated LOAD <iri> sequence; cannot mix with other verbs
         paths: list[str] = []

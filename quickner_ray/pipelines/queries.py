@@ -8050,6 +8050,50 @@ def sql_kg_sparql_load() -> str:
     )
 
 
+def q_kg_sparql_clear(sf_dir: str):
+    """``CLEAR ALL`` round-trip: a corpus-sized base store is cleared by
+    ONE delta generation negating every key's net support (|store| work —
+    inherent to CLEAR), then repopulated with INSERT DATA; the POS lookup
+    must see ONLY the re-inserted rows (every cleared key folds to zero
+    through the delta-aware read). Oracle = the literal inserted rows.
+    Applied once per cached store (delta-roster guard)."""
+    from ..serving import sparql_update
+    from ..sinks.triplestore import _delta_dirs, lookup, write_triple_store
+
+    store = f"/tmp/quickner_ray_tstore_clr_{_corpus_cache_key(sf_dir, 'v1')}"
+    need = [
+        p for p in ("spo", "pos")
+        if not os.path.exists(os.path.join(store, p, "_DONE"))
+    ]
+    if need:
+        write_triple_store(q_triples(sf_dir), store, perms=need)
+    # guard on BOTH deltas existing: a crash between CLEAR and INSERT
+    # re-runs safely (CLEAR of the already-cleared store is a no-op that
+    # writes no delta, then the INSERT lands as the missing generation)
+    if len(_delta_dirs(os.path.join(store, "pos"))) < 2:
+        sparql_update(store, "CLEAR ALL", perms=["spo", "pos"])
+        sparql_update(
+            store,
+            'INSERT DATA { "clr:d1" :AFTER "kept1" .\n'
+            '              "clr:d1" :AFTER "kept2" .\n'
+            '              "clr:d2" :AFTER "kept1" }',
+            perms=["spo", "pos"],
+        )
+    return lookup(store, "pred", "AFTER").union(
+        lookup(store, "pred", "OPERATOR")  # must be empty post-CLEAR
+    )
+
+
+def sql_kg_sparql_clear() -> str:
+    return (
+        "SELECT * FROM (VALUES\n"
+        "  ('clr:d1', 'AFTER', 'kept1', CAST(1 AS BIGINT)),\n"
+        "  ('clr:d1', 'AFTER', 'kept2', CAST(1 AS BIGINT)),\n"
+        "  ('clr:d2', 'AFTER', 'kept1', CAST(1 AS BIGINT)))\n"
+        "  t(subj, pred, obj, n_mentions)"
+    )
+
+
 def q_turtle_ingest(sf_dir: str):
     """Turtle RDF ingest (sources/turtle.py): parse the prefixed .ttl
     shard fixture (one parse task per shard file) and aggregate link

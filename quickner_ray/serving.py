@@ -180,6 +180,8 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
         return _apply_modify(store_dir, parsed, perms)
     if kind == "load":
         return _apply_load(store_dir, parsed, perms)
+    if kind == "clear":
+        return _apply_clear(store_dir, perms)
     ops = parsed
 
     # fold the op sequence: triple -> [retract_store_support, n_inserts]
@@ -262,6 +264,48 @@ def _apply_load(store_dir: str, paths: list[str], perms: list[str]) -> int:
         part = reader_for(local)(local).select_columns(["subj", "pred", "obj"])
         ds = part if ds is None else ds.union(part)
     delta = distinct_triples(ds).materialize()
+    n = delta.count()
+    if n:
+        apply_triple_delta(store_dir, delta, perms=perms, distinct=True)
+    return n
+
+
+def _apply_clear(store_dir: str, perms: list[str]) -> int:
+    """``CLEAR ALL`` executor: one delta generation negating every key's
+    current NET support (base + prior deltas, one groupby-sum over the
+    store — CLEAR is inherently |store| work), so lookups fold everything
+    to zero. ``compact_store`` later reclaims the space physically.
+    Returns the number of keys retracted (0 on an already-empty store)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .sinks.triplestore import apply_triple_delta
+
+    def as_delta(b: pa.Table) -> pa.Table:
+        n = b.column("n_mentions")
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        n = n.cast(pa.int64())
+        b = b.set_column(
+            b.column_names.index("n_mentions"),
+            "n_mentions",
+            pc.negate_checked(n),
+        )
+        return b.filter(pc.not_equal(n, 0))
+
+    import ray.data as rd
+
+    # read whichever completed permutation is available (contents are
+    # value-identical across perms; spo may not be among ``perms``)
+    src = os.path.join(store_dir, perms[0])
+    delta = (
+        rd.read_parquet(src, columns=["subj", "pred", "obj", "n_mentions"])
+        .groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .map_batches(as_delta, batch_format="pyarrow")
+        .materialize()
+    )
     n = delta.count()
     if n:
         apply_triple_delta(store_dir, delta, perms=perms, distinct=True)

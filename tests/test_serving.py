@@ -192,6 +192,24 @@ class TestSparqlUpdate:
         with pytest.raises(ValueError):
             sparql_update(store, f"LOAD <{bad}>")
 
+    def test_clear_all_then_reinsert(self, store):
+        from quickner_ray.kernel.sparql import SparqlError, parse_update_request
+        from quickner_ray.serving import sparql_update
+
+        n = sparql_update(store, "CLEAR ALL")
+        assert n == 8  # every fixture triple retracted
+        for pred in ("SYS", "OP", "UNIT", "link"):
+            assert self._spo(store, pred) == []
+        # the cleared store accepts new data
+        assert sparql_update(store, 'INSERT DATA { "x" :SYS "y" }') == 1
+        assert self._spo(store, "SYS") == [("x", "y", 1)]
+        # clearing the (logically) empty... store retracts just that key
+        assert sparql_update(store, "CLEAR") == 1
+        assert self._spo(store, "SYS") == []
+        assert sparql_update(store, "CLEAR ALL") == 0  # now a no-op
+        with pytest.raises(SparqlError, match="single-graph"):
+            parse_update_request("CLEAR GRAPH <g>")
+
     def test_modify_unbound_template_var_raises(self, store):
         from quickner_ray.kernel.sparql import SparqlError
         from quickner_ray.serving import sparql_update
