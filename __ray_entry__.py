@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_type": q.q_parts_by_type,
         "props_key_counts": q.q_props_key_counts,
         "similarity_topk": q.q_similarity_topk,
+        "similarity_topk_batch": q.q_similarity_topk_batch,
         "minhash_signatures": q.q_minhash_signatures,
         "minhash_lsh_pairs": q.q_minhash_lsh_pairs,
         "minhash_dedup_docs": q.q_minhash_dedup_docs,
@@ -908,4 +909,5 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) "
             "AS cos_sim FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT 10"
         ),
+        "similarity_topk_batch": q.sql_similarity_topk_batch(),
     }

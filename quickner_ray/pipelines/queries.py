@@ -422,6 +422,78 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
     return ds.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(k)
 
 
+def q_similarity_topk_batch(
+    sf_dir: str, k: int = 10, query_ids: tuple = (0, 1, 2)
+):
+    """BATCHED brute-force cosine top-k — the real serving shape: Q query
+    vectors broadcast as ONE matrix, each corpus batch scored with a
+    single (n × dim)·(dim × Q) matmul, then a per-(query, batch) local
+    top-k so <= k·Q rows leave each batch; the finish is one grouped
+    top-k (stages/topk.grouped_topk — k × Q × batches shuffle volume).
+    round(6) absorbs GEMM-vs-GEMV summation-order ulps exactly as the
+    single-query oracle does."""
+    import ray.data as rd
+
+    from ..stages.similarity import fetch_vector
+    from ..stages.topk import grouped_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qmat = np.stack([fetch_vector(emb_path, q) for q in query_ids])
+    qnorms = np.linalg.norm(qmat, axis=1)
+    dim = qmat.shape[1]
+    qids = np.asarray(query_ids, dtype=np.int64)
+
+    def score(b: pa.Table) -> pa.Table:
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(-1, dim)
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qmat.T) / (norms[:, None] * qnorms[None, :])
+        cos = round_away(cos, 6)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_local = min(k, len(ids))
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            c = cos[:, qi]
+            top = (
+                np.argpartition(-c, n_local - 1)[:n_local]
+                if len(c) > n_local
+                else np.arange(len(c))
+            )
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_v.append(ids[top])
+            out_c.append(c[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos_sim": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    ds = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        ds, "query_id", ["cos_sim", "vec_id"], k, descending=[True, False]
+    )
+
+
+def sql_similarity_topk_batch(k: int = 10, query_ids: tuple = (0, 1, 2)) -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM (SELECT {q} AS query_id, vec_id,"
+        f" ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),"
+        f" (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings"
+        f" WHERE vec_id = {q})), 6) AS cos_sim"
+        f" FROM embeddings ORDER BY cos_sim DESC, vec_id LIMIT {k}) a{q}"
+        for q in query_ids
+    )
+    return arms
+
+
 # ---- approximate dedup / similarity (oracle-checked) ------------------------
 
 def q_minhash_signatures(sf_dir: str):
