@@ -78,6 +78,23 @@ class TestIVFPQ:
         }
         assert len(parts) <= 2
 
+    def test_full_corpus_trainer_arm(self, ray_session, tmp_path):
+        """train_on='full' (streaming distributed coarse trainer) builds an
+        index meeting the same recall bar as the sample trainer."""
+        emb = str(tmp_path / "emb.parquet")
+        mat = _write_embeddings(emb)
+        index_dir = str(tmp_path / "ivfpq_full")
+        ivfpq.build_ivfpq_index(
+            emb, index_dir, n_clusters=8, pq_m=8, pq_ks=16, train_on="full"
+        )
+        unit = _unit(mat.astype(np.float64))
+        for qid in (0, 42):
+            q = mat[qid].astype(np.float64)
+            got = ivfpq.query_ivfpq_index(index_dir, q, k=10, nprobe=4).to_pandas()
+            exact = set(np.argsort(-(unit @ (q / np.linalg.norm(q))))[:10])
+            assert len(exact & set(got["vec_id"])) / 10 >= 0.9, qid
+            assert got.iloc[0]["vec_id"] == qid
+
     def test_seeded_arm_matches_sql_oracle(self, ray_session, tmp_path):
         """The literal-inlined seeded config must be bit-exact against its
         DuckDB oracle (routing + residual encode + ADC, dimension-order
