@@ -1599,11 +1599,30 @@ def _aggregate_global(bindings, q: dict, bound: list[str]):
                 cols[alias] = pa.array(
                     [float(s) / c if c else 0.0], type=pa.float64()
                 )
-        else:  # group_concat: the values are the one-row output itself
-            vals = sorted(
-                r[var] for r in src.select_columns([var]).take_all()
+        else:  # group_concat: route through the grouped machinery with a
+            # constant key so the values concatenate on a WORKER (per-batch
+            # list partials -> one map_groups sort+join; _agg_one handles
+            # DISTINCT itself) — the driver receives only the single
+            # joined output string, never the value stream as a Python
+            # list (at sf1 that list held ~500k separate strings).
+            def keyed(b: pa.Table, v=var) -> pa.Table:
+                return pa.table(
+                    {
+                        "_g": pa.array(["_"] * b.num_rows, type=pa.string()),
+                        v: pc.cast(b.column(v), pa.string()),
+                    }
+                )
+
+            one = _agg_one(
+                mat.select_columns([var]).map_batches(
+                    keyed, batch_format="pyarrow"
+                ),
+                ["_g"],
+                agg,
             )
-            cols[alias] = pa.array([agg["sep"].join(vals)], type=pa.string())
+            rows = one.take(1)
+            v = rows[0][alias] if rows else ""
+            cols[alias] = pa.array([v], type=pa.string())
     return rd.from_arrow(pa.table(cols))
 
 

@@ -408,11 +408,15 @@ def q_similarity_topk(sf_dir: str, k: int = 10, query_id: int = 0):
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ qvec) / (norms * qnorm)
         cos = round_away(cos, 6)
-        n_local = min(k, len(cos))
-        top = np.argpartition(-cos, n_local - 1)[:n_local] if len(cos) > n_local else np.arange(len(cos))
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        # local survivors picked in the GLOBAL (cos DESC, vec_id ASC)
+        # order (lexsort tiebreak, the ivfpq.local_topk rule) — a cos tie
+        # spanning the local boundary must keep the row the final sort
+        # keeps, or the pruning is nondeterministic vs the SQL oracle
+        top = np.lexsort((ids, -cos))[: min(k, len(cos))]
         return pa.Table.from_pydict(
             {
-                "vec_id": pc.take(b.column("vec_id"), pa.array(top, type=pa.int64())),
+                "vec_id": pa.array(ids[top], type=pa.int64()),
                 "cos_sim": pa.array(cos[top], type=pa.float64()),
             }
         )
@@ -459,11 +463,10 @@ def q_similarity_topk_batch(
         out_q, out_v, out_c = [], [], []
         for qi in range(len(qids)):
             c = cos[:, qi]
-            top = (
-                np.argpartition(-c, n_local - 1)[:n_local]
-                if len(c) > n_local
-                else np.arange(len(c))
-            )
+            # prefix of the global (cos DESC, vec_id ASC) order — ties at
+            # the local top-k boundary resolve exactly as the oracle's
+            # ORDER BY does (see q_similarity_topk / ivfpq.local_topk)
+            top = np.lexsort((ids, -c))[:n_local]
             out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
             out_v.append(ids[top])
             out_c.append(c[top])

@@ -238,31 +238,34 @@ def _apply_load(store_dir: str, paths: list[str], perms: list[str]) -> int:
     from .sources.ntriples import read_nquads, read_ntriples
     from .sources.turtle import read_turtle
 
-    def reader_for(p: str):
-        probe = p
+    readers = {".ttl": read_turtle, ".nt": read_ntriples, ".nq": read_nquads}
+
+    def parts_for(p: str):
+        """One (reader, target) per extension GROUP — a directory mixing
+        .ttl/.nt/.nq shards parses each file with ITS format's reader
+        (<=3 bounded union arms), never the alphabetically-first file's."""
         if os.path.isdir(p):
-            names = sorted(
-                f for f in os.listdir(p)
-                if f.endswith((".ttl", ".nt", ".nq"))
-            )
-            if not names:
+            by_ext: dict[str, list[str]] = {}
+            for f in sorted(os.listdir(p)):
+                ext = os.path.splitext(f)[1]
+                if ext in readers:
+                    by_ext.setdefault(ext, []).append(os.path.join(p, f))
+            if not by_ext:
                 raise FileNotFoundError(f"LOAD <{p}>: no RDF files inside")
-            probe = names[0]
-        if probe.endswith(".ttl"):
-            return read_turtle
-        if probe.endswith(".nt"):
-            return read_ntriples
-        if probe.endswith(".nq"):
-            return read_nquads
-        raise ValueError(
-            f"LOAD <{p}>: unsupported extension (expected .ttl/.nt/.nq)"
-        )
+            return [(readers[e], fs) for e, fs in sorted(by_ext.items())]
+        ext = os.path.splitext(p)[1]
+        if ext not in readers:
+            raise ValueError(
+                f"LOAD <{p}>: unsupported extension (expected .ttl/.nt/.nq)"
+            )
+        return [(readers[ext], p)]
 
     ds = None
     for p in paths:
         local = p[7:] if p.startswith("file://") else p
-        part = reader_for(local)(local).select_columns(["subj", "pred", "obj"])
-        ds = part if ds is None else ds.union(part)
+        for reader, target in parts_for(local):
+            part = reader(target).select_columns(["subj", "pred", "obj"])
+            ds = part if ds is None else ds.union(part)
     delta = distinct_triples(ds).materialize()
     n = delta.count()
     if n:

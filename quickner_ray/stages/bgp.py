@@ -280,6 +280,27 @@ def bgp_match(
     # 3-term pattern over a quad stream matches ANY graph (the
     # union-default-graph configuration; GRAPH scoping restricts/binds)
     cols = (subj_col, pred_col, obj_col, graph_col)
+    all_pats = (*patterns, *optional, *exists, *not_exists)
+    # Every arm that reads the lazy ``triples`` stream re-executes its
+    # WHOLE upstream (the NER scan, at stream scale) — Ray branches a
+    # lazy Dataset per consumer. Count the consumers (non-path arms when
+    # no pattern_source routes them to the store, path arms always, the
+    # cardinality planner's shared scan) and, when more than one, project
+    # the stream to just the matched columns and materialize ONCE —
+    # triple-sized blocks in the object store (spillable), never the
+    # corpus, mirroring the multi-aggregate fold (kernel/sparql
+    # _aggregate). Store-backed evaluation (pattern_source=lookup) is
+    # untouched: its arms read pruned index fragments, not the stream.
+    n_stream_consumers = (plan == "cardinality" and len(patterns) > 1) + sum(
+        1
+        for p in all_pats
+        if isinstance(p[1], tuple) or pattern_source is None
+    )
+    if n_stream_consumers > 1:
+        keep = [subj_col, pred_col, obj_col]
+        if any(len(p) == 4 for p in all_pats):
+            keep.append(graph_col)
+        triples = triples.select_columns(keep).materialize()
     if plan == "cardinality":
         # exact leaf cardinalities from one shared scan pick the fold
         # order (smallest bindings first); answers are order-independent

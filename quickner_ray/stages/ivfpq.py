@@ -270,8 +270,13 @@ def ivfpq_topk(
     import hashlib
 
     if index_dir is None:
+        # keyed by CONTENT fingerprint (size+mtime), not just path — a
+        # regenerated embeddings file at the same path must never serve a
+        # stale trained index (_corpus_cache_key rule)
+        st = os.stat(emb_path)
         key = hashlib.md5(
-            f"{os.path.abspath(emb_path)}:{n_clusters}:{pq_m}:{pq_ks}".encode()
+            f"{os.path.abspath(emb_path)}:{st.st_size}:{st.st_mtime_ns}"
+            f":{n_clusters}:{pq_m}:{pq_ks}".encode()
         ).hexdigest()[:12]
         index_dir = f"/tmp/quickner_ivfpq/{key}"
     if not os.path.exists(os.path.join(index_dir, "codebooks.npy")):

@@ -291,8 +291,12 @@ def ivf_topk(
     import pyarrow.parquet as pq
 
     if index_dir is None:
+        # content fingerprint (size+mtime) in the key: regenerated
+        # embeddings at the same path must rebuild, not serve stale
+        st = os.stat(emb_path)
         key = hashlib.md5(
-            f"{os.path.abspath(emb_path)}:{n_clusters}".encode()
+            f"{os.path.abspath(emb_path)}:{st.st_size}:{st.st_mtime_ns}"
+            f":{n_clusters}".encode()
         ).hexdigest()[:12]
         index_dir = f"/tmp/quickner_ivf/{key}"
     if not os.path.exists(os.path.join(index_dir, "centroids.npy")):
