@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_update": q.q_kg_sparql_update,
         "kg_sparql_load": q.q_kg_sparql_load,
         "kg_sparql_clear": q.q_kg_sparql_clear,
+        "kg_quadstore_scoped_update": q.q_kg_quadstore_scoped_update,
+        "kg_quadstore_clear_graph": q.q_kg_quadstore_clear_graph,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
@@ -579,6 +581,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_update": q.sql_kg_sparql_update(),
         "kg_sparql_load": q.sql_kg_sparql_load(),
         "kg_sparql_clear": q.sql_kg_sparql_clear(),
+        "kg_quadstore_scoped_update": q.sql_kg_quadstore_scoped_update(),
+        "kg_quadstore_clear_graph": q.sql_kg_quadstore_clear_graph(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("

@@ -63,6 +63,13 @@ class SparqlError(ValueError):
     """Raised on any syntax the mini-grammar does not support."""
 
 
+class SparqlGraphStoreError(SparqlError):
+    """A graph-management verb (CLEAR/DROP/CREATE GRAPH, WITH scoping,
+    GRAPH data blocks) aimed at a store that cannot honor it — the
+    single-graph permutation store raises this and points at the quad
+    store executor (serving.quad_update)."""
+
+
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<punct>[{}.(),])
@@ -252,6 +259,18 @@ def _term(tok: str) -> str:
     raise SparqlError(
         f"term {tok!r} must be a ?variable, :constant or \"string\""
     )
+
+
+def _graph_term(tok: str) -> str:
+    """A graph IRI in verb position: ``<iri>`` (angle form), ``:name`` or
+    a quoted string — never a variable (graph-management verbs take
+    constants)."""
+    if tok.startswith("<") and tok.endswith(">") and len(tok) > 2:
+        return tok[1:-1]
+    term = _term(tok)
+    if term.startswith("?"):
+        raise SparqlError(f"graph target must be a constant, got {tok!r}")
+    return term
 
 
 def _pattern(cur: list[str]) -> tuple:
@@ -1728,31 +1747,62 @@ def parse_update(text: str) -> list[tuple[str, list[tuple[str, str, str]]]]:
         if i >= len(toks) or toks[i] != "{":
             raise SparqlError("expected '{' after DATA")
         i += 1
-        triples: list[tuple[str, str, str]] = []
+        triples: list[tuple] = []
         cur: list[str] = []
+
+        def flush(graph: str | None):
+            if len(cur) != 3:
+                raise SparqlError(f"triple needs 3 terms, got {cur!r}")
+            triples.append(
+                (cur[0], cur[1], cur[2])
+                if graph is None
+                else (cur[0], cur[1], cur[2], graph)
+            )
+            cur.clear()
+
+        def ground(t: str) -> str:
+            term = _term(t)
+            if term.startswith("?"):
+                raise SparqlError(
+                    f"DATA blocks take ground terms, not variables: {t!r}"
+                )
+            return term
+
         while i < len(toks) and toks[i] != "}":
             t = toks[i]
-            if t == ".":
-                if len(cur) != 3:
-                    raise SparqlError(f"triple needs 3 terms, got {cur!r}")
-                triples.append((cur[0], cur[1], cur[2]))
-                cur = []
+            if t.upper() == "GRAPH" and not cur:
+                # nested GRAPH <g> { quads } block (SPARQL 1.1 QuadData)
+                if i + 2 >= len(toks) or toks[i + 2] != "{":
+                    raise SparqlError("GRAPH needs '<iri> {' after it")
+                g = _graph_term(toks[i + 1])
+                i += 3
+                while i < len(toks) and toks[i] != "}":
+                    if toks[i] == ".":
+                        if cur:  # tolerate the optional trailing dot
+                            flush(g)
+                    else:
+                        cur.append(ground(toks[i]))
+                        if len(cur) > 3:
+                            raise SparqlError(
+                                f"triple has more than 3 terms: {cur!r}"
+                            )
+                    i += 1
+                if i >= len(toks):
+                    raise SparqlError("unterminated GRAPH block")
+                if cur:
+                    flush(g)
+            elif t == ".":
+                if cur:  # a dot may also close a GRAPH block (optional)
+                    flush(None)
             else:
-                term = _term(t)
-                if term.startswith("?"):
-                    raise SparqlError(
-                        f"DATA blocks take ground terms, not variables: {t!r}"
-                    )
-                cur.append(term)
+                cur.append(ground(t))
                 if len(cur) > 3:
                     raise SparqlError(f"triple has more than 3 terms: {cur!r}")
             i += 1
         if i >= len(toks):
             raise SparqlError("unterminated '{' in DATA block")
         if cur:
-            if len(cur) != 3:
-                raise SparqlError(f"triple needs 3 terms, got {cur!r}")
-            triples.append((cur[0], cur[1], cur[2]))
+            flush(None)
         i += 1  # past '}'
         ops.append(("insert" if verb == "INSERT" else "delete", triples))
     if not ops:
@@ -1795,15 +1845,23 @@ def parse_update_request(text: str):
     if not toks:
         raise SparqlError("empty update request")
     if toks[0].upper() == "CLEAR":
-        # CLEAR ALL / CLEAR DEFAULT — the store is single-graph, so both
-        # retract every triple; CLEAR GRAPH <iri> is rejected loudly
+        # CLEAR ALL / CLEAR DEFAULT retract every triple; CLEAR GRAPH
+        # <iri> targets ONE named graph (quad stores only — the
+        # single-graph executor rejects it loudly at execution)
         rest = [t.upper() for t in toks[1:]]
         if rest in ([], ["ALL"], ["DEFAULT"]):
             return ("clear", None)
+        if len(toks) == 3 and toks[1].upper() == "GRAPH":
+            return ("clear_graph", _graph_term(toks[2]))
         raise SparqlError(
-            "CLEAR supports ALL/DEFAULT only (single-graph store); "
+            "CLEAR supports ALL / DEFAULT / GRAPH <iri>; "
             f"got {' '.join(toks[1:])!r}"
         )
+    if toks[0].upper() in ("DROP", "CREATE"):
+        verb = toks[0].upper()
+        if len(toks) == 3 and toks[1].upper() == "GRAPH":
+            return (f"{verb.lower()}_graph", _graph_term(toks[2]))
+        raise SparqlError(f"{verb} supports only {verb} GRAPH <iri>")
     if toks[0].upper() == "LOAD":
         # ';'-separated LOAD <iri> sequence; cannot mix with other verbs
         paths: list[str] = []
@@ -1823,7 +1881,20 @@ def parse_update_request(text: str):
         if not paths:
             raise SparqlError("empty LOAD request")
         return ("load", paths)
+    # WITH <iri> prefix: scopes the WHERE dataset AND the template target
+    # to ONE named graph (SPARQL 1.1 Update; quad stores only)
+    with_graph: str | None = None
+    if toks[0].upper() == "WITH":
+        if len(toks) < 2:
+            raise SparqlError("WITH needs a graph <iri>")
+        with_graph = _graph_term(toks[1])
+        toks = toks[2:]
+        if not toks:
+            raise SparqlError("WITH needs an update operation after it")
+
     if not any(t.upper() == "WHERE" for t in toks):
+        if with_graph is not None:
+            raise SparqlError("WITH applies to template updates (needs WHERE)")
         return ("data", parse_update(text))
 
     # DELETE WHERE { bgp } shorthand: pattern group == delete template
@@ -1845,7 +1916,11 @@ def parse_update_request(text: str):
             )
         if any(isinstance(p[1], tuple) for p in sel["patterns"]):
             raise SparqlError("DELETE WHERE cannot contain property paths")
-        return ("modify", {"delete": sel["patterns"], "insert": [], "select": sel})
+        return (
+            "modify",
+            {"delete": sel["patterns"], "insert": [], "select": sel,
+             "with_graph": with_graph},
+        )
 
     i = 0
     delete_tpls: list | None = None
@@ -1881,7 +1956,8 @@ def parse_update_request(text: str):
             raise SparqlError("update templates cannot contain paths")
     return (
         "modify",
-        {"delete": delete_tpls or [], "insert": insert_tpls or [], "select": sel},
+        {"delete": delete_tpls or [], "insert": insert_tpls or [],
+         "select": sel, "with_graph": with_graph},
     )
 
 

@@ -8199,3 +8199,126 @@ def sql_turtle_ingest() -> str:
         f"  count(*) AS n_links\n"
         f"FROM documents GROUP BY 1"
     )
+
+
+# ---- named-graph quad store (sinks/quadstore.py + serving.quad_update) ------
+
+def _quad_store(sf_dir: str, tag: str) -> str:
+    """Build (or reuse) the per-graph quad store for the corpus's
+    provenance quads (graph = document source). Fingerprint-keyed like
+    every /tmp cache; write_quad_store skips finished per-graph
+    permutations on re-run (resumable)."""
+    from ..sinks.quadstore import list_graphs, write_quad_store
+
+    store = f"/tmp/quickner_ray_qstore_{tag}_{_corpus_cache_key(sf_dir, 'v1')}"
+    if not list_graphs(store):
+        write_quad_store(quads_dataset(sf_dir), store)
+    return store
+
+
+def q_kg_quadstore_scoped_update(sf_dir: str):
+    """GRAPH-SCOPED pattern-template UPDATE on the named-graph store
+    (serving.quad_update): ``WITH :src3 DELETE { ?d :OPERATOR ?o } INSERT
+    { ?d :OP_RENAMED ?o } WHERE { ?d :OPERATOR ?o }`` renames the
+    predicate INSIDE ONE provenance graph — the delta lands in src3's
+    per-graph LSM roster alone (|graph| work, the locality the
+    graph-partitioned store buys; sinks/quadstore.py). The result counts
+    distinct triples per (graph, pred) for both predicates across ALL
+    graphs via ONE union-default lookup pair: src3 must answer only
+    OP_RENAMED, every sibling graph only OPERATOR, with identical counts
+    to the pre-update corpus (rename moves keys, never loses them).
+    Applied once per cached store (delta-roster guard)."""
+    from ray.data.aggregate import Count
+
+    from ..serving import quad_update
+    from ..sinks.quadstore import _delta_dirs, graph_dir, quad_lookup
+
+    store = _quad_store(sf_dir, "upd")
+    if not _delta_dirs(os.path.join(graph_dir(store, "src3"), "spo")):
+        quad_update(
+            store,
+            "WITH :src3 DELETE { ?d :OPERATOR ?o . } "
+            "INSERT { ?d :OP_RENAMED ?o . } WHERE { ?d :OPERATOR ?o . }",
+        )
+    both = quad_lookup(store, "pred", "OPERATOR").union(
+        quad_lookup(store, "pred", "OP_RENAMED")
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"g": b.column("graph"), "pred": b.column("pred")})
+
+    return (
+        both.map_batches(project, batch_format="pyarrow")
+        .groupby(["g", "pred"])
+        .aggregate(Count(alias_name="n_triples"))
+    )
+
+
+def sql_kg_quadstore_scoped_update() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "base AS (SELECT d.source AS g, CAST(a.doc_id AS VARCHAR) AS doc,\n"
+        "         a.eid AS op\n"
+        "         FROM acc a JOIN documents d ON a.doc_id = d.doc_id\n"
+        "         WHERE a.plabel = 'OPERATOR' GROUP BY 1, 2, 3)\n"
+        "SELECT g,\n"
+        "  (CASE WHEN g = 'src3' THEN 'OP_RENAMED' ELSE 'OPERATOR' END)\n"
+        "    AS pred,\n"
+        "  CAST(count(*) AS BIGINT) AS n_triples\n"
+        "FROM base GROUP BY 1, 2"
+    )
+
+
+def q_kg_quadstore_clear_graph(sf_dir: str):
+    """``CLEAR GRAPH`` isolation on the named-graph store: clear ONE
+    provenance graph (src2) — one delta generation negating only that
+    graph's net support — then repopulate it with an INSERT DATA GRAPH
+    block. Result: distinct-SYSTEM-triple counts per surviving graph
+    (src2 must be absent — every key folded to zero through the
+    delta-aware read) plus src2's re-inserted :AFTER rows; every sibling
+    graph's counts must equal the pre-clear corpus. Crash-safe guard on
+    BOTH delta generations, mirroring kg_sparql_clear."""
+    from ray.data.aggregate import Count
+
+    from ..serving import quad_update
+    from ..sinks.quadstore import _delta_dirs, graph_dir, quad_lookup
+
+    store = _quad_store(sf_dir, "clr")
+    if len(_delta_dirs(os.path.join(graph_dir(store, "src2"), "spo"))) < 2:
+        quad_update(store, "CLEAR GRAPH :src2")
+        quad_update(
+            store,
+            'INSERT DATA { GRAPH :src2 { "qclr:d1" :AFTER "kept" .\n'
+            '                            "qclr:d2" :AFTER "kept" } }',
+        )
+    both = quad_lookup(store, "pred", "SYSTEM").union(
+        quad_lookup(store, "pred", "AFTER")
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"g": b.column("graph"), "pred": b.column("pred")})
+
+    return (
+        both.map_batches(project, batch_format="pyarrow")
+        .groupby(["g", "pred"])
+        .aggregate(Count(alias_name="n_triples"))
+    )
+
+
+def sql_kg_quadstore_clear_graph() -> str:
+    from .ner_oracle import sql_match_ctes
+
+    return (
+        f"WITH {sql_match_ctes(DEFAULT_GAZETTEER)},\n"
+        "base AS (SELECT d.source AS g, CAST(a.doc_id AS VARCHAR) AS doc,\n"
+        "         a.eid AS s\n"
+        "         FROM acc a JOIN documents d ON a.doc_id = d.doc_id\n"
+        "         WHERE a.plabel = 'SYSTEM' AND d.source <> 'src2'\n"
+        "         GROUP BY 1, 2, 3)\n"
+        "SELECT g, 'SYSTEM' AS pred, CAST(count(*) AS BIGINT) AS n_triples\n"
+        "FROM base GROUP BY 1\n"
+        "UNION ALL\n"
+        "SELECT 'src2' AS g, 'AFTER' AS pred, CAST(2 AS BIGINT) AS n_triples"
+    )

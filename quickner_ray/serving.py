@@ -21,6 +21,8 @@ from __future__ import annotations
 import os
 
 __all__ = [
+    "quad_select",
+    "quad_update",
     "sparql_ask",
     "sparql_construct",
     "sparql_describe",
@@ -164,7 +166,7 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     import pyarrow as pa
     import ray.data as rd
 
-    from .kernel.sparql import parse_update_request
+    from .kernel.sparql import SparqlGraphStoreError, parse_update_request
     from .sinks.triplestore import PERMS, apply_triple_delta, lookup
 
     kind, parsed = parse_update_request(text)
@@ -176,13 +178,27 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     if not perms:
         raise FileNotFoundError(f"no completed permutation under {store_dir}")
 
+    if kind in ("clear_graph", "drop_graph", "create_graph"):
+        raise SparqlGraphStoreError(
+            f"{kind.split('_')[0].upper()} GRAPH targets a named-graph "
+            "store — use quad_update on a quad store "
+            "(sinks/quadstore.py); this permutation store is single-graph"
+        )
     if kind == "modify":
+        if parsed.get("with_graph") is not None:
+            raise SparqlGraphStoreError(
+                "WITH <graph> scoping needs a quad store — use quad_update"
+            )
         return _apply_modify(store_dir, parsed, perms)
     if kind == "load":
         return _apply_load(store_dir, parsed, perms)
     if kind == "clear":
         return _apply_clear(store_dir, perms)
     ops = parsed
+    if any(len(t) == 4 for _, ts in ops for t in ts):
+        raise SparqlGraphStoreError(
+            "GRAPH blocks in DATA need a quad store — use quad_update"
+        )
 
     # fold the op sequence: triple -> [retract_store_support, n_inserts]
     pending: dict[tuple[str, str, str], list] = {}
@@ -401,4 +417,264 @@ def _apply_modify(store_dir: str, parsed: dict, perms: list[str]) -> int:
     if n == 0:
         return 0
     apply_triple_delta(store_dir, delta, perms=perms, distinct=True)
+    return n
+
+
+# --- named-graph (quad store) serving ---------------------------------------
+
+def quad_select(store_dir: str, query: str, *, graph: str | None = None):
+    """Serve a SPARQL query over the quad store: the union-default quad
+    stream (ONE read across every graph's SPO run, delta-aware) — or one
+    graph's with ``graph=`` — feeds the text front-end, so ``GRAPH ?g``
+    groups bind the provenance graph and ``GRAPH :iri`` groups restrict,
+    exactly as over an in-flight quad Dataset."""
+    from .kernel.sparql import run_select
+    from .sinks.quadstore import graph_stream
+
+    return run_select(graph_stream(store_dir, graph=graph), query)
+
+
+def quad_update(store_dir: str, text: str) -> int:
+    """Execute a SPARQL UPDATE against the NAMED-GRAPH store. The graph
+    verbs lower onto per-graph subtrees — the locality the partitioning
+    buys (sinks/quadstore.py module docstring):
+
+    * ``CREATE GRAPH <g>`` / ``DROP GRAPH <g>`` — create / remove one
+      graph's subtree (O(1) / O(graph); DROP reclaims physically).
+    * ``CLEAR GRAPH <g>`` — one delta generation negating net support in
+      THAT graph only; ``CLEAR ALL``/``DEFAULT`` loops every graph.
+    * ``INSERT DATA`` / ``DELETE DATA`` with ``GRAPH <g> { ... }``
+      blocks — quad-level sequence semantics (a DELETE retracts the
+      target graph's current support and voids earlier same-request
+      INSERTs of the same quad); bare triples land in the default graph
+      ``''``. Unknown graphs auto-create on INSERT.
+    * ``WITH <g> DELETE {t} [INSERT {t}] WHERE {group}`` and
+      ``WITH <g> DELETE WHERE {bgp}`` — the WHERE evaluates over graph
+      g's stream AND the templates target g (SPARQL 1.1 WITH rule).
+      The delete keys join g's stream distributed (bucketed hash join),
+      so data-sized delete sets never touch the driver.
+    * ``LOAD <iri>`` — ``.nq`` documents land in their own graph terms
+      (quads; missing graph -> ``''``), ``.ttl``/``.nt`` in ``''``.
+
+    Returns the number of (s, p, o, graph) keys touched (DROP/CREATE
+    return 1/0 for changed/no-op). Same idempotency contract as
+    sparql_update. Reference: n/a — no counterpart."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .kernel.sparql import SparqlError, parse_update_request
+    from .sinks.quadstore import (
+        apply_quad_delta,
+        clear_graph,
+        create_graph,
+        drop_graph,
+        graph_stream,
+        list_graphs,
+        quad_lookup,
+    )
+
+    kind, parsed = parse_update_request(text)
+
+    if kind == "create_graph":
+        existed = parsed in list_graphs(store_dir)
+        create_graph(store_dir, parsed)
+        return 0 if existed else 1
+    if kind == "drop_graph":
+        return int(drop_graph(store_dir, parsed))
+    if kind == "clear_graph":
+        return clear_graph(store_dir, parsed)
+    if kind == "clear":
+        return sum(clear_graph(store_dir, g) for g in sorted(list_graphs(store_dir)))
+    if kind == "load":
+        return _quad_load(store_dir, parsed)
+    if kind == "modify":
+        return _quad_modify(store_dir, parsed)
+
+    # ground data: fold the op sequence per QUAD key
+    ops = parsed
+    pending: dict[tuple[str, str, str, str], list] = {}
+    for verb, triples in ops:
+        for t in triples:
+            q = t if len(t) == 4 else (*t, "")
+            st = pending.setdefault(q, [False, 0])
+            if verb == "insert":
+                st[1] += 1
+            else:
+                st[0] = True
+                st[1] = 0
+
+    # retraction amounts: per graph, pruned point lookups on the
+    # pre-update store (bounded by the request text, never a scan)
+    store_n: dict[tuple[str, str, str, str], int] = {}
+    retract = [q for q, st in pending.items() if st[0]]
+    known = list_graphs(store_dir)
+    for g in sorted({q[3] for q in retract}):
+        if g not in known:
+            continue  # deleting from an absent graph retracts nothing
+        for subj in sorted({q[0] for q in retract if q[3] == g}):
+            for r in quad_lookup(store_dir, "subj", subj, graph=g).take_all():
+                store_n[(r["subj"], r["pred"], r["obj"], g)] = r["n_mentions"]
+
+    keys, deltas = [], []
+    for q, (retr, ins) in pending.items():
+        n = ins - (store_n.get(q, 0) if retr else 0)
+        if n != 0:
+            keys.append(q)
+            deltas.append(n)
+    if not keys:
+        return 0
+    tab = pa.table(
+        {
+            "subj": pa.array([k[0] for k in keys], type=pa.string()),
+            "pred": pa.array([k[1] for k in keys], type=pa.string()),
+            "obj": pa.array([k[2] for k in keys], type=pa.string()),
+            "graph": pa.array([k[3] for k in keys], type=pa.string()),
+            "n_mentions": pa.array(deltas, type=pa.int64()),
+        }
+    )
+    apply_quad_delta(store_dir, rd.from_arrow(tab), distinct=True)
+    return len(keys)
+
+
+def _quad_load(store_dir: str, paths: list[str]) -> int:
+    """LOAD into the quad store: ``.nq`` shards keep their graph terms,
+    ``.ttl``/``.nt`` land in the default graph ``''``."""
+    import pyarrow as pa
+
+    from .sinks.quadstore import apply_quad_delta, distinct_quads
+    from .sources.ntriples import read_nquads, read_ntriples
+    from .sources.turtle import read_turtle
+
+    def with_graph(ds, constant: str | None):
+        def f(b: pa.Table, c=constant) -> pa.Table:
+            g = (
+                pa.array([c] * b.num_rows, type=pa.string())
+                if c is not None
+                else b.column("graph")
+            )
+            return pa.table(
+                {"subj": b.column("subj"), "pred": b.column("pred"),
+                 "obj": b.column("obj"), "graph": g}
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    readers = {
+        ".ttl": (read_turtle, ""),
+        ".nt": (read_ntriples, ""),
+        ".nq": (read_nquads, None),  # graph rides the parsed quad
+    }
+    ds = None
+    for p in paths:
+        local = p[7:] if p.startswith("file://") else p
+        groups: list[tuple[str, object]] = []
+        if os.path.isdir(local):
+            by_ext: dict[str, list[str]] = {}
+            for f in sorted(os.listdir(local)):
+                ext = os.path.splitext(f)[1]
+                if ext in readers:
+                    by_ext.setdefault(ext, []).append(os.path.join(local, f))
+            if not by_ext:
+                raise FileNotFoundError(f"LOAD <{p}>: no RDF files inside")
+            groups = sorted(by_ext.items())
+        else:
+            ext = os.path.splitext(local)[1]
+            if ext not in readers:
+                raise ValueError(
+                    f"LOAD <{p}>: unsupported extension (expected .ttl/.nt/.nq)"
+                )
+            groups = [(ext, local)]
+        for ext, target in groups:
+            reader, const = readers[ext]
+            part = with_graph(reader(target), const)
+            ds = part if ds is None else ds.union(part)
+    delta = distinct_quads(ds).materialize()
+    n = delta.count()
+    if n:
+        apply_quad_delta(store_dir, delta, distinct=True)
+    return n
+
+
+def _quad_modify(store_dir: str, parsed: dict) -> int:
+    """WITH-scoped pattern-template UPDATE on the quad store: WHERE
+    bindings stream from the target graph only; delete keys join that
+    graph's stream (distributed); the merged delta lands in that graph's
+    LSM roster alone — sibling graphs are untouched by construction."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .kernel.sparql import SparqlError, run_update_triples
+    from .sinks.quadstore import apply_quad_delta, graph_stream, list_graphs
+    from .stages.hashjoin import bucketed_join
+
+    g = parsed.get("with_graph")
+    if g is None:
+        raise SparqlError(
+            "quad-store template updates need WITH <graph> scoping "
+            "(which graph should the templates target?)"
+        )
+    if g not in list_graphs(store_dir):
+        raise FileNotFoundError(f"graph <{g}> not in store {store_dir}")
+    scoped = graph_stream(store_dir, graph=g)
+    dels, ins = run_update_triples(scoped, parsed)
+
+    parts = []
+    if dels is not None:
+        matched = bucketed_join(
+            scoped.select_columns(["subj", "pred", "obj", "n_mentions"]),
+            dels,
+            on=("subj", "pred", "obj"),
+            n_buckets=16,
+            join_type="inner",
+        )
+
+        def negate(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "subj": b.column("subj"),
+                    "pred": b.column("pred"),
+                    "obj": b.column("obj"),
+                    "n_mentions": pc.negate_checked(
+                        b.column("n_mentions").cast(pa.int64())
+                    ),
+                }
+            )
+
+        parts.append(matched.map_batches(negate, batch_format="pyarrow"))
+    if ins is not None:
+
+        def plus_one(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "n_mentions", pa.array([1] * b.num_rows, type=pa.int64())
+            )
+
+        parts.append(ins.map_batches(plus_one, batch_format="pyarrow"))
+
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.union(p)
+
+    def finish(b: pa.Table, gg=g) -> pa.Table:
+        n = b.column("n_mentions")
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        n = n.cast(pa.int64())
+        b = b.set_column(b.column_names.index("n_mentions"), "n_mentions", n)
+        b = b.filter(pc.not_equal(n, 0))
+        return b.append_column(
+            "graph", pa.array([gg] * b.num_rows, type=pa.string())
+        )
+
+    delta = (
+        merged.groupby(["subj", "pred", "obj"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+        .map_batches(finish, batch_format="pyarrow")
+        .materialize()
+    )
+    n = delta.count()
+    if n == 0:
+        return 0
+    apply_quad_delta(store_dir, delta, distinct=True)
     return n
