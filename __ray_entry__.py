@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_system_profile": q.q_kg_system_profile,
         "kg_sparql_select": q.q_kg_sparql_select,
         "kg_sparql_path": q.q_kg_sparql_path,
+        "kg_sparql_path_closure": q.q_kg_sparql_path_closure,
         "kg_sparql_agg": q.q_kg_sparql_agg,
         "kg_sparql_construct": q.q_kg_sparql_construct,
         "kg_sparql_ask": q.q_kg_sparql_ask,
@@ -704,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_system_profile": q.sql_kg_system_profile(),
         "kg_sparql_select": q.sql_kg_sparql_select(),
         "kg_sparql_path": q.sql_kg_sparql_path(),
+        "kg_sparql_path_closure": q.sql_kg_sparql_path_closure(),
         "kg_sparql_agg": q.sql_kg_sparql_agg(),
         "kg_sparql_construct": q.sql_kg_sparql_construct(),
         "kg_sparql_ask": q.sql_kg_sparql_ask(),

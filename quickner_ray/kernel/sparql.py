@@ -112,7 +112,10 @@ def _tokens(text: str):
             yield tok
 
 
-PLUS_DEFAULT_HOPS = 6  # SPARQL '+'/'*' are unbounded; the engine hop-bounds
+# SPARQL 1.1 '+'/'*' are unbounded: a bare postfix compiles to the
+# TO-FIXPOINT closure (stages/paths.min_hops_closure max_hops=None);
+# an explicit digit bound (':A+3') keeps the hop-windowed form.
+PLUS_DEFAULT_HOPS = None
 
 _PATH_STOP = set("^/|+*?()!{}")  # chars that end a :name inside a path
 
@@ -130,10 +133,11 @@ def parse_path(tok: str):
                  | '!' ':'name | '!(' ':'name ('|' ':'name)* ')'
         postfix := '+' H? | '*' H? | '?'
 
-    ``+``/``*`` closures are hop-bounded at PLUS_DEFAULT_HOPS unless an
-    explicit ``H`` digit bound follows (SPARQL 1.1 dropped {n,m}; the
-    engine's closure is hop-bounded by design, so the bound is part of
-    the syntax). ``!`` negated sets take forward predicate names only.
+    Bare ``+``/``*`` closures are UNBOUNDED (SPARQL 1.1 semantics —
+    evaluated to fixpoint with frontier-size gating); an explicit ``H``
+    digit bound (``:A+3``) selects the hop-windowed form (SPARQL 1.1
+    dropped {n,m}; the digit postfix is this grammar's replacement).
+    ``!`` negated sets take forward predicate names only.
     ``^`` binds tighter than a postfix (``^:p+`` closes the inverse
     step, matching the pre-parenthesis grammar this replaces)."""
     s = tok
@@ -158,13 +162,13 @@ def parse_path(tok: str):
             raise SparqlError(f"empty predicate name at {start} in {tok!r}")
         return s[start:pos]
 
-    def hop_bound(op: str) -> int:
+    def hop_bound(op: str) -> int | None:
         nonlocal pos
         start = pos
         while pos < len(s) and s[pos].isdigit():
             pos += 1
         if pos == start:
-            return PLUS_DEFAULT_HOPS
+            return None  # bare '+'/'*': unbounded fixpoint closure
         h = int(s[start:pos])
         if h < 1:
             raise SparqlError(f"path bound must be >= 1 after {op!r} in {tok!r}")

@@ -8322,3 +8322,50 @@ def sql_kg_quadstore_clear_graph() -> str:
         "UNION ALL\n"
         "SELECT 'src2' AS g, 'AFTER' AS pred, CAST(2 AS BIGINT) AS n_triples"
     )
+
+
+def q_kg_sparql_path_closure(sf_dir: str):
+    """UNBOUNDED SPARQL 1.1 property-path closure, written in query text:
+    ``?a :LINKS+ ?b`` over the (cyclic) web host graph — the bare ``+``
+    compiles to the TO-FIXPOINT Kleene closure (stages/paths
+    min_hops_closure max_hops=None): semi-naive frontier rounds that stop
+    the round the anti-joined frontier empties (graph-diameter rounds,
+    |V|^2-bounded pair state, never path enumerations). The oracle is a
+    recursive CTE with UNION — DuckDB's set-semantics recursion reaches
+    the same fixpoint on cycles. Same deterministic sparse link subgraph
+    as host_reachability (doc_id % 23 == 0)."""
+    from ..kernel.sparql import run_select
+    from ..stages.linkgraph import host_link_graph
+
+    edges = host_link_graph(_linked_pages(sf_dir, mod=PATH_DOC_MOD))
+    tri = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "subj": b.column("src_host"),
+                "pred": pa.array(["LINKS"] * b.num_rows, type=pa.string()),
+                "obj": b.column("dst_host"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return run_select(tri, "SELECT ?a ?b WHERE { ?a :LINKS+ ?b . }")
+
+
+def sql_kg_sparql_path_closure() -> str:
+    return (
+        f"WITH RECURSIVE l AS (\n"
+        f"  SELECT (doc_id % {LINK_HOST_BUCKETS}) AS sb,\n"
+        f"         ((doc_id*7 + 13*j + 3) % {LINK_HOST_BUCKETS}) AS db\n"
+        f"  FROM documents CROSS JOIN (SELECT unnest([1,2,3]) AS j) t\n"
+        f"  WHERE doc_id % {PATH_DOC_MOD} = 0),\n"
+        f"e AS (\n"
+        f"  SELECT DISTINCT\n"
+        f"    'host' || CAST(sb AS VARCHAR) || '.example.com' AS src,\n"
+        f"    'host' || CAST(db AS VARCHAR) || '.example.com' AS dst\n"
+        f"  FROM l WHERE sb <> db),\n"
+        f"r AS (\n"
+        f"  SELECT src, dst FROM e\n"
+        f"  UNION\n"  # set semantics: the recursion reaches fixpoint on cycles
+        f"  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src)\n"
+        f"SELECT DISTINCT src AS a, dst AS b FROM r"
+    )

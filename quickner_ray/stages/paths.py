@@ -8,15 +8,21 @@ expressions over predicates. This module evaluates a small path algebra
     ("inv", e)         ^e      — inverse (swap direction)
     ("seq", a, b)      a / b   — composition
     ("alt", a, b)      a | b   — alternation
-    ("plus", e, H)     e{1,H}  — transitive closure, hop-bounded
+    ("plus", e, H)     e+ / e{1,H} — transitive closure; H=None -> true
+                       to-fixpoint Kleene closure (SPARQL 1.1 semantics)
     ("neg", labels)    !(a|b)  — negated property set (any OTHER predicate)
     ("opt", e)         e?      — zero-or-one (identity over the node universe)
-    ("star", e, H)     e{0,H}  — zero-or-more, hop-bounded
+    ("star", e, H)     e* / e{0,H} — zero-or-more; H=None -> fixpoint
 
-to the DISTINCT (src, dst) endpoint pairs. Hop-bounding ``+``/``*`` keeps
-the operator honest at scale AND gives it an exact recursive-CTE oracle
-(an unbounded closure over a cyclic web graph has no terminating
-path-enumeration SQL); SPARQL engines bound or BFS it the same way.
+to the DISTINCT (src, dst) endpoint pairs. Unbounded closures iterate
+the semi-naive frontier to FIXPOINT — termination is guaranteed because
+the seen-pair set grows monotonically inside the |V|^2 bound and each
+round's frontier is anti-joined against it (frontier-size gating: the
+loop ends the round the frontier empties, i.e. after graph-diameter
+rounds, never |V|). The exact oracle is a recursive CTE with UNION
+(distinct) — DuckDB's set-semantics recursion reaches the same fixpoint
+on cyclic graphs (UNION ALL path enumeration would not terminate).
+Explicit ``+H``/``*H`` digit bounds remain for hop-windowed queries.
 Zero-length arms (``?``/``*``) follow SPARQL 1.1 semantics: the empty
 path relates every graph term to itself, so they union in the identity
 pairs over the node universe (distinct subjects + objects of the triple
@@ -157,14 +163,18 @@ def _seq(a, b, n_buckets: int):
 def min_hops_closure(
     edges,
     *,
-    max_hops: int,
+    max_hops: int | None,
     n_buckets: int | None = None,
     driver_cap: int | None = None,
 ):
     """Edge Dataset(src, dst) -> Dataset(src, dst, min_hops): every pair
-    connected by a directed path of 1..max_hops edges, labeled with its
-    shortest hop count. Semi-naive BFS: round h joins only the pairs
-    FIRST discovered at h-1 against the edge set, so no path is re-walked.
+    connected by a directed path of 1..max_hops edges — or, with
+    ``max_hops=None``, by ANY directed path (true Kleene closure to
+    fixpoint) — labeled with its shortest hop count. Semi-naive BFS:
+    round h joins only the pairs FIRST discovered at h-1 against the
+    edge set, so no path is re-walked; the unbounded form terminates
+    when a round's anti-joined frontier empties (at most graph-diameter
+    rounds — the frontier-size gate, not an hop cap).
 
     Size gate (the graph_cc convention): when the distinct edge set is
     below ``driver_cap`` the BFS runs driver-side on the collected edges —
@@ -172,8 +182,8 @@ def min_hops_closure(
     and 2-4 distributed shuffle rounds cost seconds of fixed overhead that
     a dict BFS over 200k edges does not. Above the cap, the distributed
     frontier rounds run; both paths emit identical pairs."""
-    if max_hops < 1:
-        raise ValueError("min_hops_closure requires max_hops >= 1")
+    if max_hops is not None and max_hops < 1:
+        raise ValueError("min_hops_closure requires max_hops >= 1 or None")
     from .graph_cc import DRIVER_CAP
 
     cap = DRIVER_CAP if driver_cap is None else driver_cap
@@ -195,7 +205,8 @@ def min_hops_closure(
     frontier = e
     seen = e  # pairs only (untagged) for the anti-join side
     out = tag(e, 1)
-    for h in range(2, max_hops + 1):
+    h = 2
+    while max_hops is None or h <= max_hops:
         step = _seq(frontier, e, nb)
         new = bucketed_join(
             _distinct_pairs(step, nb),
@@ -206,16 +217,20 @@ def min_hops_closure(
             left_types=_STR2,
             right_types=_STR2,
         ).materialize()
-        if new.count() == 0:
+        if new.count() == 0:  # fixpoint: nothing new reachable
             break
         out = out.union(tag(new, h))
         seen = seen.union(new).materialize()
         frontier = new
+        h += 1
     return out
 
 
-def _broadcast_min_hops(edge_rows, max_hops: int):
-    """Driver-side BFS over collected distinct edges (below the size gate)."""
+def _broadcast_min_hops(edge_rows, max_hops: int | None):
+    """Driver-side BFS over collected distinct edges (below the size gate);
+    ``max_hops=None`` runs each start's BFS until its frontier empties."""
+    import itertools
+
     import ray.data as rd
     from collections import defaultdict
 
@@ -225,7 +240,11 @@ def _broadcast_min_hops(edge_rows, max_hops: int):
     src_out, dst_out, hop_out = [], [], []
     for start in adj:
         frontier, seen = {start}, set()
-        for h in range(1, max_hops + 1):
+        hops = (
+            range(1, max_hops + 1) if max_hops is not None
+            else itertools.count(1)
+        )
+        for h in hops:
             frontier = {d for u in frontier for d in adj.get(u, ())} - seen
             if not frontier:
                 break

@@ -160,6 +160,22 @@ class TestMinHopsClosure:
         with pytest.raises(ValueError, match="max_hops >= 1"):
             min_hops_closure(self._edges_ds(self.E), max_hops=0)
 
+    # max_hops=None = true Kleene closure: runs to FIXPOINT (the cyclic
+    # graph saturates at diameter rounds, the frontier-empty gate stops
+    # it) — both the driver BFS and the distributed frontier arm
+    @pytest.mark.parametrize("cap", [None, 0])
+    def test_unbounded_fixpoint(self, cap):
+        got = self._closure(self.E, None, driver_cap=cap)
+        assert got == _bfs_ref(self.E, 99)  # 99 >> diameter == saturation
+
+    def test_unbounded_plus_via_sparql_text(self):
+        from quickner_ray.kernel.sparql import run_select
+
+        tri = _triples([(s, "link", d) for s, d in self.E])
+        out = run_select(tri, "SELECT ?a ?b WHERE { ?a :link+ ?b . }")
+        got = sorted((r["a"], r["b"]) for r in out.take_all())
+        assert got == sorted(_bfs_ref(self.E, 99).keys())
+
 
 def _bf_ref(wedges, max_hops):
     """Brute-force hop-bounded Bellman-Ford over (src, dst, w) tuples."""

@@ -121,9 +121,11 @@ class TestPathParsing:
         )
 
     def test_plus_bounds(self):
-        from quickner_ray.kernel.sparql import PLUS_DEFAULT_HOPS, parse_path
+        from quickner_ray.kernel.sparql import parse_path
 
-        assert parse_path(":A+") == ("plus", ("pred", "A"), PLUS_DEFAULT_HOPS)
+        # bare '+' is the unbounded (to-fixpoint) closure, SPARQL 1.1
+        assert parse_path(":A+") == ("plus", ("pred", "A"), None)
+        assert parse_path(":A*") == ("star", ("pred", "A"), None)
         assert parse_path(":A+3") == ("plus", ("pred", "A"), 3)
         assert parse_path("^:A+2") == ("plus", ("inv", ("pred", "A")), 2)
 
