@@ -479,6 +479,9 @@ def oracle_sql() -> dict[str, str]:
         sql_chunks as _sql_chunks,
         sql_sentences as _sql_sentences,
     )
+    from quickner_ray.stages.packing import (
+        sql_pack_doc_parts as _sql_pack,
+    )
     from quickner_ray.pipelines import queries as q
     from quickner_ray.pipelines import relational as rel
     from quickner_ray.pipelines import relational2 as rel2
@@ -491,6 +494,9 @@ def oracle_sql() -> dict[str, str]:
         sql_customer_order_counts as _sql_cust_orders,
         sql_event_value_global_quantiles as _sql_gq,
         sql_events_value_bands as _sql_bands,
+    )
+    from quickner_ray.stages.kmeans import (
+        sql_kmeans_assign_seeded as _sql_kmeans_seeded,
     )
     from quickner_ray.stages.sketch import (
         sql_cms_registers as _sql_cms,
@@ -787,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_global_quantiles": _sql_gq(),
         "customer_order_counts": _sql_cust_orders(),
         "doc_chunks": _sql_chunks(size=200, overlap=40),
+        "packed_sequences": _sql_pack(),
         "vocab_df": _sql_vocab(),
         "redact_pii": _sql_redact(),
         "doc_keywords": _sql_keywords(k=3),
@@ -810,6 +817,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood_pairs": q.sql_sorted_neighborhood_pairs(),
         "embedding_dim_stats": q.sql_embedding_dim_stats(),
         "embedding_int8": q.sql_embedding_int8(),
+        "embedding_kmeans": _sql_kmeans_seeded(),
         "url_filtered_docs": q.sql_url_filtered_docs(),
         "train_val_split": q.sql_train_val_split(),
         "epoch_shuffle": q.sql_epoch_shuffle(),

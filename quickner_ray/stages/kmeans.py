@@ -126,3 +126,94 @@ def kmeans_assign(ds, cent: np.ndarray, *, id_col: str = "vec_id", emb_col: str 
 def kmeans(ds, *, k: int = DEFAULT_K, iters: int = DEFAULT_ITERS, id_col: str = "vec_id"):
     cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col)
     return kmeans_assign(ds, cent, id_col=id_col)
+
+
+# --- seeded-centroid exact assignment (closed-SQL oracle arm) ---------------
+#
+# The Lloyd trainer above is the quality path (determinism + recovery
+# pinned by tests) but its M-step means drift ulps across engines, so it
+# cannot carry an exact SQL oracle. This arm is the stages/ivfpq seeded
+# pattern applied to clustering: centroids are a pure function of a fixed
+# seed (literal-inlined into DuckDB SQL as repr floats), squared distances
+# accumulate in DIMENSION ORDER on BOTH engines (identical left-assoc IEEE
+# double adds -> bit-exact d2 -> identical argmin; ties go to the lowest
+# cluster id on both sides), so the ASSIGNMENT — the E-step / cluster
+# serving shape a curation pipeline runs per batch at 100 TB — is verified
+# VALUE-EXACT. Ray side: ONE zero-shuffle map_batches pass with the (k, d)
+# centroid matrix broadcast via ray.put.
+
+KMEANS_SEED = 907
+SEEDED_KMEANS_DIM = 64
+SEEDED_KMEANS_SCALE = 0.1  # match the embedding table's ~N(0, 0.1) spread
+
+
+def kmeans_seeded_centroids(
+    k: int = DEFAULT_K, dim: int = SEEDED_KMEANS_DIM, seed: int = KMEANS_SEED
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((k, dim)) * SEEDED_KMEANS_SCALE
+
+
+def _d2_dim_order(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances accumulated dimension-by-dimension —
+    the exact FP evaluation order the SQL oracle's left-assoc '+' uses."""
+    acc = np.zeros((mat.shape[0], cent.shape[0]), dtype=np.float64)
+    for i in range(mat.shape[1]):
+        d = mat[:, i : i + 1] - cent[:, i][None, :]
+        acc += d * d
+    return acc
+
+
+def kmeans_assign_seeded(
+    ds,
+    *,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """(id, cluster) assignment under the seeded centroids. Zero-shuffle;
+    bit-exact vs sql_kmeans_assign_seeded."""
+    import ray
+
+    cent = kmeans_seeded_centroids(k)
+    ref = ray.put(cent)
+    dim = cent.shape[1]
+
+    def f(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _mat_from_list_col(b.column(emb_col), dim)
+        a = _d2_dim_order(mat, c).argmin(axis=1)  # first min == lowest cid
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def sql_kmeans_assign_seeded(k: int = DEFAULT_K, table: str = "embeddings") -> str:
+    """Closed-SQL twin: centroids inlined as repr literals, d2 in the same
+    dimension order, argmin via row_number (d2, cid)."""
+    cent = kmeans_seeded_centroids(k)
+    C, dim = cent.shape
+    cent_cols = ", ".join(f"c{i}" for i in range(dim))
+    cent_rows = ",\n".join(
+        f"    ({c}, {', '.join(repr(float(v)) for v in cent[c])})"
+        for c in range(C)
+    )
+    d2_expr = "\n      + ".join(
+        f"((CAST(embedding[{i + 1}] AS DOUBLE) - c{i})"
+        f" * (CAST(embedding[{i + 1}] AS DOUBLE) - c{i}))"
+        for i in range(dim)
+    )
+    return (
+        f"WITH cent(cid, {cent_cols}) AS (VALUES\n{cent_rows}),\n"
+        f"d AS (SELECT vec_id, cid,\n      {d2_expr}\n    AS d2\n"
+        f"  FROM {table} CROSS JOIN cent)\n"
+        f"SELECT vec_id, cluster FROM (\n"
+        f"  SELECT vec_id, cid AS cluster,\n"
+        f"    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn\n"
+        f"  FROM d) t WHERE rn = 1"
+    )

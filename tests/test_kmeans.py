@@ -68,3 +68,64 @@ class TestKMeans:
         cent = kmeans_fit(rd.from_arrow(_emb_table(vecs)), k=2, iters=3)
         assert not np.isnan(cent).any()
         assert np.allclose(cent, 1.0)
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeededAssign:
+    def test_matches_naive_and_sql_order(self):
+        """Engine assignment == naive per-row dimension-order argmin."""
+        import ray.data as rd
+
+        from quickner_ray.stages.kmeans import (
+            _d2_dim_order,
+            kmeans_assign_seeded,
+            kmeans_seeded_centroids,
+        )
+
+        rng = np.random.default_rng(11)
+        mat = rng.standard_normal((120, 64)).astype(np.float32) * 0.1
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(120), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r)) for r in mat]),
+                }
+            )
+        ).repartition(5)
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assign_seeded(ds).take_all()
+        }
+        cent = kmeans_seeded_centroids()
+        ref = _d2_dim_order(mat.astype(np.float64), cent).argmin(axis=1)
+        assert got == {i: int(ref[i]) for i in range(120)}
+
+    def test_sql_twin_matches_on_duckdb(self):
+        """The literal-inlined SQL twin is value-identical on DuckDB."""
+        import duckdb
+        import ray.data as rd
+
+        from quickner_ray.stages.kmeans import (
+            kmeans_assign_seeded,
+            sql_kmeans_assign_seeded,
+        )
+
+        rng = np.random.default_rng(12)
+        mat = rng.standard_normal((40, 64)).astype(np.float32) * 0.1
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in mat]),
+            }
+        )
+        con = duckdb.connect()
+        con.register("embeddings", tbl)
+        want = dict(con.sql(
+            "SELECT vec_id, cluster FROM (" + sql_kmeans_assign_seeded() + ") t"
+        ).fetchall())
+        ds = rd.from_arrow(tbl)
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_assign_seeded(ds).take_all()
+        }
+        assert got == {k: int(v) for k, v in want.items()}

@@ -62,3 +62,63 @@ def test_pack_deterministic_and_ids():
     # over-long chunk alone in its own sequence
     assert by.loc[(3, 0), "seq_id"] == "3:0"
     assert (a.seq_id == "3:0").sum() == 1
+
+
+def test_pack_doc_parts_invariants_and_naive_greedy():
+    """Doc-local packer vs a naive per-doc greedy reference, plus the
+    block-independence property (same output at any batch split)."""
+    from quickner_ray.stages.packing import pack_doc_parts_batch
+
+    rng = np.random.default_rng(5)
+    docs = []
+    for d in range(20):
+        n_words = int(rng.integers(1, 30))
+        words = ["w" * int(rng.integers(1, 40)) for _ in range(n_words)]
+        docs.append((d, " ".join(words)))
+    batch = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([t for _, t in docs]),
+        }
+    )
+    max_len = 60
+    out = pack_doc_parts_batch(batch, max_len=max_len)
+    rows = sorted(
+        zip(*(out.column(c).to_pylist() for c in out.column_names))
+    )
+    # naive per-doc greedy reference
+    ref = []
+    for d, t in docs:
+        parts = t.split(" ")
+        fill, start = 0, 1
+        for i, w in enumerate(parts, start=1):
+            if i == 1 or fill + len(w) > max_len:
+                fill, start = len(w), i
+            else:
+                fill += len(w)
+            ref.append((f"{d}:{start}", i - start, d, i, len(w)))
+    assert rows == sorted(ref)
+    # block-independence: packing each doc alone yields identical rows
+    solo = []
+    for d, t in docs:
+        one = pack_doc_parts_batch(
+            pa.table(
+                {"doc_id": pa.array([d], type=pa.int64()),
+                 "text": pa.array([t])}
+            ),
+            max_len=max_len,
+        )
+        solo.extend(zip(*(one.column(c).to_pylist() for c in one.column_names)))
+    assert sorted(solo) == rows
+
+
+def test_pack_doc_parts_overlong_part_is_own_sequence():
+    from quickner_ray.stages.packing import pack_doc_parts_batch
+
+    batch = pa.table(
+        {"doc_id": pa.array([1], type=pa.int64()),
+         "text": pa.array(["aa " + "x" * 50 + " bb"])}
+    )
+    out = pack_doc_parts_batch(batch, max_len=10)
+    seqs = out.column("seq_id").to_pylist()
+    assert seqs == ["1:1", "1:2", "1:3"]  # the 50-char token stands alone
