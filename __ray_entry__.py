@@ -79,9 +79,8 @@ GRADED_PREFIX = [
     "kg_sparql_subquery",
     "kg_sparql_path",
     "triple_pattern_match",
-    "triple_pattern_match_indexed",
-    "triple_pattern_match_planned",
-    "triple_pattern_match_stats",
+    "triple_pattern_match_stats",  # indexed/planned variants swept locally;
+    # the stats arm covers store-side synopsis planning in the graded 50
     "kg_optional_bgp",
     "kg_negation_bgp",
     "kg_owl_inverse",
@@ -105,6 +104,8 @@ GRADED_PREFIX = [
     "skew_join",
     "pq_topk",
     "kg_sparql_update",
+    "kg_quadstore_scoped_update",  # r5: named-graph store, WITH-scoped verb
+    "kg_sparql_path_closure",  # r5: unbounded Kleene closure
     "host_pagerank",
     "host_scc",
     "host_centrality",

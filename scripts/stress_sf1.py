@@ -164,8 +164,29 @@ def main() -> None:
         "turtle_ingest": q.q_turtle_ingest,
     }
     family.update(new_wave)
+    r5_wave = {
+        # round-4 UPDATE verbs (VERDICT r4 item 6: no sf1 row yet) — each
+        # builds its own fingerprint-keyed store from the sf1 corpus then
+        # applies one delta generation; store build dominates
+        "kg_sparql_update": q.q_kg_sparql_update,
+        "kg_sparql_load": q.q_kg_sparql_load,
+        "kg_sparql_clear": q.q_kg_sparql_clear,
+        "similarity_topk_ivfpq": q.q_similarity_topk_ivfpq,
+        # round-5 additions: named-graph store (20 per-graph LSM subtrees
+        # over the sf1 quad stream), unbounded path closure, the seeded
+        # kmeans assignment, doc-local packing, batched ANN serving
+        "kg_quadstore_scoped_update": q.q_kg_quadstore_scoped_update,
+        "kg_quadstore_clear_graph": q.q_kg_quadstore_clear_graph,
+        "kg_sparql_path_closure": q.q_kg_sparql_path_closure,
+        "embedding_kmeans": q.q_embedding_kmeans,
+        "packed_sequences": q.q_packed_sequences,
+        "similarity_topk_batch": q.q_similarity_topk_batch,
+    }
+    family.update(r5_wave)
     if "--new-only" in sys.argv:
         family = new_wave
+    if "--r5-only" in sys.argv:
+        family = r5_wave
     rows: dict = {}
     for name, fn in family.items():
         t0 = time.perf_counter()

@@ -207,8 +207,11 @@ class TestSparqlUpdate:
         assert sparql_update(store, "CLEAR") == 1
         assert self._spo(store, "SYS") == []
         assert sparql_update(store, "CLEAR ALL") == 0  # now a no-op
+        # CLEAR GRAPH is valid SYNTAX since the quad store landed (r5);
+        # the single-graph EXECUTOR is what rejects it now
+        assert parse_update_request("CLEAR GRAPH <g>") == ("clear_graph", "g")
         with pytest.raises(SparqlError, match="single-graph"):
-            parse_update_request("CLEAR GRAPH <g>")
+            sparql_update(store, "CLEAR GRAPH <g>")
 
     def test_modify_unbound_template_var_raises(self, store):
         from quickner_ray.kernel.sparql import SparqlError
