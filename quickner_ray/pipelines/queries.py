@@ -8228,6 +8228,35 @@ def _quad_store(sf_dir: str, tag: str) -> str:
     return store
 
 
+def _quad_store_r5(sf_dir: str) -> str:
+    """ONE shared quad store for the round-5 graph-verb family: both
+    contract queries' mutations touch DISJOINT graphs (the WITH-scoped
+    rename lands only in src3's LSM roster; CLEAR GRAPH + reinsert only
+    in src2's), so the post-mutation state is deterministic regardless
+    of which query runs first — each ensures BOTH mutations before
+    reading. Halves the 20-graph store build vs per-query stores (the
+    build, 3 sorts x 20 graphs, dominates both bench rows). Guards are
+    per-graph delta rosters, crash-safe like kg_sparql_clear."""
+    from ..serving import quad_update
+    from ..sinks.quadstore import _delta_dirs, graph_dir
+
+    store = _quad_store(sf_dir, "r5")
+    if not _delta_dirs(os.path.join(graph_dir(store, "src3"), "spo")):
+        quad_update(
+            store,
+            "WITH :src3 DELETE { ?d :OPERATOR ?o . } "
+            "INSERT { ?d :OP_RENAMED ?o . } WHERE { ?d :OPERATOR ?o . }",
+        )
+    if len(_delta_dirs(os.path.join(graph_dir(store, "src2"), "spo"))) < 2:
+        quad_update(store, "CLEAR GRAPH :src2")
+        quad_update(
+            store,
+            'INSERT DATA { GRAPH :src2 { "qclr:d1" :AFTER "kept" .\n'
+            '                            "qclr:d2" :AFTER "kept" } }',
+        )
+    return store
+
+
 def q_kg_quadstore_scoped_update(sf_dir: str):
     """GRAPH-SCOPED pattern-template UPDATE on the named-graph store
     (serving.quad_update): ``WITH :src3 DELETE { ?d :OPERATOR ?o } INSERT
@@ -8237,21 +8266,15 @@ def q_kg_quadstore_scoped_update(sf_dir: str):
     graph-partitioned store buys; sinks/quadstore.py). The result counts
     distinct triples per (graph, pred) for both predicates across ALL
     graphs via ONE union-default lookup pair: src3 must answer only
-    OP_RENAMED, every sibling graph only OPERATOR, with identical counts
-    to the pre-update corpus (rename moves keys, never loses them).
-    Applied once per cached store (delta-roster guard)."""
+    OP_RENAMED, every sibling graph only OPERATOR (src2 excepted — the
+    sibling query's CLEAR GRAPH removed it; see _quad_store_r5), with
+    identical counts to the pre-update corpus (rename moves keys, never
+    loses them). Applied once per cached store (delta-roster guard)."""
     from ray.data.aggregate import Count
 
-    from ..serving import quad_update
-    from ..sinks.quadstore import _delta_dirs, graph_dir, quad_lookup
+    from ..sinks.quadstore import quad_lookup
 
-    store = _quad_store(sf_dir, "upd")
-    if not _delta_dirs(os.path.join(graph_dir(store, "src3"), "spo")):
-        quad_update(
-            store,
-            "WITH :src3 DELETE { ?d :OPERATOR ?o . } "
-            "INSERT { ?d :OP_RENAMED ?o . } WHERE { ?d :OPERATOR ?o . }",
-        )
+    store = _quad_store_r5(sf_dir)
     both = quad_lookup(store, "pred", "OPERATOR").union(
         quad_lookup(store, "pred", "OP_RENAMED")
     )
@@ -8274,7 +8297,9 @@ def sql_kg_quadstore_scoped_update() -> str:
         "base AS (SELECT d.source AS g, CAST(a.doc_id AS VARCHAR) AS doc,\n"
         "         a.eid AS op\n"
         "         FROM acc a JOIN documents d ON a.doc_id = d.doc_id\n"
-        "         WHERE a.plabel = 'OPERATOR' GROUP BY 1, 2, 3)\n"
+        "         WHERE a.plabel = 'OPERATOR'\n"
+        "           AND d.source <> 'src2'  -- sibling query CLEARed src2\n"
+        "         GROUP BY 1, 2, 3)\n"
         "SELECT g,\n"
         "  (CASE WHEN g = 'src3' THEN 'OP_RENAMED' ELSE 'OPERATOR' END)\n"
         "    AS pred,\n"
@@ -8290,21 +8315,16 @@ def q_kg_quadstore_clear_graph(sf_dir: str):
     block. Result: distinct-SYSTEM-triple counts per surviving graph
     (src2 must be absent — every key folded to zero through the
     delta-aware read) plus src2's re-inserted :AFTER rows; every sibling
-    graph's counts must equal the pre-clear corpus. Crash-safe guard on
-    BOTH delta generations, mirroring kg_sparql_clear."""
+    graph's counts must equal the pre-clear corpus (the sibling query's
+    src3 rename touches only OPERATOR — SYSTEM is invariant to it).
+    Shares the round-5 quad store (_quad_store_r5: disjoint-graph
+    mutations, order-independent); crash-safe guard on BOTH src2 delta
+    generations, mirroring kg_sparql_clear."""
     from ray.data.aggregate import Count
 
-    from ..serving import quad_update
-    from ..sinks.quadstore import _delta_dirs, graph_dir, quad_lookup
+    from ..sinks.quadstore import quad_lookup
 
-    store = _quad_store(sf_dir, "clr")
-    if len(_delta_dirs(os.path.join(graph_dir(store, "src2"), "spo"))) < 2:
-        quad_update(store, "CLEAR GRAPH :src2")
-        quad_update(
-            store,
-            'INSERT DATA { GRAPH :src2 { "qclr:d1" :AFTER "kept" .\n'
-            '                            "qclr:d2" :AFTER "kept" } }',
-        )
+    store = _quad_store_r5(sf_dir)
     both = quad_lookup(store, "pred", "SYSTEM").union(
         quad_lookup(store, "pred", "AFTER")
     )
