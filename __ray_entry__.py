@@ -309,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sparql_clear": q.q_kg_sparql_clear,
         "kg_quadstore_scoped_update": q.q_kg_quadstore_scoped_update,
         "kg_quadstore_clear_graph": q.q_kg_quadstore_clear_graph,
+        "kg_quadstore_served": q.q_kg_quadstore_served,
         "graph_degree": q.q_graph_degree,
         "pred_cardinality": q.q_pred_cardinality,
         "entity_postings": q.q_entity_postings,
@@ -591,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_clear": q.sql_kg_sparql_clear(),
         "kg_quadstore_scoped_update": q.sql_kg_quadstore_scoped_update(),
         "kg_quadstore_clear_graph": q.sql_kg_quadstore_clear_graph(),
+        "kg_quadstore_served": q.sql_kg_graph_bgp(),
         "graph_degree": (
             "SELECT subj, pred, CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,"
             " CAST(count(*) AS BIGINT) AS n_mentions FROM ("

@@ -422,15 +422,54 @@ def _apply_modify(store_dir: str, parsed: dict, perms: list[str]) -> int:
 
 # --- named-graph (quad store) serving ---------------------------------------
 
-def quad_select(store_dir: str, query: str, *, graph: str | None = None):
-    """Serve a SPARQL query over the quad store: the union-default quad
-    stream (ONE read across every graph's SPO run, delta-aware) — or one
-    graph's with ``graph=`` — feeds the text front-end, so ``GRAPH ?g``
-    groups bind the provenance graph and ``GRAPH :iri`` groups restrict,
-    exactly as over an in-flight quad Dataset."""
+def _quad_kwargs(store_dir: str) -> dict:
+    """Per-pattern index routing for the quad store (the single-graph
+    `_kwargs` generalized): a pattern inside ``GRAPH :iri`` reads ONLY
+    that graph's permutation subtree; a constant-graph-free or
+    ``GRAPH ?g`` pattern reads the union-default file list — either way
+    one pruned read per pattern, the graph column riding in-file so the
+    4th pattern term binds/restricts vectorized on top."""
+    from .sinks.quadstore import graph_stream, quad_lookup
+
+    def source(pat):
+        s, pred, o = pat[0], pat[1], pat[2]
+        g = pat[3] if len(pat) == 4 else None
+        graph = (
+            None
+            if g is None or (isinstance(g, str) and g.startswith("?"))
+            else g
+        )
+        if isinstance(pred, tuple) or pred.startswith("?"):
+            return graph_stream(store_dir, graph=graph)
+        if not s.startswith("?"):  # (subj, pred) prefix: SPO two-key prune
+            return quad_lookup(store_dir, "subj", s, second=pred, graph=graph)
+        if not o.startswith("?"):  # (pred, obj) prefix: POS two-key prune
+            return quad_lookup(store_dir, "pred", pred, second=o, graph=graph)
+        return quad_lookup(store_dir, "pred", pred, graph=graph)
+
+    return {"pattern_source": source}
+
+
+def quad_select(
+    store_dir: str,
+    query: str,
+    *,
+    graph: str | None = None,
+    serve: str = "lookup",
+):
+    """Serve a SPARQL query over the quad store. ``serve="lookup"``
+    routes every bound-predicate pattern through the per-graph
+    permutation indexes (`_quad_kwargs` — a ``GRAPH :iri`` group reads
+    one graph's subtree only); ``serve="stream"`` feeds the
+    union-default quad stream (ONE read across every graph's SPO run,
+    delta-aware) to the front-end. Both answer identically; ``graph=``
+    restricts the stream variant to one graph."""
     from .kernel.sparql import run_select
     from .sinks.quadstore import graph_stream
 
+    if serve == "lookup" and graph is None:
+        kw = _quad_kwargs(store_dir)
+        return run_select(graph_stream(store_dir), query, **kw)
     return run_select(graph_stream(store_dir, graph=graph), query)
 
 

@@ -245,3 +245,25 @@ def test_parse_graph_verbs():
         parse_update_request("CLEAR GRAPH ?g")
     with pytest.raises(SparqlError):
         parse_update_request("WITH <g> INSERT DATA { \"a\" :P \"b\" }")
+
+
+def test_quad_select_lookup_matches_stream(store):
+    from quickner_ray.serving import quad_select
+
+    q = (
+        "SELECT ?g (COUNT(?d) AS ?n) WHERE { GRAPH ?g { ?d :SYSTEM ?s . } } "
+        "GROUP BY ?g"
+    )
+    lookup = sorted(
+        tuple(r.values()) for r in quad_select(store, q).take_all()
+    )
+    stream = sorted(
+        tuple(r.values())
+        for r in quad_select(store, q, serve="stream").take_all()
+    )
+    assert lookup == stream == [("gA", 1), ("gB", 1)]
+
+    # constant-graph restriction reads one subtree only
+    q2 = 'SELECT ?d ?o WHERE { GRAPH "gB" { ?d :OPERATOR ?o . } }'
+    got = sorted(tuple(r.values()) for r in quad_select(store, q2).take_all())
+    assert got == [("d2", "scan")]
