@@ -8224,7 +8224,7 @@ def _quad_store(sf_dir: str, tag: str) -> str:
 
     store = f"/tmp/quickner_ray_qstore_{tag}_{_corpus_cache_key(sf_dir, 'v1')}"
     if not list_graphs(store):
-        write_quad_store(quads_dataset(sf_dir), store)
+        write_quad_store(quads_dataset(sf_dir), store, stats=True)
     return store
 
 

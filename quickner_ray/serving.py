@@ -469,6 +469,15 @@ def quad_select(
 
     if serve == "lookup" and graph is None:
         kw = _quad_kwargs(store_dir)
+        if os.path.exists(
+            os.path.join(store_dir, "stats", "_DONE")
+        ) and not _has_paths(query):
+            # cross-graph synopsis (write_quad_store stats=True): join
+            # order priced from a #predicates-row table, zero scans
+            from .sinks.triplestore import read_store_stats
+
+            kw["plan"] = "stats"
+            kw["stats"] = read_store_stats(store_dir)
         return run_select(graph_stream(store_dir), query, **kw)
     return run_select(graph_stream(store_dir, graph=graph), query)
 

@@ -171,10 +171,14 @@ def write_quad_store(
             os.rename(tmp, d)
             with open(os.path.join(d, "_DONE"), "w") as f:
                 f.write("ok")
-        if stats and pending:
-            _write_store_stats(dtg, gd)
         with open(os.path.join(gd, "graph.txt"), "w") as f:
             f.write(g)
+    if stats:
+        # ONE cross-graph planning synopsis at the store root (the
+        # per-predicate table triplestore.read_store_stats loads —
+        # estimates order joins, they never answer queries, so the
+        # graph dimension needs no per-graph refinement)
+        _write_store_stats(dt, out_dir)
     return out_dir
 
 

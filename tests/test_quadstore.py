@@ -267,3 +267,27 @@ def test_quad_select_lookup_matches_stream(store):
     q2 = 'SELECT ?d ?o WHERE { GRAPH "gB" { ?d :OPERATOR ?o . } }'
     got = sorted(tuple(r.values()) for r in quad_select(store, q2).take_all())
     assert got == [("d2", "scan")]
+
+
+def test_quad_select_stats_planned(ray_session, tmp_path):
+    """A stats-carrying quad store plans its join order from the
+    cross-graph synopsis; answers must be identical to the unplanned
+    lookup and stream evaluations."""
+    from quickner_ray.serving import quad_select
+    from quickner_ray.sinks.quadstore import write_quad_store
+
+    d = str(tmp_path / "qstore_stats")
+    write_quad_store(_quads(ray_session, ROWS), d, stats=True)
+    assert os.path.exists(os.path.join(d, "stats", "_DONE"))
+    q = (
+        "SELECT ?d ?s ?o WHERE { ?d :SYSTEM ?s . ?d :OPERATOR ?o . }"
+    )
+    planned = sorted(
+        tuple(r.values()) for r in quad_select(d, q).take_all()
+    )
+    stream = sorted(
+        tuple(r.values()) for r in quad_select(d, q, serve="stream").take_all()
+    )
+    assert planned == stream == [
+        ("d1", "spark", "join"), ("d2", "flink", "scan")
+    ]
