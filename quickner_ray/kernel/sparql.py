@@ -1866,6 +1866,18 @@ def parse_update_request(text: str):
         if len(toks) == 3 and toks[1].upper() == "GRAPH":
             return (f"{verb.lower()}_graph", _graph_term(toks[2]))
         raise SparqlError(f"{verb} supports only {verb} GRAPH <iri>")
+    if toks[0].upper() in ("ADD", "COPY", "MOVE"):
+        # SPARQL 1.1 graph management: ADD/COPY/MOVE [GRAPH] <src> TO
+        # [GRAPH] <dst> (quad stores only). ADD merges src's triples into
+        # dst; COPY replaces dst with src; MOVE = COPY then DROP src.
+        verb = toks[0].upper()
+        rest = [t for t in toks[1:] if t.upper() != "GRAPH"]
+        if len(rest) == 3 and rest[1].upper() == "TO":
+            src, dst = _graph_term(rest[0]), _graph_term(rest[2])
+            if src == dst:
+                raise SparqlError(f"{verb} needs distinct graphs")
+            return (f"{verb.lower()}_graph_to", (src, dst))
+        raise SparqlError(f"{verb} syntax: {verb} GRAPH <src> TO GRAPH <dst>")
     if toks[0].upper() == "LOAD":
         # ';'-separated LOAD <iri> sequence; cannot mix with other verbs
         paths: list[str] = []

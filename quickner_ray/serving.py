@@ -178,7 +178,10 @@ def sparql_update(store_dir: str, text: str, *, perms: list[str] | None = None) 
     if not perms:
         raise FileNotFoundError(f"no completed permutation under {store_dir}")
 
-    if kind in ("clear_graph", "drop_graph", "create_graph"):
+    if kind in (
+        "clear_graph", "drop_graph", "create_graph",
+        "add_graph_to", "copy_graph_to", "move_graph_to",
+    ):
         raise SparqlGraphStoreError(
             f"{kind.split('_')[0].upper()} GRAPH targets a named-graph "
             "store — use quad_update on a quad store "
@@ -489,6 +492,10 @@ def quad_update(store_dir: str, text: str) -> int:
 
     * ``CREATE GRAPH <g>`` / ``DROP GRAPH <g>`` — create / remove one
       graph's subtree (O(1) / O(graph); DROP reclaims physically).
+    * ``ADD/COPY/MOVE GRAPH <src> TO GRAPH <dst>`` — ADD merges src's
+      net triples into dst (support-additive); COPY replaces dst (one
+      clear delta + the copied net); MOVE = COPY then DROP src. All
+      |src|+|dst| work on two subtrees.
     * ``CLEAR GRAPH <g>`` — one delta generation negating net support in
       THAT graph only; ``CLEAR ALL``/``DEFAULT`` loops every graph.
     * ``INSERT DATA`` / ``DELETE DATA`` with ``GRAPH <g> { ... }``
@@ -532,6 +539,30 @@ def quad_update(store_dir: str, text: str) -> int:
         return int(drop_graph(store_dir, parsed))
     if kind == "clear_graph":
         return clear_graph(store_dir, parsed)
+    if kind in ("add_graph_to", "copy_graph_to", "move_graph_to"):
+        src, dst = parsed
+        if src not in list_graphs(store_dir):
+            raise FileNotFoundError(f"graph <{src}> not in store {store_dir}")
+        n = 0
+        if kind != "add_graph_to" and dst in list_graphs(store_dir):
+            n += clear_graph(store_dir, dst)  # COPY/MOVE replace dst
+        def retarget(b, d=dst):
+            i = b.column_names.index("graph")
+            return b.set_column(
+                i, "graph", pa.array([d] * b.num_rows, type=pa.string())
+            )
+
+        copied = (
+            graph_stream(store_dir, graph=src)
+            .map_batches(retarget, batch_format="pyarrow")
+            .materialize()
+        )
+        k = copied.count()
+        if k:
+            apply_quad_delta(store_dir, copied, distinct=True)
+        if kind == "move_graph_to":
+            drop_graph(store_dir, src)
+        return n + k
     if kind == "clear":
         return sum(clear_graph(store_dir, g) for g in sorted(list_graphs(store_dir)))
     if kind == "load":

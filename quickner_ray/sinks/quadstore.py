@@ -383,4 +383,20 @@ def compact_quad_store(store_dir: str, *, row_group_size: int | None = None) -> 
             with open(os.path.join(d, "_DONE"), "w") as f:
                 f.write("ok")
         folded[g] = n_folded
+    if any(folded.values()) and os.path.isdir(os.path.join(store_dir, "stats")):
+        # deltas drifted the cross-graph planning synopsis; rebuild it
+        # from the compacted bases (one pruned read over every graph's
+        # spo run — same refresh rule as triplestore.compact_store)
+        import ray.data as rd
+
+        marker = os.path.join(store_dir, "stats", "_DONE")
+        if os.path.exists(marker):
+            os.remove(marker)
+        _write_store_stats(
+            rd.read_parquet(
+                _parquet_files(_perm_dirs(store_dir, "spo", None)),
+                columns=["subj", "pred", "obj"],
+            ),
+            store_dir,
+        )
     return folded

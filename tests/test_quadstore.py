@@ -291,3 +291,36 @@ def test_quad_select_stats_planned(ray_session, tmp_path):
     assert planned == stream == [
         ("d1", "spark", "join"), ("d2", "flink", "scan")
     ]
+
+
+def test_add_copy_move_graph_verbs(store):
+    from quickner_ray.serving import quad_update
+    from quickner_ray.sinks.quadstore import list_graphs, quad_lookup
+
+    # ADD merges with support addition: gA's spark (2) lands in gB
+    n = quad_update(store, 'ADD GRAPH "gA" TO GRAPH "gB"')
+    assert n == 2  # gA's two keys copied
+    assert _sorted_rows(quad_lookup(store, "pred", "SYSTEM", graph="gB")) == [
+        ("d1", "SYSTEM", "spark", "gB", 2),
+        ("d2", "SYSTEM", "flink", "gB", 1),
+    ]
+    # COPY replaces: gB's merged contents overwritten by gA's two keys
+    quad_update(store, 'COPY "gA" TO "gB"')
+    got = _sorted_rows(quad_lookup(store, "pred", "OPERATOR", graph="gB"))
+    assert got == [("d1", "OPERATOR", "join", "gB", 1)]
+    assert _sorted_rows(quad_lookup(store, "pred", "UNIT", graph="gB")) == []
+    # MOVE: gA's contents land in gNew, gA is gone
+    quad_update(store, 'MOVE GRAPH "gA" TO GRAPH "gNew"')
+    assert "gA" not in list_graphs(store)
+    assert _sorted_rows(quad_lookup(store, "pred", "SYSTEM", graph="gNew")) == [
+        ("d1", "SYSTEM", "spark", "gNew", 2)
+    ]
+    # source must exist; same-graph rejected at parse
+    import pytest as _pt
+
+    from quickner_ray.kernel.sparql import SparqlError
+
+    with _pt.raises(FileNotFoundError):
+        quad_update(store, 'ADD "gA" TO "gB"')
+    with _pt.raises(SparqlError, match="distinct graphs"):
+        quad_update(store, 'COPY "gB" TO "gB"')
