@@ -208,6 +208,8 @@ def _prewarm_caches(sf_dir: str) -> None:
     q.annotated_documents_cached(sf_dir)
     q._full_triple_store(sf_dir)
     q.comention_pairs_cached(sf_dir)
+    q._quad_store(sf_dir, "srv")  # the round-5 family's shared 20-graph
+    # build (the mutated twin hardlink-clones it)
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
